@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Reads the graft.Verify output dir (<name>.parquet dirs + oracle_sql.json),
+runs each oracle SQL in DuckDB against the same sf tables, and compares:
+  - row count, column-name set,
+  - value hash over rows sorted by all columns, columns sorted by name.
+Usage: tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def table_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        tbl = pq.read_table(files[0]) if files else None
+        if tbl is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        s_cols = tbl.column_names
+        s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
+        if name not in oracle:
+            print(f"weak {name}: rows={len(s_rows)} (no oracle)")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracle[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            ok = False
+        else:
+            hs = table_digest(s_cols, s_rows)
+            hd = table_digest(d_cols, d_rows)
+            if hs != hd:
+                print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
+                # show first differing line
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                ls = sorted("|".join(norm(r[i]) for i in order_s) for r in s_rows)
+                ld = sorted("|".join(norm(r[i]) for i in order_d) for r in d_rows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        print(f"  spark: {a}\n  duck : {b}")
+                        break
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
