@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the scale plan:
+  *  - [[bruteForceTopK]]: exact cosine top-k, broadcast-join of the query
+  *    set against every candidate. Right when |queries| is small or as
+  *    the ground truth for recall tests. Linear in |candidates|.
+  *  - [[annTopK]]: random-hyperplane LSH bucketing. Candidates and
+  *    queries hash to sign-pattern buckets; only same-bucket pairs are
+  *    scored, with `probes` extra single-bit-flip probe buckets to trade
+  *    compute for recall. The bucket join is an equi-join on the bucket
+  *    key — hash-partitionable, no broadcast of the full corpus — which
+  *    is the 100 TB shape (IVF-style: route, then score within cell). */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. Output ranks are
+    * deterministic: ties broken by candidate id. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * derived from a fixed seed so bucketing is stable across runs. */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Float]] = {
+    val rng = new scala.util.Random(42L)
+    Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
+  /** Sign-pattern bucket id for a vector under `nPlanes` hyperplanes. */
+  private def bucketOf(vec: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = VectorOps.dot(vec, lit(p))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k. `nPlanes` sign bits → 2^nPlanes
+    * buckets; each query additionally probes the `probes` buckets at
+    * Hamming distance 1 (multi-probe LSH). */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int = 8, probes: Int = 3, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = candidates
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("bucket", bucketOf(col("cv"), planes))
+    val qb = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("bucket0", bucketOf(col("qv"), planes))
+    // probe buckets: the home bucket plus single-bit flips 0..probes-1
+    val probeBuckets = array(
+      (col("bucket0") +: (0 until probes).map(b =>
+        col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
+    val q = qb.select(col("query_id"), col("qv"), col("qn"),
+      explode(probeBuckets).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.functions.VectorOps
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the north-star extensions): dedup (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force and
+  * LSH-bucketed ANN), and text analysis (language ID, quality scores,
+  * token stats, fingerprints).
+  *
+  * Oracle-parity notes: hash-based ops (MinHash/SimHash/winnowing) use
+  * Spark's xxhash64, which DuckDB lacks — their *signatures* get rows-only
+  * checks, but the MinHash **result** (verified near-dup pairs) is checked
+  * against the exact Jaccard SQL: with k=64/16-band signatures the
+  * detection probability at the 0.8 threshold is ≥0.9998 and the corpus'
+  * near-dup pairs cluster at j≈0.97 where detection is ≈certain, so
+  * LSH + exact verification equals the exact all-pairs result. Float
+  * similarity values are never emitted (ranks/ids only) because DuckDB's
+  * float kernels differ in rounding. */
+object LlmOps {
+
+  // ------------------------------------------------------------- dedup
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy("keep_id")
+
+  private val dedupExactSql =
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY keep_id""".stripMargin
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private def jaccardOracle(threshold: String) =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, inter, za.n AS na, zb.n AS nb,
+       |  CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes za ON za.doc_id = doc_a
+       |           JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, k = 64, bands = 16, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.simhashSignatures(Tables.documents(spark, dir), col("doc_id"), col("text")),
+        maxDist = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"), threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  private val dedupEmbeddingSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------- similarity
+
+  def vectorTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private val vectorTopkSql =
+    """SELECT query_id, cand_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    row_number() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN — approximate by design, so rows-only; recall vs
+    * the brute-force ground truth is property-tested in AnnSpec. */
+  def vectorAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.annTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-vector norm and self-dot in double precision. Exactness vs DuckDB
+    * holds because both engines fold the 64 doubles sequentially. */
+  def vectorNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorOps.dot(col("embedding"), col("embedding")).as("dot_self"),
+        VectorOps.norm(col("embedding")).as("l2norm"))
+      .orderBy("vec_id")
+
+  private val vectorNormsSql =
+    """SELECT vec_id,
+      |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS dot_self,
+      |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2norm
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ text analysis
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    val nTok = size(w)
+    val nTypes = size(array_distinct(w))
+    val stop = TextOps.hitCount(w, TextOps.enStopwords)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_char"),
+        nTok.as("n_tokens"),
+        nTypes.as("n_types"),
+        (nTypes.cast("double") / nTok.cast("double")).as("ttr"),
+        ((length(col("text")) - nTok + 1).cast("double") / nTok.cast("double"))
+          .as("mean_token_len"),
+        (stop.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualitySql =
+    """SELECT doc_id,
+      |  length(text) AS n_char,
+      |  len(w) AS n_tokens,
+      |  len(list_distinct(w)) AS n_types,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+      |  CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len,
+      |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS stopword_ratio
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stopword-hit language-ID heuristic: score each candidate language by
+    * stopword occurrences (with multiplicity), argmax with a fixed
+    * preference order, 'unknown' when nothing hits. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    val s = Seq("en", "es", "de", "fr").map(l =>
+      l -> TextOps.hitCount(w, TextOps.stopwords(l)))
+    val Seq(en, es, de, fr) = s.map(_._2)
+    val pred = when(en === 0 && es === 0 && de === 0 && fr === 0, lit("unknown"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+    Tables.documents(spark, dir)
+      .select((col("doc_id") +: col("lang") +:
+        s.map { case (l, c) => c.as(s"s_$l") }) :+ pred.as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql =
+    """SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+      |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+      |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM (SELECT doc_id, lang,
+      |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+      |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) AS s_es,
+      |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','im','zu'))) AS s_de,
+      |  len(list_filter(w, x -> x IN ('le','la','de','et','les','des','une','est','dans','pour'))) AS s_fr
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus token statistics per (lang, source) — all-integer exact. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextOps.tokens(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"), nTok.as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val tokenStatsSql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(n_tokens) AS total_tokens,
+      |  MIN(n_tokens) AS min_tokens,
+      |  MAX(n_tokens) AS max_tokens,
+      |  SUM(n_chars) AS total_chars
+      |FROM (SELECT lang, source, n_chars, len(string_split(text, ' ')) AS n_tokens
+      |      FROM documents)
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  /** Content fingerprints via cryptographic digests (md5/sha256) — the
+    * oracle-checkable half of document fingerprinting; the rolling-hash
+    * winnowing fingerprint is [[winnowFingerprint]] (rows-only, xxhash64
+    * has no DuckDB twin). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        length(col("text")).as("n_char"))
+      .orderBy("doc_id")
+
+  private val docFingerprintSql =
+    """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+      |  length(text) AS n_char
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash all char
+    * 8-grams, take the min hash of each sliding window of 16, distinct.
+    * Pure built-in expressions (sequence/transform/slice/array_min). */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val kgram = 8
+    val win = 16
+    val grams = expr(
+      s"transform(sequence(1, greatest(length(text) - ${kgram - 1}, 1)), i -> xxhash64(substr(text, i, $kgram)))")
+    val fp = expr(
+      s"array_distinct(transform(sequence(1, greatest(size(__grams) - ${win - 1}, 1)), j -> array_min(slice(__grams, j, $win))))")
+    Tables.documents(spark, dir)
+      .withColumn("__grams", grams)
+      .select(col("doc_id"),
+        fp.as("__fp"))
+      .select(col("doc_id"),
+        size(col("__fp")).as("n_fingerprints"),
+        array_min(col("__fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExactSql)(dedupExact),
+    Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
+    Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
+    Q.noOracle("dedup_simhash")(dedupSimhash),
+    Q("dedup_embedding", dedupEmbeddingSql)(dedupEmbedding),
+    Q("vector_topk", vectorTopkSql)(vectorTopk),
+    Q.noOracle("vector_ann")(vectorAnn),
+    Q("vector_norms", vectorNormsSql)(vectorNorms),
+    Q("text_quality", textQualitySql)(textQuality),
+    Q("lang_id", langIdSql)(langId),
+    Q("token_stats", tokenStatsSql)(tokenStats),
+    Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
+    Q.noOracle("winnow_fingerprint")(winnowFingerprint))
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column(expr)` / `Column.expr` bridge that
+  * custom Catalyst expressions need; the replacement
+  * (`classic.ExpressionUtils`) is `private[sql]`. This object lives inside
+  * the `org.apache.spark.sql` package namespace purely to re-export those
+  * two conversions to graft's custom expressions (e.g.
+  * `graft.functions.FloatVecDot`). No Spark internals are used beyond the
+  * sanctioned Column↔Expression adapters. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
