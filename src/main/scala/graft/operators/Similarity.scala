@@ -51,10 +51,16 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed approximate top-k. `nPlanes` sign bits → 2^nPlanes
-    * buckets; each query additionally probes the `probes` buckets at
-    * Hamming distance 1 (multi-probe LSH). */
+    * buckets; each query additionally probes all `probes` single-bit-flip
+    * buckets (multi-probe LSH). Recall/compute trade-off: for a query
+    * whose true neighbor sits at angle θ, each plane agrees with
+    * probability 1−θ/π, so home+1-bit-probes cover
+    * p^n + probes·p^(n−1)(1−p). Defaults (6 planes, all 6 probes) target
+    * uniform corpora where neighbors sit at θ≈60°; strongly clustered
+    * corpora (real embeddings) support more planes for a finer
+    * partition. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nPlanes: Int = 8, probes: Int = 3, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 6, probes: Int = 6, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val c = candidates
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The daily-downsample semantic (SURVEY.md §2.4) over an unbounded
+  * stream — the Structured-Streaming re-expression of the reference's
+  * stateful scan (/root/reference/main.py:151-161), which processes a
+  * complete pre-sorted history in batch.
+  *
+  * Two formulations:
+  *  - [[windowed]]: watermark + 1-day tumbling window + `min_by` — the
+  *    declarative route. Emits each (key, day)'s earliest event once the
+  *    watermark passes the day; late events within the watermark are
+  *    handled by the engine (the batch operator gets that for free from
+  *    having the whole history).
+  *  - [[greedy]]: `flatMapGroupsWithState` carrying the reference's
+  *    actual per-key threshold (`cur_date`) as explicit state — the
+  *    faithful port of the greedy scan. Exactly equivalent to the batch
+  *    operator when events arrive in event-time order per key (true of
+  *    the reference's pre-sorted dumps); under out-of-order arrival it
+  *    keeps the reference's greedy bias (first-seen wins), which is the
+  *    documented behavior of the original, while [[windowed]] gives the
+  *    order-independent answer. */
+object StreamingDownsample {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class DayFirst(user_id: Long, day: java.sql.Date, first_ts: Timestamp,
+      event_id: Long, event_type: String, value: Double)
+
+  /** Declarative: watermark + tumbling day window + min(struct). */
+  def windowed(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("win"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("w"))
+      .select(
+        col("user_id"),
+        col("win.start").cast("date").as("day"),
+        col("w.ts").as("first_ts"),
+        col("w.event_id").as("event_id"),
+        col("w.event_type").as("event_type"),
+        col("w.value").as("value"))
+
+  /** Stateful: the reference's greedy threshold as GroupState. State per
+    * key is a single long (the next-emittable instant) — O(1) per key,
+    * which is what makes this viable with hundreds of millions of keys:
+    * state size is keys × 8 bytes, not keys × events. */
+  def greedy(events: Dataset[Event],
+      epochMillis: Long = Timestamp.valueOf("2001-01-15 00:00:00").getTime)
+      : Dataset[DayFirst] = {
+    import events.sparkSession.implicits._
+    val dayMs = 24L * 3600 * 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) => {
+          var threshold = state.getOption.getOrElse(epochMillis)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DayFirst]
+          // within a micro-batch, restore event-time order (the reference
+          // reads a pre-sorted file; a stream batch has no order promise)
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (t >= threshold) {
+              out += DayFirst(userId, new java.sql.Date(t - Math.floorMod(t, dayMs)),
+                e.ts, e.event_id, e.event_type, e.value)
+              // midnight after the emitted event (main.py:155)
+              threshold = t - Math.floorMod(t, dayMs) + dayMs
+            }
+          }
+          state.update(threshold)
+          out.iterator
+        })
+  }
+}

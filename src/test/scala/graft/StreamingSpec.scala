@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingDownsample
+import graft.streaming.StreamingDownsample.Event
+
+/** Structured-Streaming downsample vs the batch operator: the streaming
+  * formulations must converge to the batch answer once all data is in. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def batchExpected(events: Seq[Event]): Set[(Long, Long)] = {
+    val df = events.toDF()
+    graft.operators.Diachronic.firstPerDay(df,
+        key = col("user_id"), ts = col("ts"), tieBreak = col("event_id"),
+        payload = Seq("event_id" -> col("event_id")))
+      .select("key", "event_id").as[(Long, Long)].collect().toSet
+  }
+
+  private val sample: Seq[Event] = {
+    val rng = new scala.util.Random(7)
+    (1 to 300).map { i =>
+      Event(i.toLong,
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          rng.nextInt(10 * 24 * 3600) * 1000L),
+        rng.nextInt(5).toLong, "e", rng.nextDouble())
+    }
+  }
+
+  test("greedy flatMapGroupsWithState matches batch when fed in event order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.greedy(mem.toDS())
+      .writeStream.format("memory").queryName("greedy_out")
+      .outputMode("append").start()
+    // feed in event-time order across two micro-batches (the reference's
+    // pre-sorted-file assumption)
+    val sorted = sample.sortBy(e => (e.ts.getTime, e.event_id))
+    mem.addData(sorted.take(150))
+    q.processAllAvailable()
+    mem.addData(sorted.drop(150))
+    q.processAllAvailable()
+    val got = spark.table("greedy_out")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == batchExpected(sample))
+  }
+
+  test("windowed watermark aggregation matches batch after end-of-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.windowed(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("windowed_out")
+      .outputMode("append").start()
+    mem.addData(sample)
+    q.processAllAvailable()
+    // advance the watermark past every open window so all finalize
+    mem.addData(Seq(Event(9999L, Timestamp.valueOf("2024-03-01 00:00:00"), 0L, "e", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("windowed_out")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == batchExpected(sample))
+  }
+}
