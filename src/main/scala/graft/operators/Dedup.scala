@@ -31,20 +31,41 @@ object Dedup {
   def shingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), explode(TextOps.shingles(text, n)).as("sh")).distinct()
 
+  /** Distinct (id, 64-bit shingle hash) pairs — the join/aggregation
+    * currency of the dedup operators. Two deliberate choices:
+    *  - join/min-hash 8-byte longs, never shingle strings (shuffle bytes,
+    *    probe cost); at 2⁶⁴, collisions are negligible at any realistic
+    *    corpus size (p ≈ n²/2⁶⁵), so set cardinalities — and therefore
+    *    Jaccard values — are preserved exactly w.p. ~1;
+    *  - hash each token once and compose shingle hashes from the n token
+    *    hashes, never materializing the joined shingle string — string
+    *    building inside the (interpreted) higher-order lambdas is ~6× the
+    *    cost of the whole rest of the pipeline. */
+  def hashedShingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = (0 until n).map(j => s"__th[i + $j]").mkString(", ")
+    df.select(id.as("doc_id"),
+        expr(s"transform(split(${text.toString}, ' '), x -> xxhash64(x))").as("__th"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(__th) >= $n
+           |  THEN transform(sequence(0, size(__th) - $n), i -> xxhash64($toks))
+           |  ELSE array() END""".stripMargin)).as("h"))
+      .distinct()
+  }
+
   /** MinHash signatures: one `array<bigint>` of length k per document.
     * Single shuffle (groupBy doc_id); the k minima are computed as k
     * aggregate expressions. The i-th min-wise function is
     * `xxhash64(xxhash64(shingle), i)` — rehashing the 8-byte base hash is
     * cheap, deterministic, and avoids the 64-bit multiply-shift family
     * that ANSI mode (Spark 4 default) rejects on wrap-around. */
-  def minhashSignatures(shingles: DataFrame, k: Int = 64): DataFrame = {
-    // Materialize the base string hash as a projected column so each of
-    // the k aggregate expressions rehashes 12 bytes, not the shingle text.
-    val withBase = shingles.withColumn("__b", xxhash64(col("sh")))
+  /** Input: hashed shingle set (doc_id, h). Each of the k min-wise
+    * functions rehashes the 8-byte base hash with the function index —
+    * cheap, deterministic, no string re-hashing inside the aggregate. */
+  def minhashSignatures(hashedShingles: DataFrame, k: Int = 64): DataFrame = {
     val mins = (0 until k).map { i =>
-      min(xxhash64(col("__b"), lit(i))).as(s"h$i")
+      min(xxhash64(col("h"), lit(i))).as(s"h$i")
     }
-    withBase
+    hashedShingles
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -79,7 +100,7 @@ object Dedup {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shingles.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .join(shingles.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
@@ -90,18 +111,21 @@ object Dedup {
           (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jaccard"))
   }
 
-  /** Full all-pairs n-gram Jaccard above a threshold — the exact baseline
-    * the LSH path approximates. The shingle equi-join bounds the work to
-    * pairs sharing ≥1 shingle (not n²), but every co-shingled pair is
-    * scored; use [[minhashDedup]] when that set is too large. */
+  /** Exact all-pairs n-gram Jaccard above a threshold — the exact
+    * baseline the LSH path approximates. One equi-join on shingle hashes
+    * computes all intersection counts; work is proportional to
+    * Σ_shingle df² (co-shingled pairs), not n². When that sum explodes —
+    * web-scale corpora with ubiquitous shingles — use [[minhashDedup]]
+    * (approximate-candidates, exact-verify) or [[ngramJaccardPrefix]]
+    * (exact, prefix-filtered). */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
-    // The shingle set feeds the self-join twice plus the size aggregate —
-    // persist it instead of re-exploding the corpus three times.
-    val sh = shingleSet(df, id, text, n).persist()
+    // Shingles feed the self-join twice plus the size aggregate — persist
+    // instead of re-exploding the corpus three times.
+    val sh = hashedShingleSet(df, id, text, n).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -112,6 +136,36 @@ object Dedup {
         (col("inter").cast("double") /
           (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard with **prefix filtering** (Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search"; Xiao et al. PPJoin): under
+    * any canonical global shingle order, two sets with J ≥ t must share an
+    * element within their first `|X| − ⌈t·|X|⌉ + 1` elements, so only
+    * those prefix shingles are indexed for candidate generation; exact
+    * verification runs on candidates only. Ordering by ascending document
+    * frequency puts each doc's rarest shingles in the prefix, which is
+    * what bounds candidates when common shingles would otherwise join
+    * everything with everything. Identical output to [[ngramJaccard]]
+    * (property-tested); pays off once Σ df² ≫ corpus size. */
+  def ngramJaccardPrefix(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = hashedShingleSet(df, id, text, n).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfr"), col("h"))
+    val prefix = sh
+      .join(dfreq, "h")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardForPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash+LSH near-dedup end to end: signatures → banded candidates →
@@ -125,7 +179,7 @@ object Dedup {
     // Shingles feed signature generation AND pair verification (3 scans);
     // persist once. At cluster scale this is the stage you would
     // checkpoint to object storage instead.
-    val sh = shingleSet(df, id, text, n).persist()
+    val sh = hashedShingleSet(df, id, text, n).persist()
     val pairs = lshCandidatePairs(minhashSignatures(sh, k), k, bands)
     jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
   }

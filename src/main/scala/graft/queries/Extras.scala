@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Second-wave relational coverage: pivot, full-outer join, correlated
+  * subquery (decorrelated to a window), GROUPING SETS, regex string
+  * functions, and positional array explode. Same determinism discipline
+  * as [[Relational]]. */
+object Extras {
+
+  /** Pivot (cross-tab): events per user by type. Spark's `pivot` yields
+    * NULL for empty cells; coalesce to 0 to match the oracle's
+    * COUNT(*) FILTER semantics. Pivot values are enumerated explicitly —
+    * at scale that skips the extra distinct-values job entirely. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  private val pivotAggSql =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Full-outer join of two aggregated sides with genuine one-sided
+    * rows (thresholds chosen so some nations appear on only one side). */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9800)
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_rich_cust"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_rich_supp"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        col("n_rich_cust"), col("n_rich_supp"))
+      .orderBy("nationkey")
+  }
+
+  private val fullOuterJoinSql =
+    """SELECT COALESCE(nk_c, nk_s) AS nationkey, n_rich_cust, n_rich_supp
+      |FROM (SELECT c_nationkey nk_c, COUNT(*) n_rich_cust FROM customer
+      |      WHERE c_acctbal > 9800 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey nk_s, COUNT(*) n_rich_supp FROM supplier
+      |      WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
+      |  ON nk_c = nk_s
+      |ORDER BY nationkey""".stripMargin
+
+  /** Correlated-subquery pattern ("orders above their customer's average
+    * order value"), decorrelated into a window — one shuffle on the
+    * correlation key instead of a per-row subquery. The average is
+    * computed as exact-decimal sum cast to double over an integer count,
+    * so both engines compare against the identical float64. */
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  private val corrSubquerySql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |      / COUNT(*) OVER w AS cust_avg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey))
+      |WHERE o_totalprice > cust_avg
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** GROUPING SETS beyond rollup/cube: an explicit non-hierarchical set
+    * list, via SQL (the Dataset API has no grouping-sets builder). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Regex + positional string functions over documents. */
+  def regexFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("lang"), "[aeiou]", "_").as("lang_masked"),
+        instr(col("text"), "data").as("data_pos"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        reverse(col("lang")).as("lang_rev"))
+      .orderBy("doc_id")
+
+  private val regexFnsSql =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+      |  regexp_replace(lang, '[aeiou]', '_', 'g') AS lang_masked,
+      |  strpos(text, 'data') AS data_pos,
+      |  lpad(lang, 5, '_') AS lang_pad,
+      |  reverse(lang) AS lang_rev
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** posexplode over the embedding arrays + per-position aggregation.
+    * min/max of floats pass through without arithmetic — bit-exact. */
+  def explodeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .orderBy("pos")
+
+  // DuckDB 1.0 has no WITH ORDINALITY; a lateral range join gives the
+  // position instead.
+  private val explodeAggSql =
+    """SELECT pos, COUNT(*) AS n,
+      |  MIN(embedding[pos + 1]) AS min_x, MAX(embedding[pos + 1]) AS max_x
+      |FROM embeddings, UNNEST(range(0, len(embedding))) AS t(pos)
+      |GROUP BY pos
+      |ORDER BY pos""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("pivot_agg", pivotAggSql)(pivotAgg),
+    Q("full_outer_join", fullOuterJoinSql)(fullOuterJoin),
+    Q("corr_subquery", corrSubquerySql)(corrSubquery),
+    Q("grouping_sets", groupingSetsSql)(groupingSets),
+    Q("regex_fns", regexFnsSql)(regexFns),
+    Q("explode_agg", explodeAggSql)(explodeAgg))
+}

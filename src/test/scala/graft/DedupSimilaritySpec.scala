@@ -40,6 +40,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered jaccard (PPJoin) equals the naive exact join on sf0.001") {
+    val docs = Tables.documents(spark, sf0001)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+    val naive = norm(Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.3))
+    val ppj = norm(Dedup.ngramJaccardPrefix(docs, col("doc_id"), col("text"), 3, 0.3))
+    assert(naive.nonEmpty)
+    assert(naive == ppj)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
