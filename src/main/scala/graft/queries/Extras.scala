@@ -151,7 +151,37 @@ object Extras {
       |GROUP BY pos
       |ORDER BY pos""".stripMargin
 
+  /** Top-k per group via the custom [[graft.functions.BoundedTopK]]
+    * aggregate: map-side partial top-k (≤k rows per partition per group
+    * cross the shuffle) instead of the window formulation's full
+    * shuffle+sort. Same result as `topk_per_group` — same oracle. */
+  def topkPerGroupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val sortStruct = struct(
+      (-col("o_totalprice")).as("neg_price"), // descending price
+      col("o_orderkey").as("ok"),             // ascending tie-break
+      col("o_totalprice").as("price"))        // payload (never compared)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.BoundedTopK(sortStruct, 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"),
+        col("t.ok").as("o_orderkey"),
+        col("t.price").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val topkPerGroupAggSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("topk_per_group_agg", topkPerGroupAggSql)(topkPerGroupAgg),
     Q("pivot_agg", pivotAggSql)(pivotAgg),
     Q("full_outer_join", fullOuterJoinSql)(fullOuterJoin),
     Q("corr_subquery", corrSubquerySql)(corrSubquery),

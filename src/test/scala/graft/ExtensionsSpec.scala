@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedTopK
+
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_vec_dot and graft_topk are callable from SQL after register()") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d")
+      .as[Double].head()
+    assert(dot == 11.0)
+
+    Seq((1, 5.0), (1, 9.0), (1, 1.0), (2, 4.0)).toDF("g", "x")
+      .createOrReplaceTempView("topk_in")
+    val rows = spark.sql(
+      "SELECT g, graft_topk(struct(x), 2) AS t FROM topk_in GROUP BY g ORDER BY g")
+      .select($"g", $"t".getField("x"))
+      .as[(Int, Seq[Double])].collect()
+    assert(rows.toSeq == Seq((1, Seq(1.0, 5.0)), (2, Seq(4.0))))
+  }
+
+  test("BoundedTopK plans as a partial-mergeable aggregate (map-side top-k)") {
+    val df = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(BoundedTopK(struct(-col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans via ObjectHashAggregate with a
+    // partial phase before the exchange — the property that bounds
+    // shuffle volume to <= k rows per partition per group
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.contains("partial_graft_topk"), plan.take(500))
+  }
+
+  test("BoundedTopK survives serialize/merge across many partitions") {
+    val df = spark.range(0, 10000, 1, 32).toDF("id") // 32 partitions
+      .withColumn("g", col("id") % 7)
+    val out = df.groupBy(col("g"))
+      .agg(BoundedTopK(struct(col("id")), 5).as("top"))
+      .select(col("g"), col("top").getField("id").as("ids"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    (0L until 7L).foreach { g =>
+      // k smallest ids of the g-residue class, ascending
+      val expect = (0L until 10000L).filter(_ % 7 == g).sorted.take(5)
+      assert(out(g) == expect, s"group $g")
+    }
+  }
+}
