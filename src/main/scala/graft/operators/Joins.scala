@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join utilities for the shapes AQE can't fully solve on its own:
+  * explicit key salting for pathological skew, and bucketed co-located
+  * joins that eliminate the shuffle entirely for repeated fact-fact
+  * joins.
+  *
+  * At 100 TB the join taxonomy is: dims → broadcast (automatic under the
+  * threshold, `broadcast()` hint above it); fact↔fact one-off → sort-merge
+  * with AQE skew splitting; fact↔fact repeated on a stable key →
+  * bucketed tables (pay the layout once, join shuffle-free forever);
+  * single hot key melting a task → [[saltedJoin]]. */
+object Joins {
+
+  /** Skew-safe equi-join: explode the small side `salt` ways, scatter the
+    * big side's hot keys uniformly across the salt space. Correct for any
+    * equi-join (every (key, salt) pair of the big side meets exactly one
+    * replica of the small side's key). AQE's skew handling splits
+    * oversized *partitions*; salting splits an oversized *key*, which AQE
+    * cannot (all rows of one key hash to one partition by definition). */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: Column, smallKey: Column,
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig
+      .join(saltedSmall,
+        bigKey === smallKey && saltedBig("__salt") === saltedSmall("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+
+  /** Write both sides bucketed+sorted by the join key. Subsequent joins
+    * on that key read co-located buckets — zero Exchange in the plan.
+    * The standard layout investment for a fact table joined repeatedly
+    * on the same key. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}

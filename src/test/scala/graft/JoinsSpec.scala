@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join (inner + left) under skew") {
+    // pathological skew: 90% of big-side rows share one key
+    val big = spark.range(0, 20000).toDF("id")
+      .withColumn("k", when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100))
+      .withColumn("v", col("id") * 2)
+    val small = spark.range(0, 100).toDF("k")
+      .withColumn("w", col("k") * 10)
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "v", "w").collect().map(_.toSeq).toSet
+      val salted = Joins.saltedJoin(big, small, big("k"), small("k"), salt = 8, jt)
+        .select(big("k"), col("v"), col("w")).collect().map(_.toSeq).toSet
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    // warehouse dir is a temp dir set at session build (static conf)
+    Joins.writeBucketed(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    Joins.writeBucketed(
+      Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+
+    // sf0.001 tables are broadcast-sized, which bypasses bucketing; force
+    // the sort-merge path the layout exists for
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Joins.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + plan.take(800))
+      // and it's still correct
+      val expect = Tables.orders(spark, sf0001)
+        .join(Tables.lineitem(spark, sf0001),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
