@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,6 +81,56 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means centroids partition
+    * the corpus into cells; each query scores only the `nprobe` cells
+    * whose centroids it is closest to. Data-adaptive (unlike random
+    * hyperplanes), so recall holds even on near-uniform corpora; the
+    * cell join is an equi-join on centroid id — the same
+    * hash-partitionable shape, with the centroid list (nCells × dim
+    * floats) broadcast. Training samples the candidate set; seed fixed
+    * for determinism. This is the 100 TB route: train on a sample,
+    * assign in one pass, store cell id as a partition/cluster column. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val vecs = c0.withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(vecs)
+    // centroids as float-array literals, broadcast into both assignments
+    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
+
+    def centDist2(v: Column, cent: Array[Float]): Column = {
+      // ||v - c||² = ||v||² - 2·v·c + ||c||² ; ||v||² constant per row so
+      // argmin needs only ||c||² - 2·v·c
+      val c2 = cent.map(x => x.toDouble * x.toDouble).sum
+      lit(c2) - lit(2.0) * VectorOps.dot(v, lit(cent))
+    }
+    def nearestCells(v: Column, n: Int): Column = {
+      // ids of the n closest centroids: sort (score, id) structs
+      val scored = array(cents.map { case (cent, i) =>
+        struct(centDist2(v, cent).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(array_sort(scored), 1, n).getField("cell")
+    }
+
+    val cAssigned = c0
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("cell", nearestCells(col("cv"), 1).getItem(0))
+    val qAssigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), nprobe)))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    qAssigned.join(cAssigned, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))

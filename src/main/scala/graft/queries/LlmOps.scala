@@ -110,6 +110,15 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (k-means cells + nprobe) ANN — the data-adaptive scale path;
+    * rows-only (k-means assignment is engine-specific). */
+  def vectorIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-vector norm and self-dot in double precision. Exactness vs DuckDB
     * holds because both engines fold the 64 doubles sequentially. */
   def vectorNorms(spark: SparkSession, dir: String): DataFrame =
@@ -262,6 +271,7 @@ object LlmOps {
     Q("dedup_embedding", dedupEmbeddingSql)(dedupEmbedding),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),
+    Q.noOracle("vector_ivf")(vectorIvf),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("lang_id", langIdSql)(langId),

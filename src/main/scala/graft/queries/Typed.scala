@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Typed Dataset API coverage: a case-class `Aggregator` (the typed-UDAF
+  * surface) and a range-frame window — plus approx percentile (sketch,
+  * rows-only). */
+object Typed {
+
+  final case class DocRow(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+
+  final case class CharStats(total_chars: Long, n_docs: Long)
+
+  /** Typed Aggregator — partial-mergeable like any DeclarativeAggregate;
+    * demonstrates the `Aggregator[IN, BUF, OUT]` API on a reduction whose
+    * correctness the SQL oracle can check. */
+  object charStats extends Aggregator[DocRow, CharStats, CharStats] {
+    override def zero: CharStats = CharStats(0L, 0L)
+    override def reduce(b: CharStats, d: DocRow): CharStats =
+      CharStats(b.total_chars + d.n_chars, b.n_docs + 1)
+    override def merge(a: CharStats, b: CharStats): CharStats =
+      CharStats(a.total_chars + b.total_chars, a.n_docs + b.n_docs)
+    override def finish(b: CharStats): CharStats = b
+    override def bufferEncoder: Encoder[CharStats] = Encoders.product[CharStats]
+    override def outputEncoder: Encoder[CharStats] = Encoders.product[CharStats]
+  }
+
+  /** Dataset[DocRow].groupByKey(...).agg(typed Aggregator). */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .as[DocRow]
+      .groupByKey(_.lang)
+      .agg(charStats.toColumn.name("stats"))
+      .select(col("key").as("lang"),
+        col("stats.total_chars").as("total_chars"),
+        col("stats.n_docs").as("n_docs"))
+      .orderBy("lang")
+  }
+
+  private val typedAggSql =
+    """SELECT lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** RANGE frame (value-based, not row-based): trailing-hour activity per
+    * user keyed on floored epoch seconds — the frame is a value interval,
+    * so simultaneous events are all included regardless of row order. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(sec)
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  private val windowRangeSql =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS cnt_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** approx_percentile — sketch-based, engine-specific: rows-only. */
+  def approxPct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
+        .as("pct_50_95"))
+      .orderBy("l_returnflag")
+
+  val all: Seq[Q] = Seq(
+    Q("typed_agg", typedAggSql)(typedAgg),
+    Q("window_range", windowRangeSql)(windowRange),
+    Q.noOracle("approx_pct")(approxPct))
+}

@@ -102,4 +102,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     // at least 2x chance (measured ~0.22 on this corpus).
     assert(recall >= 0.2, s"ANN recall $recall not above 2x chance")
   }
+
+  test("IVF ANN (data-adaptive) beats hyperplane LSH recall on this corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, e, k = 5, nCells = 16, nprobe = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect ivf).size.toDouble / truth.size
+    // nprobe/nCells = 4/16 -> ~25% of the corpus scanned; k-means cells
+    // align with the label structure, so recall should be well above the
+    // scan fraction and above the hyperplane-LSH figure (~0.22)
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
 }
