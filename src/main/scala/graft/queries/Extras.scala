@@ -180,7 +180,42 @@ object Extras {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** Unpivot (melt): wide per-part numeric columns → long (attr, value)
+    * rows. */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "attr", "val")
+      .orderBy("p_partkey", "attr")
+
+  private val unpivotMeltSql =
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+      |ORDER BY p_partkey, attr""".stripMargin
+
+  /** Sorted collect aggregation: deterministic array output from an
+    * unordered aggregate (sort_array makes the set order total). */
+  def collectAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  private val collectAggSql =
+    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, COUNT(*) AS n
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("unpivot_melt", unpivotMeltSql)(unpivotMelt),
+    Q("collect_agg", collectAggSql)(collectAgg),
     Q("topk_per_group_agg", topkPerGroupAggSql)(topkPerGroupAgg),
     Q("pivot_agg", pivotAggSql)(pivotAgg),
     Q("full_outer_join", fullOuterJoinSql)(fullOuterJoin),

@@ -47,6 +47,17 @@ object StreamingDownsample {
         col("w.event_type").as("event_type"),
         col("w.value").as("value"))
 
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark window — the unbounded-stream form of
+    * [[graft.operators.Dedup.exact]]. State is bounded by the watermark
+    * (keys older than it are evicted), which is what makes exact dedup
+    * viable on an infinite stream: at 100 TB/day you bound the dedup
+    * horizon, not the corpus. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

@@ -50,6 +50,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batchExpected(sample))
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val e1 = Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 1.0)
+    val e2 = Event(2L, Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "b", 2.0)
+    mem.addData(Seq(e1, e2, e1))          // duplicate in same batch
+    q.processAllAvailable()
+    mem.addData(Seq(e1.copy(value = 9.9))) // duplicate id across batches
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("windowed watermark aggregation matches batch after end-of-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
