@@ -184,6 +184,48 @@ object Dedup {
     jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
+  // --------------------------------------------------- near-dup clustering
+
+  /** Connected components over a near-dup pair list: each document maps to
+    * its component's minimum doc id (the canonical representative). Pair
+    * lists alone under-deduplicate chains (a~b, b~c but a≁c must still
+    * collapse to one representative); components are what dedup actually
+    * needs.
+    *
+    * Iterative min-label propagation (the standard Spark CC shape): each
+    * round every node takes the min label among itself and its neighbors;
+    * converges in O(component diameter) rounds — near-dup components are
+    * shallow, so a handful. Each round is one equi-join + one groupBy
+    * (hash-partitioned by node); `localCheckpoint` cuts the lineage so
+    * plans don't grow with iterations. Deterministic (min label), so the
+    * DuckDB oracle checks it with a recursive CTE. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var cur = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(cur, edges("v") === cur("doc_id"))
+        .select(edges("u").as("doc_id"), cur("rep"))
+      val next = cur.union(prop)
+        .groupBy("doc_id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(cur.as("c"), "doc_id")
+        .filter(col("n.rep") =!= col("c.rep"))
+        .isEmpty
+      cur = next
+      iter += 1
+    }
+    cur.select(col("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its

@@ -79,6 +79,97 @@ object LlmOps {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup clusters: connected components over the verified
+    * MinHash-LSH pairs at j≥0.8 (equal to the exact pair set — see
+    * [[dedupMinhash]]), each doc labeled with its component's min id. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      Dedup.minhashDedup(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, k = 64, bands = 16, threshold = 0.8))
+      .orderBy("doc_id")
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT i.doc_id AS doc_a, i.bdoc AS doc_b
+       |      FROM (SELECT a.doc_id, b.doc_id AS bdoc, COUNT(*) AS inter
+       |            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |            GROUP BY a.doc_id, b.doc_id) i
+       |      JOIN sizes za ON za.doc_id = i.doc_id
+       |      JOIN sizes zb ON zb.doc_id = i.bdoc
+       |      WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT DISTINCT u AS doc_id, u AS r FROM edges
+       |          UNION
+       |          SELECT e.u AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v)
+       |SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end corpus cleaning — the composed LLM-pipeline: language
+    * filter → length filter → exact dedup (min-id canonical) → near-dup
+    * clustering (keep each cluster's representative). The survivors are
+    * what a training run would consume. */
+  def llmCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nTok = size(TextOps.tokens(col("text")))
+    val filtered = docs
+      .filter(col("lang").isin("en", "de", "fr"))
+      .filter(nTok >= 30)
+    // exact dedup: keep the min doc_id per content hash
+    val canonical = filtered
+      .withColumn("__h", sha2(col("text"), 256))
+      .withColumn("__keep", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("doc_id") === col("__keep"))
+    // near-dup: drop every doc that is not its cluster's representative
+    val losers = graft.operators.Dedup.connectedComponents(
+      Dedup.minhashDedup(docs, col("doc_id"), col("text"),
+        n = 3, k = 64, bands = 16, threshold = 0.8))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    canonical
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val llmCleanCorpusSql =
+    s"""WITH RECURSIVE
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT i.doc_id AS doc_a, i.bdoc AS doc_b
+       |      FROM (SELECT a.doc_id, b.doc_id AS bdoc, COUNT(*) AS inter
+       |            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |            GROUP BY a.doc_id, b.doc_id) i
+       |      JOIN sizes za ON za.doc_id = i.doc_id
+       |      JOIN sizes zb ON zb.doc_id = i.bdoc
+       |      WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT DISTINCT u AS doc_id, u AS r FROM edges
+       |          UNION
+       |          SELECT e.u AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v),
+       |losers AS (SELECT doc_id FROM (SELECT doc_id, MIN(r) AS rep FROM reach GROUP BY doc_id)
+       |           WHERE doc_id <> rep),
+       |filtered AS (SELECT doc_id, lang, source, text,
+       |               len(string_split(text, ' ')) AS n_tokens
+       |             FROM documents
+       |             WHERE lang IN ('en', 'de', 'fr')
+       |               AND len(string_split(text, ' ')) >= 30),
+       |canonical AS (SELECT * FROM filtered f
+       |              WHERE doc_id = (SELECT MIN(doc_id) FROM filtered f2
+       |                              WHERE sha256(f2.text) = sha256(f.text)))
+       |SELECT doc_id, lang, source, n_tokens
+       |FROM canonical
+       |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = canonical.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- similarity
 
   def vectorTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -268,6 +359,8 @@ object LlmOps {
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q.noOracle("dedup_simhash")(dedupSimhash),
+    Q("dedup_clusters", dedupClustersSql)(dedupClusters),
+    Q("llm_clean_corpus", llmCleanCorpusSql)(llmCleanCorpus),
     Q("dedup_embedding", dedupEmbeddingSql)(dedupEmbedding),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),

@@ -40,6 +40,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("connectedComponents collapses chains to the min representative") {
+    // a-b, b-c (no a-c), plus an isolated pair d-e and a triangle f-g-h
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("prefix-filtered jaccard (PPJoin) equals the naive exact join on sf0.001") {
     val docs = Tables.documents(spark, sf0001)
     def norm(df: org.apache.spark.sql.DataFrame) =
