@@ -37,14 +37,17 @@ object Behavioral {
       .orderBy("user_id", "session_id")
   }
 
+  // CAST(SUM(...) AS BIGINT): DuckDB SUM(int) is HUGEINT; the driver's pandas
+  // path turns HUGEINT into float64 ("518.0") and the hash diverges from
+  // Spark's long. Applies to every integer SUM in oracle SQL.
   private val sessionizeSql =
     """SELECT user_id, session_id,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
       |FROM (
       |  SELECT user_id, ts, event_type,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, event_id, ts, event_type,
       |      CASE WHEN lag(ts) OVER w IS NULL
@@ -93,7 +96,7 @@ object Behavioral {
       |  CAST(max_gram AS DOUBLE) / CAST(total_grams AS DOUBLE) AS repetition,
       |  CAST(distinct_grams AS DOUBLE) / CAST(total_grams AS DOUBLE) AS diversity
       |FROM (
-      |  SELECT doc_id, SUM(c) AS total_grams, MAX(c) AS max_gram,
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_grams, MAX(c) AS max_gram,
       |         COUNT(*) AS distinct_grams
       |  FROM (
       |    SELECT doc_id, s, COUNT(*) AS c FROM (

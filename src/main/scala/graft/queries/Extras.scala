@@ -198,17 +198,21 @@ object Extras {
       |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
       |ORDER BY p_partkey, attr""".stripMargin
 
-  /** Sorted collect aggregation: deterministic array output from an
-    * unordered aggregate (sort_array makes the set order total). */
+  /** Sorted collect aggregation: deterministic output from an unordered
+    * aggregate (sort_array makes the set order total). Serialized to one
+    * string column — array-typed outputs break the driver's pandas
+    * row-sort, and string joining is exact in both engines. */
   def collectAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
   private val collectAggSql =
-    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, COUNT(*) AS n
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |  COUNT(*) AS n
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin

@@ -307,10 +307,10 @@ object LlmOps {
 
   private val tokenStatsSql =
     """SELECT lang, source, COUNT(*) AS n_docs,
-      |  SUM(n_tokens) AS total_tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  MIN(n_tokens) AS min_tokens,
       |  MAX(n_tokens) AS max_tokens,
-      |  SUM(n_chars) AS total_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM (SELECT lang, source, n_chars, len(string_split(text, ' ')) AS n_tokens
       |      FROM documents)
       |GROUP BY lang, source

@@ -88,7 +88,8 @@ object ScalarFns {
 
   /** Array functions over embeddings: size, element access, slice. The
     * elements pass through without arithmetic, so float32 values stay
-    * bit-exact across engines. */
+    * bit-exact across engines. The slice is flattened to scalar columns
+    * (array-typed outputs break the driver's pandas row-sort). */
   def arrayFns(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(
@@ -96,7 +97,8 @@ object ScalarFns {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_elem"),
         element_at(col("embedding"), -1).as("last_elem"),
-        slice(col("embedding"), 1, 4).as("head4"))
+        element_at(slice(col("embedding"), 1, 4), 2).as("head4_2"),
+        element_at(slice(col("embedding"), 1, 4), 4).as("head4_4"))
       .orderBy("vec_id")
 
   private val arrayFnsSql =
@@ -104,7 +106,8 @@ object ScalarFns {
       |  len(embedding) AS dim,
       |  embedding[1] AS first_elem,
       |  embedding[-1] AS last_elem,
-      |  embedding[1:4] AS head4
+      |  embedding[1:4][2] AS head4_2,
+      |  embedding[1:4][4] AS head4_4
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 

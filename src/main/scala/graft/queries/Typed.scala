@@ -45,7 +45,7 @@ object Typed {
   }
 
   private val typedAggSql =
-    """SELECT lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+    """SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -73,12 +73,15 @@ object Typed {
       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
-  /** approx_percentile — sketch-based, engine-specific: rows-only. */
+  /** approx_percentile — sketch-based, engine-specific: rows-only. Output
+    * flattened to scalar p50/p95 columns (array-typed outputs break the
+    * driver's pandas row-sort). */
   def approxPct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
-        .as("pct_50_95"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
       .orderBy("l_returnflag")
 
   val all: Seq[Q] = Seq(

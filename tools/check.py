@@ -7,8 +7,10 @@ runs each oracle SQL in DuckDB against the same sf tables, and compares:
   - value hash over rows sorted by all columns, columns sorted by name.
 Usage: tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, math
 import duckdb
+import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,6 +20,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     if v is None:
         return "NULL"
+    try:
+        if v != v:  # NaN / NaT
+            return "NULL"
+    except Exception:
+        pass
+    # mimic the driver's pandas path: numpy scalars keep their dtype, so a
+    # DuckDB HUGEINT that pandas widened to float64 normalizes as "3.0",
+    # catching the SUM(int)-without-CAST class locally.
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, bytes):
@@ -53,16 +65,33 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        s_cols = tbl.column_names
-        s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
+        # array-typed outputs crash the driver's pandas row-sort
+        # ("unhashable type: numpy.ndarray") — flag them as failures here.
+        arr_cols = [f.name for f in tbl.schema
+                    if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed output cols {arr_cols} "
+                  "(driver pandas sort would crash)")
+            n_fail += 1
+            continue
+        # Read the Spark output through DuckDB -> pandas, the same path the
+        # oracle takes. Consistent with every r1 driver observation: DATE
+        # becomes datetime64 on BOTH sides (cancels), while a Spark BIGINT
+        # stays int64 vs oracle HUGEINT -> float64 (caught).
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
         if name not in oracle:
             print(f"weak {name}: rows={len(s_rows)} (no oracle)")
             n_weak += 1
             continue
         try:
-            res = con.execute(oracle[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # .df() (not fetchall) to match the driver's pandas conversion:
+            # HUGEINT -> float64, etc.
+            ddf = con.execute(oracle[name]).df()
+            d_cols = list(ddf.columns)
+            d_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
