@@ -43,8 +43,12 @@ object Dedup {
     *    cost of the whole rest of the pipeline. */
   def hashedShingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val toks = (0 until n).map(j => s"__th[i + $j]").mkString(", ")
-    df.select(id.as("doc_id"),
-        expr(s"transform(split(${text.toString}, ' '), x -> xxhash64(x))").as("__th"))
+    // Pre-project the caller's text expression into a fixed internal name:
+    // splicing `text.toString` into the expr() SQL would only parse for
+    // bare, quoting-free column names.
+    df.select(id.as("doc_id"), text.as("__txt"))
+      .select(col("doc_id"),
+        expr("transform(split(__txt, ' '), x -> xxhash64(x))").as("__th"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(__th) >= $n
            |  THEN transform(sequence(0, size(__th) - $n), i -> xxhash64($toks))

@@ -15,16 +15,29 @@ import org.apache.spark.sql.functions._
   * single hot key melting a task → [[saltedJoin]]. */
 object Joins {
 
+  /** Join types the salting construction preserves: every *big*-side row
+    * carries exactly one salt and meets exactly one replica of its key, so
+    * inner / left-outer / left-semi / left-anti semantics survive. The
+    * *small* side is replicated `salt` ways, so right/full-outer would emit
+    * each unmatched small-side row `salt` times — rejected up front. */
+  private val saltableJoinTypes =
+    Set("inner", "cross", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   /** Skew-safe equi-join: explode the small side `salt` ways, scatter the
     * big side's hot keys uniformly across the salt space. Correct for any
-    * equi-join (every (key, salt) pair of the big side meets exactly one
-    * replica of the small side's key). AQE's skew handling splits
-    * oversized *partitions*; salting splits an oversized *key*, which AQE
-    * cannot (all rows of one key hash to one partition by definition). */
+    * join type where output rows are driven by the big side (see
+    * [[saltableJoinTypes]]). AQE's skew handling splits oversized
+    * *partitions*; salting splits an oversized *key*, which AQE cannot
+    * (all rows of one key hash to one partition by definition). */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       bigKey: Column, smallKey: Column,
       salt: Int, joinType: String = "inner"): DataFrame = {
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin preserves big-side-driven join semantics only " +
+        s"(${saltableJoinTypes.mkString(", ")}); got '$joinType' — the " +
+        "replicated small side would duplicate unmatched rows")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -98,11 +98,23 @@ object Similarity {
     * floats) broadcast. Training samples the candidate set; seed fixed
     * for determinism. This is the 100 TB route: train on a sample,
     * assign in one pass, store cell id as a partition/cluster column. */
+  /** Max vectors the k-means trainer sees: centroid quality saturates at a
+    * few hundred points per cell, and an unbounded `.fit` would run a
+    * 10-iteration mllib job over the full corpus inside the query. */
+  private val IvfTrainCap = 4096L
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    // Train on a seeded, capped sample — one count + one sampled pass, not
+    // 10 iterations over everything. Deterministic: fixed fraction given n,
+    // fixed sample seed, fixed k-means seed.
+    val n = c0.count()
     val vecs = c0.withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(vecs)
+    val train =
+      if (n <= IvfTrainCap) vecs
+      else vecs.sample(withReplacement = false, IvfTrainCap.toDouble / n, 42L)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
     // centroids as float-array literals, broadcast into both assignments
     val cents = model.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 import graft.functions.VectorOps
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -41,6 +41,15 @@ object LlmOps {
         col("doc_id"), col("text"), n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Prefix-filtered (PPJoin) exact n-gram Jaccard — identical output to
+    * [[dedupNgram]] (same oracle), but candidate generation indexes only
+    * each doc's `|X| − ⌈t·|X|⌉ + 1` rarest shingles, which is the scale
+    * form once Σ df² explodes. */
+  def dedupNgramPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPrefix(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
   private def jaccardOracle(threshold: String) =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -56,10 +65,23 @@ object LlmOps {
        |WHERE CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(Tables.documents(spark, dir),
+  /** Verified MinHash near-dup pairs at j≥0.8 — the stage shared by
+    * `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus`. Memoized
+    * and persisted per (session, dir) so composed pipelines pay the
+    * shingle→signature→LSH→verify cost once instead of recomputing the
+    * identical sub-pipeline per query; the cluster-scale analogue is
+    * checkpointing this stage to object storage. */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def verifiedMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, dir),
+      Dedup.minhashDedup(Tables.documents(spark, dir),
         col("doc_id"), col("text"), n = 3, k = 64, bands = 16, threshold = 0.8)
-      .orderBy("doc_a", "doc_b")
+        .persist())
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    verifiedMinhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -83,9 +105,7 @@ object LlmOps {
     * MinHash-LSH pairs at j≥0.8 (equal to the exact pair set — see
     * [[dedupMinhash]]), each doc labeled with its component's min id. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.connectedComponents(
-      Dedup.minhashDedup(Tables.documents(spark, dir),
-        col("doc_id"), col("text"), n = 3, k = 64, bands = 16, threshold = 0.8))
+    graft.operators.Dedup.connectedComponents(verifiedMinhashPairs(spark, dir))
       .orderBy("doc_id")
 
   private val dedupClustersSql =
@@ -126,9 +146,9 @@ object LlmOps {
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .filter(col("doc_id") === col("__keep"))
     // near-dup: drop every doc that is not its cluster's representative
+    // (pair stage shared with dedup_minhash / dedup_clusters via the memo)
     val losers = graft.operators.Dedup.connectedComponents(
-      Dedup.minhashDedup(docs, col("doc_id"), col("text"),
-        n = 3, k = 64, bands = 16, threshold = 0.8))
+      verifiedMinhashPairs(spark, dir))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
     canonical
@@ -354,9 +374,45 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- multimodal
+
+  /** Multimodal feature extraction: synthesize media rows (opaque binary
+    * payload + typed metadata) from doc ids, decode per-partition
+    * ([[Multimodal.extractFeatures]] — iterator-shaped, payloads never
+    * shuffled), emit scalar features per media row. The codec is the
+    * honest stub, but the fake payload is deterministic arithmetic in the
+    * id, so the DuckDB oracle reproduces every output value exactly —
+    * a full hash check, not rows-only. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.synthesize(spark,
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+      .toDF()
+      .orderBy("media_id")
+
+  // Mirrors fakePayload: body byte i = ((id*2654435761 + i*40503) >> 16) & 255,
+  // w = 8 + id%8, h = 8 + id%5, n_bytes = 12-byte header + w*h body.
+  private val mediaFeaturesSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(8 + doc_id % 8 AS INT) AS width,
+      |  CAST(8 + doc_id % 5 AS INT) AS height,
+      |  CAST(12 + (8 + doc_id % 8) * (8 + doc_id % 5) AS INT) AS n_bytes,
+      |  CAST(list_sum(list_transform(
+      |         range(0, (8 + doc_id % 8) * (8 + doc_id % 5)),
+      |         i -> ((doc_id * 2654435761 + i * 40503) >> 16) & 255))
+      |       AS DOUBLE)
+      |    / ((8 + doc_id % 8) * (8 + doc_id % 5)) AS mean_byte,
+      |  TRUE AS header_ok
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExactSql)(dedupExact),
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
+    Q("dedup_ngram_prefix", jaccardOracle("0.5"))(dedupNgramPrefix),
+    Q("media_features", mediaFeaturesSql)(mediaFeatures),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q.noOracle("dedup_simhash")(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),

@@ -22,6 +22,26 @@ class JoinsSpec extends SparkTestBase {
         .select(big("k"), col("v"), col("w")).collect().map(_.toSeq).toSet
       assert(salted == plain, s"join type $jt")
     }
+
+    // semi/anti are big-side-driven too: multiset equality, not just set
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = big.join(small, big("k") === small("k"), jt)
+        .select("id", "v").collect().map(_.toSeq).sortBy(_.toString)
+      val salted = Joins.saltedJoin(big, small, big("k"), small("k"), salt = 8, jt)
+        .select("id", "v").collect().map(_.toSeq).sortBy(_.toString)
+      assert(salted.sameElements(plain), s"join type $jt")
+    }
+  }
+
+  test("saltedJoin rejects small-side-driven join types") {
+    val big = spark.range(0, 10).toDF("k")
+    val small = spark.range(0, 10).toDF("k2")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Joins.saltedJoin(big, small, big("k"), small("k2"), salt = 4, jt)
+      }
+      assert(e.getMessage.contains("saltedJoin"), s"join type $jt: ${e.getMessage}")
+    }
   }
 
   test("bucketed join plans without a shuffle exchange") {
