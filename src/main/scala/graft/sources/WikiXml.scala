@@ -1,13 +1,13 @@
 package graft.sources
 
 import java.io.InputStream
-import java.sql.Timestamp
-import java.time.LocalDateTime
+import java.time.{LocalDateTime, ZoneOffset}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
+import org.apache.commons.compress.archivers.sevenz.SevenZFile
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.hadoop.io.compress.CompressionCodecFactory
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Streaming MediaWiki revision-history XML source — the reference's
@@ -17,13 +17,14 @@ import org.apache.spark.sql.types._
   * Design, mirroring the reference's constraints:
   *  - **Never materialize a decompressed file.** The reference pipes
   *    `7z e -so` into `lxml.etree.iterparse`; here each Spark task opens
-  *    its file as an InputStream (`sc.binaryFiles` → PortableDataStream),
-  *    optionally wrapped by the Hadoop codec matching the extension
-  *    (.bz2/.gz — real wiki dumps ship multistream .bz2, which Hadoop
-  *    decompresses natively; there is no 7z codec on the JVM classpath,
-  *    same conclusion as SURVEY.md §4), and parses it with StAX pull
-  *    events — the JVM's SAX-style streaming model, equivalent to
-  *    iterparse's end-element events.
+  *    its file as an InputStream, wrapped by the Hadoop codec matching
+  *    the extension (.bz2/.gz) or — for the reference's actual
+  *    `metahistory7zdump` input (main.py:53,173) — commons-compress's
+  *    [[SevenZFile]] (7z needs seekable input, so remote files are
+  *    staged to task-local disk first, exactly like the reference's
+  *    download-then-`7z e -so`; local files are read in place), and
+  *    parses it with StAX pull events — the JVM's streaming model,
+  *    equivalent to iterparse's end-element events.
   *  - **One file = one partition = one task** (the reference's
   *    per-file `Pool` worker, main.py:99). A page's revisions are
   *    contiguous within a file, so per-page state lives entirely inside
@@ -33,6 +34,12 @@ import org.apache.spark.sql.types._
   *    ([[graft.operators.Diachronic]]), so Catalyst can prune/push rather
   *    than having the semantics baked into the parser like the
   *    reference's parse_revision (main.py:151-161).
+  *  - **DataSource V2 with column pruning** ([[WikiXmlSource]]): `text`
+  *    is ~99% of dump bytes, so a title-only query must never build the
+  *    text strings. The scan pushes required columns down into the
+  *    parser (`withText=false` skips text events without materializing
+  *    characters), and the reader's `close()` releases the stream on
+  *    early termination (`limit`, failure) — no leaked handles.
   *
   * Output schema = the reference's frozen 4-column table (main.py:111):
   * namespace/title as raw strings, timestamp as UTC-naive microseconds
@@ -54,17 +61,25 @@ object WikiXml {
     StructField("text", StringType),
     StructField("rev_ord", LongType)))
 
+  /** One parsed revision. `timestampMicros` is µs since epoch of the
+    * dump's UTC-naive wall time (boxed so a missing element maps to SQL
+    * NULL rather than a sentinel). */
   final case class Revision(
-      namespace: String, title: String, timestamp: Timestamp, text: String,
-      revOrd: Long)
+      namespace: String, title: String, timestampMicros: java.lang.Long,
+      text: String, revOrd: Long)
 
   /** Pull-parse one revision-history XML stream into revisions.
     * Dispatch mirrors /root/reference/main.py:135-164: element end-events
     * for title/ns populate page state (guaranteed to fire before the
     * page's revisions — dump element order), revision-end emits, page-end
     * resets. Unknown tags no-op (the reference's defaultdict). Lazily
-    * evaluated; the stream is consumed incrementally. */
-  def parseStream(in: InputStream): Iterator[Revision] = {
+    * evaluated; the stream is consumed incrementally and never closed
+    * here — the caller owns the stream's lifecycle.
+    *
+    * `withText=false` (column pruning) skips `<text>` events without
+    * assembling the string — the payload is ~99% of dump bytes, so a
+    * title-only scan does ~1% of the allocation work. */
+  def parseStream(in: InputStream, withText: Boolean = true): Iterator[Revision] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
     // dumps are untrusted input: no DTDs / external entities
@@ -75,7 +90,7 @@ object WikiXml {
     new Iterator[Revision] {
       private var title: String = _
       private var ns: String = _
-      private var revTs: Timestamp = _
+      private var revTs: java.lang.Long = _
       private var revText: String = ""
       private var revOrd: Long = 0L
       private var pending: Revision = _
@@ -95,9 +110,20 @@ object WikiXml {
         sb.toString
       }
 
-      private def parseTs(s: String): Timestamp =
-        // ISO8601 with trailing Z, stored as UTC-naive (main.py:153)
-        Timestamp.valueOf(LocalDateTime.parse(s.stripSuffix("Z")))
+      /** Consume the current element to its end without materializing
+        * characters — the pruned-`text` path. */
+      private def skipElem(r: XMLStreamReader): Unit = {
+        var ev = r.next()
+        while (ev != XMLStreamConstants.END_ELEMENT) ev = r.next()
+      }
+
+      private def parseTs(s: String): java.lang.Long = {
+        // ISO8601 with trailing Z, stored as UTC-naive (main.py:153);
+        // converted at fixed UTC so the result is JVM-timezone-independent
+        val ldt = LocalDateTime.parse(s.stripSuffix("Z"))
+        java.lang.Long.valueOf(
+          ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+      }
 
       @annotation.tailrec
       private def advance(): Unit = {
@@ -119,7 +145,8 @@ object WikiXml {
                 case "timestamp" if inRevision =>
                   revTs = parseTs(textOf(reader)); advance()
                 case "text" if inRevision =>
-                  revText = textOf(reader); advance()
+                  if (withText) revText = textOf(reader) else skipElem(reader)
+                  advance()
                 case _ => advance()
               }
             case XMLStreamConstants.END_ELEMENT =>
@@ -155,23 +182,41 @@ object WikiXml {
     }
   }
 
-  /** Read a directory/glob of (optionally compressed) revision-history XML
-    * files as the 4-column revisions DataFrame. One task per file; each
-    * task streams its file through the codec + StAX pipeline without
-    * materializing it. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val sc = spark.sparkContext
-    val serConf = new org.apache.spark.util.SerializableConfiguration(
-      sc.hadoopConfiguration)
-    val rows = sc.binaryFiles(path).flatMap { case (file, pds) =>
-      val codec = new CompressionCodecFactory(serConf.value)
-        .getCodec(new Path(file))
-      val raw = pds.open()
-      val in = if (codec == null) raw else codec.createInputStream(raw)
-      parseStream(in).map(r => Row(r.namespace, r.title, r.timestamp, r.text, r.revOrd))
-    }
-    spark.createDataFrame(rows, schema)
+  /** Open a .7z archive's entries as a lazy stream-per-entry iterator plus
+    * one close-everything hook. 7z requires seekable input (LZMA2 blocks
+    * are randomly accessed), so unlike the pipe-able gz/bz2 codecs a
+    * remote file is staged to task-local disk first — the same shape as
+    * the reference's download-then-`7z e -so` (main.py:84-94,173). Local
+    * (`file:`) paths are opened in place, no copy. */
+  private[sources] def openSevenZ(file: Path, conf: Configuration)
+      : (Iterator[InputStream], () => Unit) = {
+    val uri = file.toUri
+    val (local, dropStaged) =
+      if (uri.getScheme == null || uri.getScheme == "file")
+        (new java.io.File(uri.getPath), () => ())
+      else {
+        val tmp = java.io.File.createTempFile("graft-wiki-", ".7z")
+        val fs = file.getFileSystem(conf)
+        val in = fs.open(file)
+        try java.nio.file.Files.copy(in, tmp.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        (tmp, () => { tmp.delete(); () })
+      }
+    val sz = SevenZFile.builder().setFile(local).get()
+    val entries = Iterator.continually(sz.getNextEntry).takeWhile(_ != null)
+      .filterNot(_.isDirectory)
+      .map(e => sz.getInputStream(e): InputStream)
+    (entries, () => { sz.close(); dropStaged() })
   }
+
+  /** Read a directory/glob of revision-history XML files — plain,
+    * Hadoop-codec-compressed (.gz/.bz2), or .7z — as the 5-column
+    * revisions DataFrame via the column-pruning [[WikiXmlSource]] V2
+    * source. One task per file; each task streams its file through the
+    * codec + StAX pipeline without materializing it. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[WikiXmlSource].getName).load(path)
 
   /** The reference's full per-file pipeline (filter ns=0 → epoch filter →
     * greedy daily downsample, main.py:151-161) as declarative ops over the

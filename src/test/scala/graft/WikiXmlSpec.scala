@@ -41,6 +41,59 @@ class WikiXmlSpec extends SparkTestBase {
     assert(df.filter(col("namespace") === "1").count() == 2)
   }
 
+  test("read() decompress-scans 7z archives (the reference's metahistory7zdump format)") {
+    // build a .7z of the fixture with the same commons-compress that the
+    // source reads with (LZMA2 via the xz jar) — write side doubles as
+    // coverage that the container's 7z stack actually round-trips
+    import org.apache.commons.compress.archivers.sevenz.SevenZOutputFile
+    val dir = Files.createTempDirectory("wiki7z").toString
+    val archive = new java.io.File(s"$dir/fixture.xml.7z")
+    val out = new SevenZOutputFile(archive)
+    val entry = out.createArchiveEntry(new java.io.File(fixture), "fixture.xml")
+    out.putArchiveEntry(entry)
+    out.write(Files.readAllBytes(Paths.get(fixture)))
+    out.closeArchiveEntry()
+    out.close()
+
+    val df = WikiXml.read(spark, archive.toString)
+    assert(df.schema == WikiXml.schema)
+    val plain = WikiXml.read(spark, fixture)
+    assert(df.collect().toSet == plain.collect().toSet)
+    assert(df.count() == 11)
+  }
+
+  test("V2 scan prunes columns: title-only query never materializes text") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val df = WikiXml.read(spark, fixture).select("title", "rev_ord")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSeq == Seq("title", "rev_ord"))
+    assert(df.count() == 11)
+    // parser-level: pruned parse emits empty text, same row structure
+    val in = Files.newInputStream(Paths.get(fixture))
+    try {
+      val revs = WikiXml.parseStream(in, withText = false).toList
+      assert(revs.length == 11 && revs.forall(_.text == ""))
+      assert(revs.map(r => (r.title, r.revOrd)) ==
+        WikiXml.parseStream(Files.newInputStream(Paths.get(fixture)))
+          .map(r => (r.title, r.revOrd)).toList)
+    } finally in.close()
+  }
+
+  test("reader closes streams on early exit: no fd growth under limit(1)") {
+    def openFds(): Int = new java.io.File("/proc/self/fd").list().length
+    val dir = Files.createTempDirectory("wikifd").toString
+    (0 until 4).foreach(i => Files.copy(Paths.get(fixture), Paths.get(s"$dir/f$i.xml")))
+    val df = WikiXml.read(spark, s"$dir/*.xml")
+    df.limit(1).collect() // warm codepaths before baselining
+    val before = openFds()
+    (0 until 10).foreach(_ => df.limit(1).collect())
+    val after = openFds()
+    assert(after <= before + 2, s"fd leak: $before -> $after")
+  }
+
   test("dailySnapshots reproduces the reference pipeline on the fixture") {
     val snaps = WikiXml.dailySnapshots(WikiXml.read(spark, fixture))
       .orderBy("title", "timestamp")
