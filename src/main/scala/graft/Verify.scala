@@ -22,6 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // drop stage caches accumulated across queries (memoized pair stages
+    // stay shared WITHIN the run above; this is end-of-run teardown)
+    queries.LlmOps.clearPairCache()
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -72,13 +72,36 @@ object LlmOps {
     * identical sub-pipeline per query; the cluster-scale analogue is
     * checkpointing this stage to object storage. */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private def verifiedMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, dir),
-      Dedup.minhashDedup(Tables.documents(spark, dir),
-        col("doc_id"), col("text"), n = 3, k = 64, bands = 16, threshold = 0.8)
-        .persist())
+    pairsMemo.synchronized {
+      // synchronized (not TrieMap.getOrElseUpdate) so a concurrent first
+      // call cannot build-and-persist the stage twice, leaking one copy
+      pairsMemo.getOrElseUpdate((spark, dir), {
+        // Staged build with explicit lifecycle: the shingle set feeds
+        // signatures AND pair verification, so it is cached only for the
+        // duration of the one eager materialization, then released —
+        // the memo holds the (much smaller) verified pairs, nothing else.
+        val docs = Tables.documents(spark, dir)
+        val sh = Dedup.hashedShingleSet(docs, col("doc_id"), col("text"), 3).persist()
+        val pairs = Dedup.jaccardForPairs(
+            Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 64), 64, 16), sh)
+          .filter(col("jaccard") >= 0.8)
+          .persist()
+        pairs.count() // materialize through sh while it is cached
+        sh.unpersist()
+        pairs
+      })
+    }
+
+  /** Release the memoized pair stages (harness teardown / between timed
+    * bench runs). The cluster-scale analogue of dropping a checkpointed
+    * intermediate from object storage. */
+  def clearPairCache(): Unit = pairsMemo.synchronized {
+    pairsMemo.values.foreach(_.unpersist())
+    pairsMemo.clear()
+  }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     verifiedMinhashPairs(spark, dir).orderBy("doc_a", "doc_b")
@@ -392,6 +415,10 @@ object LlmOps {
 
   // Mirrors fakePayload: body byte i = ((id*2654435761 + i*40503) >> 16) & 255,
   // w = 8 + id%8, h = 8 + id%5, n_bytes = 12-byte header + w*h body.
+  // Id-range assumption: doc_id * 2654435761 stays within Int64 for
+  // doc_id < ~3.49e9; beyond that DuckDB raises BIGINT overflow where the
+  // Scala Long wraps silently. Test corpora are ~1e4 ids; a production
+  // corpus with wider ids would mod ids into [0, 2^32) on both sides.
   private val mediaFeaturesSql =
     """SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'

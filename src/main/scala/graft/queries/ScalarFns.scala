@@ -97,8 +97,11 @@ object ScalarFns {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_elem"),
         element_at(col("embedding"), -1).as("last_elem"),
-        element_at(slice(col("embedding"), 1, 4), 2).as("head4_2"),
-        element_at(slice(col("embedding"), 1, 4), 4).as("head4_4"))
+        // try_element_at: under ANSI mode a plain element_at throws when a
+        // vector has fewer than 4 elements, where DuckDB's [1:4][k] yields
+        // NULL — NULL-on-short matches the oracle for variable-dim input
+        try_element_at(slice(col("embedding"), 1, 4), lit(2)).as("head4_2"),
+        try_element_at(slice(col("embedding"), 1, 4), lit(4)).as("head4_4"))
       .orderBy("vec_id")
 
   private val arrayFnsSql =
