@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BoundedTopK, FloatVecDot}
+import graft.functions.{BoundedTopK, FloatVecDot, WinnowFingerprint}
 
 /** Session-extension entry point: makes graft's native expressions
   * available as SQL functions. Two routes:
@@ -19,6 +19,7 @@ import graft.functions.{BoundedTopK, FloatVecDot}
   * SQL surface:
   *  - `graft_vec_dot(a, b)` — codegen'd array<float> dot product
   *  - `graft_topk(sortStruct, k)` — bounded top-k aggregate
+  *  - `graft_winnow(text, k, w)` — winnowing fingerprint set
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -40,6 +41,14 @@ object GraftExtensions {
         case Literal(k: Int, _) => BoundedTopK(exprs(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_topk k must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - distinct winnowing minima of xxhash64 char k-grams over windows of w"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (Literal(k: Int, _), Literal(w: Int, _)) => WinnowFingerprint(exprs(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow k and w must be integer literals, got $other")
       }))
 
   /** Register on an already-built session. */

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+  * as one native expression: hash every char k-gram with xxhash64(seed 42),
+  * take the minimum of each sliding window of `w` hashes, return the
+  * distinct minima in first-occurrence order.
+  *
+  * Semantics are exactly the built-in-HOF formulation
+  * {{{
+  *   array_distinct(transform(sequence(1, greatest(size(g)-w+1, 1)),
+  *     j -> array_min(slice(g, j, w))))
+  *   -- g = transform(sequence(1, greatest(length(text)-k+1, 1)),
+  *   --                i -> xxhash64(substr(text, i, k)))
+  * }}}
+  * (property-tested against it), but where the HOF form pays an
+  * interpreted lambda per k-gram plus an O(w) array slice per window
+  * (~len·w work through boxed paths — the slowest honest query in the
+  * round-2 bench at 8–34 s/sf0.1), this expression runs one compiled pass:
+  * O(len) hashing (each gram hashed straight from the shared UTF-8 byte
+  * buffer, no substring materialization) + O(len) sliding minima via a
+  * monotonic deque. Stays inside whole-stage codegen (the generated code
+  * calls [[WinnowImpl.compute]], the same pattern Spark's own regexp and
+  * datetime expressions use for non-trivial kernels). */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if k > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+    case _: StringType =>
+      TypeCheckResult.TypeCheckFailure(s"graft_winnow needs k > 0 and w > 0, got k=$k w=$w")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"graft_winnow requires a string argument, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowImpl.compute(s.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowImpl.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def apply(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
+}
+
+/** The winnowing kernel. Plain top-level object so the codegen'd call
+  * resolves through the static forwarder `graft.functions.WinnowImpl
+  * .compute` without `MODULE$` gymnastics in generated Java. */
+object WinnowImpl {
+
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  /** One pass over the document: k-gram hashes from the raw UTF-8 buffer
+    * (char-boundary offsets honor `substr`'s code-point indexing), then
+    * windowed minima with a monotonic deque. Mirrors the HOF reference
+    * including its edge conventions: fewer than k chars → one truncated
+    * gram (the whole text); fewer than w grams → one truncated window. */
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // char-start byte offsets (a UTF-8 char starts at any non-continuation
+    // byte); offs(nc) = nb sentinel closes the last gram
+    var nc = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) nc += 1; i += 1 }
+    val offs = new Array[Int](nc + 1)
+    var ci = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(nc) = nb
+
+    val nGrams = math.max(nc - k + 1, 1)
+    val hashes = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      val start = offs(i)
+      val end = offs(math.min(i + k, nc))
+      hashes(i) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + start, end - start, Seed)
+      i += 1
+    }
+
+    if (nGrams <= w) {
+      // single truncated window: its min, as a 1-element fingerprint
+      var m = Long.MaxValue
+      var j = 0
+      while (j < nGrams) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      new GenericArrayData(Array(m))
+    } else {
+      val nWin = nGrams - w + 1
+      val out = new Array[Long](nWin)
+      var outN = 0
+      val seen = new java.util.HashSet[java.lang.Long](math.min(nWin, 1024))
+      // deque of indexes with increasing hash values; head = window min
+      val deque = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0
+      var j = 0
+      while (j < nGrams) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(j)) tail -= 1
+        deque(tail) = j
+        tail += 1
+        if (deque(head) <= j - w) head += 1
+        if (j >= w - 1) {
+          val m = hashes(deque(head))
+          if (seen.add(m)) { out(outN) = m; outN += 1 }
+        }
+        j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+    }
+  }
+}

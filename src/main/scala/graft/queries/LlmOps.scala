@@ -379,23 +379,20 @@ object LlmOps {
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash all char
     * 8-grams, take the min hash of each sliding window of 16, distinct.
-    * Pure built-in expressions (sequence/transform/slice/array_min). */
+    * One codegen'd pass per document ([[graft.functions.WinnowFingerprint]]
+    * — monotonic-deque minima straight off the UTF-8 buffer); the
+    * interpreted-HOF formulation it replaced lives on in WinnowSpec as the
+    * property-test reference. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val kgram = 8
-    val win = 16
-    val grams = expr(
-      s"transform(sequence(1, greatest(length(text) - ${kgram - 1}, 1)), i -> xxhash64(substr(text, i, $kgram)))")
-    val fp = expr(
-      s"array_distinct(transform(sequence(1, greatest(size(__grams) - ${win - 1}, 1)), j -> array_min(slice(__grams, j, $win))))")
+    val fp = graft.functions.WinnowFingerprint(col("text"), 8, 16)
     Tables.documents(spark, dir)
-      .withColumn("__grams", grams)
-      .select(col("doc_id"),
-        fp.as("__fp"))
+      .select(col("doc_id"), fp.as("__fp"))
       .select(col("doc_id"),
         size(col("__fp")).as("n_fingerprints"),
         array_min(col("__fp")).as("min_fp"))
       .orderBy("doc_id")
   }
+
 
   // ------------------------------------------------------- multimodal
 
