@@ -273,21 +273,99 @@ object Dedup {
 
   // ---------------------------------------------------- embedding near-dup
 
-  /** Embedding-cosine near-dup pairs above `threshold`. Brute-force
-    * all-pairs with the small side broadcast — exact, for corpora that fit
-    * a broadcast; the LSH-bucketed scale path is
-    * [[Similarity.annTopK]]'s bucketing applied to pair generation. */
+  /** Embedding-cosine near-dup pairs above `threshold` — threshold-gated
+    * dispatcher. Angular LSH prunes hard at real near-dup thresholds
+    * (cos ≥ ~0.7: neighbor angles are small, hyperplanes agree often) but
+    * its recall collapses toward 50°+ angles, so below the gate the right
+    * exact plan is the balanced all-pairs join: at low thresholds the
+    * OUTPUT itself approaches Ω(n²), so no candidate scheme can beat the
+    * verification cost anyway — the engineering question is only whether
+    * the n² work is distributed (it is: [[embeddingNearDupBlocked]]) or
+    * funneled through one broadcast nested loop (the round-2 plan this
+    * replaces). */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
-      threshold: Double): DataFrame = {
-    // Norms once per vector (n of them), not once per pair (n²/2):
-    // cos(a,b) = dot(a,b) / (‖a‖·‖b‖) with the identical float semantics
-    // the oracle uses.
+      threshold: Double, dim: Int = 64): DataFrame =
+    if (threshold >= LshGate) embeddingNearDupLsh(df, id, vec, threshold, dim = dim)
+    else embeddingNearDupBlocked(df, id, vec, threshold)
+
+  /** LSH pays off while per-plane agreement p = 1 − arccos(t)/π keeps
+    * p^planesPerTable non-negligible; below cos ≈ 0.7 the banding would
+    * need so many tables it replicates more than the block join. */
+  private val LshGate = 0.7
+
+  /** Exact all-pairs cosine near-dup as a **balanced block-theta join**
+    * (Okcan & Riedewald's 1-bucket-theta shape): vectors hash into B
+    * blocks; a row in block i ships to key (i, j) for j ≥ i on the left
+    * and (i', blk) for i' ≤ blk on the right, so every unordered block
+    * pair — and therefore every vector pair — meets on exactly one of the
+    * B(B+1)/2 keys. That turns all-pairs into an EQUI-join: shuffle
+    * volume is (B+1)·n rows, each reducer scores one (n/B)² tile, load is
+    * uniform by construction (hash blocks), and nothing requires the
+    * corpus to fit in one executor's broadcast. Compare: the broadcast
+    * nested loop this replaces ships the whole corpus to every executor
+    * and caps at driver broadcast size.
+    *
+    * Norms once per vector (n of them), not once per pair (n²/2):
+    * cos(a,b) = dot(a,b) / (‖a‖·‖b‖) with the identical float semantics
+    * the oracle uses. */
+  def embeddingNearDupBlocked(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, blocks: Int = 8): DataFrame = {
     val e = df.select(id.as("vid"), vec.as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-    e.as("a")
-      .join(broadcast(e.as("b")), col("a.vid") < col("b.vid"))
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
+    val left = e.select(col("vid"), col("v"), col("nrm"), col("blk").as("ba"),
+      explode(expr(s"sequence(blk, ${blocks - 1})")).as("bb"))
+    val right = e.select(col("vid"), col("v"), col("nrm"),
+      explode(expr("sequence(0, blk)")).as("ba"), col("blk").as("bb"))
+    left.as("a")
+      .join(right.as("b"),
+        col("a.ba") === col("b.ba") && col("a.bb") === col("b.bb"))
+      // diagonal tiles hold the same rows on both sides: order there; off-
+      // diagonal tiles see each unordered pair exactly once, any order
+      .filter(col("a.ba") =!= col("a.bb") || col("a.vid") < col("b.vid"))
+      .filter(col("a.vid") =!= col("b.vid"))
+      .filter(VectorOps.dot(col("a.v"), col("b.v")) >=
+        lit(threshold) * col("a.nrm") * col("b.nrm"))
+      .select(least(col("a.vid"), col("b.vid")).as("id_a"),
+        greatest(col("a.vid"), col("b.vid")).as("id_b"))
+  }
+
+  /** Near-dup pairs via **banded random-hyperplane LSH** — the high-
+    * threshold scale path. `tables` independent signatures of
+    * `planesPerTable` sign bits each; vectors equi-join on
+    * (table, signature) — hash-partitionable, never all-pairs — and only
+    * colliding pairs pay the exact cosine verification, so output is
+    * exact-precision with recall 1 − (1 − p^b)^L for per-plane agreement
+    * p = 1 − θ/π. Defaults (b=8, L=16) give ≥ 0.996 at cos 0.9 and
+    * ≈ 1 − 3·10⁻¹⁶ at cos 0.999 — property-tested against the exact
+    * blocked join on planted near-dups. */
+  def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, dim: Int = 64, planesPerTable: Int = 8,
+      tables: Int = 16): DataFrame = {
+    val rng = new scala.util.Random(4242L)
+    val e = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val sigs = (0 until tables).map { t =>
+      val sig = (0 until planesPerTable).map { i =>
+        val plane = Array.fill(dim)(rng.nextGaussian().toFloat)
+        when(VectorOps.dot(col("v"), lit(plane)) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("t"), sig.as("sig"))
+    }
+    val banded = e.select(col("vid"), col("v"), col("nrm"),
+      explode(array(sigs: _*)).as("b"))
+      .select(col("vid"), col("v"), col("nrm"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vid") < col("b.vid"))
+      // verify in the join's own stage (codegen'd dot, cheaper than
+      // shuffling vectors through a pre-verify distinct), THEN dedupe the
+      // id pairs that collided in several tables
       .filter(VectorOps.dot(col("a.v"), col("b.v")) >=
         lit(threshold) * col("a.nrm") * col("b.nrm"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
   }
 }

@@ -102,6 +102,62 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rows.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3)))
   }
 
+  test("blocked embedding near-dup equals brute force; plan has no nested-loop join") {
+    val e = Tables.embeddings(spark, sf0001)
+    // brute-force reference formulation (the round-2 implementation)
+    val ref = {
+      val x = e.select(col("vec_id").as("vid"), col("embedding").as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      x.as("a").join(broadcast(x.as("b")), col("a.vid") < col("b.vid"))
+        .filter(VectorOps.dot(col("a.v"), col("b.v")) >=
+          lit(0.4) * col("a.nrm") * col("b.nrm"))
+        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val blocked = Dedup.embeddingNearDupBlocked(
+        e, col("vec_id"), col("embedding"), threshold = 0.4)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked == ref)
+    assert(ref.nonEmpty)
+    val plan = Dedup.embeddingNearDupBlocked(
+      e, col("vec_id"), col("embedding"), 0.4).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // every block-pair key exists exactly once: pair coverage is complete
+    // regardless of B (checked again at B=3 with a non-divisible corpus)
+    val blocked3 = Dedup.embeddingNearDupBlocked(
+        e, col("vec_id"), col("embedding"), 0.4, blocks = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked3 == ref)
+  }
+
+  test("LSH embedding near-dup finds planted near-dups exactly at high threshold") {
+    val rng = new scala.util.Random(7L)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + rng.nextGaussian().toFloat * 0.02f) // cos ≈ 0.999
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = base.take(20).map { case (i, v) => (1000L + i, perturb(v)) }
+    val all = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupBlocked(
+        all, col("vec_id"), col("embedding"), threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(
+        all, col("vec_id"), col("embedding"), threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20) // all planted pairs qualify
+    assert(lsh == exact)     // recall 1 at cos≈0.999 (miss prob ~3e-16/pair)
+  }
+
+  test("embeddingNearDup dispatcher: blocked below the gate, LSH above") {
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+    val low = Dedup.embeddingNearDup(e, col("vec_id"), col("embedding"), 0.4)
+      .queryExecution.analyzed.toString
+    val high = Dedup.embeddingNearDup(e, col("vec_id"), col("embedding"), 0.9)
+      .queryExecution.analyzed.toString
+    assert(low.contains("bb#"), "low threshold should take the blocked path")
+    assert(high.contains("sig#"), "high threshold should take the LSH path")
+  }
+
   test("ANN recall beats random-candidate baseline on sf0.001") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
