@@ -123,10 +123,14 @@ object Dedup {
     * (approximate-candidates, exact-verify) or [[ngramJaccardPrefix]]
     * (exact, prefix-filtered). */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
     // Shingles feed the self-join twice plus the size aggregate — persist
-    // instead of re-exploding the corpus three times.
-    val sh = hashedShingleSet(df, id, text, n).persist()
+    // instead of re-exploding the corpus three times. (Released by
+    // session-level cache teardown; see the harness clearState.)
+    jaccardAllPairsOn(hashedShingleSet(df, id, text, n).persist(), threshold)
+
+  /** Naive exact path over a prebuilt hashed shingle set. */
+  private def jaccardAllPairsOn(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -153,8 +157,11 @@ object Dedup {
     * everything with everything. Identical output to [[ngramJaccard]]
     * (property-tested); pays off once Σ df² ≫ corpus size. */
   def ngramJaccardPrefix(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double): DataFrame = {
-    val sh = hashedShingleSet(df, id, text, n).persist()
+      threshold: Double): DataFrame =
+    jaccardPrefixOn(hashedShingleSet(df, id, text, n).persist(), threshold)
+
+  /** Prefix-filtered exact path over a prebuilt hashed shingle set. */
+  private def jaccardPrefixOn(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
     val w = org.apache.spark.sql.expressions.Window
@@ -170,6 +177,32 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardForPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Size-gated exact n-gram Jaccard: measure, then dispatch. The naive
+    * self-join's cost is the co-shingled pair count Σ_h df(h)² — benign on
+    * corpora of mostly-unique shingles, explosive when common shingles
+    * join everything with everything. PPJoin's prefix filter caps that
+    * blow-up but pays a ~4-pass constant (dfreq join, per-doc row_number,
+    * candidate join, verify) that round-2 benchmarks put at ~4-6× the
+    * naive path when Σdf² is small. So: one cheap aggregate over the
+    * (persisted, then reused) shingle set computes Σdf and Σdf² exactly,
+    * and the prefix path engages only when Σdf² > `prefixGate`·Σdf — i.e.
+    * when the naive join would expand the shuffle by more than the
+    * prefix machinery's pass constant. The planning aggregate is an eager
+    * construction-time job by design: it chooses between plans whose
+    * costs differ by orders of magnitude, and its scan warms the very
+    * cache both paths read. */
+  def ngramJaccardAuto(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, prefixGate: Long = 16): DataFrame = {
+    val sh = hashedShingleSet(df, id, text, n).persist()
+    val row = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
+      .agg(sum(col("dfr")).as("tot"),
+        sum(col("dfr").cast("double") * col("dfr").cast("double")).as("sumdf2"))
+      .head()
+    val heavy = !row.isNullAt(0) &&
+      row.getDouble(1) > prefixGate.toDouble * row.getLong(0).toDouble
+    if (heavy) jaccardPrefixOn(sh, threshold) else jaccardAllPairsOn(sh, threshold)
   }
 
   /** MinHash+LSH near-dedup end to end: signatures → banded candidates →

@@ -37,7 +37,9 @@ object LlmOps {
       |ORDER BY keep_id""".stripMargin
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(spark, dir),
+    // size-gated dispatcher: naive self-join while Σdf² is benign (this
+    // corpus), PPJoin once common shingles would blow the join up
+    Dedup.ngramJaccardAuto(Tables.documents(spark, dir),
         col("doc_id"), col("text"), n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 

@@ -64,6 +64,42 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(naive == ppj)
   }
 
+  test("size-gated ngram dispatcher equals both exact paths on light and heavy corpora") {
+    val docs = Tables.documents(spark, sf0001)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+    // light corpus (mostly-unique shingles): gate picks the naive join
+    val naive = norm(Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.5))
+    assert(norm(Dedup.ngramJaccardAuto(docs, col("doc_id"), col("text"), 3, 0.5)) == naive)
+    // heavy corpus: 120 docs sharing one template -> df ≈ 120 per shingle,
+    // Σdf²/Σdf ≈ 120 > gate -> prefix path; output must still be identical
+    val heavy = (0 until 120)
+      .map(i => (i.toLong, s"the common shared template text block ends with token$i here"))
+      .toDF("doc_id", "text")
+    val heavyNaive = norm(Dedup.ngramJaccard(heavy, col("doc_id"), col("text"), 3, 0.5))
+    assert(norm(Dedup.ngramJaccardAuto(heavy, col("doc_id"), col("text"), 3, 0.5)) == heavyNaive)
+    assert(heavyNaive.nonEmpty)
+  }
+
+  test("ivfTopK construction runs at most one job (the seeded sample pass)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val e = Tables.embeddings(spark, sf0001)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 3)
+      // listener bus is async; give queued events a moment to drain
+      Thread.sleep(1500)
+      val constructionJobs = jobs.get()
+      assert(constructionJobs <= 1,
+        s"ivfTopK construction launched $constructionJobs jobs (was count+fit in round 2)")
+      assert(df.columns.contains("rank")) // plan built, untouched
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
