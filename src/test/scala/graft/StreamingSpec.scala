@@ -68,6 +68,39 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("streamed driver corpus converges to the registered diachronic_daily rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // the actual sf0.001 events table, replayed through a MemoryStream in
+    // two arbitrary chunks — end-to-end batch≡stream on driver data
+    val corpus = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val mem = MemoryStream[Event]
+    val epochFiltered = mem.toDF()
+      .filter(col("ts") >= lit("2001-01-15 00:00:00").cast("timestamp"))
+    val q = StreamingDownsample.windowed(epochFiltered, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("converge_out")
+      .outputMode("append").start()
+    val (first, second) = corpus.splitAt(corpus.size / 2)
+    mem.addData(first)
+    q.processAllAvailable()
+    mem.addData(second)
+    q.processAllAvailable()
+    // sentinel far past the corpus advances the watermark so every real
+    // window finalizes; its own (still-open) window is never emitted
+    mem.addData(Seq(Event(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("converge_out")
+      .select("user_id", "day", "first_ts", "event_id", "event_type", "value")
+      .as[(Long, java.sql.Date, Timestamp, Long, String, Double)].collect().toSet
+    q.stop()
+    val batch = SparkEntry.queries("diachronic_daily")(spark, sf0001)
+      .select("user_id", "day", "first_ts", "event_id", "event_type", "value")
+      .as[(Long, java.sql.Date, Timestamp, Long, String, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("windowed watermark aggregation matches batch after end-of-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
