@@ -81,7 +81,11 @@ object WikiXml {
     * title-only scan does ~1% of the allocation work. */
   def parseStream(in: InputStream, withText: Boolean = true): Iterator[Revision] = {
     val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    // No coalescing: textOf assembles character chunks itself, and a
+    // coalescing parser would eagerly buffer each full <text> body (the
+    // ~99% payload) even on the pruned withText=false path where skipElem
+    // discards the chunks unread.
+    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.FALSE)
     // dumps are untrusted input: no DTDs / external entities
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
