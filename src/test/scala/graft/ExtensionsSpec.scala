@@ -21,6 +21,11 @@ class ExtensionsSpec extends SparkTestBase {
       .select($"g", $"t".getField("x"))
       .as[(Int, Seq[Double])].collect()
     assert(rows.toSeq == Seq((1, Seq(1.0, 5.0)), (2, Seq(4.0))))
+
+    val winnow = spark.sql(
+      "SELECT graft_winnow('the quick brown fox jumps over the lazy dog', 8, 16) AS fp")
+      .select(size($"fp")).as[Int].head()
+    assert(winnow >= 1)
   }
 
   test("BoundedTopK plans as a partial-mergeable aggregate (map-side top-k)") {
