@@ -98,21 +98,28 @@ object Dedup {
   }
 
   /** Exact Jaccard for given candidate pairs (the verification step after
-    * LSH): |A∩B| via shingle equi-join restricted to candidates, |A|,|B|
-    * via per-doc counts. Cost is proportional to candidates, not n². */
+    * LSH). Each doc's distinct shingle hashes collapse to ONE sorted
+    * `array<bigint>` row (one groupBy over the shingle set), candidates
+    * join those arrays on each end — a join against a docs-sized (often
+    * broadcastable) side, one output row per pair — and the codegen'd
+    * [[graft.functions.SortedLongIntersectCount]] merge-walks |A∩B|.
+    * Cost ∝ candidates × (|A|+|B|) primitive ops. The previous shape
+    * (pairs ⋈ shingles ⋈ shingles → count) materialized a row per
+    * (pair, shared shingle) — ~74M intermediate rows at sf0.1 — before
+    * re-aggregating; this one never leaves one-row-per-pair. */
   def jaccardForPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shingles.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        col("za.n").as("na"), col("zb.n").as("nb"),
+    val arrs = shingles.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    pairs
+      .join(arrs.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(arrs.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SortedLongIntersectCount(col("za.hs"), col("zb.hs")).as("inter"),
+        size(col("za.hs")).cast("long").as("na"),
+        size(col("zb.hs")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jaccard"))
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
   }
 
   /** Exact all-pairs n-gram Jaccard above a threshold — the exact
