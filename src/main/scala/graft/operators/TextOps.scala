@@ -13,11 +13,15 @@ object TextOps {
     * [[bpeishTokens]]. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Regex tokenizer for arbitrary text: words, numbers, or single
+  /** Regex tokenizer for arbitrary text: alphanumeric runs, or single
     * non-space symbols — a deterministic stand-in for BPE pre-tokenization
-    * (contiguous letter runs / digit runs / punctuation split apart). */
+    * (contiguous letter/digit runs kept whole, punctuation split apart).
+    * Extraction form (`regexp_extract_all`), not boundary-split with
+    * lookarounds: identical output (TextOpsSpec property-tests the
+    * equivalence), and the pattern stays inside what RE2 supports, so the
+    * DuckDB oracle can run the very same regex. */
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= "" && t =!= " ")
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))
 
   /** Word n-gram shingles (space-joined), empty array for texts shorter
     * than n tokens. Shingling is the standard unit for near-dup detection

@@ -361,6 +361,30 @@ object LlmOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** BPE-style pre-tokenization stats per document: token count, distinct
+    * token ("type") count, and the alnum-run share — the tokenizer-aware
+    * twin of the whitespace [[tokenStats]]. The extraction regex is
+    * RE2-compatible, so the oracle runs the identical pattern. */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.bpeishTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_bpe_tokens"),
+        size(array_distinct(col("__t"))).as("n_bpe_types"),
+        size(filter(col("__t"), t => t.rlike("^[A-Za-z0-9]"))).as("n_word_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenBpeSql =
+    """SELECT doc_id,
+      |  len(t) AS n_bpe_tokens,
+      |  len(list_distinct(t)) AS n_bpe_types,
+      |  len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z0-9]'))) AS n_word_tokens
+      |FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]') AS t
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints via cryptographic digests (md5/sha256) — the
     * oracle-checkable half of document fingerprinting; the rolling-hash
     * winnowing fingerprint is [[winnowFingerprint]] (rows-only, xxhash64
@@ -451,6 +475,7 @@ object LlmOps {
     Q("text_quality", textQualitySql)(textQuality),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
+    Q("token_bpe", tokenBpeSql)(tokenBpe),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
     Q.noOracle("winnow_fingerprint")(winnowFingerprint))
 }

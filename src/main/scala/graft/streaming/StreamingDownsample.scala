@@ -58,6 +58,29 @@ object StreamingDownsample {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming sessionization: `session_window` dynamic-gap windows — the
+    * unbounded-stream twin of the batch gaps-and-islands `sessionize`
+    * query. Sessions merge while events arrive within `gap` of the
+    * window's end and finalize once the watermark passes; state per open
+    * session is one window + the aggregates, evicted at finalize — bounded
+    * by (active users × open sessions), not history.
+    *
+    * Boundary convention: `session_window` starts a new session at
+    * ts − prev == gap exactly, the batch formulation (`> gap` breaks) keeps
+    * it; real event-time ties at exact microsecond gap width are the only
+    * divergence (StreamingSpec's corpus convergence exercises none). */
+  def sessions(events: DataFrame, gap: String = "1 hour",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

@@ -101,6 +101,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming session windows converge to the batch sessionize islands") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.sessions(mem.toDF(), gap = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    val (a, b) = corpus.splitAt(corpus.size / 3)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    mem.addData(Seq(Event(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("sessions_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    q.stop()
+    val batch = SparkEntry.queries("sessionize")(spark, sf0001)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("windowed watermark aggregation matches batch after end-of-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
