@@ -22,8 +22,10 @@ import graft.functions.{BoundedTopK, FloatVecDot, WinnowFingerprint}
   *  - `graft_winnow(text, k, w)` — winnowing fingerprint set
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,217 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native **as-of join** — the whole-operator (c)-tier component of the
+  * engine: a custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`,
+  * registered through `SparkSessionExtensions` (SURVEY §2.7 / the brief's
+  * canonical "operator Spark lacks").
+  *
+  * Semantics: for every left row, attach the single right row with equal
+  * join keys and the greatest order-tuple ≤ the left row's order-tuple
+  * (backward as-of; `orderExprs` are compared lexicographically, so a
+  * composite (ts, id) gives the deterministic tie convention the oracle
+  * uses). Unmatched left rows keep nulls — a left-outer temporal join.
+  *
+  * Why a custom operator instead of composition: the union-window trick
+  * ([[graft.queries.Relational.asofJoin]]) needs both sides to fit one
+  * schema and materializes every right column through a last-non-null
+  * window per column; an inequality join formulation is a per-key cross
+  * product. This exec asks Catalyst for hash co-partitioning on the keys
+  * and (key, order) sort WITHIN partitions — the same machinery
+  * sort-merge join uses, satisfied by one exchange per side — then
+  * merge-walks the two sorted iterators once: O(left + right) per
+  * partition, state = ONE held right row, no per-key buffering, no
+  * cross product. At 100 TB that is the minimal possible data movement
+  * for the operator (both sides move once, pre-aggregated nothing). */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression]) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching, non-empty key lists")
+  require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
+    "as-of join needs matching, non-empty order-expression lists")
+
+  // right side is match-or-null (attributes turn nullable); its key
+  // columns are dropped from the output — they are equal to the left's or
+  // null, and keeping them would shadow the left's names (a USING-join
+  // style coalesce, resolved at the plan level)
+  override def output: Seq[Attribute] =
+    left.output ++ AsOfJoinPlan.rightPayload(right.output, rightKeys)
+      .map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Right-side output minus the join-key attributes. */
+  private[plans] def rightPayload(rightOutput: Seq[Attribute],
+      rightKeys: Seq[Expression]): Seq[Attribute] = {
+    val keyIds = rightKeys.collect { case a: Attribute => a.exprId }.toSet
+    rightOutput.filterNot(a => keyIds.contains(a.exprId))
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ AsOfJoinPlan.rightPayload(right.output, rightKeys)
+      .map(_.withNullability(true))
+
+  // hash co-partition both sides on the full key tuple (the shuffled-join
+  // contract: EnsureRequirements plans one exchange per side, or none when
+  // an upstream operator already partitioned compatibly)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // sort within partitions by (keys, order): the merge walk's only demand
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys ++ leftOrder).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys ++ rightOrder).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyTypes = leftKeys.map(_.dataType)
+    val lOrdTypes = leftOrder.map(_.dataType)
+    val numRightFields = right.output.length
+    val outputAttrs = output
+
+    val lk = leftKeys
+    val rk = rightKeys
+    val lo = leftOrder
+    val ro = rightOrder
+    val lOut = left.output
+    val rOut = right.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lOrdProj = UnsafeProjection.create(lo, lOut)
+      val rOrdProj = UnsafeProjection.create(ro, rOut)
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(lKeyTypes)
+      val ordOrdering = RowOrdering.createNaturalAscendingOrdering(lOrdTypes)
+      val nullRight = new GenericInternalRow(numRightFields)
+      val joined = new JoinedRow
+      // the joined row carries ALL right fields; the projection drops the
+      // right-side key columns to produce the declared output
+      val resultProj = UnsafeProjection.create(outputAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+
+      new Iterator[InternalRow] {
+        // single-row as-of state: the last right row consumed (copied out
+        // of the iterator's reused buffer) and its key
+        private var held: InternalRow = _
+        private var heldKey: InternalRow = _
+        private var peeked: InternalRow = _
+        private def peek(): InternalRow = {
+          if (peeked == null && rIter.hasNext) peeked = rIter.next()
+          peeked
+        }
+        private def consumePeeked(): Unit = {
+          held = peeked.copy()
+          heldKey = rKeyProj(held).copy()
+          peeked = null
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lOrd = lOrdProj(l)
+          // advance the right side while it is (key, order) ≤ the left row
+          var continue = true
+          while (continue && peek() != null) {
+            val kCmp = keyOrdering.compare(rKeyProj(peeked), lKey)
+            if (kCmp < 0) consumePeeked()
+            else if (kCmp == 0 && ordOrdering.compare(rOrdProj(peeked), lOrd) <= 0)
+              consumePeeked()
+            else continue = false
+          }
+          val m =
+            if (held != null && keyOrdering.compare(heldKey, lKey) == 0 &&
+              ordOrdering.compare(rOrdProj(held), lOrd) <= 0) held
+            else nullRight
+          resultProj(joined(l, m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Injected via
+  * `GraftExtensions` (`injectPlannerStrategy`) or
+  * `spark.experimental.extraStrategies` on a live session. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoin {
+
+  /** Build the as-of join over two DataFrames. Key/order columns are
+    * resolved by NAME against each side (the node is constructed from the
+    * analyzed child plans, so the analyzer sees a fully-resolved node).
+    * `order` columns compare lexicographically; pass (ts, unique_id) for a
+    * deterministic tie convention. */
+  def apply(spark: SparkSession, left: DataFrame, right: DataFrame,
+      on: Seq[String], leftOrder: Seq[String], rightOrder: Seq[String])
+      : DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = ColumnBridge.logicalPlan(left)
+    // Re-alias every right column (same names, fresh exprIds): both sides
+    // often derive from the same base relation, and duplicate exprIds in
+    // the combined output would mis-bind the result projection. Spark's
+    // analyzer does this for its own Join nodes; a custom node does it
+    // itself.
+    val rPlan = ColumnBridge.logicalPlan(
+      right.select(right.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*))
+    def resolve(plan: LogicalPlan, name: String): Expression =
+      plan.output.find(a => a.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      on.map(resolve(lPlan, _)), on.map(resolve(rPlan, _)),
+      leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _)))
+    ColumnBridge.dataFrame(spark, node)
+  }
+
+  /** Column-free convenience: same keys and order column names on both
+    * sides. */
+  def apply(spark: SparkSession, left: DataFrame, right: DataFrame,
+      on: Seq[String], order: Seq[String]): DataFrame =
+    apply(spark, left, right, on, order, order)
+}

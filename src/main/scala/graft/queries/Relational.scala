@@ -237,6 +237,26 @@ object Relational {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** The same as-of semantics through the engine's NATIVE operator
+    * ([[graft.plans.AsOfJoin]] — custom LogicalPlan/Strategy/SparkPlan):
+    * purchases as-of-joined to the clicks table on user_id with the
+    * (ts, event_id) order convention. Same oracle as [[asofJoin]]; unlike
+    * the union-window form it takes two independent tables and moves each
+    * side exactly once (hash co-partition + in-partition sort + one
+    * merge walk). */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.plans.AsOfJoin(spark, purchases, clicks,
+        on = Seq("user_id"),
+        leftOrder = Seq("ts", "event_id"), rightOrder = Seq("click_ts", "click_id"))
+      .select("event_id", "user_id", "ts", "click_id", "click_ts")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** rank / dense_rank / row_number with deterministic tie-break. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
@@ -426,6 +446,7 @@ object Relational {
     Q("semi_join", semiJoinSql)(semiJoin),
     Q("range_join", rangeJoinSql)(rangeJoin),
     Q("asof_join", asofJoinSql)(asofJoin),
+    Q("asof_join_native", asofJoinSql)(asofJoinNative),
     Q("window_rank", windowRankSql)(windowRank),
     Q("window_running", windowRunningSql)(windowRunning),
     Q("topk_per_group", topkPerGroupSql)(topkPerGroup),

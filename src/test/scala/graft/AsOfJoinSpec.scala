@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoin
+
+/** The native as-of join (custom LogicalPlan + Strategy + SparkPlan) vs a
+  * driver-side brute-force reference, plus plan-shape and co-partitioning
+  * checks. */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bruteForce(
+      quotes: Seq[(Long, Long, Long, Double)], // (key, ts, id, px)
+      trades: Seq[(Long, Long, Long)])         // (key, ts, id)
+      : Set[(Long, Long, Option[Long])] =
+    trades.map { case (k, ts, id) =>
+      val m = quotes.filter(q => q._1 == k && (q._2 < ts || (q._2 == ts && q._3 <= id)))
+        .sortBy(q => (q._2, q._3)).lastOption
+      (k, id, m.map(_._3))
+    }.toSet
+
+  test("matches brute force on random keyed series, including no-match rows") {
+    val rng = new scala.util.Random(3)
+    val quotes = Seq.fill(400)(
+      (rng.nextInt(8).toLong, rng.nextInt(1000).toLong, rng.nextLong(1L << 40), rng.nextDouble()))
+    val trades = Seq.fill(300)(
+      (rng.nextInt(10).toLong, rng.nextInt(1000).toLong, rng.nextLong(1L << 40)))
+
+    val qDf = quotes.toDF("key", "ts", "qid", "px").repartition(7)
+    val tDf = trades.toDF("key", "ts", "tid").repartition(5)
+    val out = AsOfJoin(spark, tDf,
+        qDf.select(col("key"), col("ts").as("q_ts"), col("qid"), col("px")),
+        on = Seq("key"), leftOrder = Seq("ts", "tid"), rightOrder = Seq("q_ts", "qid"))
+      .select(col("key"), col("tid"), col("qid"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out == bruteForce(quotes, trades))
+    // keys 8,9 exist only on the left: verify genuine null matches survive
+    assert(out.exists(_._3.isEmpty))
+  }
+
+  test("plans as AsOfJoinExec with one exchange per side and sorted children") {
+    val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("ts"))
+    val r = spark.range(50).select(col("id").as("k"), (col("id") * 3).as("rts"))
+    val df = AsOfJoin(spark, l, r, on = Seq("k"), leftOrder = Seq("ts"),
+      rightOrder = Seq("rts"))
+    // AdaptiveSparkPlanExec is a leaf node, so string-match the tree it
+    // prints instead of collect()ing through it
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin ["), s.take(1500))
+    assert(s.contains("Sort "), s.take(1500))
+    assert(s.contains("Exchange hashpartitioning(k"), s.take(1500))
+    assert(df.count() == 100)
+  }
+
+  test("equals the union-window asof_join query on the events corpus") {
+    val events = Tables.events(spark, sf0001)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val native = AsOfJoin(spark, purchases, clicks,
+        on = Seq("user_id"),
+        leftOrder = Seq("ts", "event_id"), rightOrder = Seq("click_ts", "click_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_id"), col("click_ts"))
+      .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp])]
+      .collect().toSet
+    val composed = SparkEntry.queries("asof_join")(spark, sf0001)
+      .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp])]
+      .collect().toSet
+    assert(composed.nonEmpty)
+    assert(native == composed)
+  }
+}
