@@ -31,6 +31,24 @@ object Dedup {
   def shingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), explode(TextOps.shingles(text, n)).as("sh")).distinct()
 
+  /** One-shuffle per-doc dedup stage: MinHash signature AND the sorted
+    * distinct shingle-hash array from a single `groupBy(doc_id)` over the
+    * raw (non-distinct) shingle stream — `min` is duplicate-insensitive
+    * and `collect_set` dedupes, so the pre-`distinct` shuffle the round-2
+    * pipeline paid is pure overhead. Output is one compact row per doc
+    * (k longs + ~|shingles| longs), the thing worth persisting/
+    * checkpointing: candidates explode from `sig`, verification joins
+    * `hs`, nothing re-touches the corpus. */
+  def docSignatures(df: DataFrame, id: Column, text: Column, n: Int,
+      k: Int = 64): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
+    hashedShingleStream(df, id, text, n)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ sort_array(collect_set(col("h"))).as("hs")): _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"), col("hs"))
+  }
+
   /** Distinct (id, 64-bit shingle hash) pairs — the join/aggregation
     * currency of the dedup operators. Two deliberate choices:
     *  - join/min-hash 8-byte longs, never shingle strings (shuffle bytes,
@@ -41,7 +59,15 @@ object Dedup {
     *    hashes, never materializing the joined shingle string — string
     *    building inside the (interpreted) higher-order lambdas is ~6× the
     *    cost of the whole rest of the pipeline. */
-  def hashedShingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def hashedShingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    hashedShingleStream(df, id, text, n).distinct()
+
+  /** The raw (id, shingle hash) stream, duplicates included — for
+    * consumers whose aggregates are duplicate-insensitive
+    * ([[docSignatures]]); everything rank/frequency-based goes through the
+    * distinct [[hashedShingleSet]]. */
+  private def hashedShingleStream(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
     val toks = (0 until n).map(j => s"__th[i + $j]").mkString(", ")
     // Pre-project the caller's text expression into a fixed internal name:
     // splicing `text.toString` into the expr() SQL would only parse for
@@ -53,7 +79,6 @@ object Dedup {
         s"""CASE WHEN size(__th) >= $n
            |  THEN transform(sequence(0, size(__th) - $n), i -> xxhash64($toks))
            |  ELSE array() END""".stripMargin)).as("h"))
-      .distinct()
   }
 
   /** MinHash signatures: one `array<bigint>` of length k per document.
@@ -107,12 +132,19 @@ object Dedup {
     * (pairs ⋈ shingles ⋈ shingles → count) materialized a row per
     * (pair, shared shingle) — ~74M intermediate rows at sf0.1 — before
     * re-aggregating; this one never leaves one-row-per-pair. */
-  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val arrs = shingles.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame): DataFrame =
+    jaccardForPairsOnArrays(pairs,
+      shingles.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs")))
+
+  /** Same, over a prebuilt (doc_id, sorted distinct hash array) frame —
+    * e.g. [[docSignatures]]' `hs` column, sharing its single shuffle. */
+  def jaccardForPairsOnArrays(pairs: DataFrame, arrs: DataFrame): DataFrame =
     pairs
-      .join(arrs.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(arrs.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(arrs.select(col("doc_id"), col("hs")).as("za"),
+        col("doc_a") === col("za.doc_id"))
+      .join(arrs.select(col("doc_id"), col("hs")).as("zb"),
+        col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.SortedLongIntersectCount(col("za.hs"), col("zb.hs")).as("inter"),
         size(col("za.hs")).cast("long").as("na"),
@@ -120,7 +152,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-  }
 
   /** Exact all-pairs n-gram Jaccard above a threshold — the exact
     * baseline the LSH path approximates. One equi-join on shingle hashes
@@ -220,12 +251,13 @@ object Dedup {
     * result — which is how the DuckDB oracle checks it. */
   def minhashDedup(df: DataFrame, id: Column, text: Column, n: Int = 3,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    // Shingles feed signature generation AND pair verification (3 scans);
-    // persist once. At cluster scale this is the stage you would
-    // checkpoint to object storage instead.
-    val sh = hashedShingleSet(df, id, text, n).persist()
-    val pairs = lshCandidatePairs(minhashSignatures(sh, k), k, bands)
-    jaccardForPairs(pairs, sh).filter(col("jaccard") >= threshold)
+    // One shuffle builds the per-doc stage (signature + sorted hash set);
+    // banding and verification both read the persisted docs-sized frame —
+    // at cluster scale this is the stage you would checkpoint to object
+    // storage. (Released by session cache teardown or caller unpersist.)
+    val stage = docSignatures(df, id, text, n, k).persist()
+    val pairs = lshCandidatePairs(stage.select(col("doc_id"), col("sig")), k, bands)
+    jaccardForPairsOnArrays(pairs, stage).filter(col("jaccard") >= threshold)
   }
 
   // --------------------------------------------------- near-dup clustering

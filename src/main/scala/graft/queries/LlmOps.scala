@@ -81,18 +81,19 @@ object LlmOps {
       // synchronized (not TrieMap.getOrElseUpdate) so a concurrent first
       // call cannot build-and-persist the stage twice, leaking one copy
       pairsMemo.getOrElseUpdate((spark, dir), {
-        // Staged build with explicit lifecycle: the shingle set feeds
-        // signatures AND pair verification, so it is cached only for the
-        // duration of the one eager materialization, then released —
-        // the memo holds the (much smaller) verified pairs, nothing else.
+        // Staged build with explicit lifecycle: ONE shuffle computes the
+        // per-doc stage (MinHash signature + sorted hash set); banding and
+        // verification read it from cache for the one eager
+        // materialization, then it is released — the memo holds the (much
+        // smaller) verified pairs, nothing else.
         val docs = Tables.documents(spark, dir)
-        val sh = Dedup.hashedShingleSet(docs, col("doc_id"), col("text"), 3).persist()
-        val pairs = Dedup.jaccardForPairs(
-            Dedup.lshCandidatePairs(Dedup.minhashSignatures(sh, 64), 64, 16), sh)
+        val stage = Dedup.docSignatures(docs, col("doc_id"), col("text"), 3, 64).persist()
+        val pairs = Dedup.jaccardForPairsOnArrays(
+            Dedup.lshCandidatePairs(stage.select(col("doc_id"), col("sig")), 64, 16), stage)
           .filter(col("jaccard") >= 0.8)
           .persist()
-        pairs.count() // materialize through sh while it is cached
-        sh.unpersist()
+        pairs.count() // materialize through the stage while it is cached
+        stage.unpersist()
         pairs
       })
     }
