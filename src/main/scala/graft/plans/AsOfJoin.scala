@@ -31,13 +31,21 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * partition, state = ONE held right row, no per-key buffering, no
   * cross product. At 100 TB that is the minimal possible data movement
   * for the operator (both sides move once, pre-aggregated nothing). */
+/** Match direction: backward = greatest right order-tuple ≤ the left's
+  * (the classic as-of); forward = smallest right order-tuple ≥ the
+  * left's. */
+sealed trait AsOfDirection extends Serializable
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 final case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
-    rightOrder: Seq[Expression]) extends BinaryNode {
+    rightOrder: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty key lists")
@@ -72,7 +80,8 @@ final case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
-    rightOrder: Seq[Expression]) extends BinaryExecNode {
+    rightOrder: Seq[Expression],
+    direction: AsOfDirection) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ AsOfJoinPlan.rightPayload(right.output, rightKeys)
@@ -119,9 +128,12 @@ final case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(outputAttrs,
         lOut ++ rOut.map(_.withNullability(true)))
 
+      val backward = direction == AsOfBackward
+
       new Iterator[InternalRow] {
         // single-row as-of state: the last right row consumed (copied out
-        // of the iterator's reused buffer) and its key
+        // of the iterator's reused buffer) and its key — backward only;
+        // forward matches the PEEKED row (the first not-yet-consumed one)
         private var held: InternalRow = _
         private var heldKey: InternalRow = _
         private var peeked: InternalRow = _
@@ -129,9 +141,11 @@ final case class AsOfJoinExec(
           if (peeked == null && rIter.hasNext) peeked = rIter.next()
           peeked
         }
-        private def consumePeeked(): Unit = {
-          held = peeked.copy()
-          heldKey = rKeyProj(held).copy()
+        private def consumePeeked(keep: Boolean): Unit = {
+          if (keep) {
+            held = peeked.copy()
+            heldKey = rKeyProj(held).copy()
+          }
           peeked = null
         }
 
@@ -141,19 +155,30 @@ final case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lOrd = lOrdProj(l)
-          // advance the right side while it is (key, order) ≤ the left row
+          // backward: consume right while (key, order) ≤ the left row and
+          //   match the last consumed row of the same key;
+          // forward: consume right while strictly before the left row and
+          //   match the peeked row (first with order ≥) if keys agree
           var continue = true
           while (continue && peek() != null) {
             val kCmp = keyOrdering.compare(rKeyProj(peeked), lKey)
-            if (kCmp < 0) consumePeeked()
-            else if (kCmp == 0 && ordOrdering.compare(rOrdProj(peeked), lOrd) <= 0)
-              consumePeeked()
-            else continue = false
+            if (kCmp < 0) consumePeeked(keep = false)
+            else if (kCmp == 0) {
+              val oCmp = ordOrdering.compare(rOrdProj(peeked), lOrd)
+              if (oCmp < 0 || (backward && oCmp == 0)) consumePeeked(keep = backward)
+              else continue = false
+            } else continue = false
           }
           val m =
-            if (held != null && keyOrdering.compare(heldKey, lKey) == 0 &&
-              ordOrdering.compare(rOrdProj(held), lOrd) <= 0) held
-            else nullRight
+            if (backward) {
+              if (held != null && keyOrdering.compare(heldKey, lKey) == 0 &&
+                ordOrdering.compare(rOrdProj(held), lOrd) <= 0) held
+              else nullRight
+            } else {
+              if (peeked != null && keyOrdering.compare(rKeyProj(peeked), lKey) == 0)
+                peeked
+              else nullRight
+            }
           resultProj(joined(l, m))
         }
       }
@@ -170,8 +195,8 @@ final case class AsOfJoinExec(
   * `spark.experimental.extraStrategies` on a live session. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, dir) :: Nil
     case _ => Nil
   }
 }
@@ -184,8 +209,8 @@ object AsOfJoin {
     * `order` columns compare lexicographically; pass (ts, unique_id) for a
     * deterministic tie convention. */
   def apply(spark: SparkSession, left: DataFrame, right: DataFrame,
-      on: Seq[String], leftOrder: Seq[String], rightOrder: Seq[String])
-      : DataFrame = {
+      on: Seq[String], leftOrder: Seq[String], rightOrder: Seq[String],
+      direction: AsOfDirection = AsOfBackward): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -205,7 +230,8 @@ object AsOfJoin {
           s"as-of join: column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
     val node = AsOfJoinPlan(lPlan, rPlan,
       on.map(resolve(lPlan, _)), on.map(resolve(rPlan, _)),
-      leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _)))
+      leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _)),
+      direction)
     ColumnBridge.dataFrame(spark, node)
   }
 

@@ -41,6 +41,29 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.exists(_._3.isEmpty))
   }
 
+  test("forward direction matches the first right row at-or-after each left row") {
+    val rng = new scala.util.Random(5)
+    val quotes = Seq.fill(300)(
+      (rng.nextInt(6).toLong, rng.nextInt(500).toLong, rng.nextLong(1L << 40), rng.nextDouble()))
+    val trades = Seq.fill(250)(
+      (rng.nextInt(8).toLong, rng.nextInt(500).toLong, rng.nextLong(1L << 40)))
+    val expected = trades.map { case (k, ts, id) =>
+      val m = quotes.filter(q => q._1 == k && (q._2 > ts || (q._2 == ts && q._3 >= id)))
+        .sortBy(q => (q._2, q._3)).headOption
+      (k, id, m.map(_._3))
+    }.toSet
+    val out = graft.plans.AsOfJoin(spark,
+        trades.toDF("key", "ts", "tid").repartition(5),
+        quotes.toDF("key", "q_ts", "qid", "px").repartition(3),
+        on = Seq("key"), leftOrder = Seq("ts", "tid"), rightOrder = Seq("q_ts", "qid"),
+        direction = graft.plans.AsOfForward)
+      .select(col("key"), col("tid"), col("qid"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out == expected)
+    assert(out.exists(_._3.isEmpty))   // rows past the last quote stay null
+    assert(out.exists(_._3.nonEmpty))
+  }
+
   test("plans as AsOfJoinExec with one exchange per side and sorted children") {
     val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("ts"))
     val r = spark.range(50).select(col("id").as("k"), (col("id") * 3).as("rts"))
