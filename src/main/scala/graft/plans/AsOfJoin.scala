@@ -45,12 +45,15 @@ final case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
-    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
     "as-of join needs matching, non-empty order-expression lists")
+  require(tolerance.isEmpty || AsOfJoinPlan.longBacked(leftOrder.head.dataType),
+    "as-of tolerance needs a long-backed first order column (long/int/timestamp/date)")
 
   // right side is match-or-null (attributes turn nullable); its key
   // columns are dropped from the output — they are equal to the left's or
@@ -66,6 +69,15 @@ final case class AsOfJoinPlan(
 }
 
 object AsOfJoinPlan {
+  /** Types whose InternalRow representation is an integral the tolerance
+    * check can subtract: long, int, timestamp (µs), date (days). */
+  private[plans] def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
   /** Right-side output minus the join-key attributes. */
   private[plans] def rightPayload(rightOutput: Seq[Attribute],
       rightKeys: Seq[Expression]): Seq[Attribute] = {
@@ -81,7 +93,8 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
-    direction: AsOfDirection) extends BinaryExecNode {
+    direction: AsOfDirection,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ AsOfJoinPlan.rightPayload(right.output, rightKeys)
@@ -129,6 +142,19 @@ final case class AsOfJoinExec(
         lOut ++ rOut.map(_.withNullability(true)))
 
       val backward = direction == AsOfBackward
+      val tolValue = tolerance.getOrElse(Long.MaxValue)
+      // first-order-column gap, in the column's integral representation
+      // (µs for timestamps, days for dates); IntegerType reads as int
+      val firstOrdIsInt =
+        lo.head.dataType == org.apache.spark.sql.types.IntegerType ||
+        lo.head.dataType == org.apache.spark.sql.types.DateType
+      def ord0(r: InternalRow): Long =
+        if (firstOrdIsInt) r.getInt(0).toLong else r.getLong(0)
+      def withinTol(lOrd: InternalRow, mOrd: InternalRow): Boolean =
+        tolerance.isEmpty || {
+          val gap = if (backward) ord0(lOrd) - ord0(mOrd) else ord0(mOrd) - ord0(lOrd)
+          gap <= tolValue
+        }
 
       new Iterator[InternalRow] {
         // single-row as-of state: the last right row consumed (copied out
@@ -172,11 +198,12 @@ final case class AsOfJoinExec(
           val m =
             if (backward) {
               if (held != null && keyOrdering.compare(heldKey, lKey) == 0 &&
-                ordOrdering.compare(rOrdProj(held), lOrd) <= 0) held
+                ordOrdering.compare(rOrdProj(held), lOrd) <= 0 &&
+                withinTol(lOrd, rOrdProj(held))) held
               else nullRight
             } else {
-              if (peeked != null && keyOrdering.compare(rKeyProj(peeked), lKey) == 0)
-                peeked
+              if (peeked != null && keyOrdering.compare(rKeyProj(peeked), lKey) == 0 &&
+                withinTol(lOrd, rOrdProj(peeked))) peeked
               else nullRight
             }
           resultProj(joined(l, m))
@@ -195,8 +222,8 @@ final case class AsOfJoinExec(
   * `spark.experimental.extraStrategies` on a live session. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, dir) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -210,7 +237,8 @@ object AsOfJoin {
     * deterministic tie convention. */
   def apply(spark: SparkSession, left: DataFrame, right: DataFrame,
       on: Seq[String], leftOrder: Seq[String], rightOrder: Seq[String],
-      direction: AsOfDirection = AsOfBackward): DataFrame = {
+      direction: AsOfDirection = AsOfBackward,
+      tolerance: Option[Long] = None): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -231,7 +259,7 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lPlan, rPlan,
       on.map(resolve(lPlan, _)), on.map(resolve(rPlan, _)),
       leftOrder.map(resolve(lPlan, _)), rightOrder.map(resolve(rPlan, _)),
-      direction)
+      direction, tolerance)
     ColumnBridge.dataFrame(spark, node)
   }
 

@@ -64,6 +64,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.exists(_._3.nonEmpty))
   }
 
+  test("tolerance nulls out matches farther than the bound (both directions)") {
+    val quotes = Seq((1L, 100L, 10L), (1L, 200L, 20L)).toDF("key", "q_ts", "qid")
+    val trades = Seq((1L, 205L, 1L), (1L, 290L, 2L), (1L, 150L, 3L)).toDF("key", "ts", "tid")
+    val back = graft.plans.AsOfJoin(spark, trades, quotes,
+        on = Seq("key"), leftOrder = Seq("ts", "tid"), rightOrder = Seq("q_ts", "qid"),
+        direction = graft.plans.AsOfBackward, tolerance = Some(50L))
+      .select("tid", "qid").as[(Long, Option[Long])].collect().toMap
+    // trade@205 -> quote@200 (gap 5 ok); trade@290 -> quote@200 gap 90 > 50
+    // -> null; trade@150 -> quote@100 gap 50 == bound -> kept
+    assert(back == Map(1L -> Some(20L), 2L -> None, 3L -> Some(10L)))
+    val fwd = graft.plans.AsOfJoin(spark, trades, quotes,
+        on = Seq("key"), leftOrder = Seq("ts", "tid"), rightOrder = Seq("q_ts", "qid"),
+        direction = graft.plans.AsOfForward, tolerance = Some(40L))
+      .select("tid", "qid").as[(Long, Option[Long])].collect().toMap
+    // trade@150 -> quote@200 forward gap 50 > 40 -> null; trade@205/290
+    // have no later quote -> null
+    assert(fwd == Map(1L -> None, 2L -> None, 3L -> None))
+  }
+
   test("plans as AsOfJoinExec with one exchange per side and sorted children") {
     val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("ts"))
     val r = spark.range(50).select(col("id").as("k"), (col("id") * 3).as("rts"))
