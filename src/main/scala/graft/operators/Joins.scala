@@ -65,4 +65,31 @@ object Joins {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String, joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Pure **band join** — all (left, right) pairs whose timestamps lie
+    * within `epsMicros` of each other, with NO equi key to ride on (the
+    * case a naive formulation turns into a nested-loop cross product).
+    * Binning makes it an equi-join: timestamps quantize to ε-width bins,
+    * the right side replicates to its bin and both neighbors, so any pair
+    * within ε shares exactly ONE join key (left's bin) — hash-
+    * partitionable, shuffle ∝ 3·|right| + |left|, and only same-bin
+    * candidates (≈ ε-density × |right| per left row) pay the exact
+    * |Δt| ≤ ε verification. Skewed hot bins split under AQE like any
+    * equi-join. Caller disambiguates column names before the call. */
+  def bandJoin(left: DataFrame, right: DataFrame, lTs: Column, rTs: Column,
+      epsMicros: Long): DataFrame = {
+    require(epsMicros > 0, "band join needs a positive epsilon")
+    val l = left
+      .withColumn("__bt_l", unix_micros(lTs))
+      .withColumn("__bin", floor(col("__bt_l") / epsMicros))
+    val r0 = right.withColumn("__bt_r", unix_micros(rTs))
+    val r = r0.withColumn("__bin",
+      explode(array(
+        floor(col("__bt_r") / epsMicros) - 1,
+        floor(col("__bt_r") / epsMicros),
+        floor(col("__bt_r") / epsMicros) + 1)))
+    l.join(r, "__bin")
+      .filter(abs(col("__bt_l") - col("__bt_r")) <= epsMicros)
+      .drop("__bin", "__bt_l", "__bt_r")
+  }
 }

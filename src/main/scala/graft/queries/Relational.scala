@@ -237,6 +237,29 @@ object Relational {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Pure band join (no equi key): pairs of events from DIFFERENT users
+    * within one second of each other — the shape a naive formulation
+    * turns into an O(n²) cross product. [[graft.operators.Joins.bandJoin]]
+    * bins timestamps to ε-width buckets so candidates come from an
+    * equi-join on the bin id; only same-bin pairs pay the exact |Δt| ≤ ε
+    * check. */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.select(col("event_id").as("id_a"), col("user_id").as("u_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("event_id").as("id_b"), col("user_id").as("u_b"), col("ts").as("ts_b"))
+    graft.operators.Joins.bandJoin(a, b, col("ts_a"), col("ts_b"), epsMicros = 1000000L)
+      .filter(col("id_a") < col("id_b") && col("u_a") =!= col("u_b"))
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val bandJoinSql =
+    """SELECT a.event_id AS id_a, b.event_id AS id_b
+      |FROM events a JOIN events b
+      |  ON b.ts BETWEEN a.ts - INTERVAL 1 SECOND AND a.ts + INTERVAL 1 SECOND
+      |WHERE a.event_id < b.event_id AND a.user_id <> b.user_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The same as-of semantics through the engine's NATIVE operator
     * ([[graft.plans.AsOfJoin]] — custom LogicalPlan/Strategy/SparkPlan):
     * purchases as-of-joined to the clicks table on user_id with the
@@ -445,6 +468,7 @@ object Relational {
     Q("anti_join", antiJoinSql)(antiJoin),
     Q("semi_join", semiJoinSql)(semiJoin),
     Q("range_join", rangeJoinSql)(rangeJoin),
+    Q("band_join", bandJoinSql)(bandJoin),
     Q("asof_join", asofJoinSql)(asofJoin),
     Q("asof_join_native", asofJoinSql)(asofJoinNative),
     Q("window_rank", windowRankSql)(windowRank),

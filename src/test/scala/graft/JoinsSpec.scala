@@ -73,4 +73,23 @@ class JoinsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+  test("bandJoin equals the brute-force cross product on epsilon windows") {
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(13)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 400).map(i =>
+      (i.toLong, new Timestamp(base + rng.nextInt(600) * 1000L + rng.nextInt(1000))))
+    val df = rows.toDF("id", "ts")
+    val a = df.select(col("id").as("id_a"), col("ts").as("ts_a")).repartition(5)
+    val b = df.select(col("id").as("id_b"), col("ts").as("ts_b")).repartition(3)
+    val got = graft.operators.Joins.bandJoin(a, b, col("ts_a"), col("ts_b"), 1000000L)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (i, ti) <- rows; (j, tj) <- rows
+      if i < j && math.abs(ti.getTime - tj.getTime) <= 1000
+    } yield (i, j)).toSet
+    assert(expect.nonEmpty)
+    assert(got == expect)
+  }
 }
