@@ -35,19 +35,15 @@ class SourcesSpec extends SparkTestBase {
     assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
   }
 
-  test("manifest-style json scan: keys of a nested object via explode") {
+  test("Manifest.fileList extracts a job's dump files; inputPaths resolves them") {
     // the reference's dumpstatus.json shape: {"jobs": {"f1": {...}, ...}}
     val dir = Files.createTempDirectory("graftmanifest").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/manifest.json"),
       """{"jobs":{"metahistory7zdump":{"files":{"enwiki-p1.7z":{"size":1},"enwiki-p2.7z":{"size":2}}}}}""")
-    val files = spark.read
-      .option("multiLine", "true")
-      .json(s"$dir/manifest.json")
-      .select(explode(expr(
-        "map_keys(from_json(to_json(jobs.metahistory7zdump.files), 'map<string,struct<size:long>>'))"))
-        .as("file"))
-      .orderBy("file")
+    val files = graft.sources.Manifest.fileList(spark, s"$dir/manifest.json")
       .collect().map(_.getString(0)).toSeq
     assert(files == Seq("enwiki-p1.7z", "enwiki-p2.7z"))
+    val paths = graft.sources.Manifest.inputPaths(spark, s"$dir/manifest.json", "/dumps/")
+    assert(paths == Seq("/dumps/enwiki-p1.7z", "/dumps/enwiki-p2.7z"))
   }
 }
