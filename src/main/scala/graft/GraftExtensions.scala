@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BoundedTopK, FloatVecDot, WinnowFingerprint}
+import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, WinnowFingerprint}
 
 /** Session-extension entry point: makes graft's native expressions
   * available as SQL functions. Two routes:
@@ -20,6 +20,7 @@ import graft.functions.{BoundedTopK, FloatVecDot, WinnowFingerprint}
   *  - `graft_vec_dot(a, b)` — codegen'd array<float> dot product
   *  - `graft_topk(sortStruct, k)` — bounded top-k aggregate
   *  - `graft_winnow(text, k, w)` — winnowing fingerprint set
+  *  - `graft_sorted_intersect(a, b)` — |A∩B| of two sorted bigint arrays
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -51,7 +52,11 @@ object GraftExtensions {
         case (Literal(k: Int, _), Literal(w: Int, _)) => WinnowFingerprint(exprs(0), k, w)
         case other => throw new IllegalArgumentException(
           s"graft_winnow k and w must be integer literals, got $other")
-      }))
+      }),
+    (FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - intersection size of two ascending-sorted bigint arrays"),
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -26,6 +26,11 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT graft_winnow('the quick brown fox jumps over the lazy dog', 8, 16) AS fp")
       .select(size($"fp")).as[Int].head()
     assert(winnow >= 1)
+
+    val inter = spark.sql(
+      "SELECT graft_sorted_intersect(CAST(array(1,3,5,7) AS ARRAY<BIGINT>), CAST(array(2,3,4,5) AS ARRAY<BIGINT>)) AS n")
+      .as[Long].head()
+    assert(inter == 2L)
   }
 
   test("BoundedTopK plans as a partial-mergeable aggregate (map-side top-k)") {
