@@ -288,17 +288,21 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges
         .join(cur, edges("v") === cur("doc_id"))
-        .select(edges("u").as("doc_id"), cur("rep"))
-      val next = cur.union(prop)
-        .groupBy("doc_id").agg(min("rep").as("rep"))
+        .select(edges("u").as("doc_id"), cur("rep"), lit(null).cast("long").as("old_rep"))
+      // fold the convergence signal into the same aggregate: every doc's
+      // previous label rides along as old_rep (cur contributes it, the
+      // propagated rows carry null, max ignores nulls), so the
+      // convergence test is a filter over the SAME checkpointed result —
+      // no extra join per round
+      val next = cur.select(col("doc_id"), col("rep"), col("rep").as("old_rep"))
+        .union(prop)
+        .groupBy("doc_id").agg(min("rep").as("rep"), max("old_rep").as("old_rep"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(cur.as("c"), "doc_id")
-        .filter(col("n.rep") =!= col("c.rep"))
-        .isEmpty
-      cur = next
+      converged = next.filter(col("rep") =!= col("old_rep")).isEmpty
+      cur = next.select(col("doc_id"), col("rep"))
       iter += 1
     }
+    edges.unpersist()
     cur.select(col("doc_id"), col("rep").as("cluster_rep"))
   }
 
