@@ -79,15 +79,21 @@ object Joins {
   def bandJoin(left: DataFrame, right: DataFrame, lTs: Column, rTs: Column,
       epsMicros: Long): DataFrame = {
     require(epsMicros > 0, "band join needs a positive epsilon")
+    // exact integral floor-division: (t - pmod(t, ε)) / ε — the numerator
+    // is an exact multiple, so the correctly-rounded divide returns the
+    // bin id exactly at ANY ε (a plain floor(t/ε) in double can misbin
+    // once 1/ε drops under the quotient's half-ulp, e.g. day-scale bands
+    // on µs timestamps); pmod keeps negative (pre-1970) timestamps on the
+    // floor convention
+    def bin(t: Column): Column =
+      ((t - pmod(t, lit(epsMicros))) / epsMicros).cast("long")
     val l = left
       .withColumn("__bt_l", unix_micros(lTs))
-      .withColumn("__bin", floor(col("__bt_l") / epsMicros))
+      .withColumn("__bin", bin(col("__bt_l")))
     val r0 = right.withColumn("__bt_r", unix_micros(rTs))
     val r = r0.withColumn("__bin",
-      explode(array(
-        floor(col("__bt_r") / epsMicros) - 1,
-        floor(col("__bt_r") / epsMicros),
-        floor(col("__bt_r") / epsMicros) + 1)))
+      explode(array(bin(col("__bt_r")) - 1, bin(col("__bt_r")),
+        bin(col("__bt_r")) + 1)))
     l.join(r, "__bin")
       .filter(abs(col("__bt_l") - col("__bt_r")) <= epsMicros)
       .drop("__bin", "__bt_l", "__bt_r")

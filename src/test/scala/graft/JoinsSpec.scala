@@ -92,4 +92,24 @@ class JoinsSpec extends SparkTestBase {
     assert(expect.nonEmpty)
     assert(got == expect)
   }
+  test("bandJoin bins exactly at day-scale epsilon and pre-1970 timestamps") {
+    import java.sql.Timestamp
+    val dayUs = 86400L * 1000000L
+    // points straddling a day boundary plus pre-epoch negatives
+    val ts = Seq(-3L * 86400000L - 1L, -1000L, 0L, 86399999L, 86400000L,
+      86400001L, 200L * 86400000L).zipWithIndex
+      .map { case (ms, i) => (i.toLong, new Timestamp(ms)) }
+    val df = ts.toDF("id", "ts")
+    val a = df.select(col("id").as("id_a"), col("ts").as("ts_a"))
+    val b = df.select(col("id").as("id_b"), col("ts").as("ts_b"))
+    val got = graft.operators.Joins.bandJoin(a, b, col("ts_a"), col("ts_b"), dayUs)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (i, ti) <- ts; (j, tj) <- ts
+      if i < j && math.abs(ti.getTime - tj.getTime) * 1000L <= dayUs
+    } yield (i, j)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
 }
