@@ -459,11 +459,43 @@ object LlmOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Frame sampling over the synthesized video payloads (every 2nd frame,
+    * one row per sampled frame): the explode-shaped multimodal operator,
+    * hash-checked like [[mediaFeatures]] because the stub payload is
+    * deterministic arithmetic in the id. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.synthesize(spark,
+          Tables.documents(spark, dir).select(col("doc_id")), "doc_id"),
+        everyN = 2)
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, f, b) =>
+        (id, f.toLong, b.length.toLong, b.foldLeft(0L)((a, x) => a + (x & 0xFF)))
+      }
+      .toDF("media_id", "frame_no", "frame_len", "frame_sum")
+      .orderBy("media_id", "frame_no")
+  }
+
+  // video = doc_id % 3 = 2; frame f covers body bytes [f*w, (f+1)*w),
+  // w = 8 + id%8, frames 0,2,... < h = 8 + id%5 (same arithmetic as
+  // mediaFeaturesSql, same id-range assumption)
+  private val mediaFramesSql =
+    """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(8 + doc_id % 8 AS BIGINT) AS frame_len,
+      |  CAST(list_sum(list_transform(
+      |         range(f * (8 + doc_id % 8), (f + 1) * (8 + doc_id % 8)),
+      |         i -> ((doc_id * 2654435761 + i * 40503) >> 16) & 255)) AS BIGINT) AS frame_sum
+      |FROM documents, UNNEST(range(0, CAST(8 + doc_id % 5 AS BIGINT), 2)) AS t(f)
+      |WHERE doc_id % 3 = 2
+      |ORDER BY media_id, frame_no""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExactSql)(dedupExact),
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
     Q("dedup_ngram_prefix", jaccardOracle("0.5"))(dedupNgramPrefix),
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
+    Q("media_frames", mediaFramesSql)(mediaFrames),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q.noOracle("dedup_simhash")(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),
