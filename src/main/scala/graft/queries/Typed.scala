@@ -84,8 +84,46 @@ object Typed {
         approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
       .orderBy("l_returnflag")
 
+  /** Exact discrete percentiles — the oracle-checkable twin of
+    * [[approxPct]]: the value at rank ⌈p·n⌉ under a total (value, id)
+    * order. Pure integer rank logic + pass-through doubles, so both
+    * engines agree bit-for-bit; no interpolation (engine float kernels
+    * would diverge). */
+  def exactPct(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag")))
+          .as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("l_extendedprice")))
+          .as("p50"),
+        max(when(col("rn") === ceil(lit(0.95) * col("n")), col("l_extendedprice")))
+          .as("p95"))
+      .orderBy("l_returnflag")
+  }
+
+  private val exactPctSql =
+    """SELECT l_returnflag,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN l_extendedprice END) AS p95
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("typed_agg", typedAggSql)(typedAgg),
     Q("window_range", windowRangeSql)(windowRange),
+    Q("exact_pct", exactPctSql)(exactPct),
     Q.noOracle("approx_pct")(approxPct))
 }
