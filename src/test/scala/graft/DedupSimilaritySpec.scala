@@ -64,6 +64,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(naive == ppj)
   }
 
+  test("docSignatures (one-shuffle stage) equals the compositional signature pipeline") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val stage = Dedup.docSignatures(docs, col("doc_id"), col("text"), n = 3, k = 64)
+    val composed = Dedup.minhashSignatures(
+      Dedup.hashedShingleSet(docs, col("doc_id"), col("text"), 3), k = 64)
+    val a = stage.select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val b = composed.as[(Long, Seq[Long])].collect().toMap
+    assert(a == b)
+    // hs = the sorted distinct shingle hashes (what verification joins)
+    val hs = stage.select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+    val sets = Dedup.hashedShingleSet(docs, col("doc_id"), col("text"), 3)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(hs == sets)
+  }
+
   test("size-gated ngram dispatcher equals both exact paths on light and heavy corpora") {
     val docs = Tables.documents(spark, sf0001)
     def norm(df: org.apache.spark.sql.DataFrame) =
