@@ -222,6 +222,10 @@ object WikiXml {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(classOf[WikiXmlSource].getName).load(path)
 
+  /** Multi-path variant (e.g. a manifest-derived file list). */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.format(classOf[WikiXmlSource].getName).load(paths: _*)
+
   /** The reference's full per-file pipeline (filter ns=0 → epoch filter →
     * greedy daily downsample, main.py:151-161) as declarative ops over the
     * revisions table. Output: one row per (title, day) = the earliest

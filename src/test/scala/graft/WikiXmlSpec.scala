@@ -94,6 +94,30 @@ class WikiXmlSpec extends SparkTestBase {
     assert(after <= before + 2, s"fd leak: $before -> $after")
   }
 
+  test("WikiPipeline end to end: manifest -> skip -> parse -> downsample -> partitioned sink") {
+    import graft.sources.WikiPipeline
+    val dir = Files.createTempDirectory("wikipipe").toString
+    Files.copy(Paths.get(fixture), Paths.get(s"$dir/fixture.xml"))
+    Files.writeString(Paths.get(s"$dir/manifest.json"),
+      """{"jobs":{"metahistory7zdump":{"files":{"fixture.xml":{"size":1}}}}}""")
+    val out = s"$dir/out"
+    val n = WikiPipeline.runFromManifest(spark, s"$dir/manifest.json", dir, out, wiki = "testwiki")
+    assert(n == 1)
+    val written = spark.read.parquet(out)
+    assert(written.columns.toSet ==
+      Set("namespace", "title", "timestamp", "text", "wiki", "month"))
+    val expected = WikiXml.dailySnapshots(WikiXml.read(spark, fixture)).count()
+    assert(written.count() == expected)
+    assert(written.select("wiki").distinct().collect().map(_.getString(0)).toSeq == Seq("testwiki"))
+    // second run with the output listed as done: the S2 anti-join skips it
+    import spark.implicits._
+    val done = Seq("fixture.xml.parquet").toDF("name")
+    val n2 = WikiPipeline.runFromManifest(spark, s"$dir/manifest.json", dir, out,
+      wiki = "testwiki", done = Some(done))
+    assert(n2 == 0)
+    assert(spark.read.parquet(out).count() == expected) // untouched
+  }
+
   test("dailySnapshots reproduces the reference pipeline on the fixture") {
     val snaps = WikiXml.dailySnapshots(WikiXml.read(spark, fixture))
       .orderBy("title", "timestamp")
