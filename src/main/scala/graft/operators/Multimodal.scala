@@ -94,6 +94,36 @@ object Multimodal {
     media.mapPartitions { it => it.map(decodeStub) }
   }
 
+  /** Nearest-neighbor resize — the 1-row-in/1-row-out multimodal
+    * transform (payload never leaves its partition; metadata updates with
+    * the payload). Same STUB boundary as [[decodeStub]]: the kernel
+    * indexes the fake pixel grid; a real implementation swaps in an image
+    * library's resampler without touching the pipeline shape. */
+  def resize(media: Dataset[Media], newW: Int, newH: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(newW > 0 && newH > 0, "resize needs positive target dims")
+    media.mapPartitions { it =>
+      it.map { m =>
+        val body = m.payload.drop(12)
+        val out = java.nio.ByteBuffer.allocate(12 + newW * newH)
+        out.put(Magic).putInt(newW).putInt(newH)
+        var y = 0
+        while (y < newH) {
+          val sy = y * m.height / newH
+          var x = 0
+          while (x < newW) {
+            val sx = x * m.width / newW
+            val idx = sy * m.width + sx
+            out.put(if (idx < body.length) body(idx) else 0: Byte)
+            x += 1
+          }
+          y += 1
+        }
+        Media(m.media_id, m.kind, out.array(), newW, newH)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every nth block of the body as
     * one frame row — the explode-shaped operator a real frame sampler
     * has (one input row → k frame rows, payload never shuffled before

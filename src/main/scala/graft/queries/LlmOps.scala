@@ -490,12 +490,44 @@ object LlmOps {
       |WHERE doc_id % 3 = 2
       |ORDER BY media_id, frame_no""".stripMargin
 
+  /** Resize every synthesized media payload to 4×4 (nearest neighbor) and
+    * re-extract features — the decode→transform→re-extract chain, fully
+    * hash-checked because the resampled byte at (y,x) is
+    * body[⌊y·h/4⌋·w + ⌊x·w/4⌋], reproducible arithmetic in DuckDB. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.resize(
+        Multimodal.synthesize(spark,
+          Tables.documents(spark, dir).select(col("doc_id")), "doc_id"),
+        newW = 4, newH = 4))
+      .toDF()
+      .orderBy("media_id")
+
+  // resized byte (y,x) = ((id*2654435761 + (floor(y*h/4)*w + floor(x*w/4))
+  // * 40503) >> 16) & 255 with w = 8+id%8, h = 8+id%5; k enumerates the
+  // 4x4 grid row-major (y = k//4, x = k%4)
+  private val mediaResizeSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+      |  CAST(28 AS INT) AS n_bytes,
+      |  CAST(list_sum(list_transform(range(0, 16),
+      |         k -> ((doc_id * 2654435761
+      |                + (((k // 4) * (8 + doc_id % 5) // 4) * (8 + doc_id % 8)
+      |                   + ((k % 4) * (8 + doc_id % 8) // 4)) * 40503) >> 16) & 255))
+      |       AS DOUBLE) / 16 AS mean_byte,
+      |  TRUE AS header_ok
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExactSql)(dedupExact),
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
     Q("dedup_ngram_prefix", jaccardOracle("0.5"))(dedupNgramPrefix),
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
     Q("media_frames", mediaFramesSql)(mediaFrames),
+    Q("media_resize", mediaResizeSql)(mediaResize),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q.noOracle("dedup_simhash")(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),

@@ -46,4 +46,17 @@ class MultimodalSpec extends SparkTestBase {
     // frame numbers follow the stride
     assert(frames.select("frame_no").as[Int].collect().forall(_ % 2 == 0))
   }
+  test("resize: nearest-neighbor stub keeps header shape and id-derived bytes") {
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(spark,
+      spark.range(1, 20).toDF("id"), "id")
+    val resized = Multimodal.resize(media, 4, 4).collect()
+    assert(resized.forall(m => m.width == 4 && m.height == 4 && m.payload.length == 28))
+    // spot-check one value against the direct formula
+    val m7 = resized.find(_.media_id == 7L).get
+    val (w, h) = (8 + 7 % 8, 8 + 7 % 5)
+    val srcIdx = (1 * h / 4) * w + (2 * w / 4) // pixel (y=1, x=2)
+    val expect = ((7L * 2654435761L + srcIdx * 40503L) >>> 16).toByte
+    assert(m7.payload(12 + 1 * 4 + 2) == expect)
+  }
 }
