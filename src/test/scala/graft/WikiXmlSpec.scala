@@ -94,6 +94,28 @@ class WikiXmlSpec extends SparkTestBase {
     assert(after <= before + 2, s"fd leak: $before -> $after")
   }
 
+  test("parseStream handles CDATA, comments, entities, attributes, split character runs") {
+    val xml =
+      """<mediawiki>
+        |<page><title>T&amp;1</title><ns>0</ns><id>1</id>
+        |<!-- a comment between elements -->
+        |<revision><id>10</id><timestamp>2020-01-01T00:00:00Z</timestamp>
+        |<text xml:space="preserve" bytes="20">before <!-- inline --> after &lt;tag&gt; <![CDATA[raw <cdata> & body]]> end</text>
+        |</revision>
+        |<revision><id>11</id><timestamp>2020-01-02T00:00:00Z</timestamp>
+        |<minor/><text/></revision>
+        |</page>
+        |</mediawiki>""".stripMargin
+    val in = new java.io.ByteArrayInputStream(xml.getBytes("UTF-8"))
+    val revs = WikiXml.parseStream(in).toList
+    assert(revs.length == 2)
+    assert(revs.head.title == "T&1")
+    // comment dropped, entities decoded, CDATA kept verbatim
+    assert(revs.head.text == "before  after <tag> raw <cdata> & body end")
+    assert(revs(1).text == "")
+    assert(revs.map(_.revOrd) == List(0L, 1L))
+  }
+
   test("WikiPipeline end to end: manifest -> skip -> parse -> downsample -> partitioned sink") {
     import graft.sources.WikiPipeline
     val dir = Files.createTempDirectory("wikipipe").toString
