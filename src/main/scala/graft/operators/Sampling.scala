@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible corpus sampling — the training-mix primitive: membership
+  * is a pure function of (salt, key), so a sample is stable across runs,
+  * machines, and engines (no RNG state, no `sample()`'s
+  * partition-dependent draws), documents keep or lose membership only
+  * when the salt changes, and resampling at a larger fraction is a strict
+  * superset (threshold monotonicity). That is what lets a 100 TB corpus
+  * pipeline publish "the 2% slice" as a deterministic, re-derivable set
+  * rather than a materialized artifact.
+  *
+  * Mechanics: md5(salt ‖ key) compared lexicographically against the
+  * fraction's 128-bit hex threshold. Hex strings of equal length compare
+  * monotonically with their numeric value, md5 is uniform, and both
+  * Spark and DuckDB emit identical lowercase hex — so the oracle can
+  * check exact membership, not just counts. */
+object Sampling {
+
+  /** The 32-hex-digit threshold for a fraction: ⌊frac · 16³²⌋, zero-padded
+    * — md5 hex below it ⇔ the key falls in the sample. */
+  private[graft] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    val full = BigInt(16).pow(32)
+    // java.math.BigDecimal: exact, unlimited precision — Scala's
+    // BigDecimal defaults to MathContext.DECIMAL128 (34 significant
+    // digits) and silently rounds the 39-digit 16³² product
+    val t = BigInt(new java.math.BigDecimal(fraction)
+      .multiply(new java.math.BigDecimal(full.bigInteger)).toBigInteger)
+    val clamped = t.min(full - 1).max(BigInt(0))
+    f"${clamped}%032x".takeRight(32)
+  }
+
+  /** Deterministic Bernoulli(fraction) membership for a key column. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(md5(concat(lit(salt), key.cast("string"))) < lit(thresholdHex(fraction)))
+
+  /** Per-stratum fractions (e.g. language-balanced training mixes):
+    * strata absent from the map get `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (s, f)) => when(strata === s, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(md5(concat(lit(salt), key.cast("string"))) < threshold)
+  }
+}

@@ -421,6 +421,32 @@ object LlmOps {
   }
 
 
+  // -------------------------------------------------------- sampling
+
+  /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
+    * everything else dropped — the deterministic training-mix operator
+    * ([[graft.operators.Sampling]]); exact-membership oracle because both
+    * engines compare identical md5 hex against the same thresholds. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(spark, dir), col("doc_id"), col("lang"),
+        fractions = Map("en" -> 0.3, "de" -> 0.6, "fr" -> 1.0))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  // thresholds generated from the SAME function the operator uses, so the
+  // double→threshold rounding can never diverge between engine and oracle
+  private val corpusSampleSql = {
+    val th = graft.operators.Sampling.thresholdHex _
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE md5('graft' || CAST(doc_id AS VARCHAR)) <
+       |  CASE lang WHEN 'fr' THEN '${th(1.0)}'
+       |            WHEN 'de' THEN '${th(0.6)}'
+       |            WHEN 'en' THEN '${th(0.3)}'
+       |            ELSE '${th(0.0)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal feature extraction: synthesize media rows (opaque binary
@@ -541,6 +567,7 @@ object LlmOps {
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
+    Q("corpus_sample", corpusSampleSql)(corpusSample),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
     Q.noOracle("winnow_fingerprint")(winnowFingerprint))
 }
