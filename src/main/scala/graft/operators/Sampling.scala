@@ -38,6 +38,30 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.filter(md5(concat(lit(salt), key.cast("string"))) < lit(thresholdHex(fraction)))
 
+  /** Deterministic disjoint split (train/val/test): the md5 keyspace is
+    * partitioned at the cumulative-fraction thresholds, so every key maps
+    * to exactly one split, assignments never migrate between splits when
+    * run again (or on another engine), and growing one split's fraction
+    * only moves keys across the adjacent boundary. Fractions must sum to
+    * ≤ 1; the remainder maps to `otherwise`. */
+  def splitColumn(key: Column, splits: Seq[(String, Double)],
+      salt: String = "graft", otherwise: String = "rest"): Column = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must be non-empty and sum to <= 1")
+    val h = md5(concat(lit(salt), key.cast("string")))
+    splits.map(_._1).zip(splitThresholds(splits.map(_._2))).reverse
+      .foldLeft(lit(otherwise)) { case (acc, (name, hex)) =>
+        when(h < lit(hex), lit(name)).otherwise(acc)
+      }
+  }
+
+  /** Cumulative split boundaries as hex thresholds — shared by
+    * [[splitColumn]] and oracle-SQL generation so double-precision
+    * accumulation (0.8+0.1 = 0.9000000000000001) can never put the two
+    * engines on different boundaries. */
+  private[graft] def splitThresholds(fractions: Seq[Double]): Seq[String] =
+    fractions.scanLeft(0.0)(_ + _).tail.map(c => thresholdHex(math.min(c, 1.0)))
+
   /** Per-stratum fractions (e.g. language-balanced training mixes):
     * strata absent from the map get `defaultFraction`. */
   def stratifiedSample(df: DataFrame, key: Column, strata: Column,

@@ -447,6 +447,27 @@ object LlmOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic 80/10/10 train/val/test assignment per document —
+    * exact-membership oracle via the shared cumulative thresholds. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy("doc_id")
+
+  private val corpusSplitSql = {
+    val Seq(t1, t2, t3) =
+      graft.operators.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+    s"""SELECT doc_id,
+       |  CASE WHEN md5('graft' || CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+       |       WHEN md5('graft' || CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+       |       WHEN md5('graft' || CAST(doc_id AS VARCHAR)) < '$t3' THEN 'test'
+       |       ELSE 'rest' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal feature extraction: synthesize media rows (opaque binary
@@ -568,6 +589,7 @@ object LlmOps {
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
+    Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
     Q.noOracle("winnow_fingerprint")(winnowFingerprint))
 }

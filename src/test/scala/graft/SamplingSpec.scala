@@ -42,4 +42,20 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.thresholdHex(0.5).startsWith("8"))
     assert(Sampling.thresholdHex(0.5).length == 32)
   }
+  test("splitColumn partitions every key into exactly one stable split") {
+    val df = ids.select(col("id"),
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    val counts = df.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test")) // fractions cover 1.0
+    assert(math.abs(counts("train") - 16000.0) < 400)
+    assert(math.abs(counts("val") - 2000.0) < 200)
+    // stability: same assignment on re-evaluation
+    val again = ids.select(col("id"),
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    assert(df.except(again).isEmpty && again.except(df).isEmpty)
+    // the 10% hashSample of the same salt is inside train (prefix property)
+    val sampled = Sampling.hashSample(ids, col("id"), 0.1).as[Long].collect().toSet
+    val train = df.filter(col("s") === "train").select("id").as[Long].collect().toSet
+    assert(sampled.subsetOf(train))
+  }
 }
