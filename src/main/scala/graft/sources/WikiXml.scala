@@ -79,7 +79,8 @@ object WikiXml {
     * `withText=false` (column pruning) skips `<text>` events without
     * assembling the string — the payload is ~99% of dump bytes, so a
     * title-only scan does ~1% of the allocation work. */
-  def parseStream(in: InputStream, withText: Boolean = true): Iterator[Revision] = {
+  def parseStream(in: InputStream, withText: Boolean = true,
+      nsFilter: Option[String] = None): Iterator[Revision] = {
     val factory = XMLInputFactory.newInstance()
     // No coalescing: textOf assembles character chunks itself, and a
     // coalescing parser would eagerly buffer each full <text> body (the
@@ -94,6 +95,9 @@ object WikiXml {
     new Iterator[Revision] {
       private var title: String = _
       private var ns: String = _
+      // pushed-down F1 filter: <ns> precedes a page's revisions in the
+      // dump, so a mismatch skips the page's revision payloads entirely
+      private var pageWanted = true
       private var revTs: java.lang.Long = _
       private var revText: String = ""
       private var revOrd: Long = 0L
@@ -138,6 +142,7 @@ object WikiXml {
               reader.getLocalName match {
                 case "page" =>
                   inPage = true; title = null; ns = null; revOrd = 0L
+                  pageWanted = nsFilter.isEmpty
                   advance()
                 case "revision" if inPage =>
                   inRevision = true; revTs = null; revText = ""
@@ -145,11 +150,14 @@ object WikiXml {
                 case "title" if inPage && !inRevision =>
                   title = textOf(reader); advance()
                 case "ns" if inPage && !inRevision =>
-                  ns = textOf(reader); advance()
+                  ns = textOf(reader)
+                  pageWanted = nsFilter.forall(_ == ns)
+                  advance()
                 case "timestamp" if inRevision =>
                   revTs = parseTs(textOf(reader)); advance()
                 case "text" if inRevision =>
-                  if (withText) revText = textOf(reader) else skipElem(reader)
+                  if (withText && pageWanted) revText = textOf(reader)
+                  else skipElem(reader)
                   advance()
                 case _ => advance()
               }
@@ -157,9 +165,16 @@ object WikiXml {
               reader.getLocalName match {
                 case "revision" if inRevision =>
                   inRevision = false
-                  pending = Revision(ns, title, revTs,
-                    if (revText == null) "" else revText, revOrd)
-                  revOrd += 1L
+                  if (pageWanted) {
+                    pending = Revision(ns, title, revTs,
+                      if (revText == null) "" else revText, revOrd)
+                    revOrd += 1L
+                  } else {
+                    // filtered page: emit nothing, keep walking (rev_ord
+                    // still advances so unfiltered reads agree)
+                    revOrd += 1L
+                    advance()
+                  }
                 case "page" =>
                   inPage = false
                   advance()

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,44 +91,70 @@ final class WikiXmlTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 final class WikiXmlScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = WikiXml.schema
+  private var pushedNs: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** `namespace = <literal>` reaches the parser: a filtered page's
+    * revisions are consumed without assembling title/text strings or
+    * emitting rows — the reference's F1 filter (ns == "0") applied where
+    * it is cheapest. The dump's element order guarantees `<ns>` precedes
+    * the page's revisions, which is what makes the early skip sound.
+    * Everything else stays a post-scan filter (returned un-accepted). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("namespace", v: String) => true
+      case IsNotNull("namespace") => true
+      case _ => false
+    }
+    pushedNs = accepted.collectFirst { case EqualTo("namespace", v: String) => v }
+    pushed = accepted
+    // EqualTo is exact at the parser level, but returning everything keeps
+    // Spark's own filter as a correctness backstop at zero cost
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = WikiXmlSource.listFiles(paths, conf)
-    new WikiXmlScan(files, new SerializableConfiguration(conf), required)
+    new WikiXmlScan(files, new SerializableConfiguration(conf), required, pushedNs)
   }
 }
 
 final class WikiXmlScan(files: Seq[String], conf: SerializableConfiguration,
-    required: StructType) extends Scan with Batch {
+    required: StructType, nsFilter: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"wikixml ${files.length} files, ReadSchema: [${required.fieldNames.mkString(", ")}]"
+    s"wikixml ${files.length} files, ReadSchema: [${required.fieldNames.mkString(", ")}]" +
+      nsFilter.map(v => s", PushedNsFilter: namespace=$v").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => WikiXmlInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WikiXmlReaderFactory(conf, required)
+    new WikiXmlReaderFactory(conf, required, nsFilter)
 }
 
 final case class WikiXmlInputPartition(file: String) extends InputPartition
 
 final class WikiXmlReaderFactory(conf: SerializableConfiguration,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, nsFilter: Option[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WikiXmlPartitionReader(
-      partition.asInstanceOf[WikiXmlInputPartition].file, conf, required)
+      partition.asInstanceOf[WikiXmlInputPartition].file, conf, required, nsFilter)
 }
 
 /** Per-task reader: decode (codec / 7z) → StAX parse → pruned
   * InternalRows. Streams; holds one revision at a time. */
 final class WikiXmlPartitionReader(file: String, conf: SerializableConfiguration,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, nsFilter: Option[String])
+    extends PartitionReader[InternalRow] {
 
   private val withText = required.fieldNames.contains("text")
   private var closeAll: () => Unit = () => ()
@@ -138,14 +164,14 @@ final class WikiXmlPartitionReader(file: String, conf: SerializableConfiguration
     if (file.endsWith(".7z")) {
       val (entries, close) = WikiXml.openSevenZ(path, conf.value)
       closeAll = close
-      entries.flatMap(in => WikiXml.parseStream(in, withText))
+      entries.flatMap(in => WikiXml.parseStream(in, withText, nsFilter))
     } else {
       val fs = path.getFileSystem(conf.value)
       val raw = fs.open(path)
       val codec = new CompressionCodecFactory(conf.value).getCodec(path)
       val in: InputStream = if (codec == null) raw else codec.createInputStream(raw)
       closeAll = () => in.close()
-      WikiXml.parseStream(in, withText)
+      WikiXml.parseStream(in, withText, nsFilter)
     }
   }
 

@@ -82,6 +82,28 @@ class WikiXmlSpec extends SparkTestBase {
     } finally in.close()
   }
 
+  test("namespace filter pushes into the parser; results equal the unpushed filter") {
+    val df = WikiXml.read(spark, fixture).filter(col("namespace") === "0")
+    // the scan's description advertises the pushed filter
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedNsFilter: namespace=0"), scanDesc.take(800))
+    // equality with the parser-level unfiltered read + Spark-side filter
+    val pushed = df.collect().toSet
+    val unpushed = WikiXml.read(spark, fixture).collect()
+      .filter(_.getString(0) == "0").toSet
+    assert(pushed == unpushed)
+    assert(pushed.nonEmpty)
+    // parser level: nsFilter skips filtered pages but keeps rev_ord parity
+    val in = Files.newInputStream(Paths.get(fixture))
+    try {
+      val only0 = WikiXml.parseStream(in, withText = true, nsFilter = Some("0")).toList
+      assert(only0.forall(_.namespace == "0"))
+      val all = WikiXml.parseStream(Files.newInputStream(Paths.get(fixture))).toList
+      assert(only0.map(r => (r.title, r.revOrd)) ==
+        all.filter(_.namespace == "0").map(r => (r.title, r.revOrd)))
+    } finally in.close()
+  }
+
   test("reader closes streams on early exit: no fd growth under limit(1)") {
     def openFds(): Int = new java.io.File("/proc/self/fd").list().length
     val dir = Files.createTempDirectory("wikifd").toString
