@@ -107,7 +107,46 @@ object Behavioral {
       |  GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Strictly-ordered funnel progression per user: the earliest event of
+    * each stage that falls AFTER the previous stage's reach time (view →
+    * click → purchase). Built as a chain of filter → equi-join on user →
+    * min aggregates, so each stage scans only the stage-typed events and
+    * joins an ever-shrinking user set — no per-user event-sequence
+    * materialization, no window over the full stream. Timestamps pass
+    * through untouched (µs), so the oracle matches bit-for-bit. */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_${stages.head}"))
+    val completed = stages.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (stage, i)) =>
+        val prevCol = s"t_${stages(i - 1)}"
+        val keepPrev = stages.take(i).map(s => min(col(s"t_$s")).as(s"t_$s"))
+        ev.filter(col("event_type") === stage)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy(col("user_id"))
+          .agg(keepPrev.head, (keepPrev.tail :+ min(col("ts")).as(s"t_$stage")): _*)
+    }
+    completed.orderBy("user_id")
+  }
+
+  private val funnelSql =
+    """WITH s0 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, MIN(s0.t_view) AS t_view, MIN(e.ts) AS t_click
+      |       FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t_view
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, MIN(s1.t_view) AS t_view, MIN(s1.t_click) AS t_click,
+      |              MIN(e.ts) AS t_purchase
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t_click
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT user_id, t_view, t_click, t_purchase FROM s2
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
     Q("text_repetition", textRepetitionSql)(textRepetition))
 }
