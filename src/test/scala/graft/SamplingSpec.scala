@@ -58,4 +58,22 @@ class SamplingSpec extends SparkTestBase {
     val train = df.filter(col("s") === "train").select("id").as[Long].collect().toSet
     assert(sampled.subsetOf(train))
   }
+  test("hash sampling applies unchanged to a stream (stateless, same membership)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = Sampling.hashSample(mem.toDF().withColumnRenamed("value", "id"),
+        col("id"), 0.2)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    mem.addData(0L until 5000L)
+    q.processAllAvailable()
+    val streamed = spark.table("sample_out").as[Long].collect().toSet
+    q.stop()
+    val batch = Sampling.hashSample(
+        spark.range(0, 5000).toDF("id"), col("id"), 0.2)
+      .as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
