@@ -204,12 +204,17 @@ object Dedup {
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfr"), col("h"))
+    // persisted: the candidate self-join reads the prefix twice and Spark
+    // plans no ReusedExchange across the window+join subtree (measured:
+    // the dfreq join and rank window would run twice); released by
+    // session cache teardown like the shingle set
     val prefix = sh
       .join(dfreq, "h")
       .withColumn("rn", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("h"))
+      .persist()
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
