@@ -167,8 +167,11 @@ object Dedup {
     // session-level cache teardown; see the harness clearState.)
     jaccardAllPairsOn(hashedShingleSet(df, id, text, n).persist(), threshold)
 
-  /** Naive exact path over a prebuilt hashed shingle set. */
-  private def jaccardAllPairsOn(sh: DataFrame, threshold: Double): DataFrame = {
+  /** Shared all-pairs overlap core: one equi-join on shingle hashes
+    * produces (doc_a, doc_b, inter, na, nb) for every co-shingled pair —
+    * work ∝ Σ_h df(h)², never n². Jaccard and containment are just
+    * different normalizations of this frame. */
+  private def pairOverlapOn(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -178,10 +181,57 @@ object Dedup {
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        col("za.n").as("na"), col("zb.n").as("nb"),
-        (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jaccard"))
+        col("za.n").as("na"), col("zb.n").as("nb"))
+  }
+
+  /** Naive exact path over a prebuilt hashed shingle set. */
+  private def jaccardAllPairsOn(sh: DataFrame, threshold: Double): DataFrame =
+    pairOverlapOn(sh)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
+
+  /** **Containment** near-dup pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+    * Containment catches the subset-duplicate Jaccard structurally
+    * misses — a document embedded whole inside a much larger one has
+    * J = |A|/|B| → 0 but containment 1 (think boilerplate-wrapped
+    * copies, quoted articles, concatenated shards). Same Σdf²-bounded
+    * equi-join shape as [[ngramJaccard]]; the prefix-filter adaptation
+    * (index `|X| − ⌈t·|X|⌉ + 1` rarest shingles of the SMALLER side
+    * only) applies when Σdf² explodes, gated exactly like
+    * [[ngramJaccardAuto]]. */
+  def ngramContainment(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame =
+    pairOverlapOn(hashedShingleSet(df, id, text, n).persist())
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+
+  /** **Decontamination report**: for every training document, how many of
+    * its distinct shingles also occur anywhere in the benchmark/eval set —
+    * the train-test leakage check every training-data pipeline runs before
+    * a model sees the corpus. Returns only contaminated docs
+    * (n_shared ≥ 1) with their overlap fraction; a pipeline drops or
+    * rewrites them.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT shingle hashes
+    * (eval suites are orders of magnitude smaller than a 100 TB corpus) and
+    * broadcasts into the hit join — the corpus-side shingle stream is
+    * never shuffled for candidate generation, only the per-doc count
+    * aggregates move. If the bench side ever outgrew broadcast it
+    * degrades to a plain hash equi-join on `h`. */
+  def contamination(train: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int): DataFrame = {
+    val tr = hashedShingleSet(train, id, text, n).persist()
+    val bh = broadcast(
+      hashedShingleSet(bench, id, text, n).select(col("h")).distinct())
+    val sizes = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = tr.join(bh, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
   }
 
   /** Exact n-gram Jaccard with **prefix filtering** (Bayardo et al.

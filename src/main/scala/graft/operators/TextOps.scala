@@ -49,4 +49,30 @@ object TextOps {
 
   /** English stopwords used for quality scoring. */
   val enStopwords: Seq[String] = stopwords("en")
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** PII patterns, deliberately inside the RE2 subset (no lookarounds, no
+    * backreferences) so the DuckDB oracle runs the IDENTICAL pattern
+    * strings — the same discipline as [[bpeishTokens]]. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b555-[0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, then phone numbers, then IPv4 addresses with typed
+    * placeholder tokens. Replacement order is part of the contract
+    * (applied identically by the oracle): emails go first so their
+    * user/host substrings can never half-match the later patterns. All
+    * three are codegen'd `regexp_replace` — no UDF in the hot path. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Count of matches of `pattern` in `text` (on the original text —
+    * redaction counts are computed before scrubbing). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

@@ -421,6 +421,134 @@ object LlmOps {
   }
 
 
+  /** Subset-duplicate detection via **containment** |A∩B|/min(|A|,|B|) —
+    * the complement of [[dedupNgram]]'s Jaccard: a doc wholly embedded in
+    * a bigger one scores J≈|A|/|B| (missed) but containment ≈1 (caught). */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.9)
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupContainmentSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter, za.n AS na, zb.n AS nb,
+      |  CAST(inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) AS containment
+      |FROM inter JOIN sizes za ON za.doc_id = doc_a
+      |           JOIN sizes zb ON zb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Train–test **decontamination**: every 20th document plays the held-out
+    * benchmark; any remaining (training) doc sharing a 3-gram shingle with
+    * the benchmark set is reported with its overlap fraction. The bench
+    * side collapses to distinct shingle hashes and broadcasts
+    * ([[Dedup.contamination]]) — the 100 TB corpus side never shuffles for
+    * candidate generation. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+      |train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+      |hits AS (SELECT t.doc_id, COUNT(*) AS n_shared
+      |         FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id)
+      |SELECT h.doc_id, n_shared, n_shingles,
+      |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+      |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
+  /** Top-3 characteristic terms per document by tf·(1/df) — the tf-idf
+    * family with a RATIONAL score (no logarithm), so the ranking is exact
+    * integer arithmetic in IEEE doubles and both engines order ties
+    * identically (score desc, term asc). Only integers are emitted. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+        col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTermsSql =
+    """WITH t AS (SELECT doc_id, u.term AS term, COUNT(*) AS tf
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |                UNNEST(w) AS u(term)
+      |           GROUP BY doc_id, u.term),
+      |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term)
+      |SELECT doc_id, term, tf, df, rank FROM (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.term) AS rank
+      |  FROM t JOIN d USING (term))
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** PII redaction over a synthesized contact blurb (the corpus itself is
+    * word soup, so each doc gets a deterministic email/phone/IP preamble
+    * built from its id — same trick as the multimodal payloads, making
+    * the scrubbed text and all counts fully hash-checkable). Patterns are
+    * RE2-safe so the oracle applies the identical regexes; counts are
+    * taken pre-scrub. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val pii = concat(
+      lit("contact u"), col("doc_id"), lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@example.org")).otherwise(lit("")),
+      lit(" "), substring(col("text"), 1, 40))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pii.as("__raw"))
+      .select(col("doc_id"),
+        TextOps.scrubPii(col("__raw")).as("scrubbed"),
+        TextOps.matchCount(col("__raw"), TextOps.emailRe).as("n_email"),
+        TextOps.matchCount(col("__raw"), TextOps.phoneRe).as("n_phone"),
+        TextOps.matchCount(col("__raw"), TextOps.ipRe).as("n_ip"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed,
+      |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS n_phone,
+      |  len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip
+      |FROM (SELECT doc_id,
+      |        'contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+      |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |        ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |        CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      |        CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END ||
+      |        ' ' || substr(text, 1, 40) AS raw
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -575,6 +703,10 @@ object LlmOps {
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
     Q("media_frames", mediaFramesSql)(mediaFrames),
     Q("media_resize", mediaResizeSql)(mediaResize),
+    Q("dedup_containment", dedupContainmentSql)(dedupContainment),
+    Q("decontaminate", decontaminateSql)(decontaminate),
+    Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
+    Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q.noOracle("dedup_simhash")(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),

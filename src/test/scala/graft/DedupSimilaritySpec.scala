@@ -237,4 +237,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     // scan fraction and above the hyperplane-LSH figure (~0.22)
     assert(recall >= 0.4, s"IVF recall $recall")
   }
+
+  test("containment catches a subset-duplicate that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big),
+      (3L, "totally different content with other words here")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs, col("doc_id"), col("text"), 3, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)), s"containment pairs: $cont")
+    // jaccard at even a loose 0.5 threshold misses the subset pair
+    val jac = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("contamination reports only train docs overlapping the bench set") {
+    val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "secret eval question plus more words here"),   // shares shingles
+      (2L, "benign training text with no overlap at all")) // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1L))
+    val (_, shared, total, frac) = out.head
+    // "secret eval question" = the one shared 3-gram of doc 1's 5
+    assert(shared == 1L && total == 5L && frac == 0.2)
+  }
 }

@@ -36,4 +36,18 @@ class TextOpsSpec extends SparkTestBase {
       .select(TextOps.bpeishTokens(col("text"))).as[Seq[String]].head()
     assert(got == toks)
   }
+
+  test("scrubPii redacts emails, phones and IPs; counts match occurrences") {
+    val raw = "mail a.b+c@ex-ample.org then 555-0199 twice 555-0200 " +
+      "from 192.168.0.1 but not 555-12345 nor ver 1.2.3"
+    val (scrubbed, ne, np, ni) = Seq(raw).toDF("t")
+      .select(TextOps.scrubPii(col("t")),
+        TextOps.matchCount(col("t"), TextOps.emailRe),
+        TextOps.matchCount(col("t"), TextOps.phoneRe),
+        TextOps.matchCount(col("t"), TextOps.ipRe))
+      .as[(String, Int, Int, Int)].head()
+    assert(scrubbed == "mail <EMAIL> then <PHONE> twice <PHONE> " +
+      "from <IP> but not 555-12345 nor ver 1.2.3")
+    assert((ne, np, ni) == (1, 2, 1))
+  }
 }
