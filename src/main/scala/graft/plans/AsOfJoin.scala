@@ -33,10 +33,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * for the operator (both sides move once, pre-aggregated nothing). */
 /** Match direction: backward = greatest right order-tuple ≤ the left's
   * (the classic as-of); forward = smallest right order-tuple ≥ the
-  * left's. */
+  * left's; nearest = whichever of the two candidates has the smaller
+  * first-order-column gap, backward winning ties (pandas
+  * `merge_asof(direction=...)` family). */
 sealed trait AsOfDirection extends Serializable
 case object AsOfBackward extends AsOfDirection
 case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
 
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -52,8 +55,10 @@ final case class AsOfJoinPlan(
     "as-of join needs matching, non-empty key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
     "as-of join needs matching, non-empty order-expression lists")
-  require(tolerance.isEmpty || AsOfJoinPlan.longBacked(leftOrder.head.dataType),
-    "as-of tolerance needs a long-backed first order column (long/int/timestamp/date)")
+  require((tolerance.isEmpty && direction != AsOfNearest) ||
+      AsOfJoinPlan.longBacked(leftOrder.head.dataType),
+    "as-of tolerance/nearest needs a long-backed first order column " +
+      "(long/int/timestamp/date) to measure the gap")
 
   // right side is match-or-null (attributes turn nullable); its key
   // columns are dropped from the output — they are equal to the left's or
@@ -141,7 +146,9 @@ final case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(outputAttrs,
         lOut ++ rOut.map(_.withNullability(true)))
 
-      val backward = direction == AsOfBackward
+      // nearest consumes like backward (holds the ≤ candidate) and then
+      // arbitrates against the peeked ≥ candidate by first-order gap
+      val consumeKeep = direction != AsOfForward
       val tolValue = tolerance.getOrElse(Long.MaxValue)
       // first-order-column gap, in the column's integral representation
       // (µs for timestamps, days for dates); IntegerType reads as int
@@ -150,7 +157,7 @@ final case class AsOfJoinExec(
         lo.head.dataType == org.apache.spark.sql.types.DateType
       def ord0(r: InternalRow): Long =
         if (firstOrdIsInt) r.getInt(0).toLong else r.getLong(0)
-      def withinTol(lOrd: InternalRow, mOrd: InternalRow): Boolean =
+      def withinTol(lOrd: InternalRow, mOrd: InternalRow, backward: Boolean): Boolean =
         tolerance.isEmpty || {
           val gap = if (backward) ord0(lOrd) - ord0(mOrd) else ord0(mOrd) - ord0(lOrd)
           gap <= tolValue
@@ -181,31 +188,46 @@ final case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lOrd = lOrdProj(l)
-          // backward: consume right while (key, order) ≤ the left row and
-          //   match the last consumed row of the same key;
-          // forward: consume right while strictly before the left row and
-          //   match the peeked row (first with order ≥) if keys agree
+          // backward/nearest: consume right while (key, order) ≤ the left
+          //   row, holding the last consumed row of the same key;
+          // forward: consume right while strictly before the left row;
+          // after the walk, `held` is the ≤ candidate and `peeked` the ≥
+          //   candidate (first not-yet-consumed) — direction picks
           var continue = true
           while (continue && peek() != null) {
             val kCmp = keyOrdering.compare(rKeyProj(peeked), lKey)
             if (kCmp < 0) consumePeeked(keep = false)
             else if (kCmp == 0) {
               val oCmp = ordOrdering.compare(rOrdProj(peeked), lOrd)
-              if (oCmp < 0 || (backward && oCmp == 0)) consumePeeked(keep = backward)
+              if (oCmp < 0 || (consumeKeep && oCmp == 0)) consumePeeked(keep = consumeKeep)
               else continue = false
             } else continue = false
           }
-          val m =
-            if (backward) {
-              if (held != null && keyOrdering.compare(heldKey, lKey) == 0 &&
-                ordOrdering.compare(rOrdProj(held), lOrd) <= 0 &&
-                withinTol(lOrd, rOrdProj(held))) held
+          def bwdCand: InternalRow =
+            if (held != null && keyOrdering.compare(heldKey, lKey) == 0 &&
+              ordOrdering.compare(rOrdProj(held), lOrd) <= 0) held
+            else null
+          def fwdCand: InternalRow =
+            if (peeked != null && keyOrdering.compare(rKeyProj(peeked), lKey) == 0) peeked
+            else null
+          val m = direction match {
+            case AsOfBackward =>
+              val c = bwdCand
+              if (c != null && withinTol(lOrd, rOrdProj(c), backward = true)) c else nullRight
+            case AsOfForward =>
+              val c = fwdCand
+              if (c != null && withinTol(lOrd, rOrdProj(c), backward = false)) c else nullRight
+            case AsOfNearest =>
+              val b = bwdCand
+              val f = fwdCand
+              val gb = if (b == null) Long.MaxValue else ord0(lOrd) - ord0(rOrdProj(b))
+              val gf = if (f == null) Long.MaxValue else ord0(rOrdProj(f)) - ord0(lOrd)
+              val bOk = b != null && gb <= tolValue
+              val fOk = f != null && gf <= tolValue
+              if (bOk && (!fOk || gb <= gf)) b
+              else if (fOk) f
               else nullRight
-            } else {
-              if (peeked != null && keyOrdering.compare(rKeyProj(peeked), lKey) == 0 &&
-                withinTol(lOrd, rOrdProj(peeked))) peeked
-              else nullRight
-            }
+          }
           resultProj(joined(l, m))
         }
       }

@@ -280,6 +280,53 @@ object Relational {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** As-of join, **nearest** direction: each purchase takes whichever
+    * click — last preceding or first following in (ts, event_id) order —
+    * has the smaller |Δts|, backward winning ties (the remaining member
+    * of the pandas `merge_asof` direction family; backward and
+    * backward+tolerance are [[asofJoinNative]] / the AsOfJoinSpec).
+    * Runs through the native merge-walk exec, which holds ONE candidate
+    * per side. The oracle reconstructs both candidates with mirrored
+    * IGNORE NULLS windows and arbitrates the same gap comparison. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.plans.AsOfJoin(spark, purchases, clicks,
+        on = Seq("user_id"),
+        leftOrder = Seq("ts", "event_id"), rightOrder = Seq("click_ts", "click_id"),
+        direction = graft.plans.AsOfNearest)
+      .select("event_id", "user_id", "ts", "click_id", "click_ts")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val asofJoinNearestSql =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+      |         epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(b_ts AS TIMESTAMP))
+      |         <= epoch_us(CAST(f_ts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)))
+      |       THEN b_id ELSE f_id END AS click_id,
+      |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+      |         epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(b_ts AS TIMESTAMP))
+      |         <= epoch_us(CAST(f_ts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)))
+      |       THEN b_ts ELSE f_ts END AS click_ts
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER wb AS b_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER wb AS b_ts,
+      |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER wf AS f_id,
+      |    first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER wf AS f_ts
+      |  FROM events
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** rank / dense_rank / row_number with deterministic tie-break. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
@@ -471,6 +518,7 @@ object Relational {
     Q("band_join", bandJoinSql)(bandJoin),
     Q("asof_join", asofJoinSql)(asofJoin),
     Q("asof_join_native", asofJoinSql)(asofJoinNative),
+    Q("asof_join_nearest", asofJoinNearestSql)(asofJoinNearest),
     Q("window_rank", windowRankSql)(windowRank),
     Q("window_running", windowRunningSql)(windowRunning),
     Q("topk_per_group", topkPerGroupSql)(topkPerGroup),

@@ -83,6 +83,37 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(fwd == Map(1L -> None, 2L -> None, 3L -> None))
   }
 
+  test("nearest direction matches brute force; ties go backward; tolerance caps both sides") {
+    val rng = new scala.util.Random(11)
+    val quotes = Seq.fill(300)(
+      (rng.nextInt(6).toLong, rng.nextInt(500).toLong, rng.nextLong(1L << 40)))
+    val trades = Seq.fill(250)(
+      (rng.nextInt(8).toLong, rng.nextInt(500).toLong, rng.nextLong(1L << 40)))
+    def nearestBrute(tol: Long): Set[(Long, Long, Option[Long])] =
+      trades.map { case (k, ts, id) =>
+        val b = quotes.filter(q => q._1 == k && (q._2 < ts || (q._2 == ts && q._3 <= id)))
+          .sortBy(q => (q._2, q._3)).lastOption.filter(q => ts - q._2 <= tol)
+        val f = quotes.filter(q => q._1 == k && (q._2 > ts || (q._2 == ts && q._3 > id)))
+          .sortBy(q => (q._2, q._3)).headOption.filter(q => q._2 - ts <= tol)
+        val m = (b, f) match {
+          case (Some(bq), Some(fq)) => Some(if (ts - bq._2 <= fq._2 - ts) bq else fq)
+          case (x, y) => x.orElse(y)
+        }
+        (k, id, m.map(_._3))
+      }.toSet
+    def run(tol: Option[Long]): Set[(Long, Long, Option[Long])] =
+      graft.plans.AsOfJoin(spark,
+          trades.toDF("key", "ts", "tid").repartition(5),
+          quotes.toDF("key", "q_ts", "qid").repartition(3),
+          on = Seq("key"), leftOrder = Seq("ts", "tid"), rightOrder = Seq("q_ts", "qid"),
+          direction = graft.plans.AsOfNearest, tolerance = tol)
+        .select(col("key"), col("tid"), col("qid"))
+        .as[(Long, Long, Option[Long])].collect().toSet
+    assert(run(None) == nearestBrute(Long.MaxValue))
+    assert(run(Some(7L)) == nearestBrute(7L))
+    assert(run(Some(7L)).exists(_._3.isEmpty))
+  }
+
   test("plans as AsOfJoinExec with one exchange per side and sorted children") {
     val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("ts"))
     val r = spark.range(50).select(col("id").as("k"), (col("id") * 3).as("rts"))
