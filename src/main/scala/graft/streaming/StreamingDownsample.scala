@@ -81,6 +81,32 @@ object StreamingDownsample {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** **Stream–stream interval join**: each purchase paired with the same
+    * user's clicks from the preceding `lookback` (inclusive of the
+    * purchase instant) — the attribution-window join, continuously. Both
+    * sides carry a watermark and the join condition bounds event-time
+    * distance, which is what lets the engine EVICT buffered rows: a click
+    * older than (watermark − lookback) can never match a future purchase,
+    * so stream-join state is O(rate × lookback) per side, not unbounded
+    * history. Inner join ⇒ results emit as soon as both sides arrive (no
+    * watermark finalization wait). */
+  def purchaseClickJoin(events: DataFrame, lookback: String = "1 hour",
+      watermark: String = "1 day"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

@@ -126,6 +126,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("stream-stream interval join converges to the batch attribution join") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.purchaseClickJoin(mem.toDF(), lookback = "1 hour")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    val (a, b) = corpus.splitAt(corpus.size / 2)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    val got = spark.table("ssjoin_out")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts")),
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+          col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("windowed watermark aggregation matches batch after end-of-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
