@@ -131,7 +131,10 @@ object LlmOps {
     * MinHash-LSH pairs at j≥0.8 (equal to the exact pair set — see
     * [[dedupMinhash]]), each doc labeled with its component's min id. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.connectedComponents(verifiedMinhashPairs(spark, dir))
+    // size-gated: the verified pair set is tiny next to the corpus, so the
+    // labels come from a driver union-find below the gate (one bounded
+    // head job instead of O(diameter) join rounds); distributed above it
+    graft.operators.Dedup.connectedComponentsAuto(verifiedMinhashPairs(spark, dir))
       .orderBy("doc_id")
 
   private val dedupClustersSql =
@@ -173,7 +176,7 @@ object LlmOps {
       .filter(col("doc_id") === col("__keep"))
     // near-dup: drop every doc that is not its cluster's representative
     // (pair stage shared with dedup_minhash / dedup_clusters via the memo)
-    val losers = graft.operators.Dedup.connectedComponents(
+    val losers = graft.operators.Dedup.connectedComponentsAuto(
       verifiedMinhashPairs(spark, dir))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
@@ -473,6 +476,27 @@ object LlmOps {
       |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
 
+  /** Corpus-QA duplication profile: per doc, the fraction of its distinct
+    * 3-gram shingles that occur in ≥2 documents corpus-wide — the
+    * histogram behind dedup-threshold tuning. */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicationProfile(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+
+  private val dupCoverageSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+      |dfr AS (SELECT s, COUNT(*) AS dfr FROM sh GROUP BY s)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      |FROM sh JOIN dfr USING (s)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Top-3 characteristic terms per document by tf·(1/df) — the tf-idf
     * family with a RATIONAL score (no logarithm), so the ranking is exact
     * integer arithmetic in IEEE doubles and both engines order ties
@@ -705,6 +729,7 @@ object LlmOps {
     Q("media_resize", mediaResizeSql)(mediaResize),
     Q("dedup_containment", dedupContainmentSql)(dedupContainment),
     Q("decontaminate", decontaminateSql)(decontaminate),
+    Q("dup_coverage", dupCoverageSql)(dupCoverage),
     Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
     Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),

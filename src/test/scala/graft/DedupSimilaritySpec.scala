@@ -238,6 +238,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("size-gated CC: driver union-find equals the distributed iteration on random graphs") {
+    val rng = new scala.util.Random(13)
+    val pairs = Seq.fill(400)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .toDF("doc_a", "doc_b")
+    val dist = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val drv = Dedup.connectedComponentsAuto(pairs, driverGate = 1 << 20)
+      .as[(Long, Long)].collect().toMap
+    val forced = Dedup.connectedComponentsAuto(pairs, driverGate = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(drv == dist)     // driver path identical labels
+    assert(forced == dist)  // gate=0 falls back to the distributed path
+  }
+
   test("containment catches a subset-duplicate that jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta"
     val big = small + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
