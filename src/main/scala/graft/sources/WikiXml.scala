@@ -125,13 +125,7 @@ object WikiXml {
         while (ev != XMLStreamConstants.END_ELEMENT) ev = r.next()
       }
 
-      private def parseTs(s: String): java.lang.Long = {
-        // ISO8601 with trailing Z, stored as UTC-naive (main.py:153);
-        // converted at fixed UTC so the result is JVM-timezone-independent
-        val ldt = LocalDateTime.parse(s.stripSuffix("Z"))
-        java.lang.Long.valueOf(
-          ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
-      }
+      private def parseTs(s: String): java.lang.Long = parseTsMicros(s)
 
       @annotation.tailrec
       private def advance(): Unit = {
@@ -198,6 +192,54 @@ object WikiXml {
         pending = null
         r
       }
+    }
+  }
+
+  /** ISO8601 with trailing Z → µs since epoch, stored as UTC-naive
+    * (main.py:153); converted at fixed UTC so the result is
+    * JVM-timezone-independent. Shared by the StAX parser and the pruned
+    * byte lexer ([[WikiLexer]]).
+    *
+    * Hand-rolled fixed-format fast path (digits + days-from-civil): a
+    * dump has one timestamp per revision and `LocalDateTime.parse` costs
+    * ~2 µs each — at 30k revisions per 22 MB file that was the single
+    * largest remaining cost of the pruned scan. Falls back to the JDK
+    * parser on anything non-canonical; WikiXmlSpec property-tests
+    * equality over random instants. */
+  private[graft] def parseTsMicros(s: String): java.lang.Long = {
+    def digit(i: Int): Boolean = { val c = s.charAt(i); c >= '0' && c <= '9' }
+    val canonical = s.length >= 19 &&
+      digit(0) && digit(1) && digit(2) && digit(3) && s.charAt(4) == '-' &&
+      digit(5) && digit(6) && s.charAt(7) == '-' && digit(8) && digit(9) &&
+      s.charAt(10) == 'T' && digit(11) && digit(12) && s.charAt(13) == ':' &&
+      digit(14) && digit(15) && s.charAt(16) == ':' && digit(17) && digit(18)
+    if (canonical) {
+      def d2(i: Int) = (s.charAt(i) - '0') * 10 + (s.charAt(i + 1) - '0')
+      val y = d2(0) * 100 + d2(2)
+      val mo = d2(5); val dy = d2(8)
+      // days-from-civil (proleptic Gregorian, epoch 1970-01-01)
+      val yy = if (mo <= 2) y - 1 else y
+      val era = (if (yy >= 0) yy else yy - 399) / 400
+      val yoe = yy - era * 400
+      val doy = (153 * (if (mo > 2) mo - 3 else mo + 9) + 2) / 5 + dy - 1
+      val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+      val days = era * 146097L + doe - 719468L
+      var micros =
+        (days * 86400L + d2(11) * 3600L + d2(14) * 60L + d2(17)) * 1000000L
+      var i = 19
+      if (i < s.length && s.charAt(i) == '.') { // optional fraction
+        i += 1
+        var scale = 100000L
+        while (i < s.length && digit(i)) {
+          if (scale > 0) { micros += (s.charAt(i) - '0') * scale; scale /= 10 }
+          i += 1
+        }
+      }
+      java.lang.Long.valueOf(micros)
+    } else {
+      val ldt = LocalDateTime.parse(s.stripSuffix("Z"))
+      java.lang.Long.valueOf(
+        ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
     }
   }
 

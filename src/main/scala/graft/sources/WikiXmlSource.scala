@@ -159,19 +159,26 @@ final class WikiXmlPartitionReader(file: String, conf: SerializableConfiguration
   private val withText = required.fieldNames.contains("text")
   private var closeAll: () => Unit = () => ()
 
+  // text required → StAX (reference semantics); text pruned → the raw
+  // byte lexer, which skips the ~99% payload without XML tokenization
+  // (WikiXmlSpec asserts both paths emit identical rows)
+  private def parse(in: InputStream): Iterator[WikiXml.Revision] =
+    if (withText) WikiXml.parseStream(in, withText = true, nsFilter)
+    else WikiLexer.scan(in, nsFilter)
+
   private val revisions: Iterator[WikiXml.Revision] = {
     val path = new Path(file)
     if (file.endsWith(".7z")) {
       val (entries, close) = WikiXml.openSevenZ(path, conf.value)
       closeAll = close
-      entries.flatMap(in => WikiXml.parseStream(in, withText, nsFilter))
+      entries.flatMap(parse)
     } else {
       val fs = path.getFileSystem(conf.value)
       val raw = fs.open(path)
       val codec = new CompressionCodecFactory(conf.value).getCodec(path)
       val in: InputStream = if (codec == null) raw else codec.createInputStream(raw)
       closeAll = () => in.close()
-      WikiXml.parseStream(in, withText, nsFilter)
+      parse(in)
     }
   }
 

@@ -28,6 +28,69 @@ class WikiXmlSpec extends SparkTestBase {
     assert(revs.filter(_.title == "EmptyText").forall(_.text == ""))
   }
 
+  test("byte lexer (pruned path) emits rows identical to the StAX parser") {
+    import graft.sources.WikiLexer
+    def stax(xml: Array[Byte], nsf: Option[String]) =
+      WikiXml.parseStream(new java.io.ByteArrayInputStream(xml),
+          withText = false, nsFilter = nsf)
+        .map(r => (r.namespace, r.title, r.timestampMicros, r.text, r.revOrd)).toList
+    def lex(xml: Array[Byte], nsf: Option[String]) =
+      WikiLexer.scan(new java.io.ByteArrayInputStream(xml), nsf)
+        .map(r => (r.namespace, r.title, r.timestampMicros, r.text, r.revOrd)).toList
+
+    val fixtureBytes = Files.readAllBytes(Paths.get(fixture))
+    assert(lex(fixtureBytes, None) == stax(fixtureBytes, None))
+    assert(lex(fixtureBytes, Some("0")) == stax(fixtureBytes, Some("0")))
+    assert(lex(fixtureBytes, Some("1")) == stax(fixtureBytes, Some("1")))
+
+    // adversarial: closing tags hidden inside CDATA and comments, entities
+    // in the title, self-closing text, attribute-bearing tags
+    val nasty =
+      ("""<mediawiki><page><title>T&amp;1 &#65;&lt;x&gt;</title><ns>0</ns>
+        |<!-- page comment with fake </page> inside -->
+        |<revision><id>1</id><timestamp>2020-01-01T00:00:00Z</timestamp>
+        |<text bytes="99" xml:space="preserve">body <!-- fake </text> in comment -->
+        |mid <![CDATA[cdata with </text> and </revision> inside]]> tail</text>
+        |</revision>
+        |<revision><id>2</id><timestamp>2020-01-02T03:04:05Z</timestamp><text/></revision>
+        |<revision><id>3</id><timestamp>2020-01-03T00:00:00Z</timestamp>
+        |<text bytes="0"></text></revision>
+        |</page>
+        |<page><title><![CDATA[Raw & <title>]]></title><ns>2</ns>
+        |<revision><id>4</id><timestamp>2021-05-06T07:08:09Z</timestamp>
+        |<text>short</text></revision></page>
+        |</mediawiki>""").stripMargin.getBytes("UTF-8")
+    assert(lex(nasty, None) == stax(nasty, None))
+    assert(lex(nasty, Some("0")) == stax(nasty, Some("0")))
+    assert(lex(nasty, None).map(_._2).distinct ==
+      List("T&1 A<x>", "Raw & <title>"))
+
+    // pruned DataFrame read goes through the lexer: title-only scan over
+    // the fixture equals the full read's titles
+    val dir = Files.createTempDirectory("wikilex").toString
+    Files.copy(Paths.get(fixture), Paths.get(s"$dir/a.xml"))
+    val full = WikiXml.read(spark, s"$dir/a.xml")
+    assert(full.select("title", "rev_ord").collect().toSet ==
+      full.select("title", "rev_ord", "text").drop("text").collect().toSet)
+  }
+
+  test("fast timestamp parser equals the JDK parser over random instants") {
+    val rng = new scala.util.Random(17)
+    val samples = Seq("2001-01-15T00:00:00Z", "1970-01-01T00:00:00Z",
+      "2000-02-29T23:59:59Z", "2100-03-01T01:02:03Z", "2024-12-31T12:34:56.789Z",
+      "1999-07-04T06:07:08.123456Z") ++
+      Seq.fill(500) {
+        val epochSec = rng.between(-2208988800L, 4102444800L) // 1900..2100
+        val ldt = java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
+        ldt.toString + "Z"
+      }
+    samples.foreach { s =>
+      val ldt = java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+      val expect = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      assert(WikiXml.parseTsMicros(s) == expect, s)
+    }
+  }
+
   test("read() streams files (plain + gzip codec) into the 5-col DataFrame") {
     val dir = Files.createTempDirectory("wikixml").toString
     Files.copy(Paths.get(fixture), Paths.get(s"$dir/a.xml"))
