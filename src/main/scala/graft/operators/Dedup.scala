@@ -207,6 +207,51 @@ object Dedup {
         col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= threshold)
 
+  /** **Sparse tf-vector cosine** self-join via an inverted index over
+    * n-gram hashes — bag-of-ngrams with multiplicity, unlike the
+    * set-based Jaccard/containment family above. Candidate pairs are
+    * generated only through shared *rare* grams: any gram present in more
+    * than corpus_size / maxDfFrac documents is dropped as a stop-gram
+    * before the posting-list self-join, which caps each posting list at
+    * N/maxDfFrac and so bounds the join fan-out Σ_h df(h)² — the standard
+    * inverted-index pruning (Bayardo et al.'s df-cutoff) that keeps
+    * sparse similarity near-linear at corpus scale where all-pairs
+    * cosine is unrunnable. The corpus size enters as a lazy 1-row
+    * broadcast, not a driver-side count.
+    *
+    * Numerics are oracle-exact by construction: tf counts and dot/norm
+    * sums are integers, and cosine = dot / (√na·√nb) is a three-op IEEE
+    * chain evaluated identically by Spark and DuckDB. */
+  def sparseCosine(df: DataFrame, id: Column, text: Column, n: Int = 3,
+      maxDfFrac: Int = 20, threshold: Double = 0.6): DataFrame = {
+    // tf feeds the df-aggregate, the pruned-postings join, and (via tfk)
+    // the norm aggregate — persist one compact (doc, gram, tf) frame
+    // instead of re-shingling the corpus three times.
+    val tf = hashedShingleStream(df, id, text, n)
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val kept = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(maxDfFrac.toLong) <= col("__n"))
+      .select(col("h"))
+    val tfk = tf.join(kept, "h").persist()
+    val norms = tfk.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nn"))
+    val dots = tfk.select(col("h"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
+      .join(tfk.select(col("h"), col("doc_id").as("doc_b"), col("tf").as("tf_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nn").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nn").as("nb")), "doc_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("na"), col("nb"),
+        col("cosine"))
+  }
+
   /** **Decontamination report**: for every training document, how many of
     * its distinct shingles also occur anywhere in the benchmark/eval set —
     * the train-test leakage check every training-data pipeline runs before

@@ -145,8 +145,89 @@ object Behavioral {
       |SELECT user_id, t_view, t_click, t_purchase FROM s2
       |ORDER BY user_id""".stripMargin
 
+  /** Cohort retention matrix: users are cohorted by their first active
+    * day; each (cohort_day, week offset) cell counts the cohort's users
+    * still active that week. Three aggregates over the same `user_id`
+    * shuffle key (first-day, cohort size, activity) — the per-user cohort
+    * frame is tiny relative to the event stream, so its re-join is a
+    * shuffle on the already-partitioned key, never a broadcast of events.
+    * Week offsets use integral division on datediff — exact in both
+    * engines. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_no", expr("datediff(d, cohort_day) div 7").cast("long"))
+      .groupBy(col("cohort_day"), col("week_no"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("week_no"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_day", "week_no")
+  }
+
+  private val retentionSql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+      |s AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM c GROUP BY cohort_day),
+      |a AS (SELECT c.cohort_day,
+      |             CAST(date_diff('day', c.cohort_day, ev.d) // 7 AS BIGINT) AS week_no,
+      |             COUNT(DISTINCT ev.user_id) AS n_active
+      |      FROM ev JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_day, week_no, n_active, n_cohort,
+      |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+      |FROM a JOIN s USING (cohort_day)
+      |ORDER BY cohort_day, week_no""".stripMargin
+
+  /** Changelog compaction / latest-state snapshot: treat the event stream
+    * as an upsert log and materialize one row per user — the latest event
+    * (ties on the µs timestamp broken by event_id) plus lifetime
+    * aggregates. One shuffle on `user_id` feeds both the ordered
+    * `row_number` and the full-partition count/sum windows; at ingest
+    * scale this is the nightly "compact the CDC log into a snapshot
+    * table" job. The running sum is decimal-cast so partition order
+    * can't perturb the float total.
+    *
+    * The oracle orders by `CAST(ts AS TIMESTAMP)` — DuckDB reads the
+    * parquet nanosecond timestamps at full precision, and ranking on raw
+    * ns could pick a different "latest" row than Spark's µs view; the
+    * cast applies the identical truncation (see [[graft.Tables.events]]). */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n_events", count(lit(1)).over(byUser))
+      .withColumn("total_value",
+        sum(col("value").cast("decimal(18,6)")).over(byUser).cast("double"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id")
+  }
+
+  private val latestSnapshotSql =
+    """SELECT user_id, last_ts, last_type, last_value, n_events, total_value
+      |FROM (
+      |  SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |    value AS last_value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id)
+      |      AS DOUBLE) AS total_value
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
+    Q("retention", retentionSql)(retention),
+    Q("latest_snapshot", latestSnapshotSql)(latestSnapshot),
     Q("text_repetition", textRepetitionSql)(textRepetition))
 }

@@ -497,6 +497,38 @@ object LlmOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Sparse bag-of-trigrams cosine near-dup pairs via [[Dedup.sparseCosine]]'s
+    * stop-gram-pruned inverted index — the multiplicity-aware complement
+    * of the set-Jaccard family (a doc that repeats a passage scores
+    * higher here than under distinct-shingle Jaccard). */
+  def sparseCosineQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sparseCosine(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, maxDfFrac = 20, threshold = 0.6)
+      .orderBy("doc_a", "doc_b")
+
+  private val sparseCosineSql =
+    """WITH tf AS (
+      |  SELECT doc_id, s, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |         UNNEST(range(1, len(w)-1)) AS t(i))
+      |  GROUP BY doc_id, s),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |kept AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM tf GROUP BY s), n
+      |         WHERE df * 20 <= n),
+      |tfk AS (SELECT tf.* FROM tf JOIN kept USING (s)),
+      |norms AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS nn FROM tfk GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
+      |         FROM tfk a JOIN tfk b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, dot, za.nn AS na, zb.nn AS nb,
+      |  CAST(dot AS DOUBLE)/(sqrt(CAST(za.nn AS DOUBLE))*sqrt(CAST(zb.nn AS DOUBLE))) AS cosine
+      |FROM dots JOIN norms za ON za.doc_id = doc_a
+      |          JOIN norms zb ON zb.doc_id = doc_b
+      |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(za.nn AS DOUBLE))*sqrt(CAST(zb.nn AS DOUBLE))) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Top-3 characteristic terms per document by tf·(1/df) — the tf-idf
     * family with a RATIONAL score (no logarithm), so the ranking is exact
     * integer arithmetic in IEEE doubles and both engines order ties
@@ -730,6 +762,7 @@ object LlmOps {
     Q("dedup_containment", dedupContainmentSql)(dedupContainment),
     Q("decontaminate", decontaminateSql)(decontaminate),
     Q("dup_coverage", dupCoverageSql)(dupCoverage),
+    Q("sparse_cosine", sparseCosineSql)(sparseCosineQ),
     Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
     Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),

@@ -268,6 +268,42 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("sparse cosine sees multiplicity that set-jaccard misses") {
+    // B is A's passage verbatim twice: distinct-shingle Jaccard treats the
+    // repeat as nothing (J = 1/4 with the two bridge grams), while the
+    // tf-weighted cosine scores the parallel component: dot = 1·2, na = 1,
+    // nb = 2² + 1 + 1 = 6 → cos = 2/√6 ≈ 0.816.
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c a b c"),
+      (3L, "x y z w entirely other words")).toDF("doc_id", "text")
+    val out = Dedup.sparseCosine(docs, col("doc_id"), col("text"),
+        n = 3, maxDfFrac = 1, threshold = 0.5)
+      .select("doc_a", "doc_b", "dot", "na", "nb", "cosine")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    val (_, _, dot, na, nb, cos) = out.head
+    assert(dot == 2L && na == 1L && nb == 6L)
+    assert(math.abs(cos - 2.0 / math.sqrt(6.0)) < 1e-15)
+    val jac = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("sparse cosine stop-gram pruning drops ubiquitous grams") {
+    // Every doc shares the same 3-gram; tails are disjoint. At
+    // maxDfFrac=2 (keep df ≤ n/2) the shared gram (df=4) is pruned and no
+    // pair survives; at maxDfFrac=1 (keep everything) all 6 pairs appear.
+    val docs = (1L to 4L).map(i =>
+      (i, s"common shared gram tail$i unique$i only$i")).toDF("doc_id", "text")
+    def pairs(frac: Int) =
+      Dedup.sparseCosine(docs, col("doc_id"), col("text"),
+          n = 3, maxDfFrac = frac, threshold = 0.01)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs(2).isEmpty)
+    assert(pairs(1).size == 6)
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(

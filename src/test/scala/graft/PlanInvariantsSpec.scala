@@ -9,10 +9,13 @@ class PlanInvariantsSpec extends SparkTestBase {
 
   /** Queries whose plan is intentionally all-pairs:
     *  - scalar_subquery: 1-row broadcast cross join (the scalar value);
+    *  - sparse_cosine: same shape — the corpus size enters the stop-gram
+    *    cutoff as a grouping-free aggregate, provably 1 row, broadcast;
     *  - vector_topk: the exact brute-force baseline — tiny query side
     *    broadcast against the candidate scan, with annTopK/ivfTopK as the
     *    documented scale paths. */
-  private val intendedAllPairs = Set("scalar_subquery", "vector_topk")
+  private val intendedAllPairs =
+    Set("scalar_subquery", "sparse_cosine", "vector_topk")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
