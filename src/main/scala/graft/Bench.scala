@@ -47,22 +47,53 @@ object Bench {
     // Two timed cold runs per query. Headline = min (the standard
     // throughput estimator under external noise — wall-clock on this box
     // swings 2x under background load); both raw samples are emitted so a
-    // one-off outlier is self-identifying without a re-run.
+    // one-off outlier is self-identifying without a re-run. A query that
+    // throws is recorded LOUDLY (err field + errors count in the headline)
+    // instead of benching as instant — a silent catch would let a broken
+    // query masquerade as the fastest one.
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      var err: Option[String] = None
       val samples = Seq.fill(2) {
         clearState()
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { exec(fn(spark, sfDir)) }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, samples.min, samples)
+      (name, samples.min, samples, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
+    val raw = results.map { case (k, _, s, _) =>
+      "\"" + k + "\":" + s.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
+    val nErr = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of stdout: the full JSON
+    // (queries + samples + errors) goes to a file, and the LAST printed
+    // line is guaranteed to fit the tail — with the per-query map if it
+    // fits, totals-only with a file pointer otherwise. Either way the
+    // tail parses.
+    val fullPath = "BENCH_FULL.json"
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    val withQueries =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"full":"$fullPath","sf":"$sfDir"}"""
+    val totalsOnly =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"full":"$fullPath","sf":"$sfDir"}"""
+    println(if (withQueries.length <= 1900) withQueries else totalsOnly)
     spark.stop()
   }
 }

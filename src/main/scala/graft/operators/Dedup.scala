@@ -419,6 +419,18 @@ object Dedup {
     * both paths. */
   def connectedComponentsAuto(pairs: DataFrame, driverGate: Int = 1 << 20,
       maxIter: Int = 20): DataFrame = {
+    // the driver union-find walks getLong over the ids, so it is only
+    // safe for integral id types: a string id would cast to NULL and NPE
+    // on the driver. Non-integral ids take the distributed path, which is
+    // id-type agnostic.
+    val integralIds = Seq("doc_a", "doc_b").forall { c =>
+      import org.apache.spark.sql.types._
+      pairs.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (!integralIds) return connectedComponents(pairs, maxIter)
     val probe = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .head(driverGate + 1)
@@ -507,24 +519,27 @@ object Dedup {
   // ---------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs above `threshold` — threshold-gated
-    * dispatcher. Angular LSH prunes hard at real near-dup thresholds
-    * (cos ≥ ~0.7: neighbor angles are small, hyperplanes agree often) but
-    * its recall collapses toward 50°+ angles, so below the gate the right
-    * exact plan is the balanced all-pairs join: at low thresholds the
+    * dispatcher. Angular LSH prunes hard at tight near-dup thresholds
+    * (cos ≥ 0.9: neighbor angles are small, hyperplanes agree often) but
+    * its recall decays fast below that — at cos 0.7 the default banding
+    * keeps only ~80% of qualifying pairs — so below the gate the right
+    * exact plan is the balanced all-pairs join: at those thresholds the
     * OUTPUT itself approaches Ω(n²), so no candidate scheme can beat the
     * verification cost anyway — the engineering question is only whether
     * the n² work is distributed (it is: [[embeddingNearDupBlocked]]) or
     * funneled through one broadcast nested loop (the round-2 plan this
-    * replaces). */
+    * replaces). The LSH path derives `dim` from the data (one 1-row
+    * peek), so a non-64-dim corpus can't silently get mis-sized planes. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, dim: Int = 64): DataFrame =
-    if (threshold >= LshGate) embeddingNearDupLsh(df, id, vec, threshold, dim = dim)
+      threshold: Double): DataFrame =
+    if (threshold >= LshGate) embeddingNearDupLsh(df, id, vec, threshold)
     else embeddingNearDupBlocked(df, id, vec, threshold)
 
-  /** LSH pays off while per-plane agreement p = 1 − arccos(t)/π keeps
-    * p^planesPerTable non-negligible; below cos ≈ 0.7 the banding would
-    * need so many tables it replicates more than the block join. */
-  private val LshGate = 0.7
+  /** Gate where banded-LSH recall with the default (b=8, L=16) banding is
+    * ≥ 0.995: p = 1 − arccos(0.9)/π = 0.856, 1 − (1 − p⁸)¹⁶ = 0.996.
+    * At cos 0.7 the same banding is only ~0.80 — below the gate, exact
+    * pairs are the contract, so the blocked join runs instead. */
+  private val LshGate = 0.9
 
   /** Exact all-pairs cosine near-dup as a **balanced block-theta join**
     * (Okcan & Riedewald's 1-bucket-theta shape): vectors hash into B
@@ -573,14 +588,24 @@ object Dedup {
     * ≈ 1 − 3·10⁻¹⁶ at cos 0.999 — property-tested against the exact
     * blocked join on planted near-dups. */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, dim: Int = 64, planesPerTable: Int = 8,
+      threshold: Double, dim: Int = -1, planesPerTable: Int = 8,
       tables: Int = 16): DataFrame = {
+    // dim ≤ 0 means "derive from the data": hyperplanes must match the
+    // vector width, and a silently mis-sized default would zero-pad or
+    // truncate every projection. One 1-row limit job at construction.
+    val planeDim =
+      if (dim > 0) dim
+      else df.select(size(vec)).limit(1).collect()
+        .headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "embeddingNearDupLsh: empty input and no explicit dim"))
+    require(planeDim > 0, s"embeddingNearDupLsh: bad vector dim $planeDim")
     val rng = new scala.util.Random(4242L)
     val e = df.select(id.as("vid"), vec.as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
     val sigs = (0 until tables).map { t =>
       val sig = (0 until planesPerTable).map { i =>
-        val plane = Array.fill(dim)(rng.nextGaussian().toFloat)
+        val plane = Array.fill(planeDim)(rng.nextGaussian().toFloat)
         when(VectorOps.dot(col("v"), lit(plane)) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("t"), sig.as("sig"))

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** The 32-hex-digit threshold for a fraction: ⌊frac · 16³²⌋, zero-padded
-    * — md5 hex below it ⇔ the key falls in the sample. */
+    * — md5 hex below it ⇔ the key falls in the sample. fraction = 1.0
+    * returns "g", which every 32-char hex string sorts strictly below
+    * ('f' < 'g'), so a 100% sample keeps EVERY key — including one whose
+    * md5 is ffff…f, which a clamped 16³²−1 threshold with strict `<`
+    * would wrongly drop. Lexicographic in both Spark and DuckDB. */
   private[graft] def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    if (fraction >= 1.0) return "g"
     val full = BigInt(16).pow(32)
     // java.math.BigDecimal: exact, unlimited precision — Scala's
     // BigDecimal defaults to MathContext.DECIMAL128 (34 significant

@@ -55,6 +55,18 @@ final case class AsOfJoinPlan(
     "as-of join needs matching, non-empty key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
     "as-of join needs matching, non-empty order-expression lists")
+  // the orderings and the tolerance gap reader are built from LEFT types
+  // but applied to right-side projections too — an int-vs-long mismatch
+  // would silently compare wrong bytes instead of failing analysis
+  // (dataType is only legal on resolved expressions, hence the guard)
+  if ((leftKeys ++ rightKeys ++ leftOrder ++ rightOrder).forall(_.resolved)) {
+    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+      s"as-of join key types must match: " +
+        s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+    require(leftOrder.map(_.dataType) == rightOrder.map(_.dataType),
+      s"as-of join order-expression types must match: " +
+        s"${leftOrder.map(_.dataType)} vs ${rightOrder.map(_.dataType)}")
+  }
   require((tolerance.isEmpty && direction != AsOfNearest) ||
       AsOfJoinPlan.longBacked(leftOrder.head.dataType),
     "as-of tolerance/nearest needs a long-backed first order column " +

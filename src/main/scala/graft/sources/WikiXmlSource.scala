@@ -52,12 +52,17 @@ final class WikiXmlSource extends TableProvider with DataSourceRegister {
 
 object WikiXmlSource {
   /** Paths from reader options: single `path`, or the JSON list Spark
-    * encodes for `.load(p1, p2, …)` (flat string array — parsed without
-    * a JSON dependency since paths are the only content). */
+    * encodes for `.load(p1, p2, …)` — parsed with json4s (already on
+    * Spark's classpath), so a legal comma or quote inside a file name
+    * survives instead of being split into bogus paths. */
   private[sources] def paths(props: Map[String, String]): Seq[String] = {
     val many = props.get("paths").toSeq.flatMap { js =>
-      js.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      org.json4s.jackson.JsonMethods.parse(js) match {
+        case org.json4s.JArray(vs) =>
+          vs.collect { case org.json4s.JString(s) if s.nonEmpty => s }
+        case _ => throw new IllegalArgumentException(
+          s"wikixml: malformed paths option (expected JSON array): $js")
+      }
     }
     val one = props.get("path").toSeq
     val all = one ++ many

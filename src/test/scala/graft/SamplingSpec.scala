@@ -38,7 +38,10 @@ class SamplingSpec extends SparkTestBase {
 
   test("thresholdHex edges") {
     assert(Sampling.thresholdHex(0.0) == "0" * 32)
-    assert(Sampling.thresholdHex(1.0) == "f" * 32)
+    // fraction 1.0 must keep EVERYTHING, including an all-f md5: the
+    // threshold sorts strictly above every 32-char hex string
+    assert(Sampling.thresholdHex(1.0) == "g")
+    assert(("f" * 32) < Sampling.thresholdHex(1.0))
     assert(Sampling.thresholdHex(0.5).startsWith("8"))
     assert(Sampling.thresholdHex(0.5).length == 32)
   }
