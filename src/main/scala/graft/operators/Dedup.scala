@@ -475,6 +475,81 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  // ------------------------------------------------- substring-span dedup
+
+  /** Positional hashed shingle stream (doc_id, pos, h):
+    * [[hashedShingleStream]] with each shingle's 0-based token offset
+    * retained — the currency of span-level (as opposed to set-level)
+    * dedup. */
+  private def positionalShingles(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val toks = (0 until n).map(j => s"__th[i + $j]").mkString(", ")
+    df.select(id.as("doc_id"), text.as("__txt"))
+      .select(col("doc_id"),
+        expr("transform(split(__txt, ' '), x -> xxhash64(x))").as("__th"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__th) >= $n
+           |  THEN transform(sequence(0, size(__th) - $n), i -> xxhash64($toks))
+           |  ELSE array() END""".stripMargin)).as(Seq("pos", "h")))
+  }
+
+  /** **Substring-span dedup** (the span-level modality the set-based
+    * family above structurally misses — Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): find every maximal
+    * cross-document run of ≥ `minTokens` consecutive shared tokens and
+    * report the span, not the documents. A 12-token paragraph pasted into
+    * two otherwise-unrelated documents has doc-level Jaccard ≈ 0 but is
+    * exactly what span dedup removes before training.
+    *
+    * Formulation: two docs share a token span of length L ≥ n iff their
+    * positional n-gram shingles match at L − n + 1 consecutive positions
+    * *on the same alignment* (constant pos_a − pos_b). So: equi-join the
+    * positional shingle streams on the hash, bucket matches by
+    * (doc_a, doc_b, diagonal), and collapse consecutive pos_a runs with
+    * the gaps-and-islands window (pos_a − row_number, a constant within a
+    * run). Returns (doc_a, doc_b, start_a, start_b, len_tokens) per
+    * maximal run; a repeated phrase aligned several ways reports one span
+    * per alignment.
+    *
+    * Scale shape: candidate generation is the same Σ_h df(h)²-bounded
+    * equi-join on shingle hashes as [[ngramJaccard]] — hash-partitioned,
+    * never all-pairs — and the window partitions by (pair, diagonal),
+    * which is finer than any per-doc key, so no partition outgrows the
+    * shared spans of one document pair. On corpora where ubiquitous
+    * shingles blow Σdf² up, raise `n` (span shingles of 8–12 tokens are
+    * standard for span dedup precisely because long shingles are rare) —
+    * any shared span ≥ minTokens ≥ n is still found exactly. */
+  def substringSpans(df: DataFrame, id: Column, text: Column, n: Int,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= n,
+      s"minTokens ($minTokens) must be >= shingle width n ($n)")
+    val minRun = minTokens - n + 1
+    val ps = positionalShingles(df, id, text, n)
+    // identical subplans on both sides: Spark plans one shuffle on h and a
+    // ReusedExchange for the other side — no persist needed
+    val m = ps.as("a")
+      .join(ps.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    // within one (pair, diagonal) bucket pos_b is pos_a − diag, so pos_a
+    // values are distinct and pos_a − row_number() is constant exactly on
+    // maximal consecutive runs (gaps-and-islands)
+    m.withColumn("__run", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__run"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minRun)
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"),
+        (col("n_match") + lit(n - 1)).cast("long").as("len_tokens"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its

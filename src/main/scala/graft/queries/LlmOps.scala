@@ -67,6 +67,39 @@ object LlmOps {
        |WHERE CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Substring-span dedup: every maximal cross-doc run of ≥10 shared
+    * consecutive tokens, as (pair, start offsets, token length) — the
+    * span-level modality ([[Dedup.substringSpans]]); on this corpus the
+    * planted near-dup cluster surfaces as long shared spans while the
+    * word-soup background produces none. Pure integer arithmetic end to
+    * end, so the DuckDB positional SQL is a full hash oracle. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, minTokens = 10)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+  // same gaps-and-islands shape: positional trigrams (0-based pos), match
+  // on equal shingle + same alignment (diag), islands via pos − row_number,
+  // runs of ≥ 8 trigram matches = spans of ≥ 10 tokens
+  private val dedupSubstringSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+      |       FROM words, UNNEST(range(0, len(w) - 2)) AS t(i)),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+      |          pos_a - row_number() OVER (
+      |            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS g
+      |        FROM m)
+      |SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
+      |  CAST(MIN(pos_b) AS BIGINT) AS start_b,
+      |  CAST(COUNT(*) + 2 AS BIGINT) AS len_tokens
+      |FROM isl
+      |GROUP BY doc_a, doc_b, diag, g
+      |HAVING COUNT(*) >= 8
+      |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
   /** Verified MinHash near-dup pairs at j≥0.8 — the stage shared by
     * `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus`. Memoized
     * and persisted per (session, dir) so composed pipelines pay the
@@ -756,6 +789,7 @@ object LlmOps {
     Q("dedup_exact", dedupExactSql)(dedupExact),
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
     Q("dedup_ngram_prefix", jaccardOracle("0.5"))(dedupNgramPrefix),
+    Q("dedup_substring", dedupSubstringSql)(dedupSubstring),
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
     Q("media_frames", mediaFramesSql)(mediaFrames),
     Q("media_resize", mediaResizeSql)(mediaResize),

@@ -304,6 +304,38 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs(1).size == 6)
   }
 
+  test("substringSpans finds a planted shared paragraph doc-level jaccard misses") {
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val d1 = ((1 to 40).map(i => s"alpha$i") ++ Seq(shared) ++
+      (41 to 60).map(i => s"alpha$i")).mkString(" ")
+    val d2 = ((1 to 25).map(i => s"beta$i") ++ Seq(shared) ++
+      (26 to 50).map(i => s"beta$i")).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, col("doc_id"), col("text"),
+        n = 3, minTokens = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the 12-token paragraph starts at token 40 of doc 1, token 25 of doc 2
+    assert(spans == Seq((1L, 2L, 40L, 25L, 12L)))
+    // …while doc-level set similarity scores it far below any dedup
+    // threshold (the modality gap this operator exists to close)
+    val j = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.5)
+    assert(j.isEmpty)
+  }
+
+  test("substringSpans enforces the minTokens boundary exactly") {
+    def corpus(k: Int) = {
+      val shared = (1 to k).map(i => s"s$i").mkString(" ")
+      Seq((1L, s"${(1 to 20).map(i => s"a$i").mkString(" ")} $shared"),
+        (2L, s"$shared ${(1 to 20).map(i => s"b$i").mkString(" ")}"))
+        .toDF("doc_id", "text")
+    }
+    def spans(k: Int) =
+      Dedup.substringSpans(corpus(k), col("doc_id"), col("text"),
+        n = 3, minTokens = 10).as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans(9).isEmpty)                       // 9 shared tokens: below
+    assert(spans(10) == Seq((1L, 2L, 20L, 0L, 10L))) // exactly at the bound
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(
