@@ -701,4 +701,73 @@ object Dedup {
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
       .distinct()
   }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** **Semantic dedup** (the SemDedup shape — Abbas et al. 2023): cluster
+    * the embedding space into cells, then within each cell drop every
+    * vector whose cosine to a lower-id cell-mate reaches `threshold`,
+    * keeping each similarity group's minimum id. Returns one row per input
+    * vector: (vec_id, cell, is_dup).
+    *
+    * Cells come from **seeded medoids**, not iterated k-means: the
+    * `nCells` vectors with the smallest md5(salt‖id) are the cell centers,
+    * and every vector is assigned to its max-cosine seed (ties → lowest
+    * seed id). Data-adaptive centroids ([[KMeansLite]], the IVF trainer)
+    * would tighten the cells, but medoid seeding keeps the whole operator
+    * a deterministic function of the data that an external SQL engine can
+    * reproduce row for row — which is what makes it oracle-checkable. The
+    * argmax fold and the pair filter reuse the exact IEEE chains the
+    * proven queries use (cos = dot/(‖a‖‖b‖) for ranking, dot ≥ t·‖a‖‖b‖
+    * for the threshold), so both engines agree bitwise.
+    *
+    * Scale shape: seed selection is one bounded TakeOrdered job (nCells
+    * rows); assignment is a narrow per-row projection against nCells
+    * literal vectors (no join, no shuffle); the only shuffle is the
+    * within-cell equi-join on `cell`, whose fan-out is Σ_cell |cell|² —
+    * the point of SemDedup is precisely that cells bound the quadratic
+    * work. At corpus scale, grow nCells ∝ n so cells stay ~constant-sized;
+    * the same plan holds. */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, nCells: Int = 8,
+      seedSalt: String = "graft-seed"): DataFrame = {
+    val e = df.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    // one bounded TakeOrdered job: the nCells rows with smallest
+    // md5(salt||id) — a deterministic uniform draw both engines can rank
+    val seeds = e
+      .orderBy(md5(concat(lit(seedSalt), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, "semanticDedup: empty input")
+    // argmax over the seed cosines via ONE array_min over (−cos, seed)
+    // structs — min(−cos) = max cos, ties → lowest seed id, the same rule
+    // as ORDER BY cos DESC, seed_id. (A when-chain fold would nest each
+    // cosine subtree once per later seed — exponential expression growth
+    // that blows the codegen method limit; here every cosine appears
+    // exactly once.) Seed norms are driver-side literals computed with the
+    // identical left-to-right double fold as [[VectorOps.dot]].
+    def cosTo(s: Array[Float]): Column = {
+      val sn = math.sqrt(s.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      VectorOps.dot(col("v"), lit(s)) / (col("nrm") * lit(sn))
+    }
+    val scored = array(seeds.map { case (sid, sv) =>
+      struct((-cosTo(sv)).as("negcos"), lit(sid).as("sid"))
+    }: _*)
+    val cells = e.withColumn("cell", array_min(scored).getField("sid"))
+    val dups = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorOps.dot(col("a.v"), col("b.v")) >=
+        lit(threshold) * col("a.nrm") * col("b.nrm"))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    cells.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

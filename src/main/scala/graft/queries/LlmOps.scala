@@ -160,6 +160,42 @@ object LlmOps {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Semantic dedup (SemDedup shape): seeded-medoid cells over the
+    * embedding space, within-cell cosine drop keeping each group's min
+    * id ([[Dedup.semanticDedup]]). Fully oracle-checked: the medoid
+    * seeding (md5 rank), the argmax assignment, and the drop rule are
+    * deterministic functions of the data both engines compute bitwise
+    * identically. */
+  def semanticDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"), threshold = 0.4, nCells = 8)
+      .orderBy("vec_id")
+
+  private val semanticDedupSql =
+    """WITH seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS sv
+      |  FROM embeddings
+      |  ORDER BY md5('graft-seed' || CAST(vec_id AS VARCHAR)), vec_id
+      |  LIMIT 8),
+      |assign AS (
+      |  SELECT e.vec_id, s.seed_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(s.sv AS DOUBLE[])) DESC,
+      |               s.seed_id) AS rn
+      |  FROM embeddings e, seeds s),
+      |cells AS (SELECT vec_id, seed_id AS cell FROM assign WHERE rn = 1),
+      |dups AS (SELECT DISTINCT b.vec_id
+      |         FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |         JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                      CAST(eb.embedding AS DOUBLE[])) >= 0.4)
+      |SELECT c.vec_id, c.cell,
+      |  (c.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+      |FROM cells c
+      |ORDER BY c.vec_id""".stripMargin
+
   /** Near-dup clusters: connected components over the verified
     * MinHash-LSH pairs at j≥0.8 (equal to the exact pair set — see
     * [[dedupMinhash]]), each doc labeled with its component's min id. */
@@ -804,6 +840,7 @@ object LlmOps {
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),
     Q("llm_clean_corpus", llmCleanCorpusSql)(llmCleanCorpus),
     Q("dedup_embedding", dedupEmbeddingSql)(dedupEmbedding),
+    Q("semantic_dedup", semanticDedupSql)(semanticDedupQ),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),
     Q.noOracle("vector_ivf")(vectorIvf),

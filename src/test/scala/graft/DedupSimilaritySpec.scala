@@ -336,6 +336,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(spans(10) == Seq((1L, 2L, 20L, 0L, 10L))) // exactly at the bound
   }
 
+  test("semanticDedup drops within-cell near-dups, keeps each group's min id") {
+    // two tight clusters along axes 0 and 1 plus an isolated vector on
+    // axis 2 (within-cluster cosine ≈ 1, cross-cluster ≈ 0). Ids chosen so
+    // the md5 medoid ranking seeds exactly one vector per cluster
+    // (seeds = 1, 34, 52 for salt "graft-seed"), keeping the fixture
+    // independent of tie-breaking between same-cluster seeds.
+    def v(axis: Int, wobble: Float): Array[Float] = {
+      val a = Array.fill(4)(0.01f); a(axis) = 1.0f; a(3) = wobble; a
+    }
+    val vecs = Seq(
+      (1L, v(0, 0.02f)), (2L, v(0, 0.03f)), (3L, v(0, 0.01f)),
+      (30L, v(1, 0.02f)), (34L, v(1, 0.04f)),
+      (52L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, col("vec_id"), col("embedding"),
+        threshold = 0.9, nCells = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 30L, 34L, 52L))
+    val dup = out.filter(_._3).map(_._1).toSet
+    // each cluster keeps exactly its min id; the isolated vector survives
+    assert(dup == Set(2L, 3L, 34L))
+    // vectors of one cluster share a cell
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    assert(cellOf(1L) == cellOf(2L) && cellOf(2L) == cellOf(3L))
+    assert(cellOf(30L) == cellOf(34L))
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(
