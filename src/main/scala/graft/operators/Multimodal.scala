@@ -124,6 +124,89 @@ object Multimodal {
     }
   }
 
+  /** Uniform brightness shift (all body bytes + delta mod 256, header
+    * untouched) — the 1-in/1-out payload transform used to exercise
+    * perceptual-hash invariance: dHash compares *adjacent* pixels, so a
+    * constant exposure shift preserves almost every bit (only wrap-around
+    * cells flip comparisons). Same STUB boundary as [[decodeStub]]. */
+  def adjustBrightness(media: Dataset[Media], delta: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = m.payload.clone()
+        var i = 12
+        while (i < out.length) {
+          out(i) = (((out(i) & 0xFF) + delta) & 0xFF).toByte
+          i += 1
+        }
+        m.copy(payload = out)
+      }
+    }
+  }
+
+  /** **dHash** (difference hash), the standard perceptual image hash:
+    * sample the decoded grid down to 9×8 (nearest neighbor, same kernel
+    * as [[resize]]), set bit y·8+x iff px(y,x+1) > px(y,x). Gradient
+    * comparisons make it invariant to uniform brightness/contrast shifts
+    * — the property that makes it a *near*-dup key where sha256 is an
+    * exact-dup key. Emitted as four 16-bit bands (b0..b3 = bits 0‑15 …
+    * 48‑63) ready for pigeonhole banding. Runs in the same
+    * partition-wise iterator shape as [[extractFeatures]]; payloads never
+    * shuffle. */
+  def phashBands(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val body = m.payload.drop(12)
+        def px(y: Int, x: Int): Int = {
+          val idx = (y * m.height / 8) * m.width + (x * m.width / 9)
+          if (idx >= 0 && idx < body.length) body(idx) & 0xFF else 0
+        }
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (px(y, x + 1) > px(y, x)) bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, (bits & 0xFFFF).toInt, ((bits >>> 16) & 0xFFFF).toInt,
+          ((bits >>> 32) & 0xFFFF).toInt, ((bits >>> 48) & 0xFFFF).toInt)
+      }
+    }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Perceptual near-dup pairs at hamming distance ≤ `maxDist` over the
+    * 64-bit dHash — the multimodal twin of SimHash text dedup, with the
+    * identical pigeonhole banding argument: two hashes within distance
+    * d < 4 agree exactly on at least one of the 4 disjoint 16-bit bands,
+    * so the band equi-join is a COMPLETE candidate generator for
+    * maxDist ≤ 3 (no recall loss, unlike probabilistic LSH). Candidates
+    * verify with bit_count(xor) per band — codegen'd integer ops — and
+    * only (id, 4×int) rows ever shuffle, never payloads. */
+  def phashNearDup(media: Dataset[Media], maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"phashNearDup: 4-band pigeonhole is only complete for maxDist <= 3 (got $maxDist)")
+    val ph = phashBands(media)
+    val banded = ph.select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    val dist =
+      bit_count(expr("a.b0 ^ b.b0")) + bit_count(expr("a.b1 ^ b.b1")) +
+        bit_count(expr("a.b2 ^ b.b2")) + bit_count(expr("a.b3 ^ b.b3"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        dist.cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Frame sampling for "video" payloads: every nth block of the body as
     * one frame row — the explode-shaped operator a real frame sampler
     * has (one input row → k frame rows, payload never shuffled before

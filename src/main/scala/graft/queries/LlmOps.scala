@@ -759,6 +759,66 @@ object LlmOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Perceptual-hash (dHash) near-dup over media payloads: each synthetic
+    * payload gets a brightness-shifted twin (media_id + 1 000 000, every
+    * body byte +1 mod 256); dHash compares adjacent pixels so the twin's
+    * hash differs only where a 255→0 wrap flips a comparison, and the
+    * 4-band pigeonhole join ([[Multimodal.phashNearDup]]) finds the
+    * planted pairs exactly. Every step is integer arithmetic on the
+    * deterministic stub payloads, so the DuckDB oracle reproduces the
+    * whole pipeline — grid sampling, bit extraction, banding, hamming
+    * verification — for a full hash check. */
+  def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Multimodal.synthesize(spark,
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id")
+    val twins = Multimodal.adjustBrightness(base, 1)
+      .map(m => m.copy(media_id = m.media_id + 1000000L))
+    Multimodal.phashNearDup(base.union(twins), maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // px(y,x) = (((base_id*2654435761 + ((y*h//8)*w + (x*w//9))*40503) >> 16)
+  //            & 255 + bright) % 256 with w = 8+id%8, h = 8+id%5; bit k
+  // (k = y*8+x) set iff px(y,x+1) > px(y,x); band j = bits 16j..16j+15.
+  // Same id-range assumption as mediaFeaturesSql.
+  private val mediaPhashDedupSql =
+    """WITH media AS (
+      |  SELECT doc_id AS base_id, doc_id + 1000000 * b AS media_id, b AS bright,
+      |         8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+      |  FROM documents, UNNEST([0, 1]) AS t(b)),
+      |bits AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 64), k ->
+      |      CASE WHEN
+      |        (((((base_id * 2654435761 +
+      |             (((k // 8) * h // 8) * w + (((k % 8) + 1) * w // 9)) * 40503)
+      |            >> 16) & 255) + bright) % 256)
+      |        >
+      |        (((((base_id * 2654435761 +
+      |             (((k // 8) * h // 8) * w + ((k % 8) * w // 9)) * 40503)
+      |            >> 16) & 255) + bright) % 256)
+      |      THEN 1 ELSE 0 END) AS bt
+      |  FROM media),
+      |bands AS (
+      |  SELECT media_id, j,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      i -> bt[j * 16 + i + 1] * (1 << i))) AS BIGINT) AS bv
+      |  FROM bits, UNNEST(range(0, 4)) AS u(j)),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.j = b.j AND a.bv = b.bv AND a.media_id < b.media_id),
+      |verified AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(range(0, 64),
+      |      k -> ba.bt[k + 1] <> bb.bt[k + 1])) AS BIGINT) AS dist
+      |  FROM cand JOIN bits ba ON ba.media_id = id_a
+      |            JOIN bits bb ON bb.media_id = id_b)
+      |SELECT id_a, id_b, dist FROM verified
+      |WHERE dist <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Frame sampling over the synthesized video payloads (every 2nd frame,
     * one row per sampled frame): the explode-shaped multimodal operator,
     * hash-checked like [[mediaFeatures]] because the stub payload is
@@ -829,6 +889,7 @@ object LlmOps {
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
     Q("media_frames", mediaFramesSql)(mediaFrames),
     Q("media_resize", mediaResizeSql)(mediaResize),
+    Q("media_phash_dedup", mediaPhashDedupSql)(mediaPhashDedup),
     Q("dedup_containment", dedupContainmentSql)(dedupContainment),
     Q("decontaminate", decontaminateSql)(decontaminate),
     Q("dup_coverage", dupCoverageSql)(dupCoverage),

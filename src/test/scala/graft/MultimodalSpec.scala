@@ -59,4 +59,39 @@ class MultimodalSpec extends SparkTestBase {
     val expect = ((7L * 2654435761L + srcIdx * 40503L) >>> 16).toByte
     assert(m7.payload(12 + 1 * 4 + 2) == expect)
   }
+
+  test("phashNearDup finds brightness-shifted twins; banding loses no dist<=3 pair") {
+    val base = Multimodal.synthesize(spark, spark.range(1, 81).toDF("id"), "id")
+    val twins = Multimodal.adjustBrightness(base, 1)
+      .map(m => m.copy(media_id = m.media_id + 1000L))
+    val all = base.union(twins)
+    val got = Multimodal.phashNearDup(all, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over the collected band signatures
+    val sigs = Multimodal.phashBands(all)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    def dist(a: (Long, Int, Int, Int, Int), b: (Long, Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._2 ^ b._2) + Integer.bitCount(a._3 ^ b._3) +
+        Integer.bitCount(a._4 ^ b._4) + Integer.bitCount(a._5 ^ b._5)
+    val want = (for {
+      a <- sigs; b <- sigs
+      if a._1 < b._1 && dist(a, b) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(got == want)
+    // the +1-brightness twin flips a dHash bit only at 255->0 wraps, so
+    // most planted pairs sit within distance 3 — and are all found
+    val planted = got.count { case (a, b) => b == a + 1000L }
+    assert(planted >= 60, s"only $planted of 80 planted twins found")
+  }
+
+  test("dHash is invariant under a wrap-free brightness shift") {
+    // payload whose body bytes stay < 255 after +1: hash must be identical
+    val m = Multimodal.synthesize(spark, spark.range(3, 4).toDF("id"), "id")
+    val shifted = Multimodal.adjustBrightness(m, 1)
+    val h1 = Multimodal.phashBands(m).as[(Long, Int, Int, Int, Int)].head()
+    val h2 = Multimodal.phashBands(shifted).as[(Long, Int, Int, Int, Int)].head()
+    val wraps = m.head().payload.drop(12).count(b => (b & 0xFF) == 255)
+    if (wraps == 0) assert(h1 == h2)
+    else assert(h1._1 == h2._1) // wrap present: only the id is guaranteed
+  }
 }
