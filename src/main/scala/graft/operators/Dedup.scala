@@ -105,21 +105,30 @@ object Dedup {
     * collide in at least one band. The pair join is an equi-join on
     * (band, bandHash) — shuffle-partitioned by band key, never all-pairs. */
   def lshCandidatePairs(sig: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = k / bands
-    val bandCols = (0 until bands).map { bd =>
-      struct(lit(bd).as("band"),
-        xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => col("sig")(j)) :+ lit(bd): _*)
-          .as("bh"))
-    }
-    val exploded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val exploded = bandedSignatures(sig, k, bands)
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** (doc_id, band, bh) band rows for a (doc_id, sig) frame — the LSH
+    * join currency shared by [[lshCandidatePairs]] and
+    * [[incrementalDedup]]. Band hashing is pure per-row arithmetic over
+    * the signature, so band rows of a stored index are a narrow
+    * projection over its scan, never a shuffle. */
+  private def bandedSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => col("sig")(j)) :+ lit(bd): _*)
+          .as("bh"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
   /** Exact Jaccard for given candidate pairs (the verification step after
@@ -358,6 +367,77 @@ object Dedup {
     val stage = docSignatures(df, id, text, n, k).persist()
     val pairs = lshCandidatePairs(stage.select(col("doc_id"), col("sig")), k, bands)
     jaccardForPairsOnArrays(pairs, stage).filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------- incremental dedup index
+
+  /** Persist the per-doc dedup stage ([[docSignatures]]: MinHash signature
+    * + sorted shingle-hash set) as a **bucketed, bucket-sorted table**
+    * keyed by doc_id — the cross-run signature index [[incrementalDedup]]
+    * joins against. Production shape: the 100 TB corpus is shingled ONCE;
+    * every later ingest batch dedupes against this table without
+    * re-touching (or re-shuffling) the corpus. Bucketing by doc_id keeps
+    * the verification join against candidate ids exchange-free on the
+    * index side even when the candidate set outgrows broadcast. */
+  def writeSignatureIndex(df: DataFrame, id: Column, text: Column,
+      table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit =
+    Joins.writeBucketed(docSignatures(df, id, text, n, k), table, "doc_id", buckets)
+
+  /** **Incremental dedup**: near-dup pairs of a corpus *delta* — new
+    * documents vs the persisted signature index, plus pairs within the
+    * delta itself — without re-shingling the indexed corpus. Equal, by
+    * construction, to the delta-involving subset of [[minhashDedup]] run
+    * on index∪delta: signatures and band hashes are per-doc functions, so
+    * banding the stored `sig` column reproduces exactly the bands a full
+    * run would compute.
+    *
+    * Scale shape — the index side NEVER shuffles (spec-asserted zero
+    * Exchange over the index scan):
+    *  - delta band rows (small: an ingest batch) **broadcast** into the
+    *    index's band projection — candidate generation is one
+    *    BroadcastHashJoin over the index scan;
+    *  - verification broadcasts the (candidate ids ⋈ delta hash-set)
+    *    frame into the index's (doc_id, hs) projection — again a
+    *    broadcast join against the scan, with the doc_id bucketing as the
+    *    exchange-free fallback once candidates outgrow broadcast;
+    *  - intra-delta pairs run the ordinary LSH pipeline on the delta
+    *    alone. */
+  def incrementalDedup(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, delta: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val deltaSig = docSignatures(delta, id, text, n, k).persist()
+    val index = spark.table(indexTable)
+    val intra = jaccardForPairsOnArrays(
+      lshCandidatePairs(deltaSig.select(col("doc_id"), col("sig")), k, bands),
+      deltaSig)
+      .filter(col("jaccard") >= threshold)
+    val idxBands = bandedSignatures(index.select(col("doc_id"), col("sig")), k, bands)
+    val dBands = bandedSignatures(deltaSig.select(col("doc_id"), col("sig")), k, bands)
+    val cand = idxBands.as("x")
+      .join(broadcast(dBands.as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("idx_id"), col("y.doc_id").as("delta_id"))
+      .distinct()
+    val withDelta = cand.join(
+      deltaSig.select(col("doc_id").as("delta_id"), col("hs").as("hs_d")),
+      "delta_id")
+    val crossPairs = index.select(col("doc_id").as("idx_id"), col("hs").as("hs_i"))
+      .join(broadcast(withDelta), "idx_id")
+      .select(col("idx_id"), col("delta_id"),
+        graft.functions.SortedLongIntersectCount(col("hs_i"), col("hs_d")).as("inter"),
+        size(col("hs_i")).cast("long").as("ni"),
+        size(col("hs_d")).cast("long").as("nd"))
+      .select(
+        least(col("idx_id"), col("delta_id")).as("doc_a"),
+        greatest(col("idx_id"), col("delta_id")).as("doc_b"),
+        col("inter"),
+        when(col("idx_id") < col("delta_id"), col("ni")).otherwise(col("nd")).as("na"),
+        when(col("idx_id") < col("delta_id"), col("nd")).otherwise(col("ni")).as("nb"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    intra.unionByName(crossPairs)
   }
 
   // --------------------------------------------------- near-dup clustering

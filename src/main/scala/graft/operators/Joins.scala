@@ -53,13 +53,24 @@ object Joins {
     * on that key read co-located buckets — zero Exchange in the plan.
     * The standard layout investment for a fact table joined repeatedly
     * on the same key. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A table dir left by a PREVIOUS JVM is not in this session's
+    // in-memory catalog, and saveAsTable(Overwrite) refuses the stale
+    // location instead of replacing it — clear it first so the write is
+    // idempotent across sessions, not just within one.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -52,7 +52,7 @@ object LlmOps {
         col("doc_id"), col("text"), n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
-  private def jaccardOracle(threshold: String) =
+  private def jaccardOracle(threshold: String, extraWhere: String = "") =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
@@ -64,7 +64,7 @@ object LlmOps {
        |  CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) AS jaccard
        |FROM inter JOIN sizes za ON za.doc_id = doc_a
        |           JOIN sizes zb ON zb.doc_id = doc_b
-       |WHERE CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) >= $threshold
+       |WHERE CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) >= $threshold$extraWhere
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Substring-span dedup: every maximal cross-doc run of ≥10 shared
@@ -141,6 +141,22 @@ object LlmOps {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     verifiedMinhashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** Incremental dedup: docs with id % 10 == 0 play the newly-ingested
+    * delta; the rest are pre-indexed into a bucketed signature table
+    * (built at construction — the cross-run persistence story), and the
+    * query reports every near-dup pair involving a delta doc without
+    * re-shingling the indexed corpus ([[Dedup.incrementalDedup]]). Oracle
+    * = the exact all-pairs Jaccard SQL restricted to delta-involving
+    * pairs, by the same LSH≈exact argument as `dedup_minhash`. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      col("doc_id"), col("text"), table = "graft_sig_index")
+    Dedup.incrementalDedup(spark, "graft_sig_index",
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -897,6 +913,8 @@ object LlmOps {
     Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
     Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
+    Q("dedup_incremental", jaccardOracle("0.8",
+      "\n|  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)".stripMargin))(dedupIncremental),
     Q.noOracle("dedup_simhash")(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),
     Q("llm_clean_corpus", llmCleanCorpusSql)(llmCleanCorpus),

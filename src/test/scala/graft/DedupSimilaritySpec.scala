@@ -363,6 +363,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(cellOf(30L) == cellOf(34L))
   }
 
+  test("incremental dedup vs a bucketed index equals the full-corpus pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.writeSignatureIndex(index, col("doc_id"), col("text"), "sig_idx_spec")
+    val inc = Dedup.incrementalDedup(spark, "sig_idx_spec", delta,
+      col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val incPairs = pairs(inc)
+    val idxOnly = pairs(Dedup.minhashDedup(index, col("doc_id"), col("text")))
+    val full = pairs(Dedup.minhashDedup(docs, col("doc_id"), col("text")))
+    // delta-involving pairs + index-internal pairs partition the full set
+    assert(incPairs.nonEmpty && (incPairs ++ idxOnly) == full)
+    assert((incPairs intersect idxOnly).isEmpty)
+
+    // the index side never shuffles: no ShuffleExchange has the index
+    // table's scan anywhere below it (candidates/delta may shuffle — they
+    // are ingest-batch-sized; the 100 TB side must not)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def overIndexScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table == "sig_idx_spec")
+      case _ => false
+    }
+    val offenders = inc.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec if overIndexScan(e) => e
+    }
+    assert(offenders.isEmpty,
+      s"index side shuffled:\n${offenders.map(_.toString.take(300)).mkString}")
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(
