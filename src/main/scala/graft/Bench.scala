@@ -32,6 +32,7 @@ object Bench {
     // cache reuse would otherwise understate real per-query cost.
     def clearState(): Unit = {
       graft.queries.LlmOps.clearPairCache()
+      graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
     }
 

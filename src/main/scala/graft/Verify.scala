@@ -30,6 +30,7 @@ object Verify {
     // drop stage caches accumulated across queries (memoized pair stages
     // stay shared WITHIN the run above; this is end-of-run teardown)
     queries.LlmOps.clearPairCache()
+    operators.Dedup.releaseCaches()
     spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

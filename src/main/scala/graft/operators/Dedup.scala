@@ -14,6 +14,74 @@ import graft.functions.VectorOps
   * and only candidates pay the exact-verification cost. */
 object Dedup {
 
+  // ----------------------------------------------- persist/memo lifecycle
+
+  /** Session-scoped registry of persisted intermediate frames, keyed by
+    * the *canonicalized plan* they compute ([[LogicalPlan.sameResult]]):
+    * two constructions of the same operator over the same input share ONE
+    * persisted stage instead of stacking a new copy per call — the leak
+    * the round-3 audit flagged on the ad-hoc entry points. Lookup is a
+    * linear scan over a handful of entries (plan comparison, no job).
+    * [[releaseCaches]] is the caller-release contract: unpersists
+    * everything and empties the registry; the bench/verify harnesses call
+    * it between runs alongside `spark.catalog.clearCache()` (which would
+    * otherwise drop the cache but leave the registry returning
+    * no-longer-cached handles). */
+  private val persistRegistry = scala.collection.mutable.ArrayBuffer
+    .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+
+  private def memoPersist(df: DataFrame): DataFrame =
+    persistRegistry.synchronized {
+      val plan = df.queryExecution.analyzed
+      persistRegistry.collectFirst {
+        case (s, p, cached) if (s eq df.sparkSession) && p.sameResult(plan) =>
+          cached
+      }.getOrElse {
+        val c = df.persist()
+        persistRegistry += ((df.sparkSession, plan, c))
+        c
+      }
+    }
+
+  /** Measure-then-dispatch results ([[ngramJaccardAuto]]'s Σdf² aggregate,
+    * [[connectedComponentsAuto]]'s edge probe → labels) memoized the same
+    * way: repeated construction of the same query launches the planning
+    * job once per session, not once per construction. */
+  private val gateRegistry = scala.collection.mutable.ArrayBuffer
+    .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any)]
+
+  /** Diagnostic counter for specs: how many gate-planning jobs actually
+    * ran (as opposed to being served from the memo). */
+  private[graft] var gateMeasurements: Long = 0L
+
+  private def memoGate[T](df: DataFrame)(measure: => T): T =
+    gateRegistry.synchronized {
+      val plan = df.queryExecution.analyzed
+      gateRegistry.collectFirst {
+        case (s, p, v) if (s eq df.sparkSession) && p.sameResult(plan) =>
+          v.asInstanceOf[T]
+      }.getOrElse {
+        val v = measure
+        gateMeasurements += 1
+        gateRegistry += ((df.sparkSession, plan, v))
+        v
+      }
+    }
+
+  /** Release every persisted stage and memoized gate measurement this
+    * object holds (all sessions). Call between benchmark runs or when a
+    * composed pipeline is done with its dedup stages — the cluster-scale
+    * analogue of dropping checkpointed intermediates. */
+  def releaseCaches(): Unit = {
+    persistRegistry.synchronized {
+      persistRegistry.foreach(_._3.unpersist())
+      persistRegistry.clear()
+    }
+    gateRegistry.synchronized(gateRegistry.clear())
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup via content hash: one row per distinct content, keeping
@@ -174,7 +242,7 @@ object Dedup {
     // Shingles feed the self-join twice plus the size aggregate — persist
     // instead of re-exploding the corpus three times. (Released by
     // session-level cache teardown; see the harness clearState.)
-    jaccardAllPairsOn(hashedShingleSet(df, id, text, n).persist(), threshold)
+    jaccardAllPairsOn(memoPersist(hashedShingleSet(df, id, text, n)), threshold)
 
   /** Shared all-pairs overlap core: one equi-join on shingle hashes
     * produces (doc_a, doc_b, inter, na, nb) for every co-shingled pair —
@@ -211,7 +279,7 @@ object Dedup {
     * [[ngramJaccardAuto]]. */
   def ngramContainment(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame =
-    pairOverlapOn(hashedShingleSet(df, id, text, n).persist())
+    pairOverlapOn(memoPersist(hashedShingleSet(df, id, text, n)))
       .withColumn("containment",
         col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -236,15 +304,14 @@ object Dedup {
     // tf feeds the df-aggregate, the pruned-postings join, and (via tfk)
     // the norm aggregate — persist one compact (doc, gram, tf) frame
     // instead of re-shingling the corpus three times.
-    val tf = hashedShingleStream(df, id, text, n)
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = memoPersist(hashedShingleStream(df, id, text, n)
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf")))
     val nDocs = df.agg(count(lit(1)).as("__n"))
     val kept = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * lit(maxDfFrac.toLong) <= col("__n"))
       .select(col("h"))
-    val tfk = tf.join(kept, "h").persist()
+    val tfk = memoPersist(tf.join(kept, "h"))
     val norms = tfk.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nn"))
     val dots = tfk.select(col("h"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
       .join(tfk.select(col("h"), col("doc_id").as("doc_b"), col("tf").as("tf_b")), "h")
@@ -276,7 +343,7 @@ object Dedup {
     * degrades to a plain hash equi-join on `h`. */
   def contamination(train: DataFrame, bench: DataFrame, id: Column,
       text: Column, n: Int): DataFrame = {
-    val tr = hashedShingleSet(train, id, text, n).persist()
+    val tr = memoPersist(hashedShingleSet(train, id, text, n))
     val bh = broadcast(
       hashedShingleSet(bench, id, text, n).select(col("h")).distinct())
     val sizes = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -300,7 +367,7 @@ object Dedup {
     * (property-tested); pays off once Σ df² ≫ corpus size. */
   def ngramJaccardPrefix(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame =
-    jaccardPrefixOn(hashedShingleSet(df, id, text, n).persist(), threshold)
+    jaccardPrefixOn(memoPersist(hashedShingleSet(df, id, text, n)), threshold)
 
   /** Prefix-filtered exact path over a prebuilt hashed shingle set. */
   private def jaccardPrefixOn(sh: DataFrame, threshold: Double): DataFrame = {
@@ -318,9 +385,9 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("h"))
-      .persist()
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val prefixShared = memoPersist(prefix)
+    val cand = prefixShared.as("a")
+      .join(prefixShared.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardForPairs(cand, sh).filter(col("jaccard") >= threshold)
@@ -342,13 +409,18 @@ object Dedup {
     * cache both paths read. */
   def ngramJaccardAuto(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double, prefixGate: Long = 16): DataFrame = {
-    val sh = hashedShingleSet(df, id, text, n).persist()
-    val row = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
-      .agg(sum(col("dfr")).as("tot"),
-        sum(col("dfr").cast("double") * col("dfr").cast("double")).as("sumdf2"))
-      .head()
-    val heavy = !row.isNullAt(0) &&
-      row.getDouble(1) > prefixGate.toDouble * row.getLong(0).toDouble
+    val sh = memoPersist(hashedShingleSet(df, id, text, n))
+    // memoized per (session, shingle-set plan): constructing the same
+    // query twice measures once, and the measurement warms the shared
+    // persisted shingle set both dispatch targets read
+    val (tot, sumdf2) = memoGate(sh) {
+      val row = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
+        .agg(sum(col("dfr")).as("tot"),
+          sum(col("dfr").cast("double") * col("dfr").cast("double")).as("sumdf2"))
+        .head()
+      if (row.isNullAt(0)) (0L, 0.0) else (row.getLong(0), row.getDouble(1))
+    }
+    val heavy = sumdf2 > prefixGate.toDouble * tot.toDouble
     if (heavy) jaccardPrefixOn(sh, threshold) else jaccardAllPairsOn(sh, threshold)
   }
 
@@ -364,7 +436,7 @@ object Dedup {
     // banding and verification both read the persisted docs-sized frame —
     // at cluster scale this is the stage you would checkpoint to object
     // storage. (Released by session cache teardown or caller unpersist.)
-    val stage = docSignatures(df, id, text, n, k).persist()
+    val stage = memoPersist(docSignatures(df, id, text, n, k))
     val pairs = lshCandidatePairs(stage.select(col("doc_id"), col("sig")), k, bands)
     jaccardForPairsOnArrays(pairs, stage).filter(col("jaccard") >= threshold)
   }
@@ -406,7 +478,7 @@ object Dedup {
       indexTable: String, delta: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val deltaSig = docSignatures(delta, id, text, n, k).persist()
+    val deltaSig = memoPersist(docSignatures(delta, id, text, n, k))
     val index = spark.table(indexTable)
     val intra = jaccardForPairsOnArrays(
       lshCandidatePairs(deltaSig.select(col("doc_id"), col("sig")), k, bands),
@@ -511,6 +583,14 @@ object Dedup {
       }
     }
     if (!integralIds) return connectedComponents(pairs, maxIter)
+    // memoized per (session, pairs plan): the probe (and, on the driver
+    // path, the whole union-find labeling) runs once per session even
+    // when composed pipelines construct the clustering repeatedly
+    memoGate(pairs)(connectedComponentsAutoImpl(pairs, driverGate, maxIter))
+  }
+
+  private def connectedComponentsAutoImpl(pairs: DataFrame, driverGate: Int,
+      maxIter: Int): DataFrame = {
     val probe = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .head(driverGate + 1)
@@ -544,7 +624,7 @@ object Dedup {
     * derived keys. */
   def duplicationProfile(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
-    val sh = hashedShingleSet(df, id, text, n).persist()
+    val sh = memoPersist(hashedShingleSet(df, id, text, n))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfr"))
     sh.join(dfreq, "h")
       .groupBy(col("doc_id"))

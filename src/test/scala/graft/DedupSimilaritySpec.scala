@@ -396,6 +396,26 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"index side shuffled:\n${offenders.map(_.toString.take(300)).mkString}")
   }
 
+  test("composed dedup calls share persisted stages; gates measure once") {
+    Dedup.releaseCaches()
+    val docs = Tables.documents(spark, sf0001)
+    val g0 = Dedup.gateMeasurements
+    Dedup.ngramJaccardAuto(docs, col("doc_id"), col("text"), 3, 0.5).count()
+    val persisted1 = spark.sparkContext.getPersistentRDDs.size
+    val g1 = Dedup.gateMeasurements
+    assert(g1 == g0 + 1)
+    // second construction: no new persisted copy, no second planning job
+    Dedup.ngramJaccardAuto(docs, col("doc_id"), col("text"), 3, 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted1)
+    assert(Dedup.gateMeasurements == g1)
+    // a DIFFERENT operator over the same input reuses the same shingle set
+    Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted1)
+    // release drops what this family persisted
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size < persisted1)
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(
