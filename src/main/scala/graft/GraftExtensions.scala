@@ -25,6 +25,7 @@ import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, Winn
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    GraftExtensions.tableFunctions.foreach(e.injectTableFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -58,10 +59,79 @@ object GraftExtensions {
         "graft_sorted_intersect(a, b) - intersection size of two ascending-sorted bigint arrays"),
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
 
+  /** SQL surface for the native as-of join ([[graft.plans.AsOfJoinPlan]]):
+    * a table-valued function, so SQL users reach `AsOfJoinExec` without
+    * touching the Scala API:
+    * {{{
+    *   SELECT * FROM graft_asof('purchases', 'clicks', 'user_id', 'ts,id')
+    *   SELECT * FROM graft_asof('p', 'c', 'k', 'ts', 'nearest', 5000000)
+    * }}}
+    * Table names resolve through the session catalog (temp views
+    * included); `on`/`order` are comma-separated column-name lists shared
+    * by both sides — an order item may be `left=right` when the sides
+    * name their order columns differently (`'ts=click_ts'`); optional
+    * direction ('backward' | 'forward' | 'nearest') and
+    * first-order-column tolerance. The builder returns an
+    * already-analyzed plan (it resolves the named tables eagerly via the
+    * active session), so key resolution follows the exact rules of
+    * [[graft.plans.AsOfJoin.apply]] — including the right-side re-alias
+    * that keeps duplicate exprIds out of the combined output. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_asof"),
+      info("graft_asof",
+        "graft_asof(left, right, on, order[, direction[, tolerance]]) - native as-of join of two tables"),
+      (exprs: Seq[Expression]) => asofPlan(exprs)))
+
+  private def asofPlan(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import graft.plans.{AsOfBackward, AsOfForward, AsOfJoin, AsOfNearest}
+    require(exprs.length >= 4 && exprs.length <= 6,
+      "usage: graft_asof(left, right, on, order[, direction[, tolerance]])")
+    def str(i: Int, what: String): String = exprs(i) match {
+      case Literal(v, t) if t.isInstanceOf[org.apache.spark.sql.types.StringType]
+          && v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: $what must be a string literal, got $other")
+    }
+    def cols(i: Int, what: String): Seq[String] =
+      str(i, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.active
+    val direction = if (exprs.length < 5) AsOfBackward else str(4, "direction") match {
+      case "backward" => AsOfBackward
+      case "forward"  => AsOfForward
+      case "nearest"  => AsOfNearest
+      case o => throw new IllegalArgumentException(
+        s"graft_asof: direction must be backward|forward|nearest, got '$o'")
+    }
+    val tolerance = if (exprs.length < 6) None else exprs(5) match {
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => Some(v.toLong)
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: tolerance must be an integer literal, got $other")
+    }
+    val order = cols(3, "order").map { item =>
+      item.split("=").map(_.trim) match {
+        case Array(both) => (both, both)
+        case Array(l, r) => (l, r)
+        case _ => throw new IllegalArgumentException(
+          s"graft_asof: order item must be 'col' or 'left=right', got '$item'")
+      }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
+      AsOfJoin(spark, spark.table(str(0, "left")), spark.table(str(1, "right")),
+        cols(2, "on"), order.map(_._1), order.map(_._2), direction, tolerance))
+  }
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, fnInfo, builder) =>
       org.apache.spark.sql.graftbridge.ColumnBridge
         .registerFunction(spark, id, fnInfo, builder)
     }
+    tableFunctions.foreach { case (id, fnInfo, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTableFunction(spark, id, fnInfo, builder)
+    }
+  }
 }

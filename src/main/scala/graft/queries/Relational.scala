@@ -280,6 +280,27 @@ object Relational {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** The native as-of join reached through its **SQL surface**: the
+    * `graft_asof` table-valued function ([[graft.GraftExtensions]]), so a
+    * SQL-only user gets the same merge-walk exec. Identical semantics and
+    * oracle to [[asofJoinNative]] — the whole query is one SQL string over
+    * two temp views. */
+  def asofJoinSqlQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val events = Tables.events(spark, dir)
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_asof_purchases")
+    events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .createOrReplaceTempView("graft_asof_clicks")
+    spark.sql(
+      """SELECT event_id, user_id, ts, click_id, click_ts
+        |FROM graft_asof('graft_asof_purchases', 'graft_asof_clicks',
+        |                'user_id', 'ts=click_ts,event_id=click_id')
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+  }
+
   /** As-of join, **nearest** direction: each purchase takes whichever
     * click — last preceding or first following in (ts, event_id) order —
     * has the smaller |Δts|, backward winning ties (the remaining member
@@ -518,6 +539,7 @@ object Relational {
     Q("band_join", bandJoinSql)(bandJoin),
     Q("asof_join", asofJoinSql)(asofJoin),
     Q("asof_join_native", asofJoinSql)(asofJoinNative),
+    Q("asof_join_sql", asofJoinSql)(asofJoinSqlQ),
     Q("asof_join_nearest", asofJoinNearestSql)(asofJoinNearest),
     Q("window_rank", windowRankSql)(windowRank),
     Q("window_running", windowRunningSql)(windowRunning),

@@ -33,6 +33,48 @@ class ExtensionsSpec extends SparkTestBase {
     assert(inter == 2L)
   }
 
+  test("graft_asof table function reaches AsOfJoinExec from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, 10L, "p1"), (1L, 25L, "p2"), (2L, 7L, "p3"))
+      .toDF("uid", "ts", "tag").createOrReplaceTempView("asof_l")
+    Seq((1L, 8L, 100.0), (1L, 20L, 200.0), (2L, 9L, 300.0))
+      .toDF("uid", "ts", "price").createOrReplaceTempView("asof_r")
+
+    // the right side's ts rides along (merge_asof-style payload) — select
+    // the left's explicitly
+    val out = spark.sql(
+      """SELECT uid, asof_l.ts AS ts, tag, price
+        |FROM graft_asof('asof_l', 'asof_r', 'uid', 'ts')
+        |ORDER BY uid, ts""".stripMargin)
+    // the plan goes through the native exec, not a composed rewrite
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      out.queryExecution.executedPlan.toString.take(600))
+    val rows = out.as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, 10L, "p1", Some(100.0)),   // backward: 8 <= 10
+      (1L, 25L, "p2", Some(200.0)),   // backward: 20 <= 25
+      (2L, 7L, "p3", None)))          // nothing at or before 7
+
+    // direction + tolerance surface: forward match within 2 ticks
+    val fwd = spark.sql(
+      """SELECT uid, asof_l.ts AS ts, price
+        |FROM graft_asof('asof_l', 'asof_r', 'uid', 'ts', 'forward', 2)
+        |ORDER BY uid, ts""".stripMargin)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(fwd == Seq(
+      (1L, 10L, None),                // next right is 20: gap 10 > 2
+      (1L, 25L, None),                // nothing after 25
+      (2L, 7L, Some(300.0))))         // 9 - 7 = 2 <= 2
+
+    // SQL result equals the Scala-API result on the same inputs
+    val api = graft.plans.AsOfJoin(spark,
+        spark.table("asof_l"), spark.table("asof_r"), Seq("uid"), Seq("ts"))
+      .toDF("uid", "ts", "tag", "ts_r", "price")
+      .select("uid", "ts", "tag", "price")
+      .as[(Long, Long, String, Option[Double])].collect().toSeq.sorted
+    assert(api == rows.sorted)
+  }
+
   test("BoundedTopK plans as a partial-mergeable aggregate (map-side top-k)") {
     val df = Tables.orders(spark, sf0001)
       .groupBy(col("o_custkey"))
