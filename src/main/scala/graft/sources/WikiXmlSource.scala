@@ -92,10 +92,13 @@ final class WikiXmlTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WikiXmlScanBuilder(paths)
+    new WikiXmlScanBuilder(paths,
+      splitBz2 = options.getBoolean("splitBz2", true),
+      bz2MinSplitBytes = options.getLong("bz2MinSplitBytes", 32L << 20))
 }
 
-final class WikiXmlScanBuilder(paths: Seq[String])
+final class WikiXmlScanBuilder(paths: Seq[String],
+    splitBz2: Boolean = true, bz2MinSplitBytes: Long = 32L << 20)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WikiXml.schema
@@ -129,38 +132,73 @@ final class WikiXmlScanBuilder(paths: Seq[String])
   override def build(): Scan = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = WikiXmlSource.listFiles(paths, conf)
-    new WikiXmlScan(files, new SerializableConfiguration(conf), required, pushedNs)
+    new WikiXmlScan(files, new SerializableConfiguration(conf), required,
+      pushedNs, splitBz2, bz2MinSplitBytes)
   }
 }
 
 final class WikiXmlScan(files: Seq[String], conf: SerializableConfiguration,
-    required: StructType, nsFilter: Option[String]) extends Scan with Batch {
+    required: StructType, nsFilter: Option[String],
+    splitBz2: Boolean = true, bz2MinSplitBytes: Long = 32L << 20)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"wikixml ${files.length} files, ReadSchema: [${required.fieldNames.mkString(", ")}]" +
       nsFilter.map(v => s", PushedNsFilter: namespace=$v").getOrElse("")
+
+  /** One partition per file — except multistream `.bz2`, which splits at
+    * bz2 stream boundaries into ranges of ≥ `bz2MinSplitBytes`
+    * ([[WikiBz2]]): the single worst file of a dump (a 100 GB
+    * meta-history multistream) becomes N parallel tasks instead of one
+    * task pinned to one decompressor. The boundary scan is one
+    * sequential driver pass per bz2 file at planning time (Wikimedia's
+    * companion index file can replace it; [[WikiBz2.planRanges]] accepts
+    * any offset list). Non-bz2 and single-stream files keep the
+    * one-file-one-task shape — a page's revisions never straddle a
+    * partition either way, which the daily-downsample tie-break relies
+    * on. */
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => WikiXmlInputPartition(f): InputPartition).toArray
+    files.flatMap { f =>
+      val ranges =
+        if (splitBz2 && f.endsWith(".bz2")) {
+          val path = new Path(f)
+          val fs = path.getFileSystem(conf.value)
+          val len = fs.getFileStatus(path).getLen
+          val in = fs.open(path)
+          val starts = try WikiBz2.findStreamStarts(in) finally in.close()
+          if (starts.headOption.contains(0L) && starts.length > 1)
+            WikiBz2.planRanges(starts, len, bz2MinSplitBytes)
+          else Seq((0L, -1L)) // single-stream (or foreign) bz2: whole file
+        } else Seq((0L, -1L))
+      if (ranges.length <= 1) Seq(WikiXmlInputPartition(f): InputPartition)
+      else ranges.map { case (s, e) => WikiXmlInputPartition(f, s, e): InputPartition }
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new WikiXmlReaderFactory(conf, required, nsFilter)
 }
 
-final case class WikiXmlInputPartition(file: String) extends InputPartition
+final case class WikiXmlInputPartition(file: String, start: Long = 0L,
+    end: Long = -1L) extends InputPartition {
+  /** Whole-file partition (the default) vs a bz2 stream-range split. */
+  def isRange: Boolean = end >= 0L
+}
 
 final class WikiXmlReaderFactory(conf: SerializableConfiguration,
     required: StructType, nsFilter: Option[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WikiXmlPartitionReader(
-      partition.asInstanceOf[WikiXmlInputPartition].file, conf, required, nsFilter)
+      partition.asInstanceOf[WikiXmlInputPartition], conf, required, nsFilter)
 }
 
-/** Per-task reader: decode (codec / 7z) → StAX parse → pruned
-  * InternalRows. Streams; holds one revision at a time. */
-final class WikiXmlPartitionReader(file: String, conf: SerializableConfiguration,
+/** Per-task reader: decode (codec / 7z / bz2 stream range) → StAX parse →
+  * pruned InternalRows. Streams; holds one revision at a time. */
+final class WikiXmlPartitionReader(part: WikiXmlInputPartition,
+    conf: SerializableConfiguration,
     required: StructType, nsFilter: Option[String])
     extends PartitionReader[InternalRow] {
 
+  private val file = part.file
   private val withText = required.fieldNames.contains("text")
   private var closeAll: () => Unit = () => ()
 
@@ -173,7 +211,21 @@ final class WikiXmlPartitionReader(file: String, conf: SerializableConfiguration
 
   private val revisions: Iterator[WikiXml.Revision] = {
     val path = new Path(file)
-    if (file.endsWith(".7z")) {
+    if (part.isRange) {
+      // multistream bz2 split: seek to the range's stream start, decode
+      // the whole streams inside [start, end), adapt the page fragment
+      // into a well-formed document ([[WikiBz2.PageFragmentStream]])
+      val fs = path.getFileSystem(conf.value)
+      val raw = fs.open(path)
+      raw.seek(part.start)
+      val bounded = new org.apache.commons.compress.utils.BoundedInputStream(
+        raw, part.end - part.start)
+      val bz = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(bounded, true)
+      val in: InputStream = new WikiBz2.PageFragmentStream(bz)
+      closeAll = () => { in.close(); raw.close() }
+      parse(in)
+    } else if (file.endsWith(".7z")) {
       val (entries, close) = WikiXml.openSevenZ(path, conf.value)
       closeAll = close
       entries.flatMap(parse)

@@ -167,6 +167,60 @@ class WikiXmlSpec extends SparkTestBase {
     } finally in.close()
   }
 
+  test("multistream bz2 splits at stream boundaries; rows equal the single-partition read") {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+    import graft.sources.WikiBz2
+
+    def page(i: Int): String =
+      s"<page><title>P$i</title><ns>${i % 2}</ns>" +
+        (0 until 3).map(j =>
+          s"<revision><timestamp>2020-01-${"%02d".format(j + 1)}T0$j:00:00Z</timestamp>" +
+            s"<text>body $i rev $j</text></revision>").mkString + "</page>"
+    val pages = (1 to 12).map(page)
+    // three independent bz2 streams, concatenated byte-aligned — the
+    // multistream dump layout: header rides in the first chunk, the
+    // closing root tag in the last
+    val chunks = Seq(
+      "<mediawiki>\n  <siteinfo><sitename>T</sitename></siteinfo>\n" +
+        pages.take(4).mkString("\n"),
+      pages.slice(4, 8).mkString("\n"),
+      pages.slice(8, 12).mkString("\n") + "\n</mediawiki>\n")
+    val fileBytes = chunks.map { c =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val bz = new BZip2CompressorOutputStream(bo)
+      bz.write(c.getBytes("UTF-8")); bz.close()
+      bo.toByteArray
+    }.reduce(_ ++ _)
+
+    val starts = WikiBz2.findStreamStarts(new java.io.ByteArrayInputStream(fileBytes))
+    assert(starts.length == 3 && starts.head == 0L)
+    // ranges honor the minimum split size
+    assert(WikiBz2.planRanges(starts, fileBytes.length, 1L).length == 3)
+    assert(WikiBz2.planRanges(starts, fileBytes.length, fileBytes.length).length == 1)
+
+    val dir = Files.createTempDirectory("wikibz2").toString
+    Files.write(Paths.get(s"$dir/multi.xml.bz2"), fileBytes)
+
+    val split = spark.read.format(classOf[graft.sources.WikiXmlSource].getName)
+      .option("bz2MinSplitBytes", 1L).load(s"$dir/multi.xml.bz2")
+    val whole = spark.read.format(classOf[graft.sources.WikiXmlSource].getName)
+      .option("splitBz2", false).load(s"$dir/multi.xml.bz2")
+    assert(split.rdd.getNumPartitions == 3)
+    assert(whole.rdd.getNumPartitions == 1)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("namespace", "title", "timestamp", "text", "rev_ord")
+        .collect().map(_.toSeq).toSet
+    val s = rows(split)
+    assert(s.size == 36 && s == rows(whole))
+    // pruned path (byte lexer) agrees across the fragment adapter too
+    assert(split.select("title", "rev_ord").collect().toSet ==
+      whole.select("title", "rev_ord").collect().toSet)
+    // pushed namespace filter on a split read
+    assert(split.filter(col("namespace") === "0").count() ==
+      whole.filter(col("namespace") === "0").count())
+  }
+
   test("reader closes streams on early exit: no fd growth under limit(1)") {
     def openFds(): Int = new java.io.File("/proc/self/fd").list().length
     val dir = Files.createTempDirectory("wikifd").toString
