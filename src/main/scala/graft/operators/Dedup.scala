@@ -455,6 +455,21 @@ object Dedup {
       table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit =
     Joins.writeBucketed(docSignatures(df, id, text, n, k), table, "doc_id", buckets)
 
+  /** Append a processed batch's signatures to the index — the
+    * between-runs half of the incremental loop: dedupe the delta with
+    * [[incrementalDedup]], then fold it into the table so the NEXT batch
+    * sees it. Spark appends bucketed data files congruent with the
+    * existing layout (same bucket count/key), so the zero-shuffle reads
+    * keep working across appends. */
+  def appendToSignatureIndex(df: DataFrame, id: Column, text: Column,
+      table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit =
+    docSignatures(df, id, text, n, k).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(table)
+
   /** **Incremental dedup**: near-dup pairs of a corpus *delta* — new
     * documents vs the persisted signature index, plus pairs within the
     * delta itself — without re-shingling the indexed corpus. Equal, by
@@ -708,6 +723,48 @@ object Dedup {
         col("start_a").cast("long").as("start_a"),
         col("start_b").cast("long").as("start_b"),
         (col("n_match") + lit(n - 1)).cast("long").as("len_tokens"))
+  }
+
+  /** **Span removal** — the second half of Lee-et-al-style substring
+    * dedup: for every shared span found by [[substringSpans]], drop the
+    * *higher-id* document's copy (keep-min-id, the same canonical-
+    * representative rule the doc-level family uses) and re-emit each
+    * document with its duplicated spans cut out. Overlapping spans from
+    * different partners union naturally (removal positions are a
+    * DISTINCT (doc, pos) set).
+    *
+    * Shapes: removal positions come from exploding span intervals
+    * (bounded by the corpus' duplicated-token mass, not its size); the
+    * cut is a left-anti equi-join on (doc, pos); reassembly is one
+    * groupBy(doc) with an ordered collect — every stage hash-partitioned
+    * on doc or (doc, pos). */
+  def substringScrub(df: DataFrame, id: Column, text: Column, n: Int,
+      minTokens: Int): DataFrame = {
+    val spans = substringSpans(df, id, text, n, minTokens)
+    val removal = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("len_tokens") - 1)).as("pos"))
+      .distinct()
+    val toks = df
+      .select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val keptAgg = toks
+      .join(removal, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),
+            x => x.getField("t")),
+          " ").as("text_clean"))
+    // docs whose every token sits in a removed span drop out of the
+    // aggregate — restore them with an empty rewrite
+    df.select(id.as("doc_id"), size(split(text, " ")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   // -------------------------------------------------------------- simhash

@@ -100,6 +100,43 @@ object LlmOps {
       |HAVING COUNT(*) >= 8
       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
+  /** Span removal over the same spans: each document re-emitted with its
+    * duplicated ≥10-token spans cut out (higher-id copy dropped,
+    * keep-min-id) — [[Dedup.substringScrub]]. The rewritten text itself
+    * is emitted and hash-checked. */
+  def dedupSubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), n = 3, minTokens = 10)
+      .orderBy("doc_id")
+
+  private val dedupSubstringScrubSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+      |       FROM words, UNNEST(range(0, len(w) - 2)) AS t(i)),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+      |          pos_a - row_number() OVER (
+      |            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS g
+      |        FROM m),
+      |spans AS (SELECT doc_b, MIN(pos_b) AS start_b, COUNT(*) + 2 AS len
+      |          FROM isl GROUP BY doc_a, doc_b, diag, g
+      |          HAVING COUNT(*) >= 8),
+      |rem AS (SELECT DISTINCT doc_b AS doc_id, start_b + u.k AS pos
+      |        FROM spans, UNNEST(range(0, len)) AS u(k)),
+      |toks AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+      |         FROM words, UNNEST(range(0, len(w))) AS t(i)),
+      |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+      |         WHERE NOT EXISTS (SELECT 1 FROM rem r
+      |                           WHERE r.doc_id = t.doc_id AND r.pos = t.pos))
+      |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(k.pos) AS BIGINT) AS n_tokens_kept,
+      |  COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean
+      |FROM words w LEFT JOIN kept k ON k.doc_id = w.doc_id
+      |GROUP BY w.doc_id, len(w.w)
+      |ORDER BY w.doc_id""".stripMargin
+
   /** Verified MinHash near-dup pairs at j≥0.8 — the stage shared by
     * `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus`. Memoized
     * and persisted per (session, dir) so composed pipelines pay the
@@ -902,6 +939,7 @@ object LlmOps {
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
     Q("dedup_ngram_prefix", jaccardOracle("0.5"))(dedupNgramPrefix),
     Q("dedup_substring", dedupSubstringSql)(dedupSubstring),
+    Q("dedup_substring_scrub", dedupSubstringScrubSql)(dedupSubstringScrub),
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
     Q("media_frames", mediaFramesSql)(mediaFrames),
     Q("media_resize", mediaResizeSql)(mediaResize),

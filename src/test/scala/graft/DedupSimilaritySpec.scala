@@ -322,6 +322,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(j.isEmpty)
   }
 
+  test("substringScrub cuts the duplicated span from the higher-id doc only") {
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val d1 = ((1 to 20).map(i => s"alpha$i") ++ Seq(shared)).mkString(" ")
+    val d2 = (Seq(shared) ++ (1 to 20).map(i => s"beta$i")).mkString(" ")
+    val d3 = (1 to 15).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, col("doc_id"), col("text"),
+        n = 3, minTokens = 10)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 1 (lower id) keeps everything; doc 2 loses exactly the 12
+    // shared tokens from the front; doc 3 untouched
+    assert(out(0) == (1L, 32L, 32L, d1))
+    assert(out(1) == (2L, 32L, 20L, (1 to 20).map(i => s"beta$i").mkString(" ")))
+    assert(out(2) == (3L, 15L, 15L, d3))
+  }
+
+  test("substringScrub restores a fully-covered doc as an empty rewrite") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 10).map(i => s"a$i") :+ shared).mkString(" ")),
+      (2L, shared)).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, col("doc_id"), col("text"),
+        n = 3, minTokens = 10)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out(1) == (2L, 12L, 0L, ""))
+  }
+
   test("substringSpans enforces the minTokens boundary exactly") {
     def corpus(k: Int) = {
       val shared = (1 to k).map(i => s"s$i").mkString(" ")
@@ -394,6 +421,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
     assert(offenders.isEmpty,
       s"index side shuffled:\n${offenders.map(_.toString.take(300)).mkString}")
+  }
+
+  test("incremental rounds with index appends reconstruct the full pair set") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    Dedup.writeSignatureIndex(a, col("doc_id"), col("text"), "sig_idx_rounds")
+    val r1 = pairs(Dedup.incrementalDedup(spark, "sig_idx_rounds", b,
+      col("doc_id"), col("text")))
+    Dedup.appendToSignatureIndex(b, col("doc_id"), col("text"), "sig_idx_rounds")
+    val r2 = pairs(Dedup.incrementalDedup(spark, "sig_idx_rounds", c,
+      col("doc_id"), col("text")))
+    val base = pairs(Dedup.minhashDedup(a, col("doc_id"), col("text")))
+    val full = pairs(Dedup.minhashDedup(docs, col("doc_id"), col("text")))
+    // batch-0 internal + round-1 (b vs a + intra-b) + round-2 (c vs a∪b
+    // + intra-c) partition the full-corpus pair set
+    assert((base ++ r1 ++ r2) == full)
+    assert((base & r1).isEmpty && (base & r2).isEmpty && (r1 & r2).isEmpty)
   }
 
   test("composed dedup calls share persisted stages; gates measure once") {
