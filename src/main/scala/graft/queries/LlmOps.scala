@@ -774,6 +774,47 @@ object LlmOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sliding-window chunking (64-token chunks, stride 48 → 16-token
+    * overlap) — [[graft.operators.Chunking.chunks]]; the chunk text
+    * itself is emitted and hash-checked. */
+  def corpusChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunks(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no")
+
+  private val corpusChunksSql =
+    """SELECT doc_id, CAST(k / 48 AS BIGINT) AS chunk_no,
+      |  CAST(k AS BIGINT) AS start_tok,
+      |  CAST(len(w[k+1 : k+64]) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(w[k+1 : k+64], ' ') AS text_chunk
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |     UNNEST(range(0, greatest(len(w), 1), 48)) AS t(k)
+      |ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Fixed-length packing manifest (256-token training sequences over
+    * the doc-id-ordered token stream) —
+    * [[graft.operators.Chunking.pack]]. */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.pack(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), seqLen = 256)
+      .orderBy("seq_id")
+
+  private val corpusPackSql =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |o AS (SELECT doc_id, n,
+      |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |      FROM d),
+      |x AS (SELECT doc_id, s.seq_id,
+      |        least((s.seq_id + 1) * 256, off + n) -
+      |          greatest(s.seq_id * 256, off) AS contrib
+      |      FROM o, UNNEST(range(off // 256, (off + n - 1) // 256 + 1)) AS s(seq_id))
+      |SELECT seq_id, CAST(SUM(contrib) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM x
+      |GROUP BY seq_id
+      |ORDER BY seq_id""".stripMargin
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal feature extraction: synthesize media rows (opaque binary
@@ -966,6 +1007,8 @@ object LlmOps {
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
+    Q("corpus_chunks", corpusChunksSql)(corpusChunks),
+    Q("corpus_pack", corpusPackSql)(corpusPack),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
     Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),

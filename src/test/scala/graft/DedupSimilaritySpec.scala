@@ -464,6 +464,35 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.size < persisted1)
   }
 
+  test("chunking covers every token with the declared overlap; pack conserves tokens") {
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, (1 to 64).map(i => s"u$i").mkString(" ")),  // exactly one window
+      (3L, "just three tokens")).toDF("doc_id", "text")
+    val ch = Chunking.chunks(docs, col("doc_id"), col("text"), size = 64, stride = 48)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: starts 0, 48, 96 -> lengths 64, 52, 4; doc 2: one full
+    // window + the stride-48 tail; doc 3: one short chunk
+    assert(ch.filter(_._1 == 1L).map(c => (c._3, c._4)) ==
+      Seq((0L, 64L), (48L, 52L), (96L, 4L)))
+    assert(ch.filter(_._1 == 2L).map(c => (c._3, c._4)) == Seq((0L, 64L), (48L, 16L)))
+    assert(ch.filter(_._1 == 3L).map(_._5) == Seq("just three tokens"))
+    // every consecutive chunk pair overlaps by size - stride tokens
+    val c1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.sliding(2).forall { case Seq(a, b) => b._3 - a._3 == 48L })
+
+    val pk = Chunking.pack(docs, col("doc_id"), col("text"), seqLen = 40)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // token conservation: sequences partition the 167-token stream
+    assert(pk.map(_._2).sum == 167L)
+    assert(pk.init.forall(_._2 == 40L) && pk.last._2 == 167L % 40)
+    // every sequence's contributors are a contiguous doc range
+    assert(pk.forall(s => s._4 <= s._5))
+    // doc 2 starts at offset 100 -> first appears in seq 100/40 = 2
+    assert(pk.filter(_._1 == 2L).head._5 >= 2L)
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(
