@@ -428,6 +428,97 @@ object LlmOps {
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, the
+    * standard pre-training hygiene pass): per doc, the metrics behind the
+    * published thresholds — token count in [50, 100k], mean word length
+    * in [3, 10], ≥80% of words containing an alphabetic character, ≥2
+    * stopword hits, plus a type-token-ratio floor as the repetition proxy
+    * (the corpus has no line structure for the bullet/ellipsis line
+    * rules) — each rule emitted as its own boolean next to the composite
+    * `keep`, so downstream consumers can re-mix thresholds without
+    * re-scanning. Pure per-row column arithmetic on integers and
+    * int-ratio doubles: codegen'd, no shuffle at all, and bitwise
+    * reproducible in the oracle. */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    val nTok = size(w)
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok.cast("double")
+    val alphaFrac = size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
+      nTok.cast("double")
+    val nStop = TextOps.hitCount(w, TextOps.enStopwords)
+    val ttr = size(array_distinct(w)).cast("double") / nTok.cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stop"), ttr.as("ttr"))
+      .select(col("*"),
+        col("n_tokens").between(50, 100000).as("r_count"),
+        (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0).as("r_word_len"),
+        (col("alpha_frac") >= 0.8).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (col("ttr") >= 0.2).as("r_ttr"))
+      .withColumn("keep",
+        col("r_count") && col("r_word_len") && col("r_alpha") &&
+          col("r_stop") && col("r_ttr"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityGopherSql =
+    """SELECT *,
+      |  (r_count AND r_word_len AND r_alpha AND r_stop AND r_ttr) AS keep
+      |FROM (SELECT *,
+      |    n_tokens BETWEEN 50 AND 100000 AS r_count,
+      |    mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS r_word_len,
+      |    alpha_frac >= 0.8 AS r_alpha,
+      |    n_stop >= 2 AS r_stop,
+      |    ttr >= 0.2 AS r_ttr
+      |  FROM (SELECT doc_id,
+      |      len(w) AS n_tokens,
+      |      CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len,
+      |      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |        / CAST(len(w) AS DOUBLE) AS alpha_frac,
+      |      len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_stop,
+      |      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Unigram corpus-frequency scoring — the log-free core of unigram-LM
+    * quality filtering: per doc, how common its tokens are corpus-wide
+    * (`sum_tf`/`avg_tf`) and its rarest token (`min_tf`). Thresholding on
+    * these is monotone-equivalent to thresholding a per-token-clamped
+    * unigram perplexity; the log itself is deliberately never computed —
+    * `ln` is not required to round identically across libms, while these
+    * integer sums and int-ratio doubles compare bitwise against the
+    * oracle. Two shuffles: token-frequency aggregate, per-doc aggregate.
+    * The frequency table joins back by broadcast (vocabulary grows by
+    * Heaps' law, orders of magnitude smaller than the corpus); if a
+    * web-scale vocabulary ever outgrew the broadcast budget, dropping the
+    * hint falls back to a hash join on the token key — same plan shape,
+    * still no driver-side state. */
+  def lmUnigram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"), col("min_tf"),
+        (col("sum_tf").cast("double") / col("n_tokens").cast("double")).as("avg_tf"))
+      .orderBy("doc_id")
+  }
+
+  private val lmUnigramSql =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(tf) AS BIGINT) AS sum_tf,
+      |  MIN(tf) AS min_tf,
+      |  CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tf
+      |FROM toks JOIN vocab USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Stopword-hit language-ID heuristic: score each candidate language by
     * stopword occurrences (with multiplicity), argmax with a fixed
     * preference order, 'unknown' when nothing hits. */
@@ -597,6 +688,22 @@ object LlmOps {
       |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
       |FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
+
+  /** [[decontaminate]] through the Bloom-runtime-filter path
+    * ([[Dedup.contaminationBloom]]): same split, same output, same oracle
+    * — the exact verify behind the Bloom prefilter makes false positives
+    * unobservable. Registered alongside the broadcast form because the
+    * two diverge exactly where 100 TB pipelines live: a benchmark suite
+    * too big to broadcast still fits a few-MB Bloom filter evaluated at
+    * the corpus scan. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+  }
 
   /** Corpus-QA duplication profile: per doc, the fraction of its distinct
     * 3-gram shingles that occur in ≥2 documents corpus-wide — the
@@ -987,6 +1094,7 @@ object LlmOps {
     Q("media_phash_dedup", mediaPhashDedupSql)(mediaPhashDedup),
     Q("dedup_containment", dedupContainmentSql)(dedupContainment),
     Q("decontaminate", decontaminateSql)(decontaminate),
+    Q("decontaminate_bloom", decontaminateSql)(decontaminateBloom),
     Q("dup_coverage", dupCoverageSql)(dupCoverage),
     Q("sparse_cosine", sparseCosineSql)(sparseCosineQ),
     Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
@@ -1004,6 +1112,8 @@ object LlmOps {
     Q.noOracle("vector_ivf")(vectorIvf),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
+    Q("quality_gopher", qualityGopherSql)(qualityGopher),
+    Q("lm_unigram", lmUnigramSql)(lmUnigram),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),

@@ -506,4 +506,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     // "secret eval question" = the one shared 3-gram of doc 1's 5
     assert(shared == 1L && total == 5L && frac == 0.2)
   }
+
+  test("bloom-prefiltered contamination is bitwise-equal to the broadcast form") {
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val exact = rows(Dedup.contamination(train, bench, col("doc_id"), col("text"), 3))
+    val bloomDf = Dedup.contaminationBloom(train, bench, col("doc_id"), col("text"), 3)
+    assert(rows(bloomDf) == exact)
+    assert(exact.nonEmpty)
+    // the Bloom prefilter is really in the plan (scalar-subquery
+    // might_contain over bloom_filter_agg), not optimized away
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
 }

@@ -50,4 +50,53 @@ class TextOpsSpec extends SparkTestBase {
       "from <IP> but not 555-12345 nor ver 1.2.3")
     assert((ne, np, ni) == (1, 2, 1))
   }
+
+  test("quality_gopher: each rule fires on its designed violation") {
+    // corpus docs run 10-99 tokens: the >=50 count rule genuinely splits
+    // the corpus, and keep is exactly the conjunction of the rule columns
+    val corpus = graft.queries.LlmOps.qualityGopher(spark, sf0001)
+    val kept = corpus.filter(col("keep")).count()
+    assert(kept > 0 && kept < corpus.count())
+    assert(corpus.filter(col("keep") =!= (col("r_count") && col("r_word_len") &&
+      col("r_alpha") && col("r_stop") && col("r_ttr"))).count() == 0)
+    // crafted violations, one per rule (metrics recomputed on a local df)
+    val short = "the a of and to"                                // < 50 tokens
+    val longWords = ("the a " + Seq.fill(60)("extraordinarily").mkString(" "))  // mean len > 10
+    val symbols = "the a " + Seq.fill(60)("### !!! $$$ %%%").mkString(" ") // alpha < 0.8
+    val noStop = Seq.fill(60)("alpha beta gamma delta").mkString(" ")      // 0 stopwords
+    val repeat = "the a " + Seq.fill(100)("spam").mkString(" ")            // ttr < 0.2
+    val df = Seq((1L, short), (2L, longWords), (3L, symbols), (4L, noStop),
+      (5L, repeat)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("__gq")
+    val w = TextOps.tokens(col("text"))
+    val out = df.select(col("doc_id"),
+        size(w).between(50, 100000).as("r_count"),
+        (((length(col("text")) - size(w) + 1).cast("double") / size(w)) >= 3.0 &&
+          ((length(col("text")) - size(w) + 1).cast("double") / size(w)) <= 10.0).as("r_word_len"),
+        ((size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") / size(w)) >= 0.8).as("r_alpha"),
+        (TextOps.hitCount(w, TextOps.enStopwords) >= 2).as("r_stop"),
+        ((size(array_distinct(w)).cast("double") / size(w)) >= 0.2).as("r_ttr"))
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(out(0)._2 == false)  // short: count rule fails
+    assert(out(1)._3 == false)  // longWords: word-length rule fails
+    assert(out(2)._4 == false)  // symbols: alpha rule fails
+    assert(out(3)._5 == false)  // noStop: stopword rule fails
+    assert(out(4)._6 == false)  // repeat: ttr rule fails
+  }
+
+  test("lm_unigram: frequencies and per-doc sums on a known corpus") {
+    // corpus: 'x' appears 3 times total, 'y' 2, 'z' 1
+    val docs = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val out = toks.join(vocab, "tok").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("tf")).as("s"), min(col("tf")).as("m"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    // doc 1: tf(x)+tf(x)+tf(y) = 3+3+2 = 8, min 2
+    assert(out(0) == ((1L, 3L, 8L, 2L)))
+    // doc 2: 3+2+1 = 6, min 1
+    assert(out(1) == ((2L, 3L, 6L, 1L)))
+  }
 }
