@@ -36,9 +36,14 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // Local-iteration escape hatch, mirroring Verify's: GRAFT_ONLY=q1,q2
+    // benches a subset. The driver never sets it.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         clearState()
         try exec(fn(spark, warmDir))
         catch { case _: Throwable => () }
@@ -52,7 +57,7 @@ object Bench {
     // throws is recorded LOUDLY (err field + errors count in the headline)
     // instead of benching as instant — a silent catch would let a broken
     // query masquerade as the fastest one.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = picked.toSeq.map { case (name, fn) =>
       var err: Option[String] = None
       val samples = Seq.fill(2) {
         clearState()

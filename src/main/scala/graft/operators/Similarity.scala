@@ -101,19 +101,22 @@ object Similarity {
     * 10-iteration clustering job over the full corpus inside the query. */
   private val IvfTrainCap = 4096
 
+  /** Training sample in ONE pass — the cap-many smallest xxhash64(id)
+    * rows, i.e. a deterministic uniform sample that needs no prior
+    * count(): TakeOrderedAndProject keeps a bounded heap per partition,
+    * so this is the query's only construction-time job (round-2 verdict:
+    * construction ran an eager full count + 10 mllib fit jobs).
+    * Centroids then come from a driver-side Lloyd on ≤4096×dim doubles —
+    * microseconds, seeded, no executor round-trips. */
+  private def trainSample(c0: DataFrame): Array[Array[Double]] =
+    c0.orderBy(xxhash64(col("cand_id"))).limit(IvfTrainCap)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    // Training sample in ONE pass — the cap-many smallest xxhash64(id)
-    // rows, i.e. a deterministic uniform sample that needs no prior
-    // count(): TakeOrderedAndProject keeps a bounded heap per partition,
-    // so this is the query's only construction-time job (round-2 verdict:
-    // construction ran an eager full count + 10 mllib fit jobs).
-    // Centroids then come from a driver-side Lloyd on ≤4096×dim doubles —
-    // microseconds, seeded, no executor round-trips.
-    val sample = c0.orderBy(xxhash64(col("cand_id"))).limit(IvfTrainCap)
-      .select(col("cv")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = trainSample(c0)
     val cents = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
       .map(_.map(_.toFloat)).zipWithIndex
 
@@ -146,6 +149,110 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): IVF coarse cells route queries exactly as
+    * [[ivfTopK]], but candidates are scored from **product-quantized
+    * codes** instead of their raw vectors — the memory-bound regime's
+    * answer. The vector splits into `m` subspaces; each subspace gets a
+    * `kSub`-centroid codebook (trained on the same one-pass seeded
+    * sample, driver-side Lloyd per subspace); a vector encodes to m small
+    * codes (m bytes at kSub=256; here kSub=16) plus its cell id — 64
+    * float32 dims collapse to 8 codes + 1 int, a ~30× shrink of what the
+    * scoring join shuffles and caches. Queries never decode: each query
+    * precomputes per-subspace lookup tables dot(q_sub, codebook_j)
+    * (asymmetric distance computation), and a candidate's approximate
+    * dot product is m table lookups summed via `zip_with`. Norms are
+    * approximated from the codebook entries at encode time, so the
+    * rank key is approx-cosine over the full probed cells, then the
+    * `refine`·k ADC shortlist is re-ranked **exactly** by joining the raw
+    * vectors back by candidate id (the standard IVF-PQ refinement step —
+    * an equi-join touching refine·k rows per query, not the corpus).
+    * Plan shape: cell equi-join + id equi-join, codebooks and LUTs
+    * broadcast with the (tiny) query side — no corpus broadcast, no
+    * nested loop, hash-partitionable at any corpus size. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kSub: Int = 32,
+      dim: Int = 64, refine: Int = 4): DataFrame = {
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m $m")
+    val d = dim / m
+    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val sample = trainSample(c0)
+    val coarse = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
+      .map(_.map(_.toFloat)).zipWithIndex
+    // per-subspace codebooks: Lloyd on the sample's d-dim slices;
+    // distinct seed per subspace so identical subspace distributions
+    // don't train identical books
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      KMeansLite.fit(sample.map(_.slice(s * d, (s + 1) * d)), kSub,
+        iters = 10, seed = 42L + s).map(_.map(_.toFloat))
+    }
+    val bookNorm2: Array[Array[Double]] =
+      books.map(_.map(cb => cb.map(x => x.toDouble * x.toDouble).sum))
+
+    def centDist2(v: Column, cent: Array[Float]): Column = {
+      val c2 = cent.map(x => x.toDouble * x.toDouble).sum
+      lit(c2) - lit(2.0) * VectorOps.dot(v, lit(cent))
+    }
+    def nearestCells(v: Column, n: Int): Column = {
+      val scored = array(coarse.map { case (cent, i) =>
+        struct(centDist2(v, cent).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(array_sort(scored), 1, n).getField("cell")
+    }
+    // encode: per subspace, the argmin-distance codebook entry
+    def codeOf(v: Column, s: Int): Column = {
+      val sub = slice(v, s * d + 1, d)
+      val scored = array(books(s).zipWithIndex.map { case (cb, j) =>
+        struct(centDist2(sub, cb).as("d"), lit(j).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+
+    val codeCols = (0 until m).map(s => codeOf(col("cv"), s).as(s"__c$s"))
+    val encoded = c0
+      .select((col("cand_id") +: nearestCells(col("cv"), 1).getItem(0).as("cell") +:
+        codeCols): _*)
+      .select(col("cand_id"), col("cell"),
+        array((0 until m).map(s => col(s"__c$s")): _*).as("codes"),
+        sqrt((0 until m).map(s =>
+            element_at(lit(bookNorm2(s)), col(s"__c$s") + 1))
+          .reduce(_ + _)).as("cn_approx"))
+
+    // ADC lookup tables: lut[s][j] = dot(q_sub_s, books(s)(j))
+    def lutOf(qv: Column): Column = array((0 until m).map { s =>
+      val sub = slice(qv, s * d + 1, d)
+      array(books(s).map(cb => VectorOps.dot(sub, lit(cb))): _*)
+    }: _*)
+    val qAssigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("lut", lutOf(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), nprobe)))
+
+    val adc = aggregate(
+      zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("cand_id"))
+    val shortlist = qAssigned.join(encoded, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("qn"),
+        (adc / (col("qn") * col("cn_approx"))).as("cos_approx"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("rank_adc", row_number().over(wAdc))
+      .filter(col("rank_adc") <= k * refine)
+
+    // refinement: exact cosine on the shortlist only (id equi-join)
+    val raw = c0.withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    shortlist.join(raw, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

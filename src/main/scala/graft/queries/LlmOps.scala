@@ -381,6 +381,18 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): IVF routing + product-
+    * quantized asymmetric-distance scoring — the memory-bound scale path
+    * (codes are ~30× smaller than the vectors they rank); rows-only
+    * (k-means codebooks are engine-specific), recall anchored by spec
+    * against the exact [[vectorTopk]]. */
+  def vectorPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-vector norm and self-dot in double precision. Exactness vs DuckDB
     * holds because both engines fold the 64 doubles sequentially. */
   def vectorNorms(spark: SparkSession, dir: String): DataFrame =
@@ -1110,6 +1122,7 @@ object LlmOps {
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),
     Q.noOracle("vector_ivf")(vectorIvf),
+    Q.noOracle("vector_pq")(vectorPq),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("quality_gopher", qualityGopherSql)(qualityGopher),
