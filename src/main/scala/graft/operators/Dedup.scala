@@ -134,12 +134,44 @@ object Dedup {
     * consumers whose aggregates are duplicate-insensitive
     * ([[docSignatures]]); everything rank/frequency-based goes through the
     * distinct [[hashedShingleSet]]. */
+  /** Per-document shingle-hash ARRAY (doc_id, hs) — the un-exploded form
+    * of [[hashedShingleStream]], same token-hash composition. Public for
+    * operators that must stay per-row/shuffle-free, e.g. the streaming
+    * decontamination flag ([[graft.streaming.StreamingDownsample
+    * .decontaminateStream]]).
+    *
+    * NOT the building block of [[hashedShingleStream]], deliberately:
+    * exploding this projected array attribute lets
+    * `InferFiltersFromGenerate` add a `size(hs) > 0` filter that
+    * predicate pushdown then rewrites through both projections — which
+    * substitutes the full token-hash transform into the shingle lambda's
+    * per-element indexing, re-tokenizing the document once PER SHINGLE
+    * (O(len²) per doc; measured 25× slower at sf0.001 and effectively
+    * hung at sf0.1). Per-row consumers (a streaming flag, a join) never
+    * trigger that inference, and predicates that also reference the other
+    * join side cannot be pushed into this projection, so the array form
+    * is safe here. */
+  def shingleHashes(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val toks = (0 until n).map(j => s"__th[i + $j]").mkString(", ")
+    df.select(id.as("doc_id"), text.as("__txt"))
+      .select(col("doc_id"),
+        expr("transform(split(__txt, ' '), x -> xxhash64(x))").as("__th"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(__th) >= $n
+           |  THEN transform(sequence(0, size(__th) - $n), i -> xxhash64($toks))
+           |  ELSE array() END""".stripMargin).as("hs"))
+  }
+
   private def hashedShingleStream(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     val toks = (0 until n).map(j => s"__th[i + $j]").mkString(", ")
     // Pre-project the caller's text expression into a fixed internal name:
     // splicing `text.toString` into the expr() SQL would only parse for
-    // bare, quoting-free column names.
+    // bare, quoting-free column names. The explode sits in the SAME
+    // select as the shingle transform (generator = expression, not a
+    // projected attribute): see [[shingleHashes]] for why splitting this
+    // into project-then-explode is a plan-level performance trap.
     df.select(id.as("doc_id"), text.as("__txt"))
       .select(col("doc_id"),
         expr("transform(split(__txt, ' '), x -> xxhash64(x))").as("__th"))

@@ -107,6 +107,39 @@ object StreamingDownsample {
         col("click_id"), col("c_ts"))
   }
 
+  /** **Stream–static decontamination**: an unbounded document stream
+    * flagged per micro-batch against a STATIC benchmark index — the
+    * ingest-time form of [[graft.operators.Dedup.contamination]] (clean a
+    * feed as it lands instead of re-scanning the corpus). The static side
+    * collapses to ONE row holding the distinct bench shingle-hash array;
+    * the join is a stream–static equi-join on a constant key (the 1-row
+    * static side broadcasts), and the per-document overlap is a per-row
+    * `array_intersect` — completely STATELESS, so it runs in append mode
+    * with no watermark and no state store: exactly what a 100 TB/day
+    * ingest pipeline needs. Same memory bound as the batch broadcast
+    * path (distinct bench hashes must fit an executor); when the bench
+    * set outgrows that, the Bloom route ([[graft.operators.Dedup
+    * .contaminationBloom]]) is the batch-side fallback. Emits only
+    * contaminated documents, with the batch operator's exact columns. */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame,
+      n: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val benchArr = Dedup.shingleHashes(bench, col("doc_id"), col("text"), n)
+      .select(explode(col("hs")).as("h")).distinct()
+      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+      .withColumn("__k", lit(1))
+    Dedup.shingleHashes(docs, col("doc_id"), col("text"), n)
+      .withColumn("__k", lit(1))
+      .join(benchArr, "__k")
+      .select(col("doc_id"),
+        size(array_intersect(array_distinct(col("hs")), col("bench_hs")))
+          .cast("long").as("n_shared"),
+        size(array_distinct(col("hs"))).cast("long").as("n_shingles"))
+      .filter(col("n_shared") > 0)
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

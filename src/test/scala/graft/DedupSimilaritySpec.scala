@@ -524,6 +524,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(shared == 1L && total == 5L && frac == 0.2)
   }
 
+  test("shingle stream plan: no inferred filter re-tokenizes at the scan") {
+    // Regression guard for the InferFiltersFromGenerate + pushdown trap:
+    // exploding a PROJECTED shingle array lets the optimizer push a
+    // size()>0 filter to the scan with the whole token transform inlined
+    // into the lambda's per-element indexing — O(len²) per document.
+    val docs = Tables.documents(spark, sf0001)
+    val plan = Dedup.hashedShingleSet(docs, col("doc_id"), col("text"), 3)
+      .queryExecution.optimizedPlan
+    val bad = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("split(") => f
+    }
+    assert(bad.isEmpty,
+      "predicate pushdown inlined the shingle transform into a Filter")
+  }
+
   test("bloom-prefiltered contamination is bitwise-equal to the broadcast form") {
     val docs = Tables.documents(spark, sf0001)
     val train = docs.filter(col("doc_id") % 20 =!= 0)

@@ -171,4 +171,35 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(got == batchExpected(sample))
   }
+
+  test("stream-static decontamination flags exactly the batch contamination set") {
+    implicit val sqlCtx = spark.sqlContext
+    // driver corpus split like the registered decontaminate query:
+    // doc_id % 20 == 0 plays the static benchmark, the rest stream in
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDownsample.decontaminateStream(stream, bench)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    mem.addData(train.take(200))
+    q.processAllAvailable()
+    mem.addData(train.drop(200))
+    q.processAllAvailable()
+    val got = spark.table("decon_out")
+      .select("doc_id", "n_shared", "n_shingles")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    val expected = graft.operators.Dedup.contamination(
+        Tables.documents(spark, sf0001).filter(col("doc_id") % 20 =!= 0),
+        Tables.documents(spark, sf0001).filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), 3)
+      .select("doc_id", "n_shared", "n_shingles")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
