@@ -410,7 +410,10 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
 
     val tr = memoPersist(hashedShingleSet(train, id, text, n))
-    val benchSh = hashedShingleSet(bench, id, text, n).select(col("h"))
+    // bench side persisted too: the count gate, the bloom aggregate and
+    // the verify join would otherwise re-shingle the bench corpus thrice
+    val benchSh = memoPersist(
+      hashedShingleSet(bench, id, text, n).select(col("h")).distinct())
     // sized from the gate-memoized bench cardinality: one tiny planning
     // aggregate per (session, input), like ngramJaccardAuto's Σdf² gate
     val nBench = memoGate(benchSh)(math.max(benchSh.count(), 1L))
@@ -420,7 +423,11 @@ object Dedup {
     val bloomPlan = ColumnBridge.logicalPlan(benchSh.agg(bloomAgg.as("bloom")))
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomPlan), ColumnBridge.expression(col("h"))))
-    val bh = broadcast(benchSh.distinct())
+    // NO broadcast hint on the verify join, deliberately: in the regime
+    // this operator exists for (bench too big to broadcast) the planner
+    // must be free to fall back to a shuffle join over the bloom-pruned
+    // corpus; below the threshold Catalyst broadcasts on its own.
+    val bh = benchSh
     val sizes = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = tr.filter(mightContain).join(bh, "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))

@@ -160,7 +160,7 @@ object Similarity {
     * answer. The vector splits into `m` subspaces; each subspace gets a
     * `kSub`-centroid codebook (trained on the same one-pass seeded
     * sample, driver-side Lloyd per subspace); a vector encodes to m small
-    * codes (m bytes at kSub=256; here kSub=16) plus its cell id — 64
+    * codes (m bytes at kSub=256; here kSub=32) plus its cell id — 64
     * float32 dims collapse to 8 codes + 1 int, a ~30× shrink of what the
     * scoring join shuffles and caches. Queries never decode: each query
     * precomputes per-subspace lookup tables dot(q_sub, codebook_j)
@@ -238,11 +238,14 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_approx").desc, col("cand_id"))
+    // (query_id, cand_id) pairs are unique out of the cell join — each
+    // candidate sits in exactly one cell and a query's nprobe probed
+    // cells are distinct — so no dedup aggregate is needed here (it
+    // would shuffle the largest intermediate for nothing)
     val shortlist = qAssigned.join(encoded, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("qv"), col("qn"),
         (adc / (col("qn") * col("cn_approx"))).as("cos_approx"))
-      .dropDuplicates("query_id", "cand_id")
       .withColumn("rank_adc", row_number().over(wAdc))
       .filter(col("rank_adc") <= k * refine)
 

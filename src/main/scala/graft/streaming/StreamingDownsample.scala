@@ -124,15 +124,22 @@ object StreamingDownsample {
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
       n: Int = 3): DataFrame = {
     import graft.operators.Dedup
-    val benchArr = Dedup.shingleHashes(bench, col("doc_id"), col("text"), n)
-      .select(explode(col("hs")).as("h")).distinct()
+    // Static side built from the EXPLODED shingle stream (explode fused
+    // with the shingle expression — see Dedup.shingleHashes scaladoc for
+    // why exploding the projected array form would re-tokenize O(len²)),
+    // collapsed to one row and PERSISTED: stream–static joins re-evaluate
+    // the static side every micro-batch, so without the persist the whole
+    // bench corpus would re-shingle per batch. collect_set already
+    // deduplicates, so the hashedShingleSet's distinct is the only one.
+    val benchArr = Dedup.hashedShingleSet(bench, col("doc_id"), col("text"), n)
       .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
       .withColumn("__k", lit(1))
+      .persist()
     Dedup.shingleHashes(docs, col("doc_id"), col("text"), n)
       .withColumn("__k", lit(1))
       .join(benchArr, "__k")
       .select(col("doc_id"),
-        size(array_intersect(array_distinct(col("hs")), col("bench_hs")))
+        size(array_intersect(col("hs"), col("bench_hs")))
           .cast("long").as("n_shared"),
         size(array_distinct(col("hs"))).cast("long").as("n_shingles"))
       .filter(col("n_shared") > 0)

@@ -67,7 +67,6 @@ class TextOpsSpec extends SparkTestBase {
     val repeat = "the a " + Seq.fill(100)("spam").mkString(" ")            // ttr < 0.2
     val df = Seq((1L, short), (2L, longWords), (3L, symbols), (4L, noStop),
       (5L, repeat)).toDF("doc_id", "text")
-    df.createOrReplaceTempView("__gq")
     val w = TextOps.tokens(col("text"))
     val out = df.select(col("doc_id"),
         size(w).between(50, 100000).as("r_count"),
