@@ -99,7 +99,14 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"full":"$fullPath","sf":"$sfDir"}"""
     val totalsOnly =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"full":"$fullPath","sf":"$sfDir"}"""
-    println(if (withQueries.length <= 1900) withQueries else totalsOnly)
+    // The consumer keeps only the last ~2000 chars of stdout. When the
+    // per-query line fits that window it is the single (parseable) line;
+    // when the registry outgrows it, the per-query line still prints —
+    // its tail-visible suffix carries most queries for eyeballing — and a
+    // short totals-only line follows as the LAST line, so the tail always
+    // ends with machine-parseable JSON either way.
+    println(withQueries)
+    if (withQueries.length > 1900) println(totalsOnly)
     spark.stop()
   }
 }

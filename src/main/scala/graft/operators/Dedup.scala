@@ -31,7 +31,7 @@ object Dedup {
     .empty[(org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
 
-  private def memoPersist(df: DataFrame): DataFrame =
+  private[graft] def memoPersist(df: DataFrame): DataFrame =
     persistRegistry.synchronized {
       val plan = df.queryExecution.analyzed
       persistRegistry.collectFirst {

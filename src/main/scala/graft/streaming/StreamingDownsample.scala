@@ -131,10 +131,13 @@ object StreamingDownsample {
     // the static side every micro-batch, so without the persist the whole
     // bench corpus would re-shingle per batch. collect_set already
     // deduplicates, so the hashedShingleSet's distinct is the only one.
-    val benchArr = Dedup.hashedShingleSet(bench, col("doc_id"), col("text"), n)
-      .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
-      .withColumn("__k", lit(1))
-      .persist()
+    // Persisted through Dedup's plan-keyed registry, not a bare persist:
+    // repeated construction shares one copy and Dedup.releaseCaches()
+    // (the library's caller-release contract) drops it.
+    val benchArr = Dedup.memoPersist(
+      Dedup.hashedShingleSet(bench, col("doc_id"), col("text"), n)
+        .agg(sort_array(collect_set(col("h"))).as("bench_hs"))
+        .withColumn("__k", lit(1)))
     Dedup.shingleHashes(docs, col("doc_id"), col("text"), n)
       .withColumn("__k", lit(1))
       .join(benchArr, "__k")
