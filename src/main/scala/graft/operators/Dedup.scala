@@ -219,7 +219,7 @@ object Dedup {
     * [[incrementalDedup]]. Band hashing is pure per-row arithmetic over
     * the signature, so band rows of a stored index are a narrow
     * projection over its scan, never a shuffle. */
-  private def bandedSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandedSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),

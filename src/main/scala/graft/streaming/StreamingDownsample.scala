@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -148,6 +148,82 @@ object StreamingDownsample {
       .filter(col("n_shared") > 0)
       .withColumn("contamination",
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** **Streaming near-dup detection against the persisted signature
+    * index** — the in-flight half of the incremental-dedup loop
+    * ([[graft.operators.Dedup.incrementalDedup]] is the batch half):
+    * every arriving document is checked against the bucketed index
+    * WITHOUT re-shingling the indexed corpus, per micro-batch, with NO
+    * state store. Everything the batch pipeline computes with shuffles
+    * becomes per-row arithmetic on the stream side:
+    *
+    *  - shingle hashes: per-row array ([[graft.operators.Dedup
+    *    .shingleHashes]]);
+    *  - MinHash signature: `sig[i] = array_min(transform(hs, h →
+    *    xxhash64(h, i)))` — identical values to the batch `groupBy.min`
+    *    because min is duplicate-insensitive;
+    *  - LSH bands: the same band-hash arithmetic as the stored index
+    *    (per-row, exploded);
+    *  - candidate generation: stream–static equi-join on (band, bh)
+    *    against the index's band projection — stateless;
+    *  - **exactly-once per pair without state**: a pair colliding in
+    *    several bands would emit duplicates (streaming `distinct` needs
+    *    state), so each joined row recomputes both sides' band hashes
+    *    from their signatures and survives only if its band is the
+    *    SMALLEST colliding one — a pure per-row filter;
+    *  - verification: second stream–static join pulls the index doc's
+    *    stored hash set; the codegen'd `SortedLongIntersectCount`
+    *    merge-walks the exact Jaccard per-row.
+    *
+    * Pairs *within* the stream are deliberately out of scope here: that
+    * is the batch step of the loop (dedupe the accumulated batch, then
+    * [[graft.operators.Dedup.appendToSignatureIndex]] folds it in). */
+  def nearDupStream(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val rows = k / bands
+    val withSig = Dedup.shingleHashes(docs, col("doc_id"), col("text"), n)
+      .withColumn("hss", sort_array(array_distinct(col("hs"))))
+      .withColumn("sig", array((0 until k).map(i =>
+        array_min(transform(col("hss"), h => xxhash64(h, lit(i))))): _*))
+      .drop("hs")
+    def bandHash(sig: Column, bd: Int): Column =
+      xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => sig(j)) :+ lit(bd): _*)
+    val bandCols = (0 until bands).map(bd =>
+      struct(lit(bd).as("band"), bandHash(col("sig"), bd).as("bh")))
+    val streamBands = withSig
+      .select(col("doc_id").as("delta_id"), col("hss"), col("sig").as("sig_d"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("delta_id"), col("hss"), col("sig_d"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val index = spark.table(indexTable)
+    val idxBands = Dedup.bandedSignatures(
+        index.select(col("doc_id"), col("sig")), k, bands)
+      .join(index.select(col("doc_id"), col("sig").as("sig_i")), "doc_id")
+      .select(col("doc_id").as("idx_id"), col("sig_i"), col("band"), col("bh"))
+    val minCollidingBand = array_min(array((0 until bands).map(bd =>
+      when(bandHash(col("sig_d"), bd) === bandHash(col("sig_i"), bd), lit(bd))
+        .otherwise(lit(bands))): _*))
+    val cand = streamBands.join(idxBands, Seq("band", "bh"))
+      .filter(col("band") === minCollidingBand)
+      .select(col("delta_id"), col("idx_id"), col("hss"))
+    cand
+      .join(index.select(col("doc_id").as("idx_id"), col("hs").as("hs_i")), "idx_id")
+      .select(col("delta_id"), col("idx_id"),
+        graft.functions.SortedLongIntersectCount(col("hs_i"), col("hss")).as("inter"),
+        size(col("hs_i")).cast("long").as("ni"),
+        size(col("hss")).cast("long").as("nd"))
+      .select(
+        least(col("idx_id"), col("delta_id")).as("doc_a"),
+        greatest(col("idx_id"), col("delta_id")).as("doc_b"),
+        col("inter"),
+        when(col("idx_id") < col("delta_id"), col("ni")).otherwise(col("nd")).as("na"),
+        when(col("idx_id") < col("delta_id"), col("nd")).otherwise(col("ni")).as("nb"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Stateful: the reference's greedy threshold as GroupState. State per

@@ -172,6 +172,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batchExpected(sample))
   }
 
+  test("streaming near-dup vs signature index equals the batch cross pairs, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    graft.operators.Dedup.writeSignatureIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+      table = "graft_sig_index_stream")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDownsample.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"), spark, "graft_sig_index_stream")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val rows = delta.as[(Long, String)].collect().toSeq
+    mem.addData(rows.take(rows.size / 2))
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.size / 2))
+    q.processAllAvailable()
+    // exactly-once: the min-colliding-band filter must leave no duplicate
+    // pair rows even when a pair collides in several bands
+    val emitted = spark.table("neardup_out")
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect()
+    q.stop()
+    assert(emitted.length == emitted.toSet.size, "duplicate pair rows emitted")
+    val expected = graft.operators.Dedup.incrementalDedup(
+        spark, "graft_sig_index_stream", delta, col("doc_id"), col("text"))
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(emitted.toSet == expected)
+  }
+
   test("stream-static decontamination flags exactly the batch contamination set") {
     implicit val sqlCtx = spark.sqlContext
     // driver corpus split like the registered decontaminate query:
