@@ -13,6 +13,61 @@ import graft.Tables
   * as [[Relational]]. */
 object Extras {
 
+  /** Skew-safe **salted join**, registered end-to-end: events (big side)
+    * joined to its own per-user aggregate (small side) through
+    * [[graft.operators.Joins.saltedJoin]] — the construction for a single
+    * hot key melting one task, which AQE cannot fix (it splits oversized
+    * partitions; all rows of one key hash to one partition by
+    * definition). Output is identical to the plain join, so the oracle
+    * IS the plain join — the driver gate proves the salting is
+    * semantics-preserving on the real corpus. */
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val userAgg = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user_events"))
+      .withColumnRenamed("user_id", "u2")
+    graft.operators.Joins.saltedJoin(
+        ev.select(col("event_id"), col("user_id")), userAgg,
+        col("user_id"), col("u2"), salt = 8)
+      .select(col("event_id"), col("user_id"), col("n_user_events"))
+      .orderBy("event_id")
+  }
+
+  private val saltedJoinSql =
+    """SELECT event_id, user_id, n_user_events
+      |FROM events
+      |JOIN (SELECT user_id AS u2, COUNT(*) AS n_user_events
+      |      FROM events GROUP BY user_id) ON user_id = u2
+      |ORDER BY event_id""".stripMargin
+
+  /** **Bucketed co-located join**: both sides written as bucketed+sorted
+    * tables on the join key at construction (the layout investment a
+    * fact table joined repeatedly on one key pays once), then joined
+    * shuffle-free — JoinsSpec asserts zero Exchange in that plan; this
+    * registered form proves the layout round-trip preserves the rows
+    * against the plain-join oracle. */
+  def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Joins.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "graft_bkt_lineitem", "l_orderkey", 8)
+    graft.operators.Joins.writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      "graft_bkt_orders", "l_orderkey", 8)
+    graft.operators.Joins
+      .bucketedJoin(spark, "graft_bkt_lineitem", "graft_bkt_orders", "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Pivot (cross-tab): events per user by type. Spark's `pivot` yields
     * NULL for empty cells; coalesce to 0 to match the oracle's
     * COUNT(*) FILTER semantics. Pivot values are enumerated explicitly —
@@ -226,5 +281,7 @@ object Extras {
     Q("corr_subquery", corrSubquerySql)(corrSubquery),
     Q("grouping_sets", groupingSetsSql)(groupingSets),
     Q("regex_fns", regexFnsSql)(regexFns),
-    Q("explode_agg", explodeAggSql)(explodeAgg))
+    Q("explode_agg", explodeAggSql)(explodeAgg),
+    Q("salted_join", saltedJoinSql)(saltedJoinQ),
+    Q("bucketed_join", bucketedJoinSql)(bucketedJoinQ))
 }
