@@ -404,6 +404,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(cellOf(30L) == cellOf(34L))
   }
 
+  test("semanticDedup broadcast-seeds path equals the literal-expression path") {
+    val e = Tables.embeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().toSet
+    val prod = rows(Dedup.semanticDedup(e, col("vec_id"), col("embedding"),
+      threshold = 0.4, nCells = 8))
+    val lit8 = rows(Dedup.semanticDedupLiteral(e, col("vec_id"), col("embedding"),
+      threshold = 0.4, nCells = 8))
+    assert(prod == lit8)
+    assert(prod.size == 500)
+  }
+
+  test("semanticDedup at nCells=256: constant expression count, broadcast seeds") {
+    val e = Tables.embeddings(spark, sf0001)
+    def q(n: Int) = Dedup.semanticDedup(e, col("vec_id"), col("embedding"),
+      threshold = 0.4, nCells = n)
+    // the plan must not grow per-seed expression trees: the cosine chain
+    // appears a fixed number of times whether there are 8 seeds or 256
+    def dotCount(df: org.apache.spark.sql.DataFrame) =
+      "(?i)floatvecdot".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    val c8 = dotCount(q(8))
+    val c256 = dotCount(q(256))
+    assert(c8 > 0 && c256 == c8,
+      s"per-seed expression growth: $c8 dots at nCells=8, $c256 at nCells=256")
+    // the seeds side is shipped as a broadcast, and nCells=256 actually runs
+    val plan = q(256).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    val out = q(256).as[(Long, Long, Boolean)].collect()
+    assert(out.length == 500)
+    assert(out.map(_._2).distinct.length > 64) // real spread over the cells
+  }
+
   test("incremental dedup vs a bucketed index equals the full-corpus pairs") {
     val docs = Tables.documents(spark, sf0001)
     val index = docs.filter(col("doc_id") % 10 =!= 0)

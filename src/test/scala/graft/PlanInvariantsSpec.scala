@@ -13,9 +13,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    cutoff as a grouping-free aggregate, provably 1 row, broadcast;
     *  - vector_topk: the exact brute-force baseline — tiny query side
     *    broadcast against the candidate scan, with annTopK/ivfTopK as the
-    *    documented scale paths. */
+    *    documented scale paths;
+    *  - semantic_dedup: the cell-assignment argmax joins each corpus row
+    *    against the BROADCAST nCells-row seeds frame (bounded side ships,
+    *    corpus never moves; partial-agg argmax collapses the expansion
+    *    map-side) — the scalar_subquery shape with nCells rows. */
   private val intendedAllPairs =
-    Set("scalar_subquery", "sparse_cosine", "vector_topk")
+    Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
