@@ -934,6 +934,36 @@ object LlmOps {
       |GROUP BY seq_id
       |ORDER BY seq_id""".stripMargin
 
+  /** Materialized packed training sequences: the actual 256-token texts
+    * behind the [[corpusPack]] manifest —
+    * [[graft.operators.Chunking.packedSequences]]. Full hash oracle: the
+    * packed text is deterministic integer slicing + doc-id-ordered
+    * concatenation, which DuckDB reproduces with the same arithmetic as
+    * [[corpusPackSql]] plus a list-slice string_agg. */
+  def corpusPackText(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.packedSequences(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), seqLen = 256)
+      .orderBy("seq_id")
+
+  private val corpusPackTextSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             len(string_split(text, ' ')) AS n FROM documents),
+      |o AS (SELECT doc_id, w, n,
+      |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |      FROM d),
+      |x AS (SELECT doc_id, s.seq_id,
+      |        greatest(s.seq_id * 256, off) AS st,
+      |        least((s.seq_id + 1) * 256, off + n) AS en,
+      |        off, w
+      |      FROM o, UNNEST(range(off // 256, (off + n - 1) // 256 + 1)) AS s(seq_id))
+      |SELECT seq_id, CAST(SUM(en - st) AS BIGINT) AS n_tokens,
+      |  string_agg(array_to_string(w[st - off + 1 : en - off], ' '),
+      |             ' ' ORDER BY doc_id) AS text_seq
+      |FROM x
+      |GROUP BY seq_id
+      |ORDER BY seq_id""".stripMargin
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal feature extraction: synthesize media rows (opaque binary
@@ -1132,6 +1162,7 @@ object LlmOps {
     Q("token_bpe", tokenBpeSql)(tokenBpe),
     Q("corpus_chunks", corpusChunksSql)(corpusChunks),
     Q("corpus_pack", corpusPackSql)(corpusPack),
+    Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
     Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),

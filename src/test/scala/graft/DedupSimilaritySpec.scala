@@ -540,6 +540,60 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pk.filter(_._1 == 2L).head._5 >= 2L)
   }
 
+  test("two-phase pack equals the global-window reference; no global window over doc rows") {
+    import graft.operators.Chunking
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val twoPhase = rows(Chunking.pack(docs, col("doc_id"), col("text"), seqLen = 256))
+    val reference = rows(
+      Chunking.packViaGlobalWindow(docs, col("doc_id"), col("text"), seqLen = 256))
+    assert(twoPhase == reference)
+    assert(twoPhase.nonEmpty)
+    // plan shape: any partition-less (single-task) Window must sit above
+    // an aggregate — the O(P) partition-totals prefix — never directly
+    // over the per-document rows
+    val plan = Chunking.pack(docs, col("doc_id"), col("text"), seqLen = 256)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val globalWindows = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.nonEmpty, "expected the O(P) partition-totals window")
+    globalWindows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"single-task window directly over row stream:\n${w.simpleString(5)}")
+    }
+    // and a partitioned window does the per-row work
+    assert(plan.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }.nonEmpty)
+  }
+
+  test("packed shards: written sequences join the manifest 1:1 and conserve tokens") {
+    import graft.operators.Chunking
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("packed-shards").toString
+    Chunking.writePackedShards(docs, col("doc_id"), col("text"),
+      seqLen = 256, path = dir)
+    val shards = spark.read.parquet(dir)
+    val manifest = Chunking.pack(docs, col("doc_id"), col("text"), seqLen = 256)
+    // 1:1 on seq_id, token counts agree, and each written text really
+    // holds n_tokens whitespace tokens (conservation down to the artifact)
+    val joined = manifest.as("m")
+      .join(shards.as("s"), col("m.seq_id") === col("s.seq_id"), "full")
+      .select(col("m.seq_id"), col("s.seq_id"),
+        col("m.n_tokens"), col("s.n_tokens"),
+        size(split(col("s.text_seq"), " ")).cast("long").as("counted"))
+      .collect()
+    assert(joined.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(joined.forall(r => r.getLong(2) == r.getLong(3) &&
+      r.getLong(2) == r.getLong(4)))
+    // total tokens across shards == total tokens across documents
+    val totalDocs = docs.select(sum(size(split(col("text"), " "))).cast("long"))
+      .head.getLong(0)
+    assert(joined.map(_.getLong(2)).sum == totalDocs)
+    // every full sequence is exactly seqLen; only the tail may be short
+    val byId = joined.map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1)
+    assert(byId.init.forall(_._2 == 256L))
+  }
+
   test("contamination reports only train docs overlapping the bench set") {
     val bench = Seq((100L, "secret eval question one two three")).toDF("doc_id", "text")
     val train = Seq(
