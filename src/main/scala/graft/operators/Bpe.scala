@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding **merge-loop trainer** — the step a training-data
+  * pipeline runs between pre-tokenization stats ([[TextOps.bpeishTokens]])
+  * and packing real token ids. Classic BPE (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"): start
+  * from characters, repeatedly count adjacent symbol pairs across the
+  * corpus (weighted by word frequency) and merge the most frequent pair,
+  * deterministically tie-broken by (count desc, pair asc).
+  *
+  * Scale shape: the corpus collapses ONCE to the distinct-word frequency
+  * table (Heaps'-law small — the only full-corpus shuffle), persisted
+  * and shared by every iteration. Each of the `nMerges` iterations is
+  * two bounded jobs over that table: an adjacent-pair count (equi-key
+  * groupBy) and a 1-row TakeOrdered argmax; the merge itself is applied
+  * lazily as a codegen'd fold, so iteration k re-runs k folds over the
+  * persisted words rather than materializing a new table per round —
+  * O(nMerges²) passes over the SMALL table, zero extra shuffles, and
+  * only nMerges single-row driver actions (same bounded-collect
+  * discipline as [[KMeansLite]]'s trainer). */
+object Bpe {
+
+  /** Greedy left-to-right merge of adjacent (l, r) symbol runs, as a fold
+    * over the space-joined symbol string: symbols never contain spaces
+    * (they are concatenations of non-space characters), so "acc's last
+    * token is exactly l" is `acc = l` or `acc ends with " " + l`, and
+    * merging is just `acc || x` (the merged symbol IS l||r). The same
+    * fold runs verbatim as DuckDB `list_reduce`, which is what makes the
+    * trainer oracle-checkable step for step. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    split(
+      aggregate(
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        element_at(syms, 1),
+        (acc, x) =>
+          when((acc === lit(l) || acc.endsWith(" " + l)) && x === lit(r),
+            concat(acc, x))
+            .otherwise(concat(acc, lit(" "), x))),
+      " ")
+
+  /** Run `nMerges` BPE merge iterations over `text`'s pre-tokenized words
+    * and return the learned merge table: (step, lhs, rhs, pair_count),
+    * one row per merge in training order. Stops early if the corpus runs
+    * out of adjacent pairs. */
+  def train(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"train needs nMerges > 0 (got $nMerges)")
+    val spark = df.sparkSession
+    // the one corpus-wide job: distinct pre-tokens with frequencies,
+    // symbols initialized to characters
+    val words = Dedup.memoPersist(
+      df.select(explode(TextOps.bpeishTokens(text)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var cur = words.select(col("cnt"), col("syms"))
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // adjacent pairs weighted by word frequency; i is 0-based
+      val best = cur
+        .select(col("cnt"),
+          explode(expr(
+            """CASE WHEN size(syms) >= 2
+              |  THEN transform(sequence(0, size(syms) - 2),
+              |                 i -> struct(syms[i] AS l, syms[i + 1] AS r))
+              |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((step, l, r, c))
+          cur = cur.select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+          step += 1
+        case None => exhausted = true
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply a learned merge table to arbitrary text: pre-tokenize, split
+    * each word to characters, replay every merge in training order — the
+    * encode half of the tokenizer (pure per-row expression, shuffle-free;
+    * the merge list is a local value, so the fold unrolls to nMerges
+    * nested codegen'd aggregates). Returns the symbol array per row. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextOps.bpeishTokens(text), w => {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      merges.foldLeft(chars) { case (acc, (l, r)) => applyMerge(acc, l, r) }
+    }))
+}

@@ -614,6 +614,50 @@ object LlmOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE merge-loop trainer ([[graft.operators.Bpe.train]]): 8 iterations
+    * of corpus-wide adjacent-pair counting + deterministic best-pair
+    * merge (count desc, pair asc). Full hash oracle: the greedy
+    * left-to-right merge fold runs verbatim as DuckDB `list_reduce`, so
+    * the oracle replays the identical 8 stages — pair counts, argmax
+    * tie-breaks, and rewrites — in SQL. */
+  def tokenBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(Tables.documents(spark, dir), col("text"),
+        nMerges = 8)
+      .orderBy("step")
+
+  // the oracle's 8 stages are generated, not hand-written: stage k counts
+  // adjacent pairs of s(k-1), takes the (c DESC, l, r) argmax, and
+  // rewrites via the same string-fold the Spark side codegens
+  private val tokenBpeTrainSql = {
+    val nMerges = 8
+    val stages = (1 to nMerges).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+         |          CAST(SUM(cnt) AS BIGINT) AS c
+         |        FROM $prev, UNNEST(range(1, len(syms))) AS t(i)
+         |        GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS (SELECT $prev.cnt, string_split(list_reduce($prev.syms,
+         |          (acc, x) -> CASE
+         |            WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+         |            THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+         |        FROM $prev CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(k => s"SELECT $k AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT tok AS w, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(text,
+       |          '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |s0 AS (SELECT cnt,
+       |         list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+       |       FROM w0),
+       |$stages
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   /** Content fingerprints via cryptographic digests (md5/sha256) — the
     * oracle-checkable half of document fingerprinting; the rolling-hash
     * winnowing fingerprint is [[winnowFingerprint]] (rows-only, xxhash64
@@ -1160,6 +1204,7 @@ object LlmOps {
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
+    Q("token_bpe_train", tokenBpeTrainSql)(tokenBpeTrain),
     Q("corpus_chunks", corpusChunksSql)(corpusChunks),
     Q("corpus_pack", corpusPackSql)(corpusPack),
     Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),
