@@ -50,6 +50,37 @@ object TextOps {
   /** English stopwords used for quality scoring. */
   val enStopwords: Seq[String] = stopwords("en")
 
+  // --------------------------------------------------------- normalization
+
+  /** Zero-width and non-whitespace control characters (NUL..BS, VT, FF,
+    * SO..US, DEL, ZWSP, ZWNJ, ZWJ, BOM) — stripped outright. Tab/LF/CR
+    * are deliberately NOT here: they are whitespace and fold into the
+    * collapse step instead. `\x{hhhh}` escapes are valid in both Java
+    * regex and RE2, so the oracle runs the IDENTICAL pattern string. */
+  val ctlZeroWidthRe =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  /** Whitespace runs (space, tab, LF, CR) — collapsed to one space.
+    * Spelled as an explicit class, not `\s`: Java and RE2 disagree on
+    * `\s`'s exact membership (vertical tab), and VT is already handled
+    * by [[ctlZeroWidthRe]]. */
+  val wsRunRe = "[ \\t\\n\\r]+"
+
+  /** Canonical text normalization, to run UPSTREAM of every hash-based
+    * dedup operator: NFC composition (é ≡ e+COMBINING ACUTE — raw
+    * `dedup_exact` treats those as distinct documents), then control/
+    * zero-width strip, then whitespace collapse + trim. Order matters
+    * and is part of the contract (the oracle applies the same chain):
+    * NFC first so stripping never splits a combining sequence the
+    * composition would have used. NFC itself is the codegen'd
+    * [[graft.functions.NfcNormalize]]; the rest is builtin
+    * `regexp_replace`/`trim`. */
+  def normalize(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(graft.functions.NfcNormalize(text), ctlZeroWidthRe, ""),
+        wsRunRe, " "))
+
   // ------------------------------------------------------------- PII scrub
 
   /** PII patterns, deliberately inside the RE2 subset (no lookarounds, no

@@ -98,4 +98,30 @@ class TextOpsSpec extends SparkTestBase {
     // doc 2: 3+2+1 = 6, min 1
     assert(out(1) == ((2L, 3L, 6L, 1L)))
   }
+
+  test("normalize: NFC + strip + collapse, and it rescues combining-char near-dups") {
+    import graft.operators.{Dedup, TextOps}
+    // precomposed \u00e9 vs e + COMBINING ACUTE (U+0301): byte-distinct,
+    // canonically equal -- raw exact dedup hashes them apart
+    val docs = Seq(
+      (1L, "caf\u00e9 latte"),
+      (2L, "cafe\u0301   latte\u200B \t ")).toDF("doc_id", "text")
+    val raw = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(raw.count() == 2, "raw exact dedup wrongly unified NFC variants")
+    val normed = Dedup.exact(docs, col("doc_id"), TextOps.normalize(col("text")))
+      .as[(String, Long, Long)].collect()
+    assert(normed.length == 1 && normed.head._2 == 1L && normed.head._3 == 2L,
+      s"normalized dedup should unify the pair, got ${normed.toSeq}")
+    // each normalization step individually
+    val steps = Seq(
+      "a\u0301" -> "\u00e1",            // NFC composes
+      "a\u0001b\u200Bc" -> "abc",       // control + zero-width stripped
+      "a \t\r\n b" -> "a b",           // whitespace run collapses
+      " x " -> "x",                       // trim
+      "" -> "")
+      .toDF("in", "want")
+    val got = steps.select(TextOps.normalize(col("in")), col("want"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"'$g' != '$w'") }
+  }
 }
