@@ -417,6 +417,22 @@ object Dedup {
     // sized from the gate-memoized bench cardinality: one tiny planning
     // aggregate per (session, input), like ngramJaccardAuto's Σdf² gate
     val nBench = memoGate(benchSh)(math.max(benchSh.count(), 1L))
+    // BloomFilterAggregate silently CLAMPS its parameters to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems / maxNumBits
+    // (defaults 4M / 67M): past the clamp the filter saturates and the
+    // prefilter prunes ~nothing — output stays correct (exact verify),
+    // but the scaling story quietly breaks. Raise the two confs to what
+    // this aggregate actually needs, so the documented large-bench
+    // regime keeps its pruning rate; the conf is read at execution, so
+    // raising it here (same session) is sufficient.
+    def raiseConf(key: String, need: Long): Unit = {
+      val spark = train.sparkSession
+      val cur = try spark.conf.get(key).toLong catch { case _: Exception => 0L }
+      if (cur < need) spark.conf.set(key, need.toString)
+    }
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nBench)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      nBench * bitsPerKey)
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col("h")),
         Literal(nBench), Literal(nBench * bitsPerKey)).toAggregateExpression())

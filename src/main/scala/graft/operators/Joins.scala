@@ -38,6 +38,13 @@ object Joins {
       s"saltedJoin preserves big-side-driven join semantics only " +
         s"(${saltableJoinTypes.mkString(", ")}); got '$joinType' — the " +
         "replicated small side would duplicate unmatched rows")
+    // Salt values are NONDETERMINISTIC across task retries
+    // (monotonically_increasing_id depends on partition layout) — and
+    // that is fine by construction: every salt value matches the same
+    // replicated small-side row, so the JOIN OUTPUT is identical
+    // whatever salt a row draws. Do not "fix" this by deriving the salt
+    // from the key: that would put every copy of a hot key back in one
+    // partition, which is the skew this operator exists to remove.
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

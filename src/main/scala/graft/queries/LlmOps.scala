@@ -364,7 +364,9 @@ object LlmOps {
       |ORDER BY query_id, rank""".stripMargin
 
   /** LSH-bucketed ANN — approximate by design, so rows-only; recall vs
-    * the brute-force ground truth is property-tested in AnnSpec. */
+    * the brute-force ground truth holds spec'd floors (multi-probe LSH
+    * ≥ 0.5, IVF ≥ 0.7, PQ ≥ 0.9·IVF — DedupSimilaritySpec's recall
+    * tests). */
   def vectorAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.annTopK(e.filter(col("vec_id") < 20), e, k = 5)
@@ -890,6 +892,41 @@ object LlmOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Text normalization ([[TextOps.normalize]]) over deterministically
+    * messied documents: each doc gets a combining-sequence prefix
+    * ("Cafe" + U+0301), a zero-width space, a tab, and trailing blanks
+    * bolted on, so every step of the chain — NFC composition, control/
+    * zero-width strip, whitespace collapse, trim — must fire to match
+    * the oracle. Runs UPSTREAM of [[dedupExact]] in a real pipeline
+    * (NFC-distinct texts hash apart raw — see TextOpsSpec's
+    * combining-char near-pair). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // "Cafe" + COMBINING ACUTE + space + tab + ZWSP: explicit escapes,
+    // mirroring the oracle's chr() calls character for character
+    val raw = concat(lit("Cafe\u0301 \t\u200B"), substring(col("text"), 1, 40),
+      lit("  "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("__raw"))
+      .select(col("doc_id"),
+        TextOps.normalize(col("__raw")).as("norm_text"),
+        length(col("__raw")).as("n_raw_chars"),
+        length(TextOps.normalize(col("__raw"))).as("n_norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql =
+    """SELECT doc_id, norm_text, n_raw_chars, length(norm_text) AS n_norm_chars
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+      |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}]',
+      |          '', 'g'), '[ \t\n\r]+', ' ', 'g')) AS norm_text,
+      |        length(raw) AS n_raw_chars
+      |      FROM (SELECT doc_id,
+      |              'Cafe' || chr(769) || ' ' || chr(9) || chr(8203) ||
+      |                substr(text, 1, 40) || '  ' AS raw
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -1185,6 +1222,7 @@ object LlmOps {
     Q("sparse_cosine", sparseCosineSql)(sparseCosineQ),
     Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
     Q("pii_scrub", piiScrubSql)(piiScrub),
+    Q("text_normalize", textNormalizeSql)(textNormalize),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q("dedup_incremental", jaccardOracle("0.8",
       "\n|  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)".stripMargin))(dedupIncremental),

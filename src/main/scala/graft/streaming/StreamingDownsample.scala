@@ -116,11 +116,20 @@ object StreamingDownsample {
     * static side broadcasts), and the per-document overlap is a per-row
     * `array_intersect` — completely STATELESS, so it runs in append mode
     * with no watermark and no state store: exactly what a 100 TB/day
-    * ingest pipeline needs. Same memory bound as the batch broadcast
-    * path (distinct bench hashes must fit an executor); when the bench
-    * set outgrows that, the Bloom route ([[graft.operators.Dedup
-    * .contaminationBloom]]) is the batch-side fallback. Emits only
-    * contaminated documents, with the batch operator's exact columns. */
+    * ingest pipeline needs. Two costs to know about (both the price of
+    * statelessness): distinct bench hashes must fit an executor (same
+    * memory bound as the batch broadcast path), AND the per-row
+    * `array_intersect` rebuilds its lookup set over the bench array for
+    * EVERY streamed document — O(|bench|) per doc, where the batch
+    * broadcast hash join builds once per task. The stateless
+    * alternatives don't exist: exploding the stream and re-aggregating
+    * per doc is a streaming aggregation (state store), and the bench
+    * side can't pre-build a shared hash set without a real broadcast
+    * join, which the 1-row-array form deliberately avoids re-planning
+    * per micro-batch. When the bench set outgrows either bound, the
+    * Bloom route ([[graft.operators.Dedup.contaminationBloom]]) is the
+    * batch-side fallback. Emits only contaminated documents, with the
+    * batch operator's exact columns. */
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
       n: Int = 3): DataFrame = {
     import graft.operators.Dedup
@@ -169,9 +178,11 @@ object StreamingDownsample {
     *    against the index's band projection — stateless;
     *  - **exactly-once per pair without state**: a pair colliding in
     *    several bands would emit duplicates (streaming `distinct` needs
-    *    state), so each joined row recomputes both sides' band hashes
-    *    from their signatures and survives only if its band is the
-    *    SMALLEST colliding one — a pure per-row filter;
+    *    state), so both sides carry their 16-long band-hash ARRAYS and a
+    *    joined row survives only if its band is the SMALLEST agreeing
+    *    one — a pure per-row filter over two fixed-width arrays (the
+    *    k-long signatures themselves never ship past the banding
+    *    projection);
     *  - verification: second stream–static join pulls the index doc's
     *    stored hash set; the codegen'd `SortedLongIntersectCount`
     *    merge-walks the exact Jaccard per-row.
@@ -184,28 +195,50 @@ object StreamingDownsample {
       threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup
     val rows = k / bands
+    val index = spark.table(indexTable)
+    // Guard (round-5 advice): k must match the stored signature length.
+    // A mismatched k would index sig_i(j) past the stored array — null —
+    // and xxhash64 SKIPS null inputs, so band hashes would silently
+    // mismatch and candidates would be dropped without any error. Probe
+    // the static table once (bounded 1-row job at construction).
+    index.select(size(col("sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == k,
+        s"nearDupStream: k=$k but index '$indexTable' stores " +
+          s"signatures of length ${r.getInt(0)}")
+    }
+    def bandHash(sig: Column, bd: Int): Column =
+      xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => sig(j)) :+ lit(bd): _*)
+    def bandHashes(sig: Column): Column =
+      array((0 until bands).map(bd => bandHash(sig, bd)): _*)
+    // Band rows carry (delta_id, hss, bhs_d): the full 64-long signature
+    // collapses to its 16 band hashes BEFORE the explode, so each of the
+    // `bands` rows ships a fixed 16-long array instead of the k-long
+    // signature (round-5 advice; the min-colliding-band filter only ever
+    // compares band hashes, never raw signature values). `hss` must stay
+    // on the band rows: the only stateless way back to a stream row's
+    // payload is to carry it — re-attaching it post-filter would be a
+    // stream-stream self-join, which append mode cannot run without a
+    // state store.
     val withSig = Dedup.shingleHashes(docs, col("doc_id"), col("text"), n)
       .withColumn("hss", sort_array(array_distinct(col("hs"))))
       .withColumn("sig", array((0 until k).map(i =>
         array_min(transform(col("hss"), h => xxhash64(h, lit(i))))): _*))
-      .drop("hs")
-    def bandHash(sig: Column, bd: Int): Column =
-      xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => sig(j)) :+ lit(bd): _*)
-    val bandCols = (0 until bands).map(bd =>
-      struct(lit(bd).as("band"), bandHash(col("sig"), bd).as("bh")))
+      .select(col("doc_id").as("delta_id"), col("hss"),
+        bandHashes(col("sig")).as("bhs_d"))
     val streamBands = withSig
-      .select(col("doc_id").as("delta_id"), col("hss"), col("sig").as("sig_d"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("delta_id"), col("hss"), col("sig_d"),
-        col("b.band").as("band"), col("b.bh").as("bh"))
-    val index = spark.table(indexTable)
-    val idxBands = Dedup.bandedSignatures(
-        index.select(col("doc_id"), col("sig")), k, bands)
-      .join(index.select(col("doc_id"), col("sig").as("sig_i")), "doc_id")
-      .select(col("doc_id").as("idx_id"), col("sig_i"), col("band"), col("bh"))
-    val minCollidingBand = array_min(array((0 until bands).map(bd =>
-      when(bandHash(col("sig_d"), bd) === bandHash(col("sig_i"), bd), lit(bd))
-        .otherwise(lit(bands))): _*))
+      .select(col("delta_id"), col("hss"), col("bhs_d"),
+        posexplode(col("bhs_d")).as(Seq("band", "bh")))
+    // index band rows: one narrow projection + explode over the bucketed
+    // scan — no bandedSignatures-then-rejoin round trip (the band-hash
+    // array is per-row arithmetic, so the sig_i it replaced never ships)
+    val idxBands = index
+      .select(col("doc_id").as("idx_id"), bandHashes(col("sig")).as("bhs_i"))
+      .select(col("idx_id"), col("bhs_i"),
+        posexplode(col("bhs_i")).as(Seq("band", "bh")))
+    val minCollidingBand = array_min(
+      transform(sequence(lit(0), lit(bands - 1)), bd =>
+        when(element_at(col("bhs_d"), bd + 1) === element_at(col("bhs_i"), bd + 1),
+          bd).otherwise(lit(bands))))
     val cand = streamBands.join(idxBands, Seq("band", "bh"))
       .filter(col("band") === minCollidingBand)
       .select(col("delta_id"), col("idx_id"), col("hss"))

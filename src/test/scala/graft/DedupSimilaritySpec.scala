@@ -209,47 +209,51 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(high.contains("sig#"), "high threshold should take the LSH path")
   }
 
-  test("ANN recall beats random-candidate baseline on sf0.001") {
+  /** Shared recall harness: ground truth from the exact brute-force
+    * top-k, recall = fraction of true (query, neighbor) pairs the
+    * approximate path returns. Everything is seeded and deterministic,
+    * so these floors are regression tripwires, not flaky thresholds. */
+  private def recallOf(ann: org.apache.spark.sql.DataFrame,
+      truth: Set[(Long, Long)]): Double = {
+    val s = ann.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    (truth intersect s).size.toDouble / truth.size
+  }
+  private lazy val annTruth: Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, sf0001)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("multi-probe LSH recall holds the 0.5 floor on sf0.001") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
-    val truth = Similarity.bruteForceTopK(q, e, k = 5)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val ann = Similarity.annTopK(q, e, k = 5)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val recall = (truth intersect ann).size.toDouble / truth.size
     // These embeddings are near-uniform (max pairwise cosine 0.51), the
-    // hardest case for LSH: home+6 single-bit probe buckets scan ~10% of
-    // the corpus, so random sampling would land ~0.10 recall. Require
-    // at least 2x chance (measured ~0.22 on this corpus).
-    assert(recall >= 0.2, s"ANN recall $recall not above 2x chance")
+    // hardest case for hyperplane LSH. The round-5 single-bit probing
+    // plateaued at 0.22; query-directed subset probing at the probes=24
+    // default measures 0.58. Floor at 0.5 so a bucketing/probing bug
+    // (not noise — the pipeline is seeded end to end) trips the spec.
+    val recall = recallOf(Similarity.annTopK(q, e, k = 5), annTruth)
+    assert(recall >= 0.5, s"multi-probe LSH recall $recall below 0.5 floor")
   }
 
-  test("IVF ANN (data-adaptive) beats hyperplane LSH recall on this corpus") {
+  test("IVF ANN (data-adaptive) recall holds the 0.7 floor on sf0.001") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
-    val truth = Similarity.bruteForceTopK(q, e, k = 5)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(q, e, k = 5, nCells = 16, nprobe = 4)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val recall = (truth intersect ivf).size.toDouble / truth.size
-    // nprobe/nCells = 4/16 -> ~25% of the corpus scanned; k-means cells
-    // align with the label structure, so recall should be well above the
-    // scan fraction and above the hyperplane-LSH figure (~0.22)
-    assert(recall >= 0.4, s"IVF recall $recall")
+    // nprobe/nCells = 8/16 default: k-means cells align with the data,
+    // measured recall 0.85 — well above the scan fraction
+    val recall = recallOf(Similarity.ivfTopK(q, e, k = 5), annTruth)
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7 floor")
   }
 
-  test("IVF-PQ: quantized ADC ranking recovers most of the raw-vector IVF shortlist") {
+  test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
-    val truth = Similarity.bruteForceTopK(q, e, k = 5)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val pq = Similarity.ivfPqTopK(q, e, k = 5, nCells = 16, nprobe = 4)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val recall = (truth intersect pq).size.toDouble / truth.size
-    // same 4/16 cell routing as vector_ivf (recall ~0.5 there); the
-    // 8×32-code quantization costs some ranking fidelity on top — require
-    // the quantized path still clears the ~25% scan-fraction baseline
-    assert(recall >= 0.3, s"IVF-PQ recall $recall")
+    val rIvf = recallOf(Similarity.ivfTopK(q, e, k = 5), annTruth)
+    val rPq = recallOf(Similarity.ivfPqTopK(q, e, k = 5), annTruth)
+    // same 8/16 cell routing; the 8x32-code ADC shortlist (refine=8)
+    // re-ranked exactly must recover most of what raw vectors find
+    // (measured 0.78 vs 0.85 = 0.92)
+    assert(rPq >= 0.9 * rIvf, s"IVF-PQ recall $rPq < 0.9 * IVF recall $rIvf")
   }
 
   test("size-gated CC: driver union-find equals the distributed iteration on random graphs") {
@@ -491,6 +495,43 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert((base & r1).isEmpty && (base & r2).isEmpty && (r1 & r2).isEmpty)
   }
 
+  test("signature index survives session recreation: fresh catalog state, still zero Exchange") {
+    // The cross-run story appendToSignatureIndex claims: the bucketed
+    // layout lives in the EXTERNAL catalog (what a cluster restart keeps),
+    // not in any session state. A brand-new SparkSession — fresh session
+    // catalog, no temp views, no cached plans, nothing remembered from
+    // the writing session — must re-resolve the table from the metastore
+    // alone and still plan the index side with zero Exchange.
+    val docs = Tables.documents(spark, sf0001)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.writeSignatureIndex(index, col("doc_id"), col("text"), "sig_idx_xjvm")
+    val fresh = spark.newSession()
+    assert(fresh.catalog.tableExists("sig_idx_xjvm"),
+      "bucketed index not visible from a fresh session's catalog")
+    val inc = Dedup.incrementalDedup(fresh, "sig_idx_xjvm", delta,
+      col("doc_id"), col("text"))
+    // same result as computing against the writing session
+    val viaOld = Dedup.incrementalDedup(spark, "sig_idx_xjvm", delta,
+      col("doc_id"), col("text"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val viaNew = inc.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(viaNew == viaOld && viaNew.nonEmpty)
+    // and the fresh session's plan keeps the index side Exchange-free
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def overIndexScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table == "sig_idx_xjvm")
+      case _ => false
+    }
+    val offenders = inc.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec if overIndexScan(e) => e
+    }
+    assert(offenders.isEmpty,
+      s"fresh-session index side shuffled:\n${offenders.map(_.toString.take(300)).mkString}")
+  }
+
   test("composed dedup calls share persisted stages; gates measure once") {
     Dedup.releaseCaches()
     val docs = Tables.documents(spark, sf0001)
@@ -622,6 +663,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
     assert(bad.isEmpty,
       "predicate pushdown inlined the shingle transform into a Filter")
+  }
+
+  test("bloom prefilter raises the runtime clamp confs past the defaults when needed") {
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    // bitsPerKey chosen so nBench*bitsPerKey exceeds the 67M default
+    // maxNumBits: without the conf raise, BloomFilterAggregate silently
+    // clamps and the filter saturates in the large-bench regime
+    Dedup.contaminationBloom(train, bench, col("doc_id"), col("text"),
+      n = 3, bitsPerKey = 1 << 16).count()
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    assert(maxBits > 67108864L,
+      s"clamp conf not raised: maxNumBits=$maxBits")
   }
 
   test("bloom-prefiltered contamination is bitwise-equal to the broadcast form") {

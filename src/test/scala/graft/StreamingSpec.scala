@@ -203,6 +203,23 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.toSet == expected)
   }
 
+  test("nearDupStream refuses a k mismatched with the stored signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    graft.operators.Dedup.writeSignatureIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+      table = "graft_sig_index_kchk")
+    val mem = MemoryStream[(Long, String)]
+    // without the guard this would run and silently drop every candidate
+    // (null sig elements skipped by xxhash64 -> band hashes never match)
+    val err = intercept[IllegalArgumentException] {
+      StreamingDownsample.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"), spark, "graft_sig_index_kchk",
+        k = 32, bands = 16)
+    }
+    assert(err.getMessage.contains("signatures of length 64"))
+  }
+
   test("stream-static decontamination flags exactly the batch contamination set") {
     implicit val sqlCtx = spark.sqlContext
     // driver corpus split like the registered decontaminate query:
