@@ -627,11 +627,18 @@ object LlmOps {
         nMerges = 8)
       .orderBy("step")
 
-  // the oracle's 8 stages are generated, not hand-written: stage k counts
-  // adjacent pairs of s(k-1), takes the (c DESC, l, r) argmax, and
-  // rewrites via the same string-fold the Spark side codegens
-  private val tokenBpeTrainSql = {
-    val nMerges = 8
+  /** The merge-rewrite lambda both BPE oracles splice into `list_reduce`
+    * — the same greedy left-to-right string fold the Spark side
+    * codegens. */
+  private def bpeFoldSql(b: String): String =
+    s"""(acc, x) -> CASE
+       |            WHEN (acc = $b.l OR ends_with(acc, ' ' || $b.l)) AND x = $b.r
+       |            THEN acc || x ELSE acc || ' ' || x END""".stripMargin
+
+  /** Shared WITH-clause body for the BPE oracles: vocab (w0/s0), then per
+    * stage k the pair counts (pk), the argmax best pair (bk), and the
+    * rewritten vocab (sk). Generated, not hand-written. */
+  private def bpeOracleStages(nMerges: Int): String = {
     val stages = (1 to nMerges).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r,
@@ -640,24 +647,70 @@ object LlmOps {
          |        GROUP BY 1, 2),
          |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
          |s$k AS (SELECT $prev.cnt, string_split(list_reduce($prev.syms,
-         |          (acc, x) -> CASE
-         |            WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
-         |            THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+         |          ${bpeFoldSql("b")}), ' ') AS syms
          |        FROM $prev CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to nMerges)
-      .map(k => s"SELECT $k AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (SELECT tok AS w, COUNT(*) AS cnt
+    s"""w0 AS (SELECT tok AS w, COUNT(*) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(text,
        |          '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS tok FROM documents)
        |  GROUP BY tok),
        |s0 AS (SELECT cnt,
        |         list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
        |       FROM w0),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private val tokenBpeTrainSql = {
+    val union = (1 to 8)
+      .map(k => s"SELECT $k AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeOracleStages(8)}
        |$union
        |ORDER BY step""".stripMargin
+  }
+
+  /** The encode half of the tokenizer, closing the train→encode loop
+    * ([[graft.operators.Bpe.encode]] replaying [[tokenBpeTrain]]'s merge
+    * table over every document). Full hash oracle: the oracle re-derives
+    * the same 8 merges from its trainer stages, replays them per word
+    * with the identical `list_reduce` fold, and reassembles each doc's
+    * symbol stream in token order — symbol count, distinct-symbol count,
+    * and an md5 over the space-joined stream (symbols never contain
+    * spaces, so the join is lossless) must all match bitwise. */
+  def tokenBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.train(docs, col("text"), nMerges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encodeDocs(docs, col("doc_id"), col("text"), merges)
+      .select(col("doc_id"),
+        size(col("syms")).as("n_syms"),
+        size(array_distinct(col("syms"))).as("n_sym_types"),
+        md5(array_join(col("syms"), " ")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenBpeEncodeSql = {
+    val docStages = (1 to 8).map { k =>
+      s"""d$k AS (SELECT doc_id, i, string_split(list_reduce(d${k - 1}.syms,
+         |          ${bpeFoldSql("b")}), ' ') AS syms
+         |        FROM d${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeOracleStages(8)},
+       |toks AS (SELECT doc_id, regexp_extract_all(text,
+       |           '[A-Za-z0-9]+|[^A-Za-z0-9 ]') AS tk FROM documents),
+       |d0 AS (SELECT doc_id, i,
+       |         list_transform(range(1, len(tk[i]) + 1), j -> tk[i][j]) AS syms
+       |       FROM toks, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+       |$docStages,
+       |enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS fs
+       |        FROM d8 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(len(fs), 0) AS INT) AS n_syms,
+       |  CAST(COALESCE(len(list_distinct(fs)), 0) AS INT) AS n_sym_types,
+       |  md5(COALESCE(array_to_string(fs, ' '), '')) AS enc_md5
+       |FROM documents d LEFT JOIN enc ON enc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Content fingerprints via cryptographic digests (md5/sha256) — the
@@ -1243,6 +1296,7 @@ object LlmOps {
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
     Q("token_bpe_train", tokenBpeTrainSql)(tokenBpeTrain),
+    Q("token_bpe_encode", tokenBpeEncodeSql)(tokenBpeEncode),
     Q("corpus_chunks", corpusChunksSql)(corpusChunks),
     Q("corpus_pack", corpusPackSql)(corpusPack),
     Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),

@@ -50,6 +50,20 @@ class BpeSpec extends SparkTestBase {
     assert(enc == Seq("the", "them", "the", "r", "e"))
   }
 
+  test("encodeDocs (vocab-join) equals the per-row encode on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val merges = Bpe.train(docs, col("text"), nMerges = 8)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    val perRow = docs
+      .select(col("doc_id"), Bpe.encode(col("text"), merges).as("syms"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaVocab = Bpe.encodeDocs(docs, col("doc_id"), col("text"), merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaVocab == perRow)
+    assert(perRow.values.exists(_.nonEmpty))
+  }
+
   test("trainer is stable on the sf0.001 corpus and merges nest correctly") {
     val docs = Tables.documents(spark, sf0001)
     val out = Bpe.train(docs, col("text"), nMerges = 8)
