@@ -592,6 +592,32 @@ object LlmOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Corpus-wide n-gram heavy hitters — the data-card statistic every
+    * training-mix report carries (most frequent trigrams + how many
+    * documents they touch). Scale shape: explode → map-side partial
+    * count → one shuffle on the shingle, and the global top-25 is a
+    * TakeOrderedAndProject (per-partition heap + driver merge, no global
+    * sort shuffle); the doc-frequency column rides the same aggregate as
+    * a distinct count. Ties broken by the shingle string, so the cut is
+    * total and the oracle exact. */
+  def ngramStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("s"))
+      .limit(25)
+
+  private val ngramStatsSql =
+    """SELECT s, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |           UNNEST(range(1, len(w) - 1)) AS t(i))
+      |GROUP BY s
+      |ORDER BY n_occurrences DESC, s
+      |LIMIT 25""".stripMargin
+
   /** BPE-style pre-tokenization stats per document: token count, distinct
     * token ("type") count, and the alnum-run share — the tokenizer-aware
     * twin of the whitespace [[tokenStats]]. The extraction regex is
@@ -1294,6 +1320,7 @@ object LlmOps {
     Q("lm_unigram", lmUnigramSql)(lmUnigram),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
+    Q("ngram_stats", ngramStatsSql)(ngramStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
     Q("token_bpe_train", tokenBpeTrainSql)(tokenBpeTrain),
     Q("token_bpe_encode", tokenBpeEncodeSql)(tokenBpeEncode),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.operators.Bpe
 
@@ -62,6 +63,68 @@ class BpeSpec extends SparkTestBase {
       .as[(Long, Seq[String])].collect().toMap
     assert(viaVocab == perRow)
     assert(perRow.values.exists(_.nonEmpty))
+  }
+
+  test("train + encode equal an independent reference BPE on random corpora") {
+    // plain-Scala reference implementation, written independently of the
+    // Spark formulation (lists + sliding windows, no string-fold trick)
+    def pretok(t: String): List[String] =
+      "[A-Za-z0-9]+|[^A-Za-z0-9 ]".r.findAllIn(t).toList
+    def refApply(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def refTrain(docs: List[String], nMerges: Int): List[(String, String, Long)] = {
+      var words: Map[List[String], Long] = docs.flatMap(pretok)
+        .groupBy(identity).map { case (w, o) => w.toList.map(_.toString) -> o.size.toLong }
+      var merges = List.empty[(String, String, Long)]
+      var done = false
+      while (merges.size < nMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, cnt) =>
+          syms.sliding(2).foreach {
+            case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+            case _ =>
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          merges :+= ((l, r, c))
+          words = words.toSeq.map { case (s, cnt) => (refApply(s, l, r), cnt) }
+            .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        }
+      }
+      merges
+    }
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', '!'))
+      } yield cs.mkString)
+    } yield ws.mkString(" ")
+    val genCorpus: Gen[List[String]] =
+      Gen.choose(1, 6).flatMap(Gen.listOfN(_, genDoc))
+    val prop = Prop.forAll(genCorpus) { docs =>
+      val df = docs.toDF("text")
+      val got = Bpe.train(df, col("text"), nMerges = 4)
+        .as[(Int, String, String, Long)].collect().toList.sortBy(_._1)
+        .map(m => (m._2, m._3, m._4))
+      val want = refTrain(docs, 4)
+      val merges = want.map(m => (m._1, m._2))
+      val gotEnc = df.select(Bpe.encode(col("text"), merges))
+        .as[Seq[String]].collect().toList
+      val wantEnc = docs.map(d =>
+        pretok(d).flatMap(w =>
+          merges.foldLeft(w.toList.map(_.toString))(
+            (s, m) => refApply(s, m._1, m._2))))
+      got == want && gotEnc.map(_.toList) == wantEnc
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
   }
 
   test("trainer is stable on the sf0.001 corpus and merges nest correctly") {
