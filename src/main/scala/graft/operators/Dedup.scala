@@ -1080,23 +1080,27 @@ object Dedup {
         col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("sid"), col("v").as("sv"), col("nrm").as("snrm"))
-    // Argmax cosine via min over (−cos, sid, v, nrm) structs: min(−cos) =
+    // Argmax cosine via min over NARROW (−cos, sid) structs: min(−cos) =
     // max cos, ties → lowest seed id — the same rule as ORDER BY cos DESC,
-    // seed_id. sid is unique within each vec's group, so the trailing
-    // v/nrm fields never participate in the ordering; carrying them
-    // through the aggregate saves the join back to `e` (one exchange
-    // instead of two). Seed norms come from the same codegen'd
-    // sqrt(Σx²) chain as the corpus side, so cosines are bitwise
-    // identical to the replaced literal path (spec-asserted).
+    // seed_id. (Not min_by: its tie-break is undefined, and two identical
+    // seed vectors tie exactly.) The projection drops v/nrm BEFORE the
+    // aggregate, so the n×nCells expanded stream the partial aggregate
+    // sorts is 24-byte rows, never embedding arrays; vectors re-attach
+    // by one equi-join on vec_id afterwards. Seed norms come from the
+    // same codegen'd sqrt(Σx²) chain as the corpus side, so cosines are
+    // bitwise identical to the replaced literal path (spec-asserted).
     val sc = struct(
       (-(VectorOps.dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))))
         .as("negcos"),
-      col("sid").as("sid"), col("v").as("v"), col("nrm").as("nrm"))
-    val cells = e.crossJoin(broadcast(seeds))
+      col("sid").as("sid"))
+    val assign = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), sc.as("sc"))
       .groupBy(col("vec_id"))
-      .agg(min(sc).as("m"))
-      .select(col("vec_id"), col("m.sid").as("cell"),
-        col("m.v").as("v"), col("m.nrm").as("nrm"))
+      .agg(min(col("sc")).getField("sid").as("cell"))
+    // persisted: the assigned frame feeds both sides of the verification
+    // tile join AND the final projection — without the memo the
+    // broadcast expansion would execute three times
+    val cells = memoPersist(e.join(assign, Seq("vec_id")))
     val dups = blockedCosinePairs(
         cells.select(col("vec_id").as("vid"), col("v"), col("nrm"), col("cell")),
         keys = Seq("cell"), threshold = threshold, blocks = blocks)

@@ -25,8 +25,19 @@ object TextOps {
 
   /** Word n-gram shingles (space-joined), empty array for texts shorter
     * than n tokens. Shingling is the standard unit for near-dup detection
-    * (MinHash/Jaccard). */
-  def shingles(text: Column, n: Int = 3): Column = {
+    * (MinHash/Jaccard). One codegen'd pass over the UTF-8 buffer
+    * ([[graft.functions.WordShingles]] — shingle strings are byte ranges
+    * of the original text, never assembled); the higher-order-function
+    * formulation it replaced lives on as [[shinglesHof]], the executable
+    * reference TextOpsSpec property-tests against. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
+
+  /** The pure-built-in shingle formulation (interpreted `transform` +
+    * `concat_ws`) — kept as the reference implementation for the
+    * equivalence property test, and as the form an engine without custom
+    * expressions would run. */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
     when(size(w) >= n,
       transform(

@@ -421,6 +421,9 @@ class DedupSimilaritySpec extends SparkTestBase {
   }
 
   test("semanticDedup at nCells=256: constant expression count, broadcast seeds") {
+    // fresh plans: an earlier test's memoized cells frame would swap an
+    // InMemoryRelation into one side of the expression count
+    Dedup.releaseCaches()
     val e = Tables.embeddings(spark, sf0001)
     def q(n: Int) = Dedup.semanticDedup(e, col("vec_id"), col("embedding"),
       threshold = 0.4, nCells = n)

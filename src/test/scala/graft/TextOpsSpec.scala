@@ -99,6 +99,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1) == ((2L, 3L, 6L, 1L)))
   }
 
+  test("WordShingles byte-range kernel equals the HOF shingle formulation") {
+    val rng = new scala.util.Random(17)
+    val chars = "abXY01 éß世 .,!"  // multi-byte UTF-8 + punctuation + spaces
+    val texts = Seq("", " ", "  ", "a", "a b", "a b c", "a  b c", " a b c ",
+      "é 世 ß x", "one two three four five") ++
+      Seq.fill(300)(Seq.fill(rng.nextInt(40))(chars(rng.nextInt(chars.length))).mkString)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = texts.toDF("txt")
+        .select(TextOps.shingles(col("txt"), n).as("k"),
+          TextOps.shinglesHof(col("txt"), n).as("h"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.zipWithIndex.foreach { case ((k, h), i) =>
+        assert(k == h, s"n=$n text='${texts(i)}'")
+      }
+    }
+  }
+
   test("normalize: NFC + strip + collapse, and it rescues combining-char near-dups") {
     import graft.operators.{Dedup, TextOps}
     // precomposed \u00e9 vs e + COMBINING ACUTE (U+0301): byte-distinct,
