@@ -65,6 +65,21 @@ object Bpe {
         .select(col("cnt"),
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
             .as("syms")))
+    // the learned merge table is memoized per (session, words-plan,
+    // nMerges): the trainer and every consumer that replays its merges
+    // (token_bpe_encode re-derives them) share ONE run of the
+    // nMerges-iteration driver loop instead of re-collecting per
+    // construction. nMerges enters the gate key as a marker column —
+    // memoGate keys on the canonicalized plan alone.
+    val merges = Dedup.memoGate(words.withColumn("__n_merges", lit(nMerges))) {
+      runMergeLoop(words, nMerges)
+    }
+    import spark.implicits._
+    merges.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  private def runMergeLoop(words: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = words.select(col("cnt"), col("syms"))
     var step = 1
@@ -92,8 +107,7 @@ object Bpe {
         case None => exhausted = true
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+    merges.toSeq
   }
 
   /** Apply a learned merge table to arbitrary text: pre-tokenize, split
@@ -104,10 +118,15 @@ object Bpe {
     * encoding prefer [[encodeDocs]], which replays merges once per
     * DISTINCT word instead of once per occurrence. */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
-    flatten(transform(TextOps.bpeishTokens(text), w => {
-      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-      merges.foldLeft(chars) { case (acc, (l, r)) => applyMerge(acc, l, r) }
-    }))
+    flatten(transform(TextOps.bpeishTokens(text), w => mergeWord(w, merges)))
+
+  /** One word → its merged symbol array: char split + the full merge
+    * replay. The single definition both encode paths share — a drifted
+    * copy here would silently break their spec-asserted equivalence. */
+  private def mergeWord(w: Column, merges: Seq[(String, String)]): Column = {
+    val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    merges.foldLeft(chars) { case (acc, (l, r)) => applyMerge(acc, l, r) }
+  }
 
   /** Batch corpus encoding via the vocabulary: replay the merges over
     * each DISTINCT word (Heaps'-law small — the same table [[train]]
@@ -123,11 +142,7 @@ object Bpe {
     val toks = df.select(id.as("doc_id"),
       posexplode(TextOps.bpeishTokens(text)).as(Seq("i", "tok")))
     val encVocab = toks.select(col("tok")).distinct()
-      .withColumn("wsyms", {
-        val chars = transform(sequence(lit(1), length(col("tok"))),
-          i => col("tok").substr(i, lit(1)))
-        merges.foldLeft(chars) { case (acc, (l, r)) => applyMerge(acc, l, r) }
-      })
+      .withColumn("wsyms", mergeWord(col("tok"), merges))
     val assembled = toks.join(encVocab, "tok")
       .groupBy(col("doc_id"))
       .agg(flatten(transform(

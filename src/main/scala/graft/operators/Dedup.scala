@@ -56,7 +56,7 @@ object Dedup {
     * ran (as opposed to being served from the memo). */
   private[graft] var gateMeasurements: Long = 0L
 
-  private def memoGate[T](df: DataFrame)(measure: => T): T =
+  private[graft] def memoGate[T](df: DataFrame)(measure: => T): T =
     gateRegistry.synchronized {
       val plan = df.queryExecution.analyzed
       gateRegistry.collectFirst {
@@ -403,6 +403,11 @@ object Dedup {
     * Bloom filter stays broadcast-sized at any bench cardinality and
     * prunes the corpus stream at the scan side, shrinking that shuffle by
     * the true-negative rate (~98% here at 8 bits/key). */
+  /** Hard ceiling on the contamination Bloom filter: 2²⁸ bits = 32 MB —
+    * comfortably broadcastable, and ~2⁵ effective bits/key even for a
+    * 10⁷-shingle benchmark suite. */
+  private[graft] val BloomMaxBits: Long = 1L << 28
+
   def contaminationBloom(train: DataFrame, bench: DataFrame, id: Column,
       text: Column, n: Int, bitsPerKey: Int = 8): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
@@ -422,17 +427,29 @@ object Dedup {
     // (defaults 4M / 67M): past the clamp the filter saturates and the
     // prefilter prunes ~nothing — output stays correct (exact verify),
     // but the scaling story quietly breaks. Raise the two confs to what
-    // this aggregate actually needs, so the documented large-bench
-    // regime keeps its pruning rate; the conf is read at execution, so
-    // raising it here (same session) is sufficient.
+    // this aggregate needs — BOUNDED by [[BloomMaxBits]] (32 MB of
+    // filter), because the whole point of this operator is a filter
+    // that stays broadcast-sized: an unbounded raise would let a 10⁹-key
+    // bench build a GB-scale bitmap in one task and ship it to every
+    // scan. Past the cap the filter degrades gracefully (fewer effective
+    // bits/key, still correct) and the degradation is LOGGED instead of
+    // silent. Conf is read at execution, so raising it here (same
+    // session, monotone, still bounded) is sufficient.
+    val needBits = nBench * bitsPerKey
+    val capBits = math.min(needBits, BloomMaxBits)
     def raiseConf(key: String, need: Long): Unit = {
       val spark = train.sparkSession
       val cur = try spark.conf.get(key).toLong catch { case _: Exception => 0L }
       if (cur < need) spark.conf.set(key, need.toString)
     }
     raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nBench)
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-      nBench * bitsPerKey)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", capBits)
+    if (needBits > BloomMaxBits) {
+      System.err.println(
+        s"[graft] contaminationBloom: bench needs $needBits bloom bits but the " +
+          s"$BloomMaxBits cap holds the filter at ${BloomMaxBits / nBench} " +
+          "effective bits/key — prefilter selectivity degrades (output stays exact)")
+    }
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col("h")),
         Literal(nBench), Literal(nBench * bitsPerKey)).toAggregateExpression())
@@ -553,20 +570,42 @@ object Dedup {
       table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit =
     Joins.writeBucketed(docSignatures(df, id, text, n, k), table, "doc_id", buckets)
 
+  /** Stored signature length of an index table, from ONE bounded 1-row
+    * probe — the k every reader/appender must match. None for an empty
+    * table. */
+  private[graft] def indexSigLength(
+      spark: org.apache.spark.sql.SparkSession, table: String): Option[Int] =
+    spark.table(table).select(size(col("sig"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+
   /** Append a processed batch's signatures to the index — the
     * between-runs half of the incremental loop: dedupe the delta with
     * [[incrementalDedup]], then fold it into the table so the NEXT batch
     * sees it. Spark appends bucketed data files congruent with the
     * existing layout (same bucket count/key), so the zero-shuffle reads
-    * keep working across appends. */
+    * keep working across appends.
+    *
+    * Validates k against the stored signature length BEFORE writing:
+    * Parquet would happily append shorter/longer sig arrays, and every
+    * downstream band computation (batch and streaming) silently drops
+    * candidates for mixed-length rows (null sig elements are skipped by
+    * xxhash64). Enforcing the invariant at the only write sites is what
+    * lets readers trust a single-row probe. */
   def appendToSignatureIndex(df: DataFrame, id: Column, text: Column,
-      table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit =
+      table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit = {
+    indexSigLength(df.sparkSession, table).foreach { stored =>
+      require(stored == k,
+        s"appendToSignatureIndex: k=$k but index '$table' stores " +
+          s"signatures of length $stored — a mixed-length index silently " +
+          "drops candidates")
+    }
     docSignatures(df, id, text, n, k).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd")
       .bucketBy(buckets, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(table)
+  }
 
   /** **Incremental dedup**: near-dup pairs of a corpus *delta* — new
     * documents vs the persisted signature index, plus pairs within the
@@ -591,6 +630,15 @@ object Dedup {
       indexTable: String, delta: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // same k guard as the streaming reader: a mismatch nulls sig(j) past
+    // the stored length and xxhash64 skips nulls — candidates would be
+    // dropped silently, not loudly. One bounded probe; the single row is
+    // representative because both write sites enforce one k per table.
+    indexSigLength(spark, indexTable).foreach { stored =>
+      require(stored == k,
+        s"incrementalDedup: k=$k but index '$indexTable' stores " +
+          s"signatures of length $stored")
+    }
     val deltaSig = memoPersist(docSignatures(delta, id, text, n, k))
     val index = spark.table(indexTable)
     val intra = jaccardForPairsOnArrays(

@@ -199,12 +199,14 @@ object StreamingDownsample {
     // Guard (round-5 advice): k must match the stored signature length.
     // A mismatched k would index sig_i(j) past the stored array — null —
     // and xxhash64 SKIPS null inputs, so band hashes would silently
-    // mismatch and candidates would be dropped without any error. Probe
-    // the static table once (bounded 1-row job at construction).
-    index.select(size(col("sig"))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == k,
+    // mismatch and candidates would be dropped without any error. One
+    // bounded 1-row probe at construction; the single row speaks for the
+    // table because writeSignatureIndex/appendToSignatureIndex enforce
+    // one k per table at write time (append refuses a mismatch).
+    Dedup.indexSigLength(spark, indexTable).foreach { stored =>
+      require(stored == k,
         s"nearDupStream: k=$k but index '$indexTable' stores " +
-          s"signatures of length ${r.getInt(0)}")
+          s"signatures of length $stored")
     }
     def bandHash(sig: Column, bd: Int): Column =
       xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => sig(j)) :+ lit(bd): _*)

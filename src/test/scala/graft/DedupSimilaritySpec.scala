@@ -498,6 +498,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert((base & r1).isEmpty && (base & r2).isEmpty && (r1 & r2).isEmpty)
   }
 
+  test("index writers enforce one k per table: mismatched append refuses") {
+    val docs = Tables.documents(spark, sf0001)
+    Dedup.writeSignatureIndex(docs.limit(50), col("doc_id"), col("text"),
+      "sig_idx_kguard")
+    // a k=32 append would interleave shorter sig arrays that every band
+    // computation silently mis-hashes (nulls skipped by xxhash64) — the
+    // write site is where the invariant must hold
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToSignatureIndex(docs.limit(10), col("doc_id"), col("text"),
+        "sig_idx_kguard", k = 32)
+    }
+    assert(err.getMessage.contains("signatures of length 64"))
+    val sameK = Dedup.incrementalDedup(spark, "sig_idx_kguard",
+      docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"))
+    assert(sameK.columns.nonEmpty) // matching k still constructs fine
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(spark, "sig_idx_kguard",
+        docs.limit(10), col("doc_id"), col("text"), k = 32)
+    }
+    assert(err2.getMessage.contains("signatures of length 64"))
+  }
+
   test("signature index survives session recreation: fresh catalog state, still zero Exchange") {
     // The cross-run story appendToSignatureIndex claims: the bucketed
     // layout lives in the EXTERNAL catalog (what a cluster restart keeps),
@@ -681,6 +703,10 @@ class DedupSimilaritySpec extends SparkTestBase {
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
     assert(maxBits > 67108864L,
       s"clamp conf not raised: maxNumBits=$maxBits")
+    // ...but never past the broadcast-size ceiling: the raise must not
+    // let a huge bench build a GB-scale filter
+    assert(maxBits <= Dedup.BloomMaxBits,
+      s"clamp conf raised past the ${Dedup.BloomMaxBits} cap: $maxBits")
   }
 
   test("bloom-prefiltered contamination is bitwise-equal to the broadcast form") {

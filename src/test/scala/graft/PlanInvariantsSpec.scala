@@ -23,14 +23,58 @@ class PlanInvariantsSpec extends SparkTestBase {
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
+  /** Every BroadcastNestedLoopJoin in the (cache-expanded) plan must
+    * build against a side that is provably SMALL — a LIMIT (the seeds
+    * TakeOrdered) or a grouping-free aggregate (exactly one row) — so
+    * the exemption covers the documented bounded broadcast, not any
+    * nested loop a refactor might sneak in. Recurses through
+    * InMemoryRelations because memo-persisted stages hide their plans
+    * behind cache scans. (vector_topk is excluded from this check by
+    * its caller: its build side is the filtered query SET — small by
+    * argument, not by structure — and the all-pairs scan is that
+    * operator's documented cost.) */
+  private def unboundedNestedLoops(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(s: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      s.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.CollectLimitExec => l
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }.nonEmpty
+    p.collect {
+      case a: AdaptiveSparkPlanExec => unboundedNestedLoops(a.inputPlan)
+      case c: InMemoryTableScanExec => unboundedNestedLoops(c.relation.cachedPlan)
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        if (bounded(build)) Nil else Seq(j.simpleString(3))
+    }.flatten
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without nested-loop/cartesian joins") {
-      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val df = fn(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
       val hits = forbidden.filter(plan.contains)
       if (intendedAllPairs(name)) {
         // documented exception — but it must stay a BROADCAST nested loop
-        // (small side shipped), never a full cartesian shuffle
+        // (small side shipped), never a full cartesian shuffle, and every
+        // nested loop's build side must be bounded by a limit (the seeds
+        // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
+        if (name != "vector_topk") {
+          val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
+          assert(unbounded.isEmpty,
+            s"$name has a nested loop with an UNBOUNDED build side:\n" +
+              unbounded.mkString("\n"))
+        }
       } else {
         assert(hits.isEmpty,
           s"$name plan contains ${hits.mkString(", ")}\n${plan.take(1200)}")
