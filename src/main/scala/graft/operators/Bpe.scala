@@ -121,9 +121,18 @@ object Bpe {
     flatten(transform(TextOps.bpeishTokens(text), w => mergeWord(w, merges)))
 
   /** One word → its merged symbol array: char split + the full merge
-    * replay. The single definition both encode paths share — a drifted
+    * replay, as the native kernel ([[graft.functions.BpeEncodeWord]] —
+    * O(len) per merge vs the HOF fold's interpreted O(len²) accumulator
+    * rebuild). The single definition both encode paths share — a drifted
     * copy here would silently break their spec-asserted equivalence. */
-  private def mergeWord(w: Column, merges: Seq[(String, String)]): Column = {
+  private def mergeWord(w: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncodeWord(w, merges)
+
+  /** The pure-built-in replay (char split + chained [[applyMerge]]
+    * folds) — kept as the executable reference BpeSpec property-tests
+    * the kernel against, and as the form [[train]] itself uses (the
+    * trainer's folds are lazy plan rewrites, not per-row hot loops). */
+  private[graft] def mergeWordHof(w: Column, merges: Seq[(String, String)]): Column = {
     val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
     merges.foldLeft(chars) { case (acc, (l, r)) => applyMerge(acc, l, r) }
   }

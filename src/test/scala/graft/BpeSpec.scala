@@ -65,6 +65,24 @@ class BpeSpec extends SparkTestBase {
     assert(perRow.values.exists(_.nonEmpty))
   }
 
+  test("BpeEncodeWord kernel equals the HOF merge-fold on random words") {
+    val rng = new scala.util.Random(23)
+    val chars = "abAB0é世!"  // incl. multi-byte code points
+    // non-empty only: bpeishTokens can't produce empty pre-tokens, and
+    // the two formulations are specified only on that domain (the HOF's
+    // sequence(1, 0) on "" degenerates to a descending range)
+    val words = Seq("a", "ab", "aaaa", "é世é", "a!b") ++
+      Seq.fill(200)(Seq.fill(1 + rng.nextInt(10))(chars(rng.nextInt(chars.length))).mkString)
+    val merges = Seq("a" -> "b", "ab" -> "a", "é" -> "世", "a" -> "a")
+    val rows = words.toDF("w")
+      .select(graft.functions.BpeEncodeWord(col("w"), merges).as("k"),
+        Bpe.mergeWordHof(col("w"), merges).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.zipWithIndex.foreach { case ((k, h), i) =>
+      assert(k == h, s"word='${words(i)}'")
+    }
+  }
+
   test("train + encode equal an independent reference BPE on random corpora") {
     // plain-Scala reference implementation, written independently of the
     // Spark formulation (lists + sliding windows, no string-fold trick)
