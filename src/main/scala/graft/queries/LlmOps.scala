@@ -1036,6 +1036,73 @@ object LlmOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Training-mix **source rebalancing**: pick per-source document
+    * subsets so the sampled TOKEN mass approaches target source weights
+    * (here sources src0–src4 get 3× the weight of the rest) without
+    * upsampling — the "match the data card's mixture" op every
+    * multi-source corpus build runs. The feasibility scale is
+    * λ = min_s T_s/w_s (the binding source keeps everything); per-source
+    * keep counts are then k_s = ⌊T_m·w_s·n_s / (w_m·T_s)⌋ — EXACT
+    * integer cross-multiplication, no double rates, which is what makes
+    * membership oracle-checkable. Membership itself is the md5-rank
+    * rule: the k_s smallest md5(salt‖id) docs per source — same
+    * deterministic-uniform draw as [[corpusSample]].
+    *
+    * Scale shape: one groupBy(source) aggregate (tiny), one 1-row
+    * TakeOrdered for the binding source (broadcast — the scalar_subquery
+    * shape), and a per-source rank window (each partition = one source).
+    * The rank form is the oracle-exact formulation; a stream-friendly
+    * variant at extreme scale swaps the window for
+    * [[graft.operators.Sampling.hashSample]] at rate k_s/n_s, trading
+    * bitwise oracle equality for shuffle-freedom. */
+  def corpusRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = Seq("src0", "src1", "src2", "src3", "src4")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("nt")).as("t_s"))
+      .withColumn("w_s",
+        when(col("source").isInCollection(heavy), lit(3L)).otherwise(lit(1L)))
+    val binding = stats
+      .orderBy((col("t_s").cast("double") / col("w_s")), col("source"))
+      .limit(1)
+      .select(col("t_s").as("tm"), col("w_s").as("wm"))
+    val keeps = stats.crossJoin(broadcast(binding))
+      .select(col("source"),
+        expr("(tm * w_s * n_s) div (wm * t_s)").as("k_s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("graft-mix"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.join(keeps, "source")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("k_s"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusRebalanceSql =
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |           FROM documents),
+      |s AS (SELECT source, COUNT(*) AS n_s, CAST(SUM(nt) AS BIGINT) AS t_s
+      |      FROM d GROUP BY source),
+      |w AS (SELECT source, n_s, t_s,
+      |        CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |             THEN 3 ELSE 1 END AS w_s
+      |      FROM s),
+      |m AS (SELECT t_s AS tm, w_s AS wm FROM w
+      |      ORDER BY CAST(t_s AS DOUBLE) / w_s, source LIMIT 1),
+      |k AS (SELECT source, (tm * w_s * n_s) // (wm * t_s) AS k_s FROM w, m),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5('graft-mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM d)
+      |SELECT r.doc_id, r.source
+      |FROM r JOIN k USING (source)
+      |WHERE rk <= k_s
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic 80/10/10 train/val/test assignment per document —
     * exact-membership oracle via the shared cumulative thresholds. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
@@ -1332,6 +1399,7 @@ object LlmOps {
     Q("corpus_pack", corpusPackSql)(corpusPack),
     Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
+    Q("corpus_rebalance", corpusRebalanceSql)(corpusRebalance),
     Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
     Q.noOracle("winnow_fingerprint")(winnowFingerprint))

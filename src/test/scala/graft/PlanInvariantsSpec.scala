@@ -17,9 +17,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     *  - semantic_dedup: the cell-assignment argmax joins each corpus row
     *    against the BROADCAST nCells-row seeds frame (bounded side ships,
     *    corpus never moves; partial-agg argmax collapses the expansion
-    *    map-side) — the scalar_subquery shape with nCells rows. */
+    *    map-side) — the scalar_subquery shape with nCells rows;
+    *  - corpus_rebalance: the 1-row binding-source frame (a TakeOrdered)
+    *    broadcasts into the per-source keep-count projection — again the
+    *    scalar_subquery shape. */
   private val intendedAllPairs =
-    Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup")
+    Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
+      "corpus_rebalance")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

@@ -79,4 +79,37 @@ class SamplingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("corpus_rebalance: binding source keeps all docs, token mass tracks the weights") {
+    val out = graft.queries.LlmOps.corpusRebalance(spark, sf0001)
+      .as[(Long, String)].collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[(Long, String, Long)].collect()
+    val ntOf = docs.map(d => d._1 -> d._3).toMap
+    val totBySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val keptBySrc = out.groupBy(_._2).view
+      .mapValues(_.map(r => ntOf(r._1)).sum).toMap
+    val heavy = Set("src0", "src1", "src2", "src3", "src4")
+    def w(s: String) = if (heavy(s)) 3.0 else 1.0
+    // feasibility: the binding source (max tokens-per-weight pressure,
+    // i.e. min T/w) keeps every document
+    val binding = totBySrc.keys.minBy(s => (totBySrc(s) / w(s), s))
+    val keptDocs = out.groupBy(_._2).view.mapValues(_.size).toMap
+    val allDocs = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(keptDocs(binding) == allDocs(binding))
+    // sampled token mass per unit weight is roughly equal across sources
+    // — rough because k_s floors to whole DOCUMENTS and the md5 draw
+    // picks which (variable-length) docs survive; at sf0.001 one doc is
+    // a double-digit percentage of its source's kept mass
+    val perWeight = keptBySrc.map { case (s, t) => t / w(s) }
+    assert(perWeight.max <= perWeight.min * 1.6,
+      s"token mass per weight spread too wide: $keptBySrc")
+    // heavy sources end up with ~3x the kept tokens of light ones
+    val heavyAvg = keptBySrc.filter(k => heavy(k._1)).values.sum / 5.0
+    val lightAvg = keptBySrc.filterNot(k => heavy(k._1)).values.sum / 15.0
+    assert(heavyAvg > 2.4 * lightAvg && heavyAvg < 3.6 * lightAvg,
+      s"heavy=$heavyAvg light=$lightAvg")
+  }
 }
