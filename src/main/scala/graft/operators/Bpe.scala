@@ -78,6 +78,15 @@ object Bpe {
     merges.toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** Every `MergePersistStride` iterations the rewritten vocab is
+    * persisted ([[Dedup.memoPersist]] — caller-released), capping the
+    * lazy fold chain each argmax re-evaluates at stride length: without
+    * it, iteration k replays k folds from the base table and the loop
+    * totals O(nMerges²) fold applications — irrelevant at nMerges=8,
+    * the difference between minutes and hours at a real 10³⁺-merge
+    * vocabulary. */
+  private val MergePersistStride = 16
+
   private def runMergeLoop(words: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -85,6 +94,7 @@ object Bpe {
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
+      if (step % MergePersistStride == 0) cur = Dedup.memoPersist(cur)
       // adjacent pairs weighted by word frequency; i is 0-based
       val best = cur
         .select(col("cnt"),

@@ -145,6 +145,21 @@ class BpeSpec extends SparkTestBase {
     assert(result.passed, result.status.toString)
   }
 
+  test("long merge runs cross the persist stride and stay consistent with short runs") {
+    graft.operators.Dedup.releaseCaches()
+    val docs = Tables.documents(spark, sf0001)
+    val m20 = Bpe.train(docs, col("text"), nMerges = 20)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val m8 = Bpe.train(docs, col("text"), nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // a longer run extends a shorter one — the stride persist at step 16
+    // must not perturb the merge sequence
+    assert(m20.size == 20)
+    assert(m20.take(8) == m8)
+    assert(m20.map(_._4).sliding(2).forall { case Seq(a, b) => b <= a })
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("trainer is stable on the sf0.001 corpus and merges nest correctly") {
     val docs = Tables.documents(spark, sf0001)
     val out = Bpe.train(docs, col("text"), nMerges = 8)
