@@ -79,22 +79,32 @@ object Bpe {
   }
 
   /** Every `MergePersistStride` iterations the rewritten vocab is
-    * persisted ([[Dedup.memoPersist]] — caller-released), capping the
-    * lazy fold chain each argmax re-evaluates at stride length: without
-    * it, iteration k replays k folds from the base table and the loop
-    * totals O(nMerges²) fold applications — irrelevant at nMerges=8,
-    * the difference between minutes and hours at a real 10³⁺-merge
-    * vocabulary. */
+    * persisted, capping the lazy fold chain each argmax re-evaluates at
+    * stride length: without it, iteration k replays k folds from the
+    * base table and the loop totals O(nMerges²) fold applications —
+    * irrelevant at nMerges=8, the difference between minutes and hours
+    * at a real 10³⁺-merge vocabulary. Exactly ONE checkpoint stays live:
+    * the superseded one is released only after the next argmax action
+    * has materialized its successor (unpersisting earlier would force
+    * that materialization to replay the whole chain), and the last one
+    * is released when the loop ends — the memoized merge table, not the
+    * caches, is what callers reuse. */
   private val MergePersistStride = 16
 
   private def runMergeLoop(words: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = words.select(col("cnt"), col("syms"))
+    var live: Option[DataFrame] = None      // current checkpoint
+    var retiring: Option[DataFrame] = None  // release after the next action
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      if (step % MergePersistStride == 0) cur = Dedup.memoPersist(cur)
+      if (step % MergePersistStride == 0) {
+        cur = cur.persist()
+        retiring = live
+        live = Some(cur)
+      }
       // adjacent pairs weighted by word frequency; i is 0-based
       val best = cur
         .select(col("cnt"),
@@ -108,6 +118,10 @@ object Bpe {
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1)
         .collect()
+      // this action materialized any fresh checkpoint — the superseded
+      // one can go now
+      retiring.foreach(_.unpersist())
+      retiring = None
       best.headOption match {
         case Some(row) =>
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
@@ -117,6 +131,7 @@ object Bpe {
         case None => exhausted = true
       }
     }
+    live.foreach(_.unpersist())
     merges.toSeq
   }
 

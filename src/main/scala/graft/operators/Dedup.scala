@@ -56,19 +56,29 @@ object Dedup {
     * ran (as opposed to being served from the memo). */
   private[graft] var gateMeasurements: Long = 0L
 
-  private[graft] def memoGate[T](df: DataFrame)(measure: => T): T =
-    gateRegistry.synchronized {
-      val plan = df.queryExecution.analyzed
-      gateRegistry.collectFirst {
-        case (s, p, v) if (s eq df.sparkSession) && p.sameResult(plan) =>
-          v.asInstanceOf[T]
-      }.getOrElse {
-        val v = measure
-        gateMeasurements += 1
-        gateRegistry += ((df.sparkSession, plan, v))
-        v
+  private[graft] def memoGate[T](df: DataFrame)(measure: => T): T = {
+    val plan = df.queryExecution.analyzed
+    def lookup: Option[T] = gateRegistry.collectFirst {
+      case (s, p, v) if (s eq df.sparkSession) && p.sameResult(plan) =>
+        v.asInstanceOf[T]
+    }
+    // measure runs OUTSIDE the registry lock: gate thunks range from one
+    // bounded aggregate to Bpe.train's whole merge loop, and holding the
+    // global monitor for the duration would serialize every other gated
+    // operator in the JVM behind it. The cost is a benign race — two
+    // threads may measure the same key concurrently; the second insert
+    // is skipped and determinism makes both results identical.
+    gateRegistry.synchronized(lookup).getOrElse {
+      val v = measure
+      gateRegistry.synchronized {
+        lookup.getOrElse {
+          gateMeasurements += 1
+          gateRegistry += ((df.sparkSession, plan, v))
+          v
+        }
       }
     }
+  }
 
   /** Release every persisted stage and memoized gate measurement this
     * object holds (all sessions). Call between benchmark runs or when a
@@ -450,9 +460,13 @@ object Dedup {
           s"$BloomMaxBits cap holds the filter at ${BloomMaxBits / nBench} " +
           "effective bits/key — prefilter selectivity degrades (output stays exact)")
     }
+    // capBits is passed to the aggregate DIRECTLY, not only via the conf:
+    // a session whose maxNumBits conf was already raised above the cap
+    // (e.g. tuned for Spark's own runtime filters) must not let this
+    // operator build a filter past its own broadcast-size contract
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col("h")),
-        Literal(nBench), Literal(nBench * bitsPerKey)).toAggregateExpression())
+        Literal(nBench), Literal(capBits)).toAggregateExpression())
     val bloomPlan = ColumnBridge.logicalPlan(benchSh.agg(bloomAgg.as("bloom")))
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       ScalarSubquery(bloomPlan), ColumnBridge.expression(col("h"))))
@@ -568,38 +582,62 @@ object Dedup {
     * index side even when the candidate set outgrows broadcast. */
   def writeSignatureIndex(df: DataFrame, id: Column, text: Column,
       table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit =
-    Joins.writeBucketed(docSignatures(df, id, text, n, k), table, "doc_id", buckets)
+    Joins.writeBucketed(
+      docSignatures(df, id, text, n, k).withColumn("shingle_n", lit(n)),
+      table, "doc_id", buckets)
 
-  /** Stored signature length of an index table, from ONE bounded 1-row
-    * probe — the k every reader/appender must match. None for an empty
-    * table. */
-  private[graft] def indexSigLength(
-      spark: org.apache.spark.sql.SparkSession, table: String): Option[Int] =
-    spark.table(table).select(size(col("sig"))).limit(1).collect()
-      .headOption.map(_.getInt(0))
+  /** Stored (k, n) of an index table, from ONE bounded 1-row probe —
+    * what every reader/appender must match. None when the table does not
+    * exist or is empty (a first append CREATES the table — probing must
+    * not break that). The shingle width rides in a stored `shingle_n`
+    * column (signatures don't encode it); indexes written before that
+    * column report n = None and skip the n check. */
+  private[graft] def indexParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Option[Int])] = {
+    if (!spark.catalog.tableExists(table)) return None
+    val t = spark.table(table)
+    val nCol =
+      if (t.columns.contains("shingle_n")) col("shingle_n")
+      else lit(null).cast("int")
+    t.select(size(col("sig")), nCol).limit(1).collect().headOption
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+  }
+
+  /** The guard all three index touchpoints share: k must match the
+    * stored signature length (a mismatch nulls sig(j) past the stored
+    * array and xxhash64 SKIPS nulls — band hashes silently stop
+    * matching), and n must match the stored shingle width (same-length
+    * signatures over a different shingle universe are incomparable —
+    * candidates would be missed with no error). One bounded probe; the
+    * single row speaks for the table because both write sites run this
+    * guard too. */
+  private[graft] def requireIndexParams(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      op: String, k: Int, n: Int): Unit =
+    indexParams(spark, table).foreach { case (storedK, storedN) =>
+      require(storedK == k,
+        s"$op: k=$k but index '$table' stores signatures of length " +
+          s"$storedK — a mixed-length index silently drops candidates")
+      storedN.foreach { v =>
+        require(v == n,
+          s"$op: n=$n but index '$table' was built with shingle width $v " +
+            "— mixed shingle universes silently miss near-dup pairs")
+      }
+    }
 
   /** Append a processed batch's signatures to the index — the
     * between-runs half of the incremental loop: dedupe the delta with
     * [[incrementalDedup]], then fold it into the table so the NEXT batch
     * sees it. Spark appends bucketed data files congruent with the
     * existing layout (same bucket count/key), so the zero-shuffle reads
-    * keep working across appends.
-    *
-    * Validates k against the stored signature length BEFORE writing:
-    * Parquet would happily append shorter/longer sig arrays, and every
-    * downstream band computation (batch and streaming) silently drops
-    * candidates for mixed-length rows (null sig elements are skipped by
-    * xxhash64). Enforcing the invariant at the only write sites is what
-    * lets readers trust a single-row probe. */
+    * keep working across appends. A first append on a nonexistent table
+    * creates it (the guard probes nothing in that case); appends onto an
+    * existing index validate (k, n) BEFORE writing — Parquet would
+    * happily interleave incompatible signature rows otherwise. */
   def appendToSignatureIndex(df: DataFrame, id: Column, text: Column,
       table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit = {
-    indexSigLength(df.sparkSession, table).foreach { stored =>
-      require(stored == k,
-        s"appendToSignatureIndex: k=$k but index '$table' stores " +
-          s"signatures of length $stored — a mixed-length index silently " +
-          "drops candidates")
-    }
-    docSignatures(df, id, text, n, k).write
+    requireIndexParams(df.sparkSession, table, "appendToSignatureIndex", k, n)
+    docSignatures(df, id, text, n, k).withColumn("shingle_n", lit(n)).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd")
       .bucketBy(buckets, "doc_id")
@@ -630,15 +668,7 @@ object Dedup {
       indexTable: String, delta: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // same k guard as the streaming reader: a mismatch nulls sig(j) past
-    // the stored length and xxhash64 skips nulls — candidates would be
-    // dropped silently, not loudly. One bounded probe; the single row is
-    // representative because both write sites enforce one k per table.
-    indexSigLength(spark, indexTable).foreach { stored =>
-      require(stored == k,
-        s"incrementalDedup: k=$k but index '$indexTable' stores " +
-          s"signatures of length $stored")
-    }
+    requireIndexParams(spark, indexTable, "incrementalDedup", k, n)
     val deltaSig = memoPersist(docSignatures(delta, id, text, n, k))
     val index = spark.table(indexTable)
     val intra = jaccardForPairsOnArrays(

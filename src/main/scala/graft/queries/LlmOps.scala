@@ -1042,11 +1042,16 @@ object LlmOps {
     * upsampling — the "match the data card's mixture" op every
     * multi-source corpus build runs. The feasibility scale is
     * λ = min_s T_s/w_s (the binding source keeps everything); per-source
-    * keep counts are then k_s = ⌊T_m·w_s·n_s / (w_m·T_s)⌋ — EXACT
-    * integer cross-multiplication, no double rates, which is what makes
-    * membership oracle-checkable. Membership itself is the md5-rank
-    * rule: the k_s smallest md5(salt‖id) docs per source — same
-    * deterministic-uniform draw as [[corpusSample]].
+    * keep counts are k_s = ⌊n_s · (T_m·w_s)/(w_m·T_s)⌋ with the PAIR
+    * products exact in int64 (T·w ≤ ~2⁶³ even at 10¹² tokens × 10³
+    * weights) and the ratio/multiply in IEEE doubles — bitwise identical
+    * in both engines, which keeps membership oracle-checkable, and free
+    * of the int64 overflow a triple product T·w·n would hit at corpus
+    * scale. The binding source's ratio is EXACTLY 1.0 (identical int64
+    * products on both sides of the division), so it keeps all n_m docs.
+    * Membership itself is the md5-rank rule: the k_s smallest
+    * md5(salt‖id) docs per source — same deterministic-uniform draw as
+    * [[corpusSample]].
     *
     * Scale shape: one groupBy(source) aggregate (tiny), one 1-row
     * TakeOrdered for the binding source (broadcast — the scalar_subquery
@@ -1057,9 +1062,13 @@ object LlmOps {
     * bitwise oracle equality for shuffle-freedom. */
   def corpusRebalance(spark: SparkSession, dir: String): DataFrame = {
     val heavy = Seq("src0", "src1", "src2", "src3", "src4")
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+    // one corpus scan: the per-doc token counts feed the stats aggregate,
+    // the binding-source probe AND the rank window — without the memo the
+    // tokenization would run three times
+    val docs = graft.operators.Dedup.memoPersist(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt")))
     val stats = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_s"), sum(col("nt")).as("t_s"))
       .withColumn("w_s",
@@ -1070,7 +1079,9 @@ object LlmOps {
       .select(col("t_s").as("tm"), col("w_s").as("wm"))
     val keeps = stats.crossJoin(broadcast(binding))
       .select(col("source"),
-        expr("(tm * w_s * n_s) div (wm * t_s)").as("k_s"))
+        expr("CAST(floor(CAST(n_s AS DOUBLE) * " +
+          "(CAST(tm * w_s AS DOUBLE) / CAST(wm * t_s AS DOUBLE))) AS BIGINT)")
+          .as("k_s"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(md5(concat(lit("graft-mix"), col("doc_id").cast("string"))),
         col("doc_id"))
@@ -1093,7 +1104,11 @@ object LlmOps {
       |      FROM s),
       |m AS (SELECT t_s AS tm, w_s AS wm FROM w
       |      ORDER BY CAST(t_s AS DOUBLE) / w_s, source LIMIT 1),
-      |k AS (SELECT source, (tm * w_s * n_s) // (wm * t_s) AS k_s FROM w, m),
+      |k AS (SELECT source,
+      |        CAST(floor(CAST(n_s AS DOUBLE) *
+      |          (CAST(tm * w_s AS DOUBLE) / CAST(wm * t_s AS DOUBLE))) AS BIGINT)
+      |          AS k_s
+      |      FROM w, m),
       |r AS (SELECT doc_id, source,
       |        row_number() OVER (PARTITION BY source
       |          ORDER BY md5('graft-mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rk

@@ -196,18 +196,10 @@ object StreamingDownsample {
     import graft.operators.Dedup
     val rows = k / bands
     val index = spark.table(indexTable)
-    // Guard (round-5 advice): k must match the stored signature length.
-    // A mismatched k would index sig_i(j) past the stored array — null —
-    // and xxhash64 SKIPS null inputs, so band hashes would silently
-    // mismatch and candidates would be dropped without any error. One
-    // bounded 1-row probe at construction; the single row speaks for the
-    // table because writeSignatureIndex/appendToSignatureIndex enforce
-    // one k per table at write time (append refuses a mismatch).
-    Dedup.indexSigLength(spark, indexTable).foreach { stored =>
-      require(stored == k,
-        s"nearDupStream: k=$k but index '$indexTable' stores " +
-          s"signatures of length $stored")
-    }
+    // Guard (round-5 advice): (k, n) must match the stored index
+    // parameters — see [[Dedup.requireIndexParams]] for why a mismatch
+    // on either silently drops candidates instead of erroring.
+    Dedup.requireIndexParams(spark, indexTable, "nearDupStream", k, n)
     def bandHash(sig: Column, bd: Int): Column =
       xxhash64(((bd * rows) until ((bd + 1) * rows)).map(j => sig(j)) :+ lit(bd): _*)
     def bandHashes(sig: Column): Column =

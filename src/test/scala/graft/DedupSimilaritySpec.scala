@@ -518,6 +518,19 @@ class DedupSimilaritySpec extends SparkTestBase {
         docs.limit(10), col("doc_id"), col("text"), k = 32)
     }
     assert(err2.getMessage.contains("signatures of length 64"))
+    // same-k but different shingle width: same-length signatures over a
+    // different shingle universe are incomparable — must refuse too
+    val errN = intercept[IllegalArgumentException] {
+      Dedup.appendToSignatureIndex(docs.limit(10), col("doc_id"), col("text"),
+        "sig_idx_kguard", n = 5)
+    }
+    assert(errN.getMessage.contains("shingle width 3"))
+    // and a first append on a NONEXISTENT table must still create it
+    // (the guard probes nothing when there is nothing to probe)
+    spark.sql("DROP TABLE IF EXISTS sig_idx_bootstrap")
+    Dedup.appendToSignatureIndex(docs.limit(10), col("doc_id"), col("text"),
+      "sig_idx_bootstrap")
+    assert(spark.table("sig_idx_bootstrap").count() == 10)
   }
 
   test("signature index survives session recreation: fresh catalog state, still zero Exchange") {
