@@ -60,17 +60,22 @@ object Joins {
     * on that key read co-located buckets — zero Exchange in the plan.
     * The standard layout investment for a fact table joined repeatedly
     * on the same key. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
+  /** Drop a managed table AND its warehouse directory. A table dir left
+    * by a PREVIOUS JVM is not in this session's in-memory catalog, and
+    * saveAsTable(Overwrite) refuses the stale location instead of
+    * replacing it — clearing both makes table writes idempotent across
+    * sessions, not just within one. */
+  private[graft] def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // A table dir left by a PREVIOUS JVM is not in this session's
-    // in-memory catalog, and saveAsTable(Overwrite) refuses the stale
-    // location instead of replacing it — clear it first so the write is
-    // idempotent across sessions, not just within one.
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    dropTableAndLocation(spark, table)
     df.write
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")

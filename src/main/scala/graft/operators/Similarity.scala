@@ -137,35 +137,26 @@ object Similarity {
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 8): DataFrame = {
-    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val sample = trainSample(c0)
-    val cents = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
-      .map(_.map(_.toFloat)).zipWithIndex
+  /** ||v - c||² = ||v||² - 2·v·c + ||c||² ; ||v||² constant per row so
+    * argmin needs only ||c||² - 2·v·c. */
+  private def centDist2(v: Column, cent: Array[Float]): Column = {
+    val c2 = cent.map(x => x.toDouble * x.toDouble).sum
+    lit(c2) - lit(2.0) * VectorOps.dot(v, lit(cent))
+  }
 
-    def centDist2(v: Column, cent: Array[Float]): Column = {
-      // ||v - c||² = ||v||² - 2·v·c + ||c||² ; ||v||² constant per row so
-      // argmin needs only ||c||² - 2·v·c
-      val c2 = cent.map(x => x.toDouble * x.toDouble).sum
-      lit(c2) - lit(2.0) * VectorOps.dot(v, lit(cent))
-    }
-    def nearestCells(v: Column, n: Int): Column = {
-      // ids of the n closest centroids: sort (score, id) structs
-      val scored = array(cents.map { case (cent, i) =>
-        struct(centDist2(v, cent).as("d"), lit(i).as("cell"))
-      }: _*)
-      slice(array_sort(scored), 1, n).getField("cell")
-    }
+  /** Ids of the n closest centroids: sort (score, id) structs. */
+  private def nearestCellsOf(cents: Seq[(Array[Float], Int)])(
+      v: Column, n: Int): Column = {
+    val scored = array(cents.map { case (cent, i) =>
+      struct(centDist2(v, cent).as("d"), lit(i).as("cell"))
+    }: _*)
+    slice(array_sort(scored), 1, n).getField("cell")
+  }
 
-    val cAssigned = c0
-      .withColumn("cn", VectorOps.norm(col("cv")))
-      .withColumn("cell", nearestCells(col("cv"), 1).getItem(0))
-    val qAssigned = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("qn", VectorOps.norm(col("qv")))
-      .withColumn("cell", explode(nearestCells(col("qv"), nprobe)))
-
+  /** Shared tail of the IVF paths: score probed (query, candidate) rows
+    * and keep each query's top k. */
+  private def scoreCells(qAssigned: DataFrame, cAssigned: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     qAssigned.join(cAssigned, Seq("cell"))
@@ -175,6 +166,87 @@ object Similarity {
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 8): DataFrame = {
+    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val sample = trainSample(c0)
+    val cents = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
+      .map(_.map(_.toFloat)).zipWithIndex
+    val nearestCells = nearestCellsOf(cents) _
+    val cAssigned = c0
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("cell", nearestCells(col("cv"), 1).getItem(0))
+    val qAssigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), nprobe)))
+    scoreCells(qAssigned, cAssigned, k)
+  }
+
+  // ------------------------------------------------- persisted IVF index
+
+  /** Build the **persisted IVF index** — the vector-database pattern
+    * (train once, assign once, serve many query batches), mirroring the
+    * dedup signature index's cross-run loop. The corpus is assigned to
+    * its k-means cell ONCE and written bucketed+sorted BY CELL; the
+    * centroid table (nCells rows) rides in a `<table>__centroids` side
+    * table so later sessions route queries without retraining. Bucketing
+    * by cell is what makes serving cheap: a query batch's probed cells
+    * become an `IN` filter the scan turns into BUCKET PRUNING — only the
+    * probed cells' files are read, ~nprobe/nCells of the index
+    * (spec-asserted via SelectedBucketsCount). */
+  def writeIvfIndex(candidates: DataFrame, table: String,
+      nCells: Int = 16, buckets: Int = 8): Unit = {
+    val spark = candidates.sparkSession
+    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val sample = trainSample(c0)
+    val cents = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
+      .map(_.map(_.toFloat)).zipWithIndex
+    val nearestCells = nearestCellsOf(cents) _
+    Joins.writeBucketed(
+      c0.withColumn("cn", VectorOps.norm(col("cv")))
+        .withColumn("cell", nearestCells(col("cv"), 1).getItem(0)),
+      table, "cell", buckets)
+    import spark.implicits._
+    val centRows = cents.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    // same cross-JVM idempotence dance as the bucketed main table
+    Joins.dropTableAndLocation(spark, s"${table}__centroids")
+    centRows.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}__centroids")
+  }
+
+  /** Serve approximate top-k from a [[writeIvfIndex]] table. Routing
+    * loads the bounded centroid side table (nCells rows); the probed
+    * cells of THIS query batch (≤ |queries|·nprobe ints — ANN serving is
+    * small-batch by contract, like the brute-force query side) collapse
+    * to an `IN` filter on the bucket column, so the index scan reads
+    * only the probed cells' buckets. No retrain, no re-assignment, no
+    * full-index pass — the query-time work is proportional to the probed
+    * fraction. */
+  def ivfTopKIndexed(queries: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, table: String, k: Int,
+      nprobe: Int = 8): DataFrame = {
+    val cents = spark.table(s"${table}__centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getInt(0)))
+      .sortBy(_._2).toSeq
+    require(cents.nonEmpty, s"ivfTopKIndexed: empty centroid table for '$table'")
+    val nearestCells = nearestCellsOf(cents) _
+    val qAssigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("cell", explode(nearestCells(col("qv"), nprobe)))
+    // bounded collect: the probe list for one serving batch
+    val probed = qAssigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cAssigned = spark.table(table)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell"), col("cand_id"), col("cv"), col("cn"))
+    scoreCells(qAssigned, cAssigned, k)
   }
 
   /** IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -217,16 +289,7 @@ object Similarity {
     val bookNorm2: Array[Array[Double]] =
       books.map(_.map(cb => cb.map(x => x.toDouble * x.toDouble).sum))
 
-    def centDist2(v: Column, cent: Array[Float]): Column = {
-      val c2 = cent.map(x => x.toDouble * x.toDouble).sum
-      lit(c2) - lit(2.0) * VectorOps.dot(v, lit(cent))
-    }
-    def nearestCells(v: Column, n: Int): Column = {
-      val scored = array(coarse.map { case (cent, i) =>
-        struct(centDist2(v, cent).as("d"), lit(i).as("cell"))
-      }: _*)
-      slice(array_sort(scored), 1, n).getField("cell")
-    }
+    val nearestCells = nearestCellsOf(coarse) _
     // encode: per subspace, the argmin-distance codebook entry
     def codeOf(v: Column, s: Int): Column = {
       val sub = slice(v, s * d + 1, d)

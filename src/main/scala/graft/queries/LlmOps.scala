@@ -383,6 +383,24 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Serving from the **persisted IVF index** ([[Similarity
+    * .writeIvfIndex]] / [[Similarity.ivfTopKIndexed]]): build the
+    * bucketed-by-cell index + centroid side table, then answer the query
+    * batch from it — the scan reads only the probed cells' buckets
+    * (bucket pruning, spec-asserted). Rows-only (k-means), anchored by
+    * the spec proving served ≡ inline [[vectorIvf]] results exactly.
+    * The timed query includes the index WRITE, the same deliberate
+    * layout-investment accounting as `bucketed_join` and
+    * `dedup_incremental`. */
+  def vectorIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndex(e, "graft_ivf_index")
+    Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 20), spark,
+        "graft_ivf_index", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): IVF routing + product-
     * quantized asymmetric-distance scoring — the memory-bound scale path
     * (codes are ~30× smaller than the vectors they rank); rows-only
@@ -1399,6 +1417,7 @@ object LlmOps {
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),
     Q.noOracle("vector_ivf")(vectorIvf),
+    Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),
     Q.noOracle("vector_pq")(vectorPq),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),

@@ -245,6 +245,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.7, s"IVF recall $recall below 0.7 floor")
   }
 
+  test("persisted IVF index serves identical results with bucket-pruned scans") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    Similarity.writeIvfIndex(e, "ivf_idx_spec")
+    val served = Similarity.ivfTopKIndexed(q, spark, "ivf_idx_spec", k = 5)
+    // same centroids (same seed, same one-pass sample) -> the served
+    // results must equal the inline train-per-query path exactly
+    val inline = Similarity.ivfTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = served.select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == inline && got.nonEmpty)
+    // and the index scan is BUCKET-PRUNED to the probed cells: the scan
+    // node reports fewer selected buckets than the table has
+    val scan = served.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n${scan.take(1200)}")
+    // 20 queries x nprobe=8 of 16 cells probe most cells at this scale,
+    // but never all 16 — any pruning proves the IN filter reaches the
+    // bucket layout; at serving scale (1 batch, few cells) the fraction
+    // is nprobe/nCells
+    val (s, t) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(s < t, s"scan read every bucket ($s of $t)")
+  }
+
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
