@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * discipline as [[KMeansLite]]'s trainer). */
 object Bpe {
 
+  /** Serializes [[train]]'s merge loops within the JVM — see the
+    * call-site comment for why concurrent trainings over one plan would
+    * corrupt each other's stride checkpoints. */
+  private val trainLock = new Object
+
   /** Greedy left-to-right merge of adjacent (l, r) symbol runs, as a fold
     * over the space-joined symbol string: symbols never contain spaces
     * (they are concatenations of non-space characters), so "acc's last
@@ -71,8 +76,16 @@ object Bpe {
     // nMerges-iteration driver loop instead of re-collecting per
     // construction. nMerges enters the gate key as a marker column —
     // memoGate keys on the canonicalized plan alone.
+    // trainLock serializes merge loops within the JVM: two concurrent
+    // trainings over the same words plan would SHARE their plan-keyed
+    // stride caches (Spark's CacheManager keys by logical plan), and the
+    // first finisher's unpersist would evict the other's live checkpoint
+    // mid-loop — reintroducing the O(nMerges²) replay the stride
+    // prevents. Training is a driver-paced loop anyway; other gated
+    // operators stay unblocked (memoGate releases the registry lock
+    // while measuring).
     val merges = Dedup.memoGate(words.withColumn("__n_merges", lit(nMerges))) {
-      runMergeLoop(words, nMerges)
+      Bpe.trainLock.synchronized { runMergeLoop(words, nMerges) }
     }
     import spark.implicits._
     merges.toDF("step", "lhs", "rhs", "pair_count")
@@ -99,6 +112,7 @@ object Bpe {
     var retiring: Option[DataFrame] = None  // release after the next action
     var step = 1
     var exhausted = false
+    try {
     while (step <= nMerges && !exhausted) {
       if (step % MergePersistStride == 0) {
         cur = cur.persist()
@@ -131,7 +145,13 @@ object Bpe {
         case None => exhausted = true
       }
     }
-    live.foreach(_.unpersist())
+    } finally {
+      // release BOTH handles even when a Spark job throws mid-loop:
+      // these raw persists are in no registry, so nothing else
+      // (releaseCaches included) could ever free them
+      retiring.foreach(_.unpersist())
+      live.foreach(_.unpersist())
+    }
     merges.toSeq
   }
 

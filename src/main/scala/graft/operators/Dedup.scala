@@ -52,8 +52,10 @@ object Dedup {
     .empty[(org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any)]
 
-  /** Diagnostic counter for specs: how many gate-planning jobs actually
-    * ran (as opposed to being served from the memo). */
+  /** Diagnostic counter for specs: how many gate measurements were
+    * INSERTED into the memo (one per distinct key under single-threaded
+    * use; a losing thread in the measure-outside-the-lock race runs its
+    * thunk but doesn't count — the registry still holds one entry). */
   private[graft] var gateMeasurements: Long = 0L
 
   private[graft] def memoGate[T](df: DataFrame)(measure: => T): T = {
@@ -636,8 +638,27 @@ object Dedup {
     * happily interleave incompatible signature rows otherwise. */
   def appendToSignatureIndex(df: DataFrame, id: Column, text: Column,
       table: String, n: Int = 3, k: Int = 64, buckets: Int = 8): Unit = {
-    requireIndexParams(df.sparkSession, table, "appendToSignatureIndex", k, n)
-    docSignatures(df, id, text, n, k).withColumn("shingle_n", lit(n)).write
+    val spark = df.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    if (!exists) {
+      // the catalog has no entry, but a PREVIOUS JVM may have left index
+      // files at the warehouse location — creating over them would
+      // silently absorb rows of unknown (k, n) into the new index, the
+      // exact mixed-signature poisoning the guard below prevents for
+      // catalog-visible tables. Clear the stale dir so the first append
+      // creates a clean table.
+      Joins.dropTableAndLocation(spark, table)
+    }
+    requireIndexParams(spark, table, "appendToSignatureIndex", k, n)
+    // a pre-shingle_n index (legacy 3-column schema) must keep its
+    // schema: appending a 4th column would fail the insertion column
+    // match — the n guard is already skipped for those tables
+    val legacySchema = exists &&
+      !spark.table(table).columns.contains("shingle_n")
+    val sigs0 = docSignatures(df, id, text, n, k)
+    val sigs =
+      if (legacySchema) sigs0 else sigs0.withColumn("shingle_n", lit(n))
+    sigs.write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd")
       .bucketBy(buckets, "doc_id")

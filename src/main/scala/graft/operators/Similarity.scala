@@ -236,10 +236,13 @@ object Similarity {
       .sortBy(_._2).toSeq
     require(cents.nonEmpty, s"ivfTopKIndexed: empty centroid table for '$table'")
     val nearestCells = nearestCellsOf(cents) _
-    val qAssigned = queries
+    // persisted: the routed query batch feeds the probe-list collect AND
+    // the scoring join — without the memo the query-side pipeline (scan,
+    // norms, nCells distance sort, explode) would run twice per call
+    val qAssigned = Dedup.memoPersist(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", VectorOps.norm(col("qv")))
-      .withColumn("cell", explode(nearestCells(col("qv"), nprobe)))
+      .withColumn("cell", explode(nearestCells(col("qv"), nprobe))))
     // bounded collect: the probe list for one serving batch
     val probed = qAssigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
