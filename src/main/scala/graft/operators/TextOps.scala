@@ -61,6 +61,36 @@ object TextOps {
   /** English stopwords used for quality scoring. */
   val enStopwords: Seq[String] = stopwords("en")
 
+  // ------------------------------------------------------- Gopher quality
+
+  /** Gopher quality metrics (Rae et al. 2021 §A1.1) for a text column,
+    * as named columns — the ONE definition both the batch
+    * `quality_gopher` query and the streaming cleaning stage compute
+    * (a drifted copy would silently diverge batch and stream). */
+  def gopherMetrics(text: Column): Seq[(String, Column)] = {
+    val w = tokens(text)
+    val nTok = size(w)
+    Seq(
+      "n_tokens" -> nTok,
+      "mean_token_len" ->
+        ((length(text) - nTok + 1).cast("double") / nTok.cast("double")),
+      "alpha_frac" ->
+        (size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
+          nTok.cast("double")),
+      "n_stop" -> hitCount(w, enStopwords),
+      "ttr" -> (size(array_distinct(w)).cast("double") / nTok.cast("double")))
+  }
+
+  /** The per-rule booleans over [[gopherMetrics]]' column NAMES —
+    * evaluate after projecting the metrics. */
+  def gopherRules: Seq[(String, Column)] = Seq(
+    "r_count" -> col("n_tokens").between(50, 100000),
+    "r_word_len" ->
+      (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0),
+    "r_alpha" -> (col("alpha_frac") >= 0.8),
+    "r_stop" -> (col("n_stop") >= 2),
+    "r_ttr" -> (col("ttr") >= 0.2))
+
   // --------------------------------------------------------- normalization
 
   /** Zero-width and non-whitespace control characters (NUL..BS, VT, FF,

@@ -472,25 +472,12 @@ object LlmOps {
     * int-ratio doubles: codegen'd, no shuffle at all, and bitwise
     * reproducible in the oracle. */
   def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
-    val w = TextOps.tokens(col("text"))
-    val nTok = size(w)
-    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok.cast("double")
-    val alphaFrac = size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
-      nTok.cast("double")
-    val nStop = TextOps.hitCount(w, TextOps.enStopwords)
-    val ttr = size(array_distinct(w)).cast("double") / nTok.cast("double")
+    val metrics = TextOps.gopherMetrics(col("text"))
+    val rules = TextOps.gopherRules
     Tables.documents(spark, dir)
-      .select(col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
-        alphaFrac.as("alpha_frac"), nStop.as("n_stop"), ttr.as("ttr"))
-      .select(col("*"),
-        col("n_tokens").between(50, 100000).as("r_count"),
-        (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0).as("r_word_len"),
-        (col("alpha_frac") >= 0.8).as("r_alpha"),
-        (col("n_stop") >= 2).as("r_stop"),
-        (col("ttr") >= 0.2).as("r_ttr"))
-      .withColumn("keep",
-        col("r_count") && col("r_word_len") && col("r_alpha") &&
-          col("r_stop") && col("r_ttr"))
+      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .select(col("*") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
       .orderBy("doc_id")
   }
 

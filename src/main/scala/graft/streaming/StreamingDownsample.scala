@@ -130,6 +130,27 @@ object StreamingDownsample {
     * Bloom route ([[graft.operators.Dedup.contaminationBloom]]) is the
     * batch-side fallback. Emits only contaminated documents, with the
     * batch operator's exact columns. */
+  /** Stateless **text-cleaning stage** for ingest streams: NFC
+    * normalization → Gopher quality gate ON THE NORMALIZED TEXT →
+    * PII scrub, emitting (doc_id, clean_text) for survivors. Every step
+    * is a pure per-row projection ([[graft.operators.TextOps]]'s
+    * codegen'd normalize/metrics/scrub columns — the SAME definitions
+    * the batch `text_normalize` / `quality_gopher` / `pii_scrub`
+    * queries use, so batch ≡ stream by construction, spec-asserted),
+    * which is what makes it runnable in append mode with no watermark
+    * and no state store — the front of a 100 TB/day ingest pipeline,
+    * upstream of [[nearDupStream]]. */
+  def cleanStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val metrics = TextOps.gopherMetrics(col("norm_text"))
+    docs
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))
+      .select(col("doc_id") +: col("norm_text") +:
+        metrics.map { case (n, c) => c.as(n) }: _*)
+      .filter(TextOps.gopherRules.map(_._2).reduce(_ && _))
+      .select(col("doc_id"), TextOps.scrubPii(col("norm_text")).as("clean_text"))
+  }
+
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
       n: Int = 3): DataFrame = {
     import graft.operators.Dedup

@@ -203,6 +203,38 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.toSet == expected)
   }
 
+  test("streaming clean stage equals the batch projection (normalize -> gopher -> scrub)") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus docs plus crafted rows that exercise each stage: an
+    // NFC/zero-width near-dup, a PII-bearing doc, a too-short doc that
+    // the gopher gate must drop
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val crafted = Seq(
+      (100001L, "cafe\u0301 " + base.head._2 + "\u200B \t mail a@b.org"),
+      (100002L, "too short to keep"))
+    val rows = base ++ crafted
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDownsample.cleanStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(rows.size / 2))
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.size / 2))
+    q.processAllAvailable()
+    val streamed = spark.table("clean_out")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    val batch = StreamingDownsample.cleanStream(rows.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(!batch.exists(_._1 == 100002L))      // gopher gate dropped it
+    batch.find(_._1 == 100001L).foreach { case (_, t) =>
+      assert(t.contains("caf\u00e9") && !t.contains("\u200B")) // normalized
+      assert(t.contains("<EMAIL>") && !t.contains("a@b.org"))  // scrubbed
+    }
+  }
+
   test("nearDupStream refuses a k mismatched with the stored signatures") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
