@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear **quality-classifier trainer** — the fastText-style distillation
+  * step of a training-data pipeline: learn a cheap linear scorer over
+  * hashed bag-of-token features from a (possibly expensive) labeled
+  * signal, then apply it at ingest where the signal itself is too costly
+  * or unavailable. The registered `quality_classifier` query distills the
+  * Gopher rule gate (`quality_gopher`) into such a scorer — the standard
+  * weak-supervision trick (Joulin et al. 2016 "Bag of Tricks" shape,
+  * rules as the teacher).
+  *
+  * The trainer is a **pocket perceptron** (Gallant 1990) with batch
+  * epochs: epoch k scores every doc under w_{k−1}, counts the correct
+  * ones (the pocket criterion), and updates with the misclassified-set
+  * gradient under a deterministic 1/k step schedule; the emitted weights
+  * are the best-visited epoch's, not the last (on non-separable data the
+  * raw batch perceptron provably cycles — measured on the corpus: step-1
+  * updates oscillate between majority-class states forever, and epoch
+  * averaging does not escape because the cycle is symmetric). Every
+  * quantity is an INTEGER — counts, weights, scores, and the update
+  * quantization trunc(B·Σ / (|mis|·k)) with resolution B = 32 — so
+  * training is partition-order-independent (integer sums are
+  * associative) and the whole procedure replays bitwise in DuckDB as an
+  * unrolled-CTE oracle, like the BPE trainer's. No `exp`/`log` ever runs
+  * (libm rounding is not cross-engine stable — the same rule that keeps
+  * `lm_unigram` log-free). Truncation is TOWARD ZERO on both engines:
+  * the driver uses Java `/`, the oracle `-((-s*B)//d)` for negative s
+  * (DuckDB `//` floors; abs makes floor = trunc).
+  *
+  * Features: each whitespace token hashes to a 3-hex-char bucket of its
+  * md5 (4096 buckets — both engines agree on md5, the same reason
+  * [[Sampling]] thresholds md5 hex), plus a constant bias feature `"__b"`
+  * (underscore is not a hex digit, so it cannot collide).
+  *
+  * Scale shape: the per-doc feature vector is built ONCE as a per-row
+  * array (distinct-bucket counts — no shuffle) and persisted. Each epoch
+  * is then (a) a zero-shuffle scan scoring against the current weights
+  * carried as ONE map literal — the lambda references the map and the
+  * array exactly once each, so the expression tree stays linear — and
+  * (b) one aggregate of the misclassified docs' features down to ≤ 4097
+  * (feature, Σ y·count) rows collected to the driver (same
+  * bounded-collect discipline as [[KMeansLite]] and [[Bpe.train]]).
+  * The update arithmetic itself runs on the driver over those ≤ 4097
+  * sums. Epochs never grow the plan: each scores the PERSISTED features
+  * frame with a fresh literal. The quantized mean update is
+  * corpus-size-INDEPENDENT (numerator and denominator both scale with
+  * |mis|), so the schedule that converges at sf0.001 is the same one
+  * that converges at 100 TB. */
+object Classifier {
+
+  val dimHexChars = 3
+  val biasFeature = "__b"
+  val resolution = 32L
+
+  /** Per-doc sparse feature vector: array of (f: 3-hex-char md5 bucket,
+    * c: count) over distinct token buckets, plus the bias feature at
+    * count 1. Pure per-row projection — the two-step select materializes
+    * the bucket array as a bound attribute first, so the distinct+count
+    * pass references a column, not a re-computed expression. */
+  def tokenFeatures(df: DataFrame, id: Column, label: Column,
+      text: Column): DataFrame =
+    df.select(id.as("doc_id"), label.as("y"),
+        transform(TextOps.tokens(text),
+          t => substring(md5(t), 1, dimHexChars)).as("__fa"))
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(array_distinct(col("__fa")), f =>
+            struct(f.as("f"),
+              size(filter(col("__fa"), x => x === f)).cast("long").as("c"))),
+          array(struct(lit(biasFeature).as("f"), lit(1L).as("c"))))
+          .as("fc"))
+
+  /** Integer dot product of a feature vector with the weight map `w`,
+    * carried as one map literal (absent features read 0). */
+  private def score(w: Map[String, Long]): Column = {
+    val wlit = typedLit(w)
+    aggregate(col("fc"), lit(0L),
+      (acc, x) => acc + coalesce(element_at(wlit, x("f")), lit(0L)) * x("c"))
+  }
+
+  /** Java `/` on longs truncates toward zero — the behavior the oracle
+    * mirrors with its abs-form floor division. */
+  private def trunc(num: Long, den: Long): Long = num / den
+
+  /** Train `epochs` pocket-perceptron epochs over `(id, label, text)`
+    * rows (label ∈ {+1, −1}) and return the POCKET weights — the
+    * epoch state with the most correctly-scored docs (ties → earliest
+    * epoch; w₀ = 0 scores zero correct under the zero-margin
+    * convention, so the pocket always moves). Epoch k from w_{k−1}:
+    * Δ_f = trunc(B · Σ_{y·score ≤ 0} y·c_f / (|mis|·k)) — the
+    * quantized mean misclassified feature vector under a 1/k step. */
+  def trainPerceptron(df: DataFrame, id: Column, label: Column,
+      text: Column, epochs: Int): Map[String, Long] = {
+    require(epochs > 0, s"trainPerceptron needs epochs > 0 (got $epochs)")
+    val feats = Dedup.memoPersist(tokenFeatures(df, id, label, text))
+    var w = Map.empty[String, Long]
+    var pocket = Map.empty[String, Long]
+    var pocketOk = -1L
+    val n = feats.count()
+    for (k <- 1 to epochs) {
+      // ONE job per epoch: the misclassified-feature aggregate. |mis|
+      // rides along for free — every misclassified doc carries the bias
+      // feature exactly once, so the bias row's row-count IS |mis|, and
+      // the pocket criterion (#correct under w_{k-1} = n - |mis|) needs
+      // no separate scoring pass.
+      val delta = feats
+        .filter(col("y") * score(w) <= 0)
+        .select(col("y"), explode(col("fc")).as("fx"))
+        .groupBy(col("fx.f").as("f"))
+        .agg(sum(col("y") * col("fx.c")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val m = delta.find(_.getString(0) == biasFeature)
+        .map(_.getLong(2)).getOrElse(0L)
+      val ok = n - m
+      if (ok > pocketOk) { pocket = w; pocketOk = ok }
+      val den = math.max(m, 1L) * k
+      w = delta.foldLeft(w) { case (acc, r) =>
+        val f = r.getString(0)
+        val nw = acc.getOrElse(f, 0L) + trunc(resolution * r.getLong(1), den)
+        if (nw == 0L) acc - f else acc.updated(f, nw)
+      }
+    }
+    // the final state w_T still needs its own pocket check
+    val okT = n - feats.filter(col("y") * score(w) <= 0).count()
+    if (okT > pocketOk) { pocket = w; pocketOk = okT }
+    pocket
+  }
+
+  /** Train, then score every doc under the POCKET weights: (doc_id, y,
+    * score, pred, correct), pred = sign with 0 → −1 (the zero-margin
+    * convention again). All integers + one boolean — full hash oracle. */
+  def trainScore(df: DataFrame, id: Column, label: Column, text: Column,
+      epochs: Int): DataFrame = {
+    val w = trainPerceptron(df, id, label, text, epochs)
+    tokenFeatures(df, id, label, text)
+      .select(col("doc_id"), col("y"), score(w).as("score"))
+      .select(col("doc_id"), col("y"), col("score"),
+        when(col("score") > 0, 1L).otherwise(-1L).as("pred"),
+        (col("y") * col("score") > 0).as("correct"))
+  }
+
+  /** Serving half: score UNLABELED docs under already-trained weights —
+    * (doc_id, score, pred). A pure per-row projection (the weight map
+    * travels as one literal), so it runs unchanged on a streaming
+    * DataFrame in append mode with no state store: train batch-side
+    * with [[trainPerceptron]], serve the weights at ingest
+    * ([[graft.streaming.StreamingDownsample.scoreStream]]). */
+  def scoreDocs(df: DataFrame, id: Column, text: Column,
+      w: Map[String, Long]): DataFrame =
+    tokenFeatures(df, id, lit(0L), text)
+      .select(col("doc_id"), score(w).as("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+}

@@ -500,6 +500,97 @@ object LlmOps {
       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  /** Weak-supervision quality-classifier distillation
+    * ([[graft.operators.Classifier]]): train a fastText-style linear
+    * scorer over md5-hashed bag-of-token features to mimic the Gopher
+    * rule gate, then score every doc under the learned weights —
+    * (doc_id, y, score, pred, correct). Pocket-perceptron epochs keep
+    * every quantity integer, so the whole training procedure — score →
+    * pocket check → quantized mean update — replays bitwise in DuckDB
+    * as an unrolled-CTE oracle (the BPE trainer's pattern). Scale
+    * shape: per-doc feature vectors are a per-row projection persisted
+    * once; each epoch is a zero-shuffle scan against ONE weight-map
+    * literal plus a ≤4097-row feature-delta collect. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = TextOps.gopherMetrics(col("text"))
+    val labeled = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("text") +:
+        metrics.map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("text"),
+        when(TextOps.gopherRules.map(_._2).reduce(_ && _), 1L)
+          .otherwise(-1L).as("y"))
+    graft.operators.Classifier
+      .trainScore(labeled, col("doc_id"), col("y"), col("text"), epochs = 12)
+      .orderBy("doc_id")
+  }
+
+  /** Generated pocket-perceptron oracle: the gopher labels, the hashed
+    * feature table, then per epoch k the scores under w_{k-1} (sc_k),
+    * the misclassified set (m_k), the feature-delta sums (d_k), and the
+    * updated weights (w_k) with the quantized trunc(B·s/(|mis|·k)) step
+    * — finishing with the pocket pick: every scoring pass unions into
+    * one tagged relation, the epoch with the most correct docs (ties →
+    * earliest) wins, and its scores are the output. Negative sums
+    * divide via -((-s)//d): DuckDB `//` floors, abs makes floor equal
+    * the driver's toward-zero Java division. Every CAST pins DuckDB's
+    * HUGEINT sums back to the BIGINT arithmetic Spark runs. */
+  private def qualityClassifierSql(epochs: Int): String = {
+    val b = graft.operators.Classifier.resolution
+    val stages = (1 to epochs).map { k =>
+      s"""sc$k AS MATERIALIZED (SELECT fe.doc_id, fe.y,
+         |          CAST(SUM(COALESCE(w.wt, 0) * fe.c) AS BIGINT) AS score
+         |        FROM fe LEFT JOIN w${k - 1} w ON fe.f = w.f
+         |        GROUP BY fe.doc_id, fe.y),
+         |m$k AS MATERIALIZED (SELECT doc_id FROM sc$k WHERE y * score <= 0),
+         |n$k AS MATERIALIZED (SELECT GREATEST(COUNT(*), 1) * $k AS den FROM m$k),
+         |d$k AS MATERIALIZED (SELECT fe.f, CAST(SUM(fe.y * fe.c) AS BIGINT) AS s
+         |        FROM fe JOIN m$k USING (doc_id) GROUP BY fe.f),
+         |w$k AS MATERIALIZED (SELECT COALESCE(w.f, d.f) AS f,
+         |          COALESCE(w.wt, 0) + CASE
+         |            WHEN d.s IS NULL THEN 0
+         |            WHEN d.s < 0 THEN -(((-d.s) * $b) // (SELECT den FROM n$k))
+         |            ELSE (d.s * $b) // (SELECT den FROM n$k) END AS wt
+         |        FROM w${k - 1} w FULL OUTER JOIN d$k d ON w.f = d.f)"""
+        .stripMargin
+    }.mkString(",\n")
+    val fin = epochs + 1
+    val allSc = (1 to fin)
+      .map(k => s"SELECT $k AS k, doc_id, y, score FROM sc$k")
+      .mkString("\n        UNION ALL ")
+    s"""WITH lab AS (SELECT doc_id, text,
+       |    CASE WHEN (len(w) BETWEEN 50 AND 100000)
+       |      AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0)
+       |      AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 10.0)
+       |      AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |             / CAST(len(w) AS DOUBLE) >= 0.8)
+       |      AND (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) >= 2)
+       |      AND (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.2)
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+       |fe AS MATERIALIZED (SELECT doc_id, y, f, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM (SELECT doc_id, y, substr(md5(tok), 1, 3) AS f
+       |             FROM (SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+       |                   FROM lab))
+       |       GROUP BY doc_id, y, f
+       |       UNION ALL
+       |       SELECT doc_id, y, '__b', CAST(1 AS BIGINT) FROM lab),
+       |w0 AS (SELECT '' AS f, CAST(0 AS BIGINT) AS wt WHERE FALSE),
+       |$stages,
+       |sc$fin AS MATERIALIZED (SELECT fe.doc_id, fe.y,
+       |          CAST(SUM(COALESCE(w.wt, 0) * fe.c) AS BIGINT) AS score
+       |        FROM fe LEFT JOIN w$epochs w ON fe.f = w.f
+       |        GROUP BY fe.doc_id, fe.y),
+       |allsc AS ($allSc),
+       |best AS (SELECT k FROM allsc
+       |         GROUP BY k ORDER BY COUNT(*) FILTER (WHERE y * score > 0) DESC, k
+       |         LIMIT 1)
+       |SELECT doc_id, y, score,
+       |  CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
+       |  (y * score > 0) AS correct
+       |FROM allsc JOIN best USING (k)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Unigram corpus-frequency scoring — the log-free core of unigram-LM
     * quality filtering: per doc, how common its tokens are corpus-wide
     * (`sum_tf`/`avg_tf`) and its rarest token (`min_tf`). Thresholding on
@@ -1409,6 +1500,7 @@ object LlmOps {
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("quality_gopher", qualityGopherSql)(qualityGopher),
+    Q("quality_classifier", qualityClassifierSql(12))(qualityClassifier),
     Q("lm_unigram", lmUnigramSql)(lmUnigram),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),

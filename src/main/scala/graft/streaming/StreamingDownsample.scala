@@ -151,6 +151,17 @@ object StreamingDownsample {
       .select(col("doc_id"), TextOps.scrubPii(col("norm_text")).as("clean_text"))
   }
 
+  /** Stateless **classifier-serving stage**: score each streamed doc
+    * under weights trained batch-side by
+    * [[graft.operators.Classifier.trainPerceptron]] (the train-batch /
+    * serve-stream split every quality-classifier deployment uses). The
+    * weight map travels as one literal inside a per-row projection —
+    * append mode, no watermark, no state store, spec-asserted equal to
+    * the batch scoring. */
+  def scoreStream(docs: DataFrame, weights: Map[String, Long]): DataFrame =
+    graft.operators.Classifier.scoreDocs(docs, col("doc_id"), col("text"),
+      weights)
+
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
       n: Int = 3): DataFrame = {
     import graft.operators.Dedup
