@@ -32,14 +32,17 @@ import org.apache.spark.sql.functions._
   *
   * Features: each whitespace token hashes to a 3-hex-char bucket of its
   * md5 (4096 buckets — both engines agree on md5, the same reason
-  * [[Sampling]] thresholds md5 hex), plus a constant bias feature `"__b"`
-  * (underscore is not a hex digit, so it cannot collide).
+  * [[Sampling]] thresholds md5 hex). The ENGINE keys buckets by the hex
+  * value as an integer ordinal (the oracle keeps the hex string — same
+  * partition of tokens, identical sums) with the constant bias feature
+  * at ordinal `dim`.
   *
   * Scale shape: the per-doc feature vector is built ONCE as a per-row
   * array (distinct-bucket counts — no shuffle) and persisted. Each epoch
   * is then (a) a zero-shuffle scan scoring against the current weights
-  * carried as ONE map literal — the lambda references the map and the
-  * array exactly once each, so the expression tree stays linear — and
+  * carried as ONE dense array literal — the lambda references the array
+  * and the features exactly once each, so the expression tree stays
+  * linear — and
   * (b) one aggregate of the misclassified docs' features down to ≤ 4097
   * (feature, Σ y·count) rows collected to the driver (same
   * bounded-collect discipline as [[KMeansLite]] and [[Bpe.train]]).
@@ -52,7 +55,9 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   val dimHexChars = 3
-  val biasFeature = "__b"
+  /** 16^dimHexChars token buckets; the bias takes index `dim`. */
+  val dim = 1 << (4 * dimHexChars)
+  val biasFeature: Int = dim
   val resolution = 32L
 
   /** Per-doc sparse feature vector: array of (f: 3-hex-char md5 bucket,
@@ -64,7 +69,8 @@ object Classifier {
       text: Column): DataFrame =
     df.select(id.as("doc_id"), label.as("y"),
         transform(TextOps.tokens(text),
-          t => substring(md5(t), 1, dimHexChars)).as("__fa"))
+          t => conv(substring(md5(t), 1, dimHexChars), 16, 10).cast("int"))
+          .as("__fa"))
       .select(col("doc_id"), col("y"),
         concat(
           transform(array_distinct(col("__fa")), f =>
@@ -73,12 +79,17 @@ object Classifier {
           array(struct(lit(biasFeature).as("f"), lit(1L).as("c"))))
           .as("fc"))
 
-  /** Integer dot product of a feature vector with the weight map `w`,
-    * carried as one map literal (absent features read 0). */
-  private def score(w: Map[String, Long]): Column = {
-    val wlit = typedLit(w)
+  /** Integer dot product of a feature vector with the weights, carried
+    * as ONE dense array literal indexed by bucket (absent features read
+    * 0). A map literal would be the natural spelling, but Catalyst map
+    * literals are `ArrayBasedMapData` and `element_at` scans them
+    * LINEARLY -- 4096 comparisons per token made scoring the bench's
+    * slowest stage; the dense array is an O(1) ordinal access. */
+  private def score(w: Map[Int, Long]): Column = {
+    val dense: Seq[Long] = (0 to dim).map(i => w.getOrElse(i, 0L))
+    val wlit = typedLit(dense)
     aggregate(col("fc"), lit(0L),
-      (acc, x) => acc + coalesce(element_at(wlit, x("f")), lit(0L)) * x("c"))
+      (acc, x) => acc + element_at(wlit, x("f") + 1) * x("c"))
   }
 
   /** Java `/` on longs truncates toward zero — the behavior the oracle
@@ -93,11 +104,11 @@ object Classifier {
     * Δ_f = trunc(B · Σ_{y·score ≤ 0} y·c_f / (|mis|·k)) — the
     * quantized mean misclassified feature vector under a 1/k step. */
   def trainPerceptron(df: DataFrame, id: Column, label: Column,
-      text: Column, epochs: Int): Map[String, Long] = {
+      text: Column, epochs: Int): Map[Int, Long] = {
     require(epochs > 0, s"trainPerceptron needs epochs > 0 (got $epochs)")
     val feats = Dedup.memoPersist(tokenFeatures(df, id, label, text))
-    var w = Map.empty[String, Long]
-    var pocket = Map.empty[String, Long]
+    var w = Map.empty[Int, Long]
+    var pocket = Map.empty[Int, Long]
     var pocketOk = -1L
     val n = feats.count()
     for (k <- 1 to epochs) {
@@ -112,13 +123,13 @@ object Classifier {
         .groupBy(col("fx.f").as("f"))
         .agg(sum(col("y") * col("fx.c")).as("s"), count(lit(1)).as("cnt"))
         .collect()
-      val m = delta.find(_.getString(0) == biasFeature)
+      val m = delta.find(_.getInt(0) == biasFeature)
         .map(_.getLong(2)).getOrElse(0L)
       val ok = n - m
       if (ok > pocketOk) { pocket = w; pocketOk = ok }
       val den = math.max(m, 1L) * k
       w = delta.foldLeft(w) { case (acc, r) =>
-        val f = r.getString(0)
+        val f = r.getInt(0)
         val nw = acc.getOrElse(f, 0L) + trunc(resolution * r.getLong(1), den)
         if (nw == 0L) acc - f else acc.updated(f, nw)
       }
@@ -149,7 +160,7 @@ object Classifier {
     * with [[trainPerceptron]], serve the weights at ingest
     * ([[graft.streaming.StreamingDownsample.scoreStream]]). */
   def scoreDocs(df: DataFrame, id: Column, text: Column,
-      w: Map[String, Long]): DataFrame =
+      w: Map[Int, Long]): DataFrame =
     tokenFeatures(df, id, lit(0L), text)
       .select(col("doc_id"), score(w).as("score"))
       .select(col("doc_id"), col("score"),

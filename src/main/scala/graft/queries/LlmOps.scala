@@ -698,6 +698,58 @@ object LlmOps {
     * NOT count_distinct, whose expand doubles the aggregated stream
     * (measured 8.6 s vs 4.8 s at sf0.1). Ties broken by the shingle
     * string, so the cut is total and the oracle exact. */
+  /** Per-(source, lang) **data card** — the corpus-composition report a
+    * training-mix publishes: document/token/char volume, exact-duplicate
+    * rate, and quality-gate pass rate per slice. Exact-dup marking is a
+    * count window over the sha256 hash (ONE shuffle on the hash, no
+    * self-join — the doc row keeps all its columns and picks up its
+    * duplicate-group size in place), followed by the per-slice aggregate
+    * (map-side combine on ≤ sources×langs groups). All counts integer ⇒
+    * full hash oracle. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = TextOps.gopherMetrics(col("text"))
+    val keep = TextOps.gopherRules.map(_._2).reduce(_ && _)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("source") +: col("lang") +:
+        col("n_chars") +: sha2(col("text"), 256).as("h") +:
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok") +:
+        metrics.map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("h"), col("n_tok"), keep.as("keep"))
+      .withColumn("hc", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val corpusStatsSql =
+    """SELECT source, lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM (SELECT source, lang, n_chars, n_tok, keep,
+      |        COUNT(*) OVER (PARTITION BY h) AS hc
+      |      FROM (SELECT source, lang, n_chars, sha256(text) AS h,
+      |          CAST(len(w) AS BIGINT) AS n_tok,
+      |          (len(w) BETWEEN 50 AND 100000)
+      |            AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0)
+      |            AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 10.0)
+      |            AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |                   / CAST(len(w) AS DOUBLE) >= 0.8)
+      |            AND (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) >= 2)
+      |            AND (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.2) AS keep
+      |        FROM (SELECT source, lang, n_chars, text, string_split(text, ' ') AS w
+      |              FROM documents)))
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   def ngramStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
@@ -1505,6 +1557,7 @@ object LlmOps {
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("ngram_stats", ngramStatsSql)(ngramStats),
+    Q("corpus_stats", corpusStatsSql)(corpusStats),
     Q("token_bpe", tokenBpeSql)(tokenBpe),
     Q("token_bpe_train", tokenBpeTrainSql)(tokenBpeTrain),
     Q("token_bpe_encode", tokenBpeEncodeSql)(tokenBpeEncode),

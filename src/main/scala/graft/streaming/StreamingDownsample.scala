@@ -158,7 +158,7 @@ object StreamingDownsample {
     * weight map travels as one literal inside a per-row projection —
     * append mode, no watermark, no state store, spec-asserted equal to
     * the batch scoring. */
-  def scoreStream(docs: DataFrame, weights: Map[String, Long]): DataFrame =
+  def scoreStream(docs: DataFrame, weights: Map[Int, Long]): DataFrame =
     graft.operators.Classifier.scoreDocs(docs, col("doc_id"), col("text"),
       weights)
 

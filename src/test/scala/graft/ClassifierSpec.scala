@@ -22,9 +22,10 @@ class ClassifierSpec extends SparkTestBase {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  private def refFeatures(text: String): Map[String, Long] = {
+  private def refFeatures(text: String): Map[Int, Long] = {
     // split(text, " ") in Spark keeps trailing empties (limit -1)
-    val fa = text.split(" ", -1).map(t => md5hex(t).take(Classifier.dimHexChars))
+    val fa = text.split(" ", -1).map(t =>
+      Integer.parseInt(md5hex(t).take(Classifier.dimHexChars), 16))
     fa.groupBy(identity).map { case (f, a) => f -> a.length.toLong } +
       (Classifier.biasFeature -> 1L)
   }
@@ -33,10 +34,10 @@ class ClassifierSpec extends SparkTestBase {
       : Map[Long, (Long, Long, Boolean)] = {
     val b = Classifier.resolution
     val feats = docs.map { case (id, y, t) => (id, y, refFeatures(t)) }
-    var w = Map.empty[String, Long].withDefaultValue(0L)
+    var w = Map.empty[Int, Long].withDefaultValue(0L)
     var pocket = w
     var pocketOk = -1
-    def score(wm: Map[String, Long], f: Map[String, Long]): Long =
+    def score(wm: Map[Int, Long], f: Map[Int, Long]): Long =
       f.iterator.map { case (k, c) => wm.getOrElse(k, 0L) * c }.sum
     def checkPocket(): Unit = {
       val ok = feats.count { case (_, y, f) => y * score(w, f) > 0L }
