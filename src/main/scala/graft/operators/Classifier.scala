@@ -59,25 +59,44 @@ object Classifier {
   val dim = 1 << (4 * dimHexChars)
   val biasFeature: Int = dim
   val resolution = 32L
+  /** The ONE epoch count the registered query trains with — shared by
+    * `qualityClassifier` and its generated oracle so the two can never
+    * silently train different loops. */
+  val defaultEpochs = 12
 
-  /** Per-doc sparse feature vector: array of (f: 3-hex-char md5 bucket,
-    * c: count) over distinct token buckets, plus the bias feature at
-    * count 1. Pure per-row projection — the two-step select materializes
-    * the bucket array as a bound attribute first, so the distinct+count
-    * pass references a column, not a re-computed expression. */
+  /** Per-doc sparse feature vector: array of (f: bucket ordinal, c:
+    * count) over distinct token buckets, plus the bias feature at
+    * count 1. Pure per-row projection. Counting is run-length over the
+    * SORTED bucket array — O(L log L) per doc — not
+    * `array_distinct` + a filter-count per distinct bucket, whose
+    * O(distinct·L) rescans turn a Gopher-upper-bound doc (100k tokens,
+    * ~4096 distinct buckets) into ~4·10⁸ comparisons in one row. Each
+    * intermediate (bucket array, sorted array, run starts) materializes
+    * as a bound attribute in its own select, so no stage re-computes
+    * its input expression. */
   def tokenFeatures(df: DataFrame, id: Column, label: Column,
-      text: Column): DataFrame =
+      text: Column): DataFrame = {
+    val runEnds = concat(
+      slice(col("__st"), lit(2), greatest(size(col("__st")) - 1, lit(0))),
+      array(size(col("__s")) + 1))
     df.select(id.as("doc_id"), label.as("y"),
         transform(TextOps.tokens(text),
           t => conv(substring(md5(t), 1, dimHexChars), 16, 10).cast("int"))
           .as("__fa"))
+      .select(col("doc_id"), col("y"), sort_array(col("__fa")).as("__s"))
+      .select(col("doc_id"), col("y"), col("__s"),
+        filter(sequence(lit(1), size(col("__s"))), i =>
+          (i === 1) ||
+            element_at(col("__s"), i) =!= element_at(col("__s"), i - 1))
+          .as("__st"))
       .select(col("doc_id"), col("y"),
         concat(
-          transform(array_distinct(col("__fa")), f =>
-            struct(f.as("f"),
-              size(filter(col("__fa"), x => x === f)).cast("long").as("c"))),
+          zip_with(col("__st"), runEnds, (a, b) =>
+            struct(element_at(col("__s"), a).as("f"),
+              (b - a).cast("long").as("c"))),
           array(struct(lit(biasFeature).as("f"), lit(1L).as("c"))))
           .as("fc"))
+  }
 
   /** Integer dot product of a feature vector with the weights, carried
     * as ONE dense array literal indexed by bucket (absent features read
@@ -149,8 +168,10 @@ object Classifier {
     tokenFeatures(df, id, label, text)
       .select(col("doc_id"), col("y"), score(w).as("score"))
       .select(col("doc_id"), col("y"), col("score"),
-        when(col("score") > 0, 1L).otherwise(-1L).as("pred"),
-        (col("y") * col("score") > 0).as("correct"))
+        when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+      // correct = the PREDICTION matches, so a -1 doc at score 0 counts
+      // correct (pred is -1 there); y*score>0 would contradict pred
+      .withColumn("correct", col("pred") === col("y"))
   }
 
   /** Serving half: score UNLABELED docs under already-trained weights —

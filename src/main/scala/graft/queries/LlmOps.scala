@@ -520,7 +520,8 @@ object LlmOps {
         when(TextOps.gopherRules.map(_._2).reduce(_ && _), 1L)
           .otherwise(-1L).as("y"))
     graft.operators.Classifier
-      .trainScore(labeled, col("doc_id"), col("y"), col("text"), epochs = 12)
+      .trainScore(labeled, col("doc_id"), col("y"), col("text"),
+        epochs = graft.operators.Classifier.defaultEpochs)
       .orderBy("doc_id")
   }
 
@@ -584,10 +585,10 @@ object LlmOps {
        |best AS (SELECT k FROM allsc
        |         GROUP BY k ORDER BY COUNT(*) FILTER (WHERE y * score > 0) DESC, k
        |         LIMIT 1)
-       |SELECT doc_id, y, score,
-       |  CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
-       |  (y * score > 0) AS correct
-       |FROM allsc JOIN best USING (k)
+       |SELECT doc_id, y, score, pred, (pred = y) AS correct
+       |FROM (SELECT doc_id, y, score,
+       |        CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred
+       |      FROM allsc JOIN best USING (k))
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -688,16 +689,6 @@ object LlmOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
-  /** Corpus-wide n-gram heavy hitters — the data-card statistic every
-    * training-mix report carries (most frequent trigrams + how many
-    * documents they touch). Scale shape: explode → map-side partial
-    * count → one shuffle on the shingle, and the global top-25 is a
-    * TakeOrderedAndProject (per-partition heap + driver merge, no global
-    * sort shuffle); doc frequency comes from a two-step aggregate —
-    * per-(shingle, doc) counts first, then sum + count per shingle —
-    * NOT count_distinct, whose expand doubles the aggregated stream
-    * (measured 8.6 s vs 4.8 s at sf0.1). Ties broken by the shingle
-    * string, so the cut is total and the oracle exact. */
   /** Per-(source, lang) **data card** — the corpus-composition report a
     * training-mix publishes: document/token/char volume, exact-duplicate
     * rate, and quality-gate pass rate per slice. Exact-dup marking is a
@@ -712,10 +703,9 @@ object LlmOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id") +: col("source") +: col("lang") +:
         col("n_chars") +: sha2(col("text"), 256).as("h") +:
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok") +:
         metrics.map { case (n, c) => c.as(n) }: _*)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        col("h"), col("n_tok"), keep.as("keep"))
+        col("h"), col("n_tokens").cast("long").as("n_tok"), keep.as("keep"))
       .withColumn("hc", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
     docs.groupBy(col("source"), col("lang"))
@@ -750,6 +740,16 @@ object LlmOps {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  /** Corpus-wide n-gram heavy hitters — the data-card statistic every
+    * training-mix report carries (most frequent trigrams + how many
+    * documents they touch). Scale shape: explode → map-side partial
+    * count → one shuffle on the shingle, and the global top-25 is a
+    * TakeOrderedAndProject (per-partition heap + driver merge, no global
+    * sort shuffle); doc frequency comes from a two-step aggregate —
+    * per-(shingle, doc) counts first, then sum + count per shingle —
+    * NOT count_distinct, whose expand doubles the aggregated stream
+    * (measured 8.6 s vs 4.8 s at sf0.1). Ties broken by the shingle
+    * string, so the cut is total and the oracle exact. */
   def ngramStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
@@ -1552,7 +1552,9 @@ object LlmOps {
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("quality_gopher", qualityGopherSql)(qualityGopher),
-    Q("quality_classifier", qualityClassifierSql(12))(qualityClassifier),
+    Q("quality_classifier",
+      qualityClassifierSql(graft.operators.Classifier.defaultEpochs))(
+      qualityClassifier),
     Q("lm_unigram", lmUnigramSql)(lmUnigram),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),

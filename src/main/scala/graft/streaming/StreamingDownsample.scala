@@ -107,29 +107,6 @@ object StreamingDownsample {
         col("click_id"), col("c_ts"))
   }
 
-  /** **Stream–static decontamination**: an unbounded document stream
-    * flagged per micro-batch against a STATIC benchmark index — the
-    * ingest-time form of [[graft.operators.Dedup.contamination]] (clean a
-    * feed as it lands instead of re-scanning the corpus). The static side
-    * collapses to ONE row holding the distinct bench shingle-hash array;
-    * the join is a stream–static equi-join on a constant key (the 1-row
-    * static side broadcasts), and the per-document overlap is a per-row
-    * `array_intersect` — completely STATELESS, so it runs in append mode
-    * with no watermark and no state store: exactly what a 100 TB/day
-    * ingest pipeline needs. Two costs to know about (both the price of
-    * statelessness): distinct bench hashes must fit an executor (same
-    * memory bound as the batch broadcast path), AND the per-row
-    * `array_intersect` rebuilds its lookup set over the bench array for
-    * EVERY streamed document — O(|bench|) per doc, where the batch
-    * broadcast hash join builds once per task. The stateless
-    * alternatives don't exist: exploding the stream and re-aggregating
-    * per doc is a streaming aggregation (state store), and the bench
-    * side can't pre-build a shared hash set without a real broadcast
-    * join, which the 1-row-array form deliberately avoids re-planning
-    * per micro-batch. When the bench set outgrows either bound, the
-    * Bloom route ([[graft.operators.Dedup.contaminationBloom]]) is the
-    * batch-side fallback. Emits only contaminated documents, with the
-    * batch operator's exact columns. */
   /** Stateless **text-cleaning stage** for ingest streams: NFC
     * normalization → Gopher quality gate ON THE NORMALIZED TEXT →
     * PII scrub, emitting (doc_id, clean_text) for survivors. Every step
@@ -162,6 +139,29 @@ object StreamingDownsample {
     graft.operators.Classifier.scoreDocs(docs, col("doc_id"), col("text"),
       weights)
 
+  /** **Stream–static decontamination**: an unbounded document stream
+    * flagged per micro-batch against a STATIC benchmark index — the
+    * ingest-time form of [[graft.operators.Dedup.contamination]] (clean a
+    * feed as it lands instead of re-scanning the corpus). The static side
+    * collapses to ONE row holding the distinct bench shingle-hash array;
+    * the join is a stream–static equi-join on a constant key (the 1-row
+    * static side broadcasts), and the per-document overlap is a per-row
+    * `array_intersect` — completely STATELESS, so it runs in append mode
+    * with no watermark and no state store: exactly what a 100 TB/day
+    * ingest pipeline needs. Two costs to know about (both the price of
+    * statelessness): distinct bench hashes must fit an executor (same
+    * memory bound as the batch broadcast path), AND the per-row
+    * `array_intersect` rebuilds its lookup set over the bench array for
+    * EVERY streamed document — O(|bench|) per doc, where the batch
+    * broadcast hash join builds once per task. The stateless
+    * alternatives don't exist: exploding the stream and re-aggregating
+    * per doc is a streaming aggregation (state store), and the bench
+    * side can't pre-build a shared hash set without a real broadcast
+    * join, which the 1-row-array form deliberately avoids re-planning
+    * per micro-batch. When the bench set outgrows either bound, the
+    * Bloom route ([[graft.operators.Dedup.contaminationBloom]]) is the
+    * batch-side fallback. Emits only contaminated documents, with the
+    * batch operator's exact columns. */
   def decontaminateStream(docs: DataFrame, bench: DataFrame,
       n: Int = 3): DataFrame = {
     import graft.operators.Dedup

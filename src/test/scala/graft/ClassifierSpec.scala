@@ -55,7 +55,10 @@ class ClassifierSpec extends SparkTestBase {
     checkPocket()
     feats.map { case (id, y, f) =>
       val s = score(pocket, f)
-      id -> (s, if (s > 0) 1L else -1L, y * s > 0)
+      val p = if (s > 0) 1L else -1L
+      // correct = the PREDICTION matches (zero-score docs predict -1 and
+      // so count correct when y = -1) — mirrors the engine + SQL oracle
+      id -> (s, p, p == y)
     }.toMap
   }
 
@@ -86,6 +89,27 @@ class ClassifierSpec extends SparkTestBase {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("zero-score docs count correct iff the predicted label matches") {
+    // round-6 ScalaCheck falsifying case: a doc lands on pocket score 0
+    // with y = -1; pred is -1 there, so `correct` must be true on both
+    // engines (the y*score>0 spelling wrongly called it a miss)
+    val docs = Seq(
+      (0L, 1L, "alpha eta z1"),
+      (1L, 1L, "z1 beta eps gamma alpha eta gamma alpha beta zeta theta"),
+      (2L, -1L, "beta eta z1 eta"), (3L, -1L, "delta z1 eps z1"),
+      (4L, -1L, "alpha beta gamma x x beta zeta"), (5L, -1L, "alpha"),
+      (6L, -1L, "z1 theta  yy"), (7L, -1L, "beta delta x theta"),
+      (8L, 1L, "alpha eta theta eta zeta theta theta eta gamma eps eta alpha"),
+      (9L, 1L, "zeta alpha"),
+      (10L, -1L, "alpha z1 theta x theta theta eta alpha delta alpha zeta x"),
+      (11L, 1L, "x  beta"), (12L, 1L, "eta z1 yy"))
+    val eng = engineTrainScore(docs, 3)
+    assert(eng == refTrainScore(docs, 3))
+    // the case is only a regression guard while it actually exercises a
+    // zero score somewhere
+    assert(eng.values.exists(_._1 == 0L), s"no zero-score doc: $eng")
   }
 
   test("converges to a perfect separator on separable data") {

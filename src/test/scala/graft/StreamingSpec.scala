@@ -210,8 +210,15 @@ class StreamingSpec extends SparkTestBase {
     // the gopher gate must drop
     val base = Tables.documents(spark, sf0001).select("doc_id", "text")
       .as[(Long, String)].collect().toSeq
+    // craft the NFC/PII doc from a doc that itself SURVIVES the quality
+    // gate (only ~55% do), so the appended contact blurb is the only
+    // thing at stake
+    val surviving = StreamingDownsample
+      .cleanStream(base.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].head()
+    val survivingText = base.find(_._1 == surviving).get._2
     val crafted = Seq(
-      (100001L, "cafe\u0301 " + base.head._2 + "\u200B \t mail a@b.org"),
+      (100001L, "cafe\u0301 " + survivingText + "\u200B \t mail a@b.org"),
       (100002L, "too short to keep"))
     val rows = base ++ crafted
     val mem = MemoryStream[(Long, String)]
@@ -229,7 +236,11 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(streamed == batch && batch.nonEmpty)
     assert(!batch.exists(_._1 == 100002L))      // gopher gate dropped it
-    batch.find(_._1 == 100001L).foreach { case (_, t) =>
+    // the crafted NFC/PII doc must SURVIVE the gate, or the normalize
+    // and scrub assertions below would be vacuous
+    val crafted100001 = batch.find(_._1 == 100001L)
+    assert(crafted100001.nonEmpty, "crafted doc 100001 was filtered out")
+    crafted100001.foreach { case (_, t) =>
       assert(t.contains("caf\u00e9") && !t.contains("\u200B")) // normalized
       assert(t.contains("<EMAIL>") && !t.contains("a@b.org"))  // scrubbed
     }
