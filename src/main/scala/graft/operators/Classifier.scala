@@ -79,8 +79,14 @@ object Classifier {
     val runEnds = concat(
       slice(col("__st"), lit(2), greatest(size(col("__st")) - 1, lit(0))),
       array(size(col("__s")) + 1))
+    // NULL text coalesces to "" (one empty-string token) BEFORE
+    // tokenization — the reference's `or ""` coercion
+    // (/root/reference/main.py:156). Without it a NULL-text doc's
+    // feature array null-propagates to nothing while the doc still
+    // enrolls in training through the oracle's unconditional bias row,
+    // silently shifting every epoch's |mis| and bias delta.
     df.select(id.as("doc_id"), label.as("y"),
-        transform(TextOps.tokens(text),
+        transform(TextOps.tokens(coalesce(text, lit(""))),
           t => conv(substring(md5(t), 1, dimHexChars), 16, 10).cast("int"))
           .as("__fa"))
       .select(col("doc_id"), col("y"), sort_array(col("__fa")).as("__s"))

@@ -81,15 +81,71 @@ object TextOps {
       "ttr" -> (size(array_distinct(w)).cast("double") / nTok.cast("double")))
   }
 
+  /** Gopher rule thresholds — named once, interpolated into BOTH the
+    * Column rules below and the generated DuckDB oracle fragments
+    * ([[GopherSql]]), so a tuned threshold cannot update one engine and
+    * silently drift the other. */
+  val gopherMinTokens = 50
+  val gopherMaxTokens = 100000
+  val gopherMinMeanLen = 3.0
+  val gopherMaxMeanLen = 10.0
+  val gopherMinAlphaFrac = 0.8
+  val gopherMinStop = 2
+  val gopherMinTtr = 0.2
+
   /** The per-rule booleans over [[gopherMetrics]]' column NAMES —
     * evaluate after projecting the metrics. */
   def gopherRules: Seq[(String, Column)] = Seq(
-    "r_count" -> col("n_tokens").between(50, 100000),
+    "r_count" -> col("n_tokens").between(gopherMinTokens, gopherMaxTokens),
     "r_word_len" ->
-      (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0),
-    "r_alpha" -> (col("alpha_frac") >= 0.8),
-    "r_stop" -> (col("n_stop") >= 2),
-    "r_ttr" -> (col("ttr") >= 0.2))
+      (col("mean_token_len") >= gopherMinMeanLen &&
+        col("mean_token_len") <= gopherMaxMeanLen),
+    "r_alpha" -> (col("alpha_frac") >= gopherMinAlphaFrac),
+    "r_stop" -> (col("n_stop") >= gopherMinStop),
+    "r_ttr" -> (col("ttr") >= gopherMinTtr))
+
+  /** DuckDB spellings of [[gopherMetrics]] / [[gopherRules]], generated
+    * from the SAME threshold constants and stopword list as the Column
+    * forms. Three oracle queries embed the Gopher gate
+    * (`quality_gopher`, `quality_classifier`'s label CTE,
+    * `corpus_stats`); hand-copied SQL in each was the exact
+    * silent-drift hazard the shared Column definitions exist to
+    * prevent, so the SQL comes from one generator too. Fragments are
+    * scoped to a relation exposing `text` and
+    * `w = string_split(text, ' ')`. */
+  object GopherSql {
+    val stopList: String =
+      enStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    /** Metric name → DuckDB expression, mirroring [[gopherMetrics]]. */
+    val metricExprs: Seq[(String, String)] = Seq(
+      "n_tokens" -> "len(w)",
+      "mean_token_len" ->
+        "CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE)",
+      "alpha_frac" ->
+        ("CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)" +
+          " / CAST(len(w) AS DOUBLE)"),
+      "n_stop" -> s"len(list_filter(w, x -> x IN $stopList))",
+      "ttr" ->
+        "CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)")
+    /** Rule name → predicate, over whatever spelling of the metrics
+      * `metric` supplies (column names for the projected form, inline
+      * parenthesized expressions for the single-predicate form). */
+    def rules(metric: String => String): Seq[(String, String)] = Seq(
+      "r_count" ->
+        s"${metric("n_tokens")} BETWEEN $gopherMinTokens AND $gopherMaxTokens",
+      "r_word_len" ->
+        (s"${metric("mean_token_len")} >= $gopherMinMeanLen AND " +
+          s"${metric("mean_token_len")} <= $gopherMaxMeanLen"),
+      "r_alpha" -> s"${metric("alpha_frac")} >= $gopherMinAlphaFrac",
+      "r_stop" -> s"${metric("n_stop")} >= $gopherMinStop",
+      "r_ttr" -> s"${metric("ttr")} >= $gopherMinTtr")
+    /** The whole gate as ONE predicate over (text, w). */
+    val keepPredicate: String = {
+      val m = metricExprs.toMap
+      rules(n => s"(${m(n)})").map { case (_, r) => s"($r)" }
+        .mkString("\n      AND ")
+    }
+  }
 
   // --------------------------------------------------------- normalization
 

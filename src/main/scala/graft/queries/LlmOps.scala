@@ -481,24 +481,19 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  private val qualityGopherSql =
-    """SELECT *,
-      |  (r_count AND r_word_len AND r_alpha AND r_stop AND r_ttr) AS keep
-      |FROM (SELECT *,
-      |    n_tokens BETWEEN 50 AND 100000 AS r_count,
-      |    mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS r_word_len,
-      |    alpha_frac >= 0.8 AS r_alpha,
-      |    n_stop >= 2 AS r_stop,
-      |    ttr >= 0.2 AS r_ttr
-      |  FROM (SELECT doc_id,
-      |      len(w) AS n_tokens,
-      |      CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len,
-      |      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-      |        / CAST(len(w) AS DOUBLE) AS alpha_frac,
-      |      len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_stop,
-      |      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr
-      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)))
-      |ORDER BY doc_id""".stripMargin
+  private val qualityGopherSql = {
+    val g = TextOps.GopherSql
+    s"""SELECT *,
+       |  (${g.rules(identity).map(_._1).mkString(" AND ")}) AS keep
+       |FROM (SELECT *,
+       |    ${g.rules(identity).map { case (n, r) => s"$r AS $n" }
+            .mkString(",\n    ")}
+       |  FROM (SELECT doc_id,
+       |      ${g.metricExprs.map { case (n, e) => s"$e AS $n" }
+            .mkString(",\n      ")}
+       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Weak-supervision quality-classifier distillation
     * ([[graft.operators.Classifier]]): train a fastText-style linear
@@ -559,18 +554,13 @@ object LlmOps {
       .map(k => s"SELECT $k AS k, doc_id, y, score FROM sc$k")
       .mkString("\n        UNION ALL ")
     s"""WITH lab AS (SELECT doc_id, text,
-       |    CASE WHEN (len(w) BETWEEN 50 AND 100000)
-       |      AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0)
-       |      AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 10.0)
-       |      AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-       |             / CAST(len(w) AS DOUBLE) >= 0.8)
-       |      AND (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) >= 2)
-       |      AND (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.2)
+       |    CASE WHEN ${TextOps.GopherSql.keepPredicate}
        |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
        |fe AS MATERIALIZED (SELECT doc_id, y, f, CAST(COUNT(*) AS BIGINT) AS c
        |       FROM (SELECT doc_id, y, substr(md5(tok), 1, 3) AS f
-       |             FROM (SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+       |             FROM (SELECT doc_id, y,
+       |                     unnest(string_split(coalesce(text, ''), ' ')) AS tok
        |                   FROM lab))
        |       GROUP BY doc_id, y, f
        |       UNION ALL
@@ -718,7 +708,7 @@ object LlmOps {
   }
 
   private val corpusStatsSql =
-    """SELECT source, lang,
+    s"""SELECT source, lang,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -728,13 +718,7 @@ object LlmOps {
       |        COUNT(*) OVER (PARTITION BY h) AS hc
       |      FROM (SELECT source, lang, n_chars, sha256(text) AS h,
       |          CAST(len(w) AS BIGINT) AS n_tok,
-      |          (len(w) BETWEEN 50 AND 100000)
-      |            AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0)
-      |            AND (CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) <= 10.0)
-      |            AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-      |                   / CAST(len(w) AS DOUBLE) >= 0.8)
-      |            AND (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) >= 2)
-      |            AND (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.2) AS keep
+      |          ${TextOps.GopherSql.keepPredicate} AS keep
       |        FROM (SELECT source, lang, n_chars, text, string_split(text, ' ') AS w
       |              FROM documents)))
       |GROUP BY source, lang

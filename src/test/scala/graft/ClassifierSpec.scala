@@ -112,6 +112,21 @@ class ClassifierSpec extends SparkTestBase {
     assert(eng.values.exists(_._1 == 0L), s"no zero-score doc: $eng")
   }
 
+  test("null text trains and scores exactly like empty text") {
+    // tokenFeatures coalesces NULL -> "" before tokenization; without it
+    // a NULL-text doc contributes no feature rows on the engine side but
+    // still enrolls in the oracle's training through the bias row
+    val withNull = Seq(
+      (0L, -1L, null.asInstanceOf[String]),
+      (1L, -1L, "alpha beta the a of and"),
+      (2L, 1L, "z1 yy x the a"), (3L, 1L, "eta zeta the of"))
+    val withEmpty = withNull.map { case (i, y, t) =>
+      (i, y, if (t == null) "" else t) }
+    val eng = engineTrainScore(withNull, 3)
+    assert(eng == engineTrainScore(withEmpty, 3))
+    assert(eng == refTrainScore(withEmpty, 3))
+  }
+
   test("converges to a perfect separator on separable data") {
     // label = presence of a marker token; with distinct vocab per class
     // the data is linearly separable, so the perceptron criterion
