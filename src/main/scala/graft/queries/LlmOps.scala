@@ -259,26 +259,85 @@ object LlmOps {
     graft.operators.Dedup.connectedComponentsAuto(verifiedMinhashPairs(spark, dir))
       .orderBy("doc_id")
 
+  /** The exact near-dup clustering CTE chain (shingle → Jaccard pairs →
+    * transitive reach), shared by the `dedup_clusters` and
+    * `dedup_canonical` oracles so the two can never drift. */
+  private val minhashClusterCtes =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT i.doc_id AS doc_a, i.bdoc AS doc_b
+      |      FROM (SELECT a.doc_id, b.doc_id AS bdoc, COUNT(*) AS inter
+      |            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |            GROUP BY a.doc_id, b.doc_id) i
+      |      JOIN sizes za ON za.doc_id = i.doc_id
+      |      JOIN sizes zb ON zb.doc_id = i.bdoc
+      |      WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach AS (SELECT DISTINCT u AS doc_id, u AS r FROM edges
+      |          UNION
+      |          SELECT e.u AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v),
+      |clusters AS (SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id)"""
+      .stripMargin
+
   private val dedupClustersSql =
     s"""WITH RECURSIVE
-       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |p AS (SELECT i.doc_id AS doc_a, i.bdoc AS doc_b
-       |      FROM (SELECT a.doc_id, b.doc_id AS bdoc, COUNT(*) AS inter
-       |            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |            GROUP BY a.doc_id, b.doc_id) i
-       |      JOIN sizes za ON za.doc_id = i.doc_id
-       |      JOIN sizes zb ON zb.doc_id = i.bdoc
-       |      WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) >= 0.8),
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-       |          UNION ALL SELECT doc_b, doc_a FROM p),
-       |reach AS (SELECT DISTINCT u AS doc_id, u AS r FROM edges
-       |          UNION
-       |          SELECT e.u AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v)
-       |SELECT doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc_id
+       |$minhashClusterCtes
+       |SELECT doc_id, cluster_rep FROM clusters
        |ORDER BY doc_id""".stripMargin
+
+  /** **Cluster canonicalization** — the keep-decision that follows
+    * near-dup clustering: within each cluster keep the member with the
+    * most tokens (the fullest copy of the duplicated content), ties →
+    * lowest doc_id. Output labels every clustered doc with its cluster,
+    * token count, the cluster's canonical member, and whether it is that
+    * member — the projection a cleaning pipeline joins back to drop
+    * non-canonical rows.
+    *
+    * Scale shape: the clusters frame is tiny next to the corpus (only
+    * docs with ≥1 verified near-dup pair appear), so the token-count
+    * attach is an equi-join the planner broadcasts; the per-cluster
+    * argmax is `min(struct(-n_tok, doc_id))` — a NARROW two-long struct
+    * with map-side partial aggregation (the [[graft.operators.Dedup
+    * .semanticDedup]] argmax pattern; min_by's ties are undefined, the
+    * struct ordering makes the tie-break total) — and the canonical id
+    * joins back on the cluster key. All equi-joins/aggregates, nothing
+    * all-pairs. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Dedup
+      .connectedComponentsAuto(verifiedMinhashPairs(spark, dir))
+    val nTok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val m = clusters.join(nTok, "doc_id")
+    val best = m.groupBy(col("cluster_rep"))
+      .agg(min(struct((-col("n_tok")).as("neg"), col("doc_id").as("d")))
+        .getField("d").as("canonical_id"))
+    m.join(best, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("n_tok"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupCanonicalSql =
+    s"""WITH RECURSIVE
+       |$minhashClusterCtes,
+       |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |m AS (SELECT c.doc_id, c.cluster_rep, nt.n_tok
+       |      FROM clusters c JOIN nt USING (doc_id)),
+       |best AS (SELECT cluster_rep, doc_id AS canonical_id,
+       |           ROW_NUMBER() OVER (PARTITION BY cluster_rep
+       |                              ORDER BY n_tok DESC, doc_id) AS rn
+       |         FROM m)
+       |SELECT m.doc_id, m.cluster_rep, m.n_tok, b.canonical_id,
+       |  (m.doc_id = b.canonical_id) AS is_canonical
+       |FROM m JOIN (SELECT cluster_rep, canonical_id FROM best WHERE rn = 1) b
+       |  USING (cluster_rep)
+       |ORDER BY m.doc_id""".stripMargin
 
   /** End-to-end corpus cleaning — the composed LLM-pipeline: language
     * filter → length filter → exact dedup (min-id canonical) → near-dup
@@ -581,6 +640,65 @@ object LlmOps {
        |      FROM allsc JOIN best USING (k))
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** **Threshold calibration sweep** for the distilled quality
+    * classifier — the step between training and serving: for every
+    * observed score value t, the confusion counts and precision/recall
+    * of the gate "keep iff score ≥ t" against the teacher labels. A
+    * pipeline reads this table to pick the keep threshold for its
+    * retention/quality trade-off instead of hardcoding sign(score).
+    *
+    * Scale shape: one groupBy(score) collapses the corpus to ≤ distinct-
+    * score rows (map-side partial), and the sweep itself is two running
+    * sums over those AGGREGATED rows — the partition-less windows never
+    * see per-doc data (the [[graft.operators.Chunking]] rule: a global
+    * window is fine above an aggregate, never above the scan). All
+    * counts integer; precision/recall are single IEEE divisions of the
+    * same integers on both engines, so the oracle hash-matches. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byScore = qualityClassifier(spark, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"))
+    val desc = w.orderBy(col("score").desc)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val all = w.orderBy(col("score").desc)
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    byScore.select(col("score").as("threshold"),
+        sum(col("n")).over(desc).as("n_keep"),
+        sum(col("pos")).over(desc).as("tp"),
+        sum(col("pos")).over(all).as("pos_total"))
+      .select(col("threshold"), col("n_keep"), col("tp"),
+        (col("n_keep") - col("tp")).as("fp"),
+        (col("pos_total") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("n_keep").cast("double")).as("prec"),
+        (col("tp").cast("double") / col("pos_total").cast("double")).as("rec"))
+      .orderBy(col("threshold").desc)
+  }
+
+  private def classifierCalibrationSql(epochs: Int): String =
+    s"""WITH base AS (
+       |${qualityClassifierSql(epochs)}
+       |),
+       |by_score AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS pos
+       |      FROM base GROUP BY score),
+       |cum AS (SELECT score AS threshold,
+       |        SUM(n) OVER (ORDER BY score DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_keep,
+       |        SUM(pos) OVER (ORDER BY score DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |        SUM(pos) OVER () AS pos_total
+       |      FROM by_score)
+       |SELECT threshold, CAST(n_keep AS BIGINT) AS n_keep,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CAST(n_keep - tp AS BIGINT) AS fp,
+       |  CAST(pos_total - tp AS BIGINT) AS fn,
+       |  CAST(tp AS DOUBLE) / CAST(n_keep AS DOUBLE) AS prec,
+       |  CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE) AS rec
+       |FROM cum
+       |ORDER BY threshold DESC""".stripMargin
 
   /** Unigram corpus-frequency scoring — the log-free core of unigram-LM
     * quality filtering: per doc, how common its tokens are corpus-wide
@@ -1525,6 +1643,7 @@ object LlmOps {
       "\n|  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)".stripMargin))(dedupIncremental),
     Q.noOracle("dedup_simhash")(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),
+    Q("dedup_canonical", dedupCanonicalSql)(dedupCanonical),
     Q("llm_clean_corpus", llmCleanCorpusSql)(llmCleanCorpus),
     Q("dedup_embedding", dedupEmbeddingSql)(dedupEmbedding),
     Q("semantic_dedup", semanticDedupSql)(semanticDedupQ),
@@ -1539,6 +1658,9 @@ object LlmOps {
     Q("quality_classifier",
       qualityClassifierSql(graft.operators.Classifier.defaultEpochs))(
       qualityClassifier),
+    Q("classifier_calibration",
+      classifierCalibrationSql(graft.operators.Classifier.defaultEpochs))(
+      classifierCalibration),
     Q("lm_unigram", lmUnigramSql)(lmUnigram),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),

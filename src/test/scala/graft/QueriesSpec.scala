@@ -22,6 +22,44 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_canonical picks the longest member (min-id ties) per cluster") {
+    import spark.implicits._
+    val can = SparkEntry.queries("dedup_canonical")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(can.nonEmpty)
+    // same membership as dedup_clusters
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(can.map(r => r._1 -> r._2).toMap == clusters)
+    can.groupBy(_._2).foreach { case (_, members) =>
+      // exactly one canonical per cluster, and it is the brute-force
+      // (max n_tok, min doc_id) member, named by every row
+      val expect = members.minBy(m => (-m._3, m._1))._1
+      assert(members.count(_._5) == 1)
+      assert(members.filter(_._5).head._1 == expect)
+      assert(members.forall(_._4 == expect))
+    }
+  }
+
+  test("classifier_calibration sweep is consistent with the scored corpus") {
+    import spark.implicits._
+    val scored = SparkEntry.queries("quality_classifier")(spark, sf0001)
+      .select("y", "score").as[(Long, Long)].collect()
+    val cal = SparkEntry.queries("classifier_calibration")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    val posTotal = scored.count(_._1 == 1L)
+    assert(cal.map(_._1).distinct.length == cal.length) // thresholds unique
+    cal.foreach { case (t, nKeep, tp, fp, fn, prec, rec) =>
+      val kept = scored.filter(_._2 >= t)
+      assert(nKeep == kept.length && tp == kept.count(_._1 == 1L))
+      assert(fp == nKeep - tp && fn == posTotal - tp)
+      assert(prec == tp.toDouble / nKeep && rec == tp.toDouble / posTotal)
+    }
+    // the lowest threshold keeps the whole corpus and reaches recall 1
+    val bottom = cal.minBy(_._1)
+    assert(bottom._2 == scored.length && bottom._7 == 1.0)
+  }
+
   test("corpus_stats slices are consistent with the whole-corpus facts") {
     import org.apache.spark.sql.functions._
     val stats = SparkEntry.queries("corpus_stats")(spark, sf0001)
