@@ -73,27 +73,14 @@ object Chunking {
   }
 
   /** Per-doc (doc_id, n, off) via the two-phase prefix sum described on
-    * [[pack]] — shared by the manifest and the shard writer. */
-  private def docOffsets(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val meta = Dedup.memoPersist(
-      df.select(id.as("doc_id"), size(split(text, " ")).cast("long").as("n"))
-        .repartitionByRange(col("doc_id"))
-        .withColumn("pid", spark_partition_id()))
-    // per-partition running sum: partitionBy(pid) keeps every window
-    // group the size of one range partition — no single-task funnel
-    val within = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // cross-partition base: one row per partition, global window over
-    // dozens of rows (the serial phase of any prefix sum — O(P), not O(n))
-    val basew = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = meta.groupBy(col("pid")).agg(sum(col("n")).as("ptot"))
-      .withColumn("base", coalesce(sum(col("ptot")).over(basew), lit(0L)))
-      .select(col("pid"), col("base"))
-    meta.withColumn("woff", coalesce(sum(col("n")).over(within), lit(0L)))
-      .join(broadcast(bases), Seq("pid"))
-      .select(col("doc_id"), col("n"), (col("base") + col("woff")).as("off"))
-  }
+    * [[pack]] (the generic [[PrefixSum.runningSums]]) — shared by the
+    * manifest and the shard writer. `off` is the EXCLUSIVE prefix:
+    * inclusive cumulative minus the doc's own count. */
+  private def docOffsets(df: DataFrame, id: Column, text: Column): DataFrame =
+    PrefixSum.runningSums(
+        df.select(id.as("doc_id"), size(split(text, " ")).cast("long").as("n")),
+        order = Seq(col("doc_id")), values = Seq("n"))
+      .select(col("doc_id"), col("n"), (col("n_cum") - col("n")).as("off"))
 
   /** The dataloader-facing half of packing: one row per training sequence
     * with its ACTUAL packed token text — each contributing doc's token

@@ -649,31 +649,38 @@ object LlmOps {
     * retention/quality trade-off instead of hardcoding sign(score).
     *
     * Scale shape: one groupBy(score) collapses the corpus to ≤ distinct-
-    * score rows (map-side partial), and the sweep itself is two running
-    * sums over those AGGREGATED rows — the partition-less windows never
-    * see per-doc data (the [[graft.operators.Chunking]] rule: a global
-    * window is fine above an aggregate, never above the scan). All
-    * counts integer; precision/recall are single IEEE divisions of the
-    * same integers on both engines, so the oracle hash-matches. */
+    * score rows (map-side partial) — but integer dot-product scores are
+    * NEARLY UNIQUE per doc, so at corpus scale that is still ~n rows,
+    * and a partition-less running-sum window over them would funnel the
+    * whole sweep through one task (the exact single-task shape
+    * `corpus_pack` was rebuilt to avoid). The cumulative counts
+    * therefore come from the shared two-phase prefix sum
+    * ([[graft.operators.PrefixSum.runningSums]], descending score
+    * order), and the grand positive total joins in as a 1-row broadcast
+    * cross join (the scalar_subquery shape, PlanInvariantsSpec-bounded:
+    * the build side is a grouping-free aggregate, provably one row).
+    * All counts integer; precision/recall are single
+    * IEEE divisions of the same integers on both engines, so the oracle
+    * hash-matches. */
   def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val byScore = qualityClassifier(spark, dir)
-      .groupBy(col("score"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"))
-    val desc = w.orderBy(col("score").desc)
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val all = w.orderBy(col("score").desc)
-      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
-    byScore.select(col("score").as("threshold"),
-        sum(col("n")).over(desc).as("n_keep"),
-        sum(col("pos")).over(desc).as("tp"),
-        sum(col("pos")).over(all).as("pos_total"))
-      .select(col("threshold"), col("n_keep"), col("tp"),
-        (col("n_keep") - col("tp")).as("fp"),
-        (col("pos_total") - col("tp")).as("fn"),
-        (col("tp").cast("double") / col("n_keep").cast("double")).as("prec"),
-        (col("tp").cast("double") / col("pos_total").cast("double")).as("rec"))
+    val byScore = Dedup.memoPersist(
+      qualityClassifier(spark, dir)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos")))
+    val tot = byScore.agg(sum(col("pos")).as("pos_total"))
+    graft.operators.PrefixSum
+      .runningSums(byScore, order = Seq(col("score").desc),
+        values = Seq("n", "pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("score").as("threshold"),
+        col("n_cum").as("n_keep"), col("pos_cum").as("tp"),
+        (col("n_cum") - col("pos_cum")).as("fp"),
+        (col("pos_total") - col("pos_cum")).as("fn"),
+        (col("pos_cum").cast("double") / col("n_cum").cast("double"))
+          .as("prec"),
+        (col("pos_cum").cast("double") / col("pos_total").cast("double"))
+          .as("rec"))
       .orderBy(col("threshold").desc)
   }
 

@@ -155,6 +155,33 @@ class ClassifierSpec extends SparkTestBase {
       p == (if (s > 0) 1L else -1L) })
   }
 
+  test("calibration sweep: two-phase prefix sum, no global window over score rows") {
+    val cal = SparkEntry.queries("classifier_calibration")(spark, sf0001)
+    val rows = cal.as[(Long, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(-_._1).toSeq
+    assert(rows.nonEmpty)
+    // confusion-count identities at every threshold: tp+fp = kept,
+    // tp+fn = pos_total (constant), counts monotone in threshold order
+    val posTotal = rows.head._3 + rows.head._5
+    assert(rows.forall { case (_, nk, tp, fp, fn, prec, rec) =>
+      tp + fp == nk && tp + fn == posTotal &&
+        prec == tp.toDouble / nk && rec == tp.toDouble / posTotal })
+    assert(rows.sliding(2).forall { case Seq(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3; case _ => true })
+    // lowest threshold keeps everything: recall 1
+    assert(rows.last._7 == 1.0d)
+    // plan shape (the corpus_pack rule): every partition-less Window sits
+    // above an aggregate — the O(P) partition-totals prefix — never over
+    // the per-score row stream
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = cal.queryExecution.optimizedPlan
+    plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"single-task window directly over row stream:\n${w.simpleString(5)}")
+    }
+    assert(plan.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }.nonEmpty)
+  }
+
   test("streaming serving stage scores exactly like the batch projection") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -20,10 +20,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    map-side) — the scalar_subquery shape with nCells rows;
     *  - corpus_rebalance: the 1-row binding-source frame (a TakeOrdered)
     *    broadcasts into the per-source keep-count projection — again the
-    *    scalar_subquery shape. */
+    *    scalar_subquery shape;
+    *  - classifier_calibration: the grand positive-count total (a
+    *    grouping-free aggregate, provably 1 row) broadcasts into the
+    *    per-threshold confusion-count projection — the scalar_subquery
+    *    shape. */
   private val intendedAllPairs =
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
-      "corpus_rebalance")
+      "corpus_rebalance", "classifier_calibration")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
