@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency boilerplate removal — the C4/CCNet cleaning rule
+  * ("drop any line that occurs more than a handful of times across the
+  * corpus") re-expressed for a line-less token stream: a document's
+  * tokens partition into consecutive non-overlapping k-token segments,
+  * and a segment is boilerplate iff it occurs in at least `minDocs`
+  * DISTINCT documents. Unlike [[Dedup.substringDedup]] (pairwise
+  * aligned spans between two specific documents), this is a corpus-wide
+  * frequency criterion — navigation chrome, license headers, cookie
+  * banners repeated across thousands of pages.
+  *
+  * Scale shape: one explode to segment rows, one groupBy(segment hash)
+  * with a partial-agg distinct-doc count (the frequent set is bounded by
+  * corpusDocs / minDocs — heavy hitters are few by definition, so AQE
+  * broadcasts the build side of the membership join), and one
+  * groupBy(doc_id) to reassemble — three shuffles, all equi-keyed,
+  * nothing quadratic. Segments join on their xxhash64, never the string
+  * (the [[Dedup]] currency: 8-byte shuffle keys; at 2⁶⁴ a collision —
+  * which could scrub a non-boilerplate segment — has probability
+  * ≈ nSegs²/2⁶⁵, negligible at any realistic corpus size, so the DuckDB
+  * oracle's string-keyed twin hash-matches w.p. ~1). */
+object Boilerplate {
+
+  /** Per-document scrub report: (doc_id, n_blocks, n_scrubbed_blocks,
+    * n_scrubbed_tokens, text_clean) where text_clean is the surviving
+    * segments rejoined in document order. */
+  def scrubFrequent(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(k > 0, s"segment size must be positive (got $k)")
+    require(minDocs >= 2, s"minDocs below 2 would scrub every segment (got $minDocs)")
+    // (doc_id, blk_no, seg): the Generate sits between the split
+    // projection and the slice projection, so the tokenization runs once
+    // per document, not once per segment (the Chunking.chunks shape)
+    val segs = Dedup.memoPersist(
+      df.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(expr(s"sequence(0, greatest(size(w) - 1, 0), $k)"))
+            .as(Seq("blk_no", "st")))
+        .select(col("doc_id"), col("blk_no").cast("long").as("blk_no"),
+          array_join(slice(col("w"), col("st") + 1, lit(k)), " ").as("seg"))
+        .withColumn("bh", xxhash64(col("seg"))))
+    val frequent = segs.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("bh"), lit(true).as("is_bp"))
+    segs.join(frequent, Seq("bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("is_bp"), 1)).as("n_scrubbed_blocks"),
+        coalesce(sum(when(col("is_bp"), size(split(col("seg"), " ")).cast("long"))),
+          lit(0L)).as("n_scrubbed_tokens"),
+        // collect_list skips the when-null boilerplate rows; blk_no (the
+        // struct's first field) makes the sort a document-order total
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_bp").isNull, struct(col("blk_no"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("text_clean"))
+  }
+}

@@ -77,4 +77,33 @@ object Sampling {
     }
     df.filter(md5(concat(lit(salt), key.cast("string"))) < threshold)
   }
+
+  /** **Token-budget selection**: keep the highest-`score` documents whose
+    * cumulative token count stays within `budgetTokens` — "the best N
+    * billion tokens", the greedy quality/quantity cut a training mix
+    * makes after cleaning. The order is (score DESC, id) — id breaks
+    * score ties, making the selected set a pure function of the corpus
+    * (same docs on any engine, any partitioning, any run).
+    *
+    * The greedy rule is "a document is kept iff the budget was not yet
+    * exhausted when its turn came": exclusive running total < budget.
+    * The first document is kept even if it alone overflows the budget,
+    * and the kept set overshoots by at most one document — the standard
+    * greedy-fill contract, identical in the DuckDB oracle.
+    *
+    * Scale shape: the cumulative count is the shared two-phase prefix
+    * sum ([[PrefixSum.runningSums]]) — no partition-less window ever
+    * sees per-document rows, so the sweep holds at any corpus size. */
+  def budgetSelect(df: DataFrame, id: Column, score: Column, nTokens: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"token budget must be positive (got $budgetTokens)")
+    PrefixSum.runningSums(
+        df.select(id.as("doc_id"), score.cast("long").as("score"),
+          nTokens.cast("long").as("n_tokens")),
+        order = Seq(col("score").desc, col("doc_id")),
+        values = Seq("n_tokens"))
+      .filter(col("n_tokens_cum") - col("n_tokens") < budgetTokens)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("n_tokens_cum").as("cum_tokens"))
+  }
 }

@@ -1267,6 +1267,37 @@ object LlmOps {
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-frequency **boilerplate scrub** ([[graft.operators
+    * .Boilerplate.scrubFrequent]]): C4/CCNet's "drop any line seen in
+    * ≥ N pages" on 3-token segments (the corpus has no newlines) with
+    * minDocs = 3. Full hash oracle: the frequency criterion and the
+    * document-order reassembly are exact string arithmetic in both
+    * engines (the engine's xxhash64 segment keys collide w.p. ~0, see
+    * the operator scaladoc). */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.scrubFrequent(
+        Tables.documents(spark, dir), col("doc_id"), col("text"),
+        k = 3, minDocs = 3)
+      .orderBy("doc_id")
+
+  private val boilerplateScrubSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, CAST(t.k / 3 AS BIGINT) AS blk_no,
+      |        array_to_string(w[t.k+1 : t.k+3], ' ') AS seg
+      |      FROM d, UNNEST(range(0, greatest(len(w), 1), 3)) AS t(k)),
+      |f AS (SELECT seg, TRUE AS is_bp FROM b
+      |      GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(COUNT(*) FILTER (WHERE is_bp) AS BIGINT) AS n_scrubbed_blocks,
+      |  CAST(COALESCE(SUM(len(string_split(seg, ' '))) FILTER (WHERE is_bp), 0)
+      |    AS BIGINT) AS n_scrubbed_tokens,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY blk_no)
+      |    FILTER (WHERE is_bp IS NULL), '') AS text_clean
+      |FROM b LEFT JOIN f USING (seg)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -1292,6 +1323,37 @@ object LlmOps {
        |            ELSE '${th(0.0)}' END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** **Token-budget selection** ([[graft.operators.Sampling
+    * .budgetSelect]]): the 10k best tokens, quality-ordered — score is
+    * the document's distinct-token count (lexical diversity, an
+    * integer both engines compute identically), ties broken by doc_id,
+    * kept while the exclusive running token total is under budget. The
+    * cumulative count is the shared two-phase prefix sum, so the sweep
+    * never funnels per-doc rows through one task. Exact oracle: integer
+    * running sums under a deterministic total order. */
+  def corpusBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Sampling.budgetSelect(d, col("doc_id"),
+        score = size(array_distinct(TextOps.tokens(col("text")))),
+        nTokens = size(TextOps.tokens(col("text"))),
+        budgetTokens = 10000L)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private val corpusBudgetSql =
+    """WITH d AS (SELECT doc_id,
+      |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |c AS (SELECT doc_id, score, n_tokens,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cum_tokens
+      |      FROM d)
+      |SELECT doc_id, score, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens - n_tokens < 10000
+      |ORDER BY score DESC, doc_id""".stripMargin
 
   /** Training-mix **source rebalancing**: pick per-source document
     * subsets so the sampled TOKEN mass approaches target source weights
@@ -1645,6 +1707,8 @@ object LlmOps {
     Q("tfidf_terms", tfidfTermsSql)(tfidfTerms),
     Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("text_normalize", textNormalizeSql)(textNormalize),
+    Q("boilerplate_scrub", boilerplateScrubSql)(boilerplateScrub),
+    Q("corpus_budget", corpusBudgetSql)(corpusBudget),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q("dedup_incremental", jaccardOracle("0.8",
       "\n|  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)".stripMargin))(dedupIncremental),

@@ -112,4 +112,40 @@ class SamplingSpec extends SparkTestBase {
     assert(heavyAvg > 2.4 * lightAvg && heavyAvg < 3.6 * lightAvg,
       s"heavy=$heavyAvg light=$lightAvg")
   }
+
+  test("budgetSelect: greedy prefix of the quality order, overshoot at most one doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val meta = docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("score"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (id, s, _) => (-s, id) }.toSeq
+    val budget = 5000L
+    val kept = Sampling.budgetSelect(docs, col("doc_id"),
+        score = size(array_distinct(split(col("text"), " "))),
+        nTokens = size(split(col("text"), " ")),
+        budgetTokens = budget)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy { case (id, s, _, _) => (-s, id) }.toSeq
+    // reference greedy walk over the deterministic order
+    var cum = 0L
+    val want = meta.flatMap { case (id, s, n) =>
+      val keep = cum < budget; cum += n
+      if (keep) Some((id, s, n)) else None
+    }
+    assert(kept.map(t => (t._1, t._2, t._3)) == want)
+    // cum_tokens really is the inclusive running total of the kept prefix
+    assert(kept.map(_._3).sum == kept.last._4)
+    // budget binds: under it before the last doc, overshoot < one doc
+    assert(kept.last._4 - kept.last._3 < budget)
+    assert(kept.size < meta.size, "budget did not bind at sf0.001")
+    // a budget above the corpus total keeps everything
+    val total = meta.map(_._3).sum
+    val allKept = Sampling.budgetSelect(docs, col("doc_id"),
+      score = size(array_distinct(split(col("text"), " "))),
+      nTokens = size(split(col("text"), " ")),
+      budgetTokens = total + 1).count()
+    assert(allKept == meta.size)
+    graft.operators.Dedup.releaseCaches()
+  }
 }

@@ -141,4 +141,61 @@ class TextOpsSpec extends SparkTestBase {
       .as[(String, String)].collect()
     got.foreach { case (g, w) => assert(g == w, s"'$g' != '$w'") }
   }
+
+  test("boilerplate scrub: frequency criterion, reassembly order, round-trip") {
+    import graft.operators.Boilerplate
+    // segment size 2, minDocs 2: "c1 c2" opens three docs (boilerplate);
+    // "u1 u2" appears twice but only in doc 1 (distinct-doc count 1 ->
+    // kept); every other segment is unique
+    val docs = Seq(
+      (1L, "c1 c2 u1 u2 u1 u2"),
+      (2L, "a1 a2 c1 c2 b1"),
+      (3L, "c1 c2 d1 d2"),
+      (4L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text")
+    val got = Boilerplate.scrubFrequent(docs, col("doc_id"), col("text"),
+        k = 2, minDocs = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // doc 1: block 0 scrubbed, blocks (u1 u2)(u1 u2) kept — distinct
+      // DOC count gates, not occurrence count
+      (1L, 3L, 1L, 2L, "u1 u2 u1 u2"),
+      // doc 2: odd length — "c1 c2" straddles a block boundary here
+      // ((a1 a2)(c1 c2)(b1)), so the middle block is scrubbed and the
+      // short tail survives
+      (2L, 3L, 1L, 2L, "a1 a2 b1"),
+      (3L, 2L, 1L, 2L, "d1 d2"),
+      // doc 4: nothing frequent — exact round-trip
+      (4L, 3L, 0L, 0L, "e1 e2 e3 e4 e5")))
+    // a doc that is ALL boilerplate scrubs to the empty string
+    val all = Boilerplate.scrubFrequent(
+        Seq((1L, "x y"), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = 2, minDocs = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(all.forall(r => r._5 == "" && r._4 == 2L))
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("boilerplate scrub on the corpus: token conservation, no scrubbed segment survives") {
+    import graft.operators.Boilerplate
+    val docs = Tables.documents(spark, sf0001)
+    val out = Boilerplate.scrubFrequent(docs, col("doc_id"), col("text"),
+      k = 3, minDocs = 3)
+    val joined = out.join(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_orig")), "doc_id")
+      .select(col("n_blocks"), col("n_scrubbed_blocks"),
+        col("n_scrubbed_tokens"),
+        size(split(col("text_clean"), " ")).cast("long").as("n_clean"),
+        when(col("text_clean") === "", 0L)
+          .otherwise(size(split(col("text_clean"), " ")).cast("long")).as("n_kept"),
+        col("n_orig"))
+      .collect()
+    assert(joined.nonEmpty)
+    // kept + scrubbed tokens == original tokens, and something scrubbed
+    joined.foreach { r =>
+      assert(r.getLong(4) + r.getLong(2) == r.getLong(5),
+        s"token conservation violated: $r") }
+    assert(joined.map(_.getLong(2)).sum > 0, "expected a binding scrub at sf0.001")
+    graft.operators.Dedup.releaseCaches()
+  }
 }
