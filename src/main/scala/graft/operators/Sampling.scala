@@ -78,6 +78,58 @@ object Sampling {
     df.filter(md5(concat(lit(salt), key.cast("string"))) < threshold)
   }
 
+  /** **Exact-n stratified sample**: the n lexicographically-smallest
+    * md5(salt ‖ key) keys per stratum — a fixed-size quota per language /
+    * source rather than [[stratifiedSample]]'s fixed *rate*. Like every
+    * sampler here it is a pure function of (salt, key): re-running,
+    * re-partitioning, or growing the corpus only ever *displaces* the
+    * largest retained hashes, and the oracle checks exact membership.
+    *
+    * Scale shape: the per-stratum quota runs through
+    * [[graft.functions.BoundedTopK]], a partial-mergeable aggregate —
+    * each map task reduces its partition to ≤ n rows per stratum before
+    * the shuffle, so no stratum ever funnels its full document stream
+    * through one task (the `row_number()` window formulation would: one
+    * sort task per stratum, unusable when a stratum is half the corpus).
+    * Emits (stratum, key, rn) with rn ∈ [1, n] in hash order. */
+  def exactNPerStratum(df: DataFrame, key: Column, strata: Column, n: Int,
+      salt: String = "graft"): DataFrame = {
+    require(n > 0, s"per-stratum sample size must be positive (got $n)")
+    val h = md5(concat(lit(salt), key.cast("string")))
+    df.select(strata.as("stratum"), key.as("key"), h.as("h"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.BoundedTopK(
+        struct(col("h"), col("key")), n).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("stratum"), col("t.key").as("key"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** **Deterministic global shuffle**: every key gets a stable position
+    * in md5(salt ‖ key) order plus its contiguous training shard — the
+    * "shuffle once, read shards sequentially" layout every dataloader
+    * wants. Position is a pure function of (salt, corpus): re-runs and
+    * engines agree row-for-row, and changing the salt is a fresh
+    * epoch-level reshuffle with no RNG state to carry.
+    *
+    * Scale shape: the global rank is the shared two-phase prefix sum
+    * ([[PrefixSum.runningSums]] with a constant 1 — phase 1
+    * range-partitions by the hash so partition order IS hash order),
+    * never a partition-less `row_number()` window funnelling the corpus
+    * through one task. Shards are `⌊(pos−1)/shardSize⌋`, so a shard is a
+    * contiguous hash range — writable as one parquet directory per
+    * shard with no second shuffle. */
+  def shufflePositions(df: DataFrame, key: Column, shardSize: Long,
+      salt: String = "shuf"): DataFrame = {
+    require(shardSize > 0, s"shard size must be positive (got $shardSize)")
+    val base = df.select(key.as("key"),
+      md5(concat(lit(salt), key.cast("string"))).as("h"), lit(1L).as("one"))
+    PrefixSum.runningSums(base, order = Seq(col("h"), col("key")),
+        values = Seq("one"))
+      .select(col("key"), col("one_cum").as("pos"),
+        floor((col("one_cum") - lit(1)) / lit(shardSize)).cast("long").as("shard"))
+  }
+
   /** **Token-budget selection**: keep the highest-`score` documents whose
     * cumulative token count stays within `budgetTokens` — "the best N
     * billion tokens", the greedy quality/quantity cut a training mix

@@ -488,6 +488,39 @@ object LlmOps {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension corpus statistics over the embedding column — the
+    * normalization/whitening prelude (mean-center, detect dead or
+    * saturated dimensions) every vector pipeline runs before ANN
+    * indexing or PCA. min/max are exact float comparisons; the mean
+    * numerator is a **fixed-point integer sum** (`⌊x·10⁶⌋` summed as
+    * longs) because a cross-row double sum is order-dependent under
+    * partial aggregation — integers are associative, so the oracle
+    * matches bitwise at any partitioning. Scale shape: posexplode
+    * feeds a hash aggregate on 64 dimension keys *in the same stage*,
+    * so map-side partials collapse every partition to 64 rows before
+    * the one shuffle — corpus size never reaches the exchange. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_fp"))
+      .select(col("dim"), col("n"), col("min_x"), col("max_x"), col("sum_fp"),
+        (col("sum_fp").cast("double") / lit(1000000.0) / col("n").cast("double"))
+          .as("mean_fp"))
+      .orderBy("dim")
+
+  private val embeddingStatsSql =
+    """SELECT pos AS dim, COUNT(*) AS n,
+      |  MIN(embedding[pos + 1]) AS min_x, MAX(embedding[pos + 1]) AS max_x,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[pos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_fp,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[pos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_fp
+      |FROM embeddings, UNNEST(range(0, len(embedding))) AS t(pos)
+      |GROUP BY pos
+      |ORDER BY pos""".stripMargin
+
   // ------------------------------------------------------ text analysis
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -742,6 +775,59 @@ object LlmOps {
       |  MIN(tf) AS min_tf,
       |  CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tf
       |FROM toks JOIN vocab USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Bigram corpus-frequency scoring — [[lmUnigram]]'s order-2 sibling
+    * and the log-free core of stupid-backoff LM filtering: per doc, how
+    * common its adjacent-token pairs are corpus-wide. `n_unique` counts
+    * the bigrams seen nowhere else (the backoff-to-unigram set); docs
+    * dominated by them are either novel or garbled, exactly what a
+    * bigram-perplexity threshold separates — and thresholding these
+    * integer sums is monotone-equivalent to the clamped log-score, while
+    * staying bitwise-comparable against the oracle.
+    *
+    * Scale shape (the [[graft.operators.Boilerplate]] Generate pattern):
+    * tokenize once per document, explode *positions* (never an
+    * HOF-derived array — the Generate-filter re-tokenization trap), pair
+    * via O(1) `element_at`. Two shuffles — bigram-frequency aggregate,
+    * per-doc aggregate; the frequency table broadcasts back (bigram
+    * vocabulary follows Heaps' law like the unigram one; drop the hint
+    * for a hash join if it ever outgrows the budget). Single-token docs
+    * have no bigrams and drop out in both engines. */
+  def lmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1, size(w) - 1)")).as("pos"))
+      .select(col("doc_id"),
+        concat(element_at(col("w"), col("pos")), lit(" "),
+          element_at(col("w"), col("pos") + 1)).as("bg"))
+    val vocab = bg.groupBy(col("bg")).agg(count(lit(1)).as("bf"))
+    bg.join(broadcast(vocab), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bf")).as("sum_bf"),
+        min(col("bf")).as("min_bf"),
+        count(when(col("bf") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bf"), col("min_bf"),
+        col("n_unique"),
+        (col("sum_bf").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_bf"))
+      .orderBy("doc_id")
+  }
+
+  private val lmBigramSql =
+    """WITH bg AS (
+      |  SELECT doc_id, w[pos+1] || ' ' || w[pos+2] AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(0, len(w) - 1)) AS t(pos)),
+      |vocab AS (SELECT bg, COUNT(*) AS bf FROM bg GROUP BY bg)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bf) AS BIGINT) AS sum_bf,
+      |  MIN(bf) AS min_bf,
+      |  CAST(COUNT(*) FILTER (WHERE bf = 1) AS BIGINT) AS n_unique,
+      |  CAST(SUM(bf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bf
+      |FROM bg JOIN vocab USING (bg)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
@@ -1324,6 +1410,43 @@ object LlmOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** **Exact-n stratified sample** ([[graft.operators.Sampling
+    * .exactNPerStratum]]): a fixed 20-document quota per language in
+    * md5 hash order — map-side partial top-k per stratum (BoundedTopK),
+    * never a per-stratum sort task. Exact-membership oracle: the window
+    * formulation in SQL, the aggregate formulation in Spark, same rows. */
+  def corpusSampleExactN(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactNPerStratum(
+        Tables.documents(spark, dir), col("doc_id"), col("lang"), n = 20)
+      .select(col("stratum").as("lang"), col("key").as("doc_id"), col("rn"))
+      .orderBy("lang", "rn")
+
+  private val corpusSampleExactNSql =
+    """SELECT lang, doc_id, rn FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
+  /** **Deterministic global shuffle** ([[graft.operators.Sampling
+    * .shufflePositions]]): stable training order + contiguous shard ids
+    * via the two-phase prefix-sum rank — no single-task global window.
+    * Exact oracle: row_number over the same md5 order. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shufflePositions(
+        Tables.documents(spark, dir), col("doc_id"), shardSize = 16L)
+      .select(col("key").as("doc_id"), col("pos"), col("shard"))
+      .orderBy("pos")
+
+  private val corpusShuffleSql =
+    """SELECT doc_id, pos, CAST(FLOOR((pos - 1) / 16) AS BIGINT) AS shard FROM (
+      |  SELECT doc_id, row_number() OVER (
+      |      ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      |  FROM documents)
+      |ORDER BY pos""".stripMargin
+
   /** **Token-budget selection** ([[graft.operators.Sampling
     * .budgetSelect]]): the 10k best tokens, quality-ordered — score is
     * the document's distinct-token count (lexical diversity, an
@@ -1744,6 +1867,10 @@ object LlmOps {
     Q("corpus_pack", corpusPackSql)(corpusPack),
     Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
+    Q("corpus_sample_exactn", corpusSampleExactNSql)(corpusSampleExactN),
+    Q("corpus_shuffle", corpusShuffleSql)(corpusShuffle),
+    Q("lm_bigram", lmBigramSql)(lmBigram),
+    Q("embedding_stats", embeddingStatsSql)(embeddingStats),
     Q("corpus_rebalance", corpusRebalanceSql)(corpusRebalance),
     Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),

@@ -60,6 +60,22 @@ class QueriesSpec extends SparkTestBase {
     assert(bottom._2 == scored.length && bottom._7 == 1.0)
   }
 
+  test("embedding_stats: fixed-point aggregates equal an independent reference") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf0001).select("embedding")
+      .as[Seq[Float]].collect()
+    val out = graft.queries.LlmOps.embeddingStats(spark, sf0001)
+      .as[(Long, Long, Float, Float, Long, Double)].collect()
+    assert(out.length == vecs.head.size)
+    out.foreach { case (dim, n, mn, mx, sfp, mean) =>
+      val xs = vecs.map(_(dim.toInt))
+      assert(n == vecs.length && mn == xs.min && mx == xs.max)
+      val want = xs.map(x => math.floor(x.toDouble * 1000000).toLong).sum
+      assert(sfp == want)
+      assert(mean == want.toDouble / 1000000.0 / vecs.length)
+    }
+  }
+
   test("corpus_stats slices are consistent with the whole-corpus facts") {
     import org.apache.spark.sql.functions._
     val stats = SparkEntry.queries("corpus_stats")(spark, sf0001)

@@ -113,6 +113,38 @@ class SamplingSpec extends SparkTestBase {
       s"heavy=$heavyAvg light=$lightAvg")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exactNPerStratum equals the sort-based reference per stratum") {
+    val df = ids.withColumn("grp", (col("id") % 4).cast("string"))
+    val out = Sampling.exactNPerStratum(df, col("id"), col("grp"), n = 7)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._3))
+    val want = (0L until 20000L).groupBy(i => (i % 4).toString).toSeq
+      .flatMap { case (g, ks) =>
+        ks.map(k => (k, md5hex("graft" + k))).sortBy(t => (t._2, t._1)).take(7)
+          .zipWithIndex.map { case ((k, _), i) => (g, k, (i + 1).toLong) }
+      }.sortBy(t => (t._1, t._3))
+    assert(out == want)
+  }
+
+  test("shufflePositions: md5-order permutation with contiguous shards; salt reshuffles") {
+    val n = 5000
+    val df = spark.range(0, n).toDF("id")
+    val out = Sampling.shufflePositions(df, col("id"), shardSize = 100L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2).sorted == (1L to n.toLong))
+    val want = (0L until n.toLong).map(k => (k, md5hex("shuf" + k)))
+      .sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((k, _), i) => (k, (i + 1).toLong, (i / 100).toLong) }
+    assert(out.sortBy(_._2) == want)
+    val epoch2 = Sampling.shufflePositions(df, col("id"), 100L, salt = "epoch2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(epoch2.sortBy(_._2).map(_._1) != out.sortBy(_._2).map(_._1))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("budgetSelect: greedy prefix of the quality order, overshoot at most one doc") {
     val docs = Tables.documents(spark, sf0001)
     val meta = docs.select(col("doc_id"),

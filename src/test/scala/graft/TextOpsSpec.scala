@@ -99,6 +99,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1) == ((2L, 3L, 6L, 1L)))
   }
 
+  test("lm_bigram equals an independent Scala bigram count on sf0.001") {
+    import graft.queries.LlmOps
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // split(" ", -1) keeps empty tokens exactly like Spark's split regex
+    val perDoc = docs.map { case (id, t) =>
+      val w = t.split(" ", -1).toSeq
+      id -> (if (w.size < 2) Seq.empty[String]
+             else w.sliding(2).map(p => p(0) + " " + p(1)).toSeq)
+    }
+    val bf = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = perDoc.filter(_._2.nonEmpty).map { case (id, bgs) =>
+      val fs = bgs.map(bf)
+      (id, bgs.size.toLong, fs.sum, fs.min, fs.count(_ == 1L).toLong,
+        fs.sum.toDouble / bgs.size.toDouble)
+    }.sortBy(_._1).toSeq
+    val out = LlmOps.lmBigram(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == want)
+  }
+
   test("WordShingles byte-range kernel equals the HOF shingle formulation") {
     val rng = new scala.util.Random(17)
     val chars = "abXY01 éß世 .,!"  // multi-byte UTF-8 + punctuation + spaces
