@@ -13,12 +13,16 @@ import org.apache.spark.sql.types._
   * inferred schema). Supplying the schema also lets the vectorized Parquet
   * reader skip per-file merge checks.
   *
-  * `events.ts` is stored as timestamp[ns], which Spark 4 cannot read as a
-  * timestamp at all ([PARQUET_TYPE_ILLEGAL] INT64 (TIMESTAMP(NANOS)));
-  * [[events]] reads it as raw nanos via
-  * `spark.sql.legacy.parquet.nanosAsLong` and truncates to microsecond
-  * `TimestampType` (`ts div 1000`) — the same truncation DuckDB applies
-  * when casting its ns read to TIMESTAMP, so oracle SQL compares equal.
+  * `events.ts` has shipped in two physical encodings across driver corpus
+  * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 cannot read as a
+  * timestamp at all ([PARQUET_TYPE_ILLEGAL]) — and plain TIMESTAMP(MICROS).
+  * [[events]] probes the file footer once (a single driver-side metadata
+  * read, not corpus-wide inference) and dispatches: the nanos form is read
+  * as raw longs via `spark.sql.legacy.parquet.nanosAsLong` and truncated to
+  * microsecond `TimestampType` (`ts div 1000`) — the same truncation DuckDB
+  * applies when casting its ns read to TIMESTAMP — while the micros form is
+  * read natively. Either way both engines see identical µs instants, so
+  * oracle SQL compares equal.
   */
 object Tables {
 
@@ -113,16 +117,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** `ts` stored as INT64 TIMESTAMP(MICROS) — reads as TimestampType
+    * directly. */
+  val eventsMicrosSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .select(
-        org.apache.spark.sql.functions.col("event_id"),
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").as("ts"),
-        org.apache.spark.sql.functions.col("user_id"),
-        org.apache.spark.sql.functions.col("event_type"),
-        org.apache.spark.sql.functions.col("value"),
-        org.apache.spark.sql.functions.col("props"))
+    val path = s"$dir/events.parquet"
+    // One-footer probe (under nanosAsLong a NANOS column infers LongType,
+    // a MICROS column TimestampType) — O(1) metadata read per query
+    // construction, not data-path schema inference.
+    val storedNanos =
+      spark.read.parquet(path).schema("ts").dataType == LongType
+    if (!storedNanos)
+      spark.read.schema(eventsMicrosSchema).parquet(path)
+    else
+      spark.read.schema(eventsRawSchema).parquet(path)
+        .select(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").as("ts"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value"),
+          org.apache.spark.sql.functions.col("props"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
