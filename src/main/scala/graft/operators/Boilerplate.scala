@@ -25,6 +25,57 @@ import org.apache.spark.sql.functions._
   * oracle's string-keyed twin hash-matches w.p. ~1). */
 object Boilerplate {
 
+  /** **Intra-document** repetition scrub — [[scrubFrequent]]'s
+    * within-one-page sibling: a document's tokens partition into the same
+    * consecutive k-token segments, and every REPEAT of a segment already
+    * seen earlier in the SAME document is dropped (first occurrence kept).
+    * This is the other half of the C4 cleaning recipe: corpus-frequency
+    * scrubbing kills cross-page chrome, while this kills within-page
+    * stutter — scraper loops, repeated nav blocks, copy-pasted paragraphs
+    * — which near-dup detectors never see (a self-repetitive document is
+    * not a duplicate of anything else).
+    *
+    * Scale shape: ZERO shuffles — segmentation, the keep-first filter,
+    * and reassembly are all per-row higher-order functions, so the
+    * operator runs map-side inside whatever stage consumes it. The
+    * keep-first test (`array_contains` over the preceding-segment prefix)
+    * is O(B²) in the per-document block count B — bounded by document
+    * size, not corpus size, so it holds at any corpus scale (a 1 MB doc
+    * at k=3 is ~60k blocks; web documents are orders smaller). Emits
+    * (doc_id, n_blocks, n_dup_blocks, n_dup_tokens, text_clean). */
+  def scrubRepeatedBlocks(df: DataFrame, id: Column, text: Column,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"segment size must be positive (got $k)")
+    df.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+      .select(col("doc_id"),
+        transform(
+          expr(s"sequence(0, greatest(size(w) - 1, 0), $k)"),
+          st => array_join(slice(col("w"), st + 1, lit(k)), " ")).as("segs"))
+      // the quadratic membership scan runs ONCE, annotating each block
+      // with its repeat flag; every output column derives from the
+      // annotation (a kept/dup filter pair would re-run it)
+      .select(col("doc_id"),
+        transform(col("segs"), (s, i) => struct(
+          s.as("seg"),
+          // s among the i segments before it => repeat of an earlier block
+          array_contains(slice(col("segs"), lit(1), i), s).as("dup")))
+          .as("ann"))
+      .select(
+        col("doc_id"),
+        size(col("ann")).cast("long").as("n_blocks"),
+        size(filter(col("ann"), a => a.getField("dup")))
+          .cast("long").as("n_dup_blocks"),
+        aggregate(
+          filter(col("ann"), a => a.getField("dup")),
+          lit(0L),
+          (acc, a) => acc + size(split(a.getField("seg"), " ")).cast("long"))
+          .as("n_dup_tokens"),
+        array_join(
+          transform(filter(col("ann"), a => !a.getField("dup")),
+            a => a.getField("seg")),
+          " ").as("text_clean"))
+  }
+
   /** Per-document scrub report: (doc_id, n_blocks, n_scrubbed_blocks,
     * n_scrubbed_tokens, text_clean) where text_clean is the surviving
     * segments rejoined in document order. */

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance-weighted data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169): score every raw document by how target-like its
+  * token distribution is, then keep the top of the ranking — the
+  * standard recipe for skimming a web crawl toward a high-quality
+  * target domain before training.
+  *
+  * DSIR proper scores log w(x) = Σ_f c_f(x)·(log p_target[f] − log
+  * p_raw[f]) over hashed n-gram features. This operator keeps the exact
+  * same plumbing (per-token corpus counts under both distributions,
+  * optionally hashed into B buckets) but scores the LOG-FREE surrogate
+  *
+  *   score(x) = Σ_tok c_target[tok] / Σ_tok c_raw[tok]
+  *
+  * — the ratio of the document's average target-corpus token frequency
+  * to its average raw-corpus token frequency. Same signal (documents
+  * whose mass sits where the target distribution has mass score high),
+  * but the only floating-point step is ONE division of two int64 sums,
+  * which both engines round identically — the same "log is deliberately
+  * never computed" discipline as [[graft.queries.LlmOps.lmUnigram]]'s
+  * perplexity surrogate (`ln` is not required to round identically
+  * across libms, so a log-form score could never be hash-checked).
+  *
+  * Scale shape (the lmUnigram plan): one explode to token rows, ONE
+  * aggregate computing both distributions' counts (c_raw = count,
+  * c_tgt = count where is_target — the target is a subset of the
+  * corpus, so its counts ride the same shuffle), broadcast the
+  * frequency table back (vocabulary obeys Heaps' law; hashing into B
+  * buckets caps it outright), one per-doc aggregate. Selection is
+  * `orderBy.limit` — Spark plans TakeOrderedAndProject: each map task
+  * keeps its local top-k, the driver merges k-sized heaps; no global
+  * sort, no single-task window. */
+object Dsir {
+
+  /** Per-document importance scores: (doc_id, n_tokens, sum_ct, sum_cr,
+    * score). `isTarget` marks the rows whose token distribution defines
+    * the target domain (a subset of `docs` — DSIR's raw+target corpora
+    * collapse into one scan here). `hashBuckets = Some(b)` switches
+    * features from raw tokens to `xxhash64(tok) mod b` buckets — DSIR's
+    * actual memory bound, trading collisions for a fixed-width frequency
+    * table; None keeps exact tokens (oracle-comparable). */
+  def importanceScores(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, hashBuckets: Option[Int] = None): DataFrame = {
+    hashBuckets.foreach(b =>
+      require(b > 0, s"hashBuckets must be positive (got $b)"))
+    val toks = docs
+      .select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("feat", hashBuckets match {
+        case Some(b) => pmod(xxhash64(col("tok")), lit(b.toLong))
+        case None => col("tok")
+      })
+    val freq = toks.groupBy(col("feat")).agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("is_t"), 1)).as("c_tgt"))
+    toks.join(broadcast(freq), "feat")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c_tgt")).as("sum_ct"),
+        sum(col("c_raw")).as("sum_cr"))
+      .withColumn("score",
+        col("sum_ct").cast("double") / col("sum_cr").cast("double"))
+  }
+
+  /** The top `kDocs` documents of a scored frame in (score DESC, doc_id)
+    * order — ties broken by the unique id, so the kept set is a pure
+    * function of the corpus. Plans as TakeOrderedAndProject (map-side
+    * partial top-k), never a global sort or single-task rank window. */
+  def selectTopK(scored: DataFrame, kDocs: Int): DataFrame = {
+    require(kDocs > 0, s"kDocs must be positive (got $kDocs)")
+    scored.orderBy(col("score").desc, col("doc_id")).limit(kDocs)
+  }
+}

@@ -1384,6 +1384,63 @@ object LlmOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** **Intra-document repetition scrub** ([[graft.operators.Boilerplate
+    * .scrubRepeatedBlocks]]): within each page, repeats of an
+    * earlier-seen 3-token segment are dropped, first occurrence kept —
+    * zero-shuffle per-row HOFs on the engine side; the oracle spells the
+    * same keep-first semantics relationally (min-blk_no window). */
+  def intradocScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.scrubRepeatedBlocks(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id")
+
+  private val intradocScrubSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, CAST(t.k AS BIGINT) AS blk_no,
+      |        array_to_string(w[t.k+1 : t.k+3], ' ') AS seg
+      |      FROM d, UNNEST(range(0, greatest(len(w), 1), 3)) AS t(k)),
+      |m AS (SELECT doc_id, blk_no, seg,
+      |        MIN(blk_no) OVER (PARTITION BY doc_id, seg) AS first_blk
+      |      FROM b)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(COUNT(*) FILTER (WHERE blk_no <> first_blk) AS BIGINT)
+      |    AS n_dup_blocks,
+      |  CAST(COALESCE(SUM(len(string_split(seg, ' ')))
+      |    FILTER (WHERE blk_no <> first_blk), 0) AS BIGINT) AS n_dup_tokens,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY blk_no)
+      |    FILTER (WHERE blk_no = first_blk), '') AS text_clean
+      |FROM m
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** **DSIR importance selection** ([[graft.operators.Dsir]]): the 100
+    * documents whose token distribution is most target-like, target =
+    * the English subset — the log-free exact-oracle surrogate of Xie et
+    * al. 2023's hashed likelihood-ratio scoring (see the operator
+    * scaladoc for why the log is deliberately never computed). */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.selectTopK(
+      graft.operators.Dsir.importanceScores(
+        Tables.documents(spark, dir), col("doc_id"), col("text"),
+        col("lang") === "en"),
+      kDocs = 100)
+
+  private val dsirSelectSql =
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+      |              UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_raw,
+      |           CAST(COUNT(*) FILTER (WHERE is_t) AS BIGINT) AS c_tgt
+      |         FROM toks GROUP BY tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c_tgt) AS BIGINT) AS sum_ct,
+      |  CAST(SUM(c_raw) AS BIGINT) AS sum_cr,
+      |  CAST(SUM(c_tgt) AS DOUBLE) / CAST(SUM(c_raw) AS DOUBLE) AS score
+      |FROM toks JOIN freq USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -1831,6 +1888,8 @@ object LlmOps {
     Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("text_normalize", textNormalizeSql)(textNormalize),
     Q("boilerplate_scrub", boilerplateScrubSql)(boilerplateScrub),
+    Q("intradoc_scrub", intradocScrubSql)(intradocScrub),
+    Q("dsir_select", dsirSelectSql)(dsirSelect),
     Q("corpus_budget", corpusBudgetSql)(corpusBudget),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q("dedup_incremental", jaccardOracle("0.8",

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+class DsirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("importance scores: hand-computed counts, ranking, top-k") {
+    // target = doc 1. Token counts: t -> (c_raw 3, c_tgt 2),
+    // r -> (c_raw 3, c_tgt 0)
+    val docs = Seq(
+      (1L, "t t", true),
+      (2L, "t r", false),
+      (3L, "r r", false)).toDF("doc_id", "text", "is_t")
+    val scored = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(scored == Seq(
+      (1L, 2L, 4L, 6L, 4.0 / 6.0),
+      (2L, 2L, 2L, 6L, 2.0 / 6.0),
+      (3L, 2L, 0L, 6L, 0.0)), s"got $scored")
+    val top = Dsir.selectTopK(
+        Dsir.importanceScores(docs, col("doc_id"), col("text"), col("is_t")), 2)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L), s"got $top")
+  }
+
+  test("hashed features equal exact features when buckets don't collide") {
+    // ~60 distinct tokens into 2^30 buckets: collision probability
+    // ~ v^2/2B ≈ 2e-6, and xxhash64 is deterministic — this either
+    // always passes or always fails, never flakes
+    val docs = (1L to 30L).map(i =>
+      (i, s"w${i}a w${i}b common", i % 3 == 0)).toDF("doc_id", "text", "is_t")
+    val exact = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val hashed = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"), hashBuckets = Some(1 << 30))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(hashed == exact)
+  }
+
+  test("one bucket collapses every document to the corpus-wide ratio") {
+    // B = 1: all tokens share a bucket, so every document's score is
+    // target_tokens/total_tokens — the graceful-degradation floor of
+    // DSIR's hashing (collisions blur scores toward the global ratio,
+    // they never error)
+    val docs = Seq(
+      (1L, "t t", true),
+      (2L, "t r", false),
+      (3L, "r r r", false)).toDF("doc_id", "text", "is_t")
+    val scored = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"), hashBuckets = Some(1))
+      .select(col("score")).as[Double].collect().toSeq
+    assert(scored.size == 3 && scored.forall(_ == 2.0 / 7.0), s"got $scored")
+  }
+
+  test("selectTopK plans a map-side partial top-k, not a global sort") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = Dsir.selectTopK(
+        Dsir.importanceScores(docs, col("doc_id"), col("text"),
+          col("lang") === "en"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("Sort ["), s"unexpected global Sort in:\n$plan")
+  }
+}

@@ -219,4 +219,48 @@ class TextOpsSpec extends SparkTestBase {
     assert(joined.map(_.getLong(2)).sum > 0, "expected a binding scrub at sf0.001")
     graft.operators.Dedup.releaseCaches()
   }
+
+  test("intradoc scrub: keep-first semantics, tail blocks, round-trip") {
+    import graft.operators.Boilerplate
+    val docs = Seq(
+      // k=2 blocks: (a b)(a b)(c d)(a b) — repeats of block 0 dropped
+      (1L, "a b a b c d a b"),
+      // odd tail: (x y)(x y)(x) — the short tail "x" is NOT the block
+      // "x y", so it survives
+      (2L, "x y x y x"),
+      // no within-doc repeats — exact round-trip (cross-doc repetition
+      // of "a b" with doc 1 must NOT scrub anything here)
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val got = Boilerplate.scrubRepeatedBlocks(docs, col("doc_id"),
+        col("text"), k = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 4L, "a b c d"),
+      (2L, 3L, 1L, 2L, "x y x"),
+      (3L, 3L, 0L, 0L, "a b c d e")), s"got $got")
+  }
+
+  test("intradoc scrub on the corpus: token conservation, clean text is repeat-free") {
+    import graft.operators.Boilerplate
+    val docs = Tables.documents(spark, sf0001)
+    val out = Boilerplate.scrubRepeatedBlocks(docs, col("doc_id"),
+      col("text"), k = 3)
+    val joined = out.join(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_orig")), "doc_id")
+      .select(col("doc_id"), col("n_dup_tokens"),
+        size(split(col("text_clean"), " ")).cast("long").as("n_kept"),
+        col("n_orig"), col("text_clean"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(2) + r.getLong(1) == r.getLong(3),
+        s"token conservation violated for doc ${r.getLong(0)}") }
+    // idempotence: scrubbing the cleaned text changes nothing
+    val again = Boilerplate.scrubRepeatedBlocks(
+        out.select(col("doc_id"), col("text_clean")),
+        col("doc_id"), col("text_clean"), k = 3)
+      .agg(sum(col("n_dup_blocks"))).as[Long].head()
+    assert(again == 0L, s"second scrub still found $again duplicate blocks")
+  }
 }
