@@ -75,4 +75,66 @@ object Dsir {
     require(kDocs > 0, s"kDocs must be positive (got $kDocs)")
     scored.orderBy(col("score").desc, col("doc_id")).limit(kDocs)
   }
+
+  // ------------------------------------------------- train-batch / serve
+
+  /** Driver-side cap on the dense frequency literals: 2²⁰ buckets ×
+    * 2 longs = 16 MB of literal, the same order as a broadcast budget. */
+  val maxServeBuckets: Int = 1 << 20
+
+  /** Batch half of the serve split: the hashed bucket-frequency tables
+    * as two dense arrays indexed by bucket (c_tgt, c_raw) — the
+    * fixed-width distribution summary DSIR actually ships (hashing
+    * exists precisely so this is O(b), not O(vocabulary)). Bounded
+    * collect by construction: ≤ `b` rows, b ≤ [[maxServeBuckets]]. */
+  def hashedFreq(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, b: Int): (Seq[Long], Seq[Long]) = {
+    require(b > 0 && b <= maxServeBuckets,
+      s"serve buckets must be in [1, $maxServeBuckets] (got $b)")
+    val rows = docs
+      .select(isTarget.as("is_t"), explode(TextOps.tokens(text)).as("tok"))
+      .groupBy(pmod(xxhash64(col("tok")), lit(b.toLong)).as("feat"))
+      .agg(count(lit(1)).as("c_raw"), count(when(col("is_t"), 1)).as("c_tgt"))
+      .collect()
+    val ct = new Array[Long](b)
+    val cr = new Array[Long](b)
+    rows.foreach { r =>
+      val f = r.getLong(0).toInt
+      cr(f) = r.getLong(1); ct(f) = r.getLong(2)
+    }
+    (ct.toSeq, cr.toSeq)
+  }
+
+  /** Serving half: score docs against already-collected bucket
+    * frequencies — a pure per-row projection (the two tables travel as
+    * dense array literals; `element_at` on an array literal is an O(1)
+    * ordinal access, where a map literal scans linearly — the
+    * [[Classifier]] lesson), so it runs unchanged on a streaming
+    * DataFrame in append mode with no state store
+    * ([[graft.streaming.StreamingDownsample.dsirScoreStream]]). Scores
+    * are identical to `importanceScores(hashBuckets = Some(b))` on the
+    * same corpus (spec-asserted): sums of the same int64 counts in a
+    * different order, then the same single division. */
+  def scoreWithFreq(docs: DataFrame, id: Column, text: Column,
+      cTgt: Seq[Long], cRaw: Seq[Long]): DataFrame = {
+    require(cTgt.size == cRaw.size && cTgt.nonEmpty,
+      s"frequency tables must be same-size and non-empty " +
+        s"(got ${cTgt.size}, ${cRaw.size})")
+    val b = cTgt.size
+    val tLit = typedLit(cTgt)
+    val rLit = typedLit(cRaw)
+    docs
+      .select(id.as("doc_id"), TextOps.tokens(text).as("__w"))
+      .select(col("doc_id"),
+        transform(col("__w"),
+          t => pmod(xxhash64(t), lit(b.toLong)) + 1L).as("__f"))
+      .select(col("doc_id"),
+        size(col("__f")).cast("long").as("n_tokens"),
+        aggregate(col("__f"), lit(0L),
+          (acc, f) => acc + element_at(tLit, f.cast("int"))).as("sum_ct"),
+        aggregate(col("__f"), lit(0L),
+          (acc, f) => acc + element_at(rLit, f.cast("int"))).as("sum_cr"))
+      .withColumn("score",
+        col("sum_ct").cast("double") / col("sum_cr").cast("double"))
+  }
 }

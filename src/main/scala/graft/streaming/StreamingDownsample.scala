@@ -109,24 +109,45 @@ object StreamingDownsample {
 
   /** Stateless **text-cleaning stage** for ingest streams: NFC
     * normalization → Gopher quality gate ON THE NORMALIZED TEXT →
-    * PII scrub, emitting (doc_id, clean_text) for survivors. Every step
-    * is a pure per-row projection ([[graft.operators.TextOps]]'s
-    * codegen'd normalize/metrics/scrub columns — the SAME definitions
-    * the batch `text_normalize` / `quality_gopher` / `pii_scrub`
-    * queries use, so batch ≡ stream by construction, spec-asserted),
-    * which is what makes it runnable in append mode with no watermark
-    * and no state store — the front of a 100 TB/day ingest pipeline,
-    * upstream of [[nearDupStream]]. */
+    * intra-document repetition scrub → PII scrub, emitting (doc_id,
+    * clean_text) for survivors. Every step is a pure per-row projection
+    * ([[graft.operators.TextOps]]'s codegen'd normalize/metrics/scrub
+    * columns and [[graft.operators.Boilerplate.scrubRepeatedBlocks]]'
+    * HOF block scrub — the SAME definitions the batch `text_normalize` /
+    * `quality_gopher` / `intradoc_scrub` / `pii_scrub` queries use, so
+    * batch ≡ stream by construction, spec-asserted), which is what makes
+    * it runnable in append mode with no watermark and no state store —
+    * the front of a 100 TB/day ingest pipeline, upstream of
+    * [[nearDupStream]]. The scrub order is the C4 one: repetition scrub
+    * AFTER the quality gate (gates judge the page as crawled) and BEFORE
+    * PII redaction (so a repeated contact block collapses to one
+    * placeholder, not a placeholder per repeat). */
   def cleanStream(docs: DataFrame): DataFrame = {
-    import graft.operators.TextOps
+    import graft.operators.{Boilerplate, TextOps}
     val metrics = TextOps.gopherMetrics(col("norm_text"))
-    docs
+    val gated = docs
       .select(col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))
       .select(col("doc_id") +: col("norm_text") +:
         metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(TextOps.gopherRules.map(_._2).reduce(_ && _))
-      .select(col("doc_id"), TextOps.scrubPii(col("norm_text")).as("clean_text"))
+    Boilerplate.scrubRepeatedBlocks(gated, col("doc_id"), col("norm_text"))
+      .select(col("doc_id"),
+        TextOps.scrubPii(col("text_clean")).as("clean_text"))
   }
+
+  /** Stateless **DSIR-serving stage**: score each streamed document's
+    * target-likeness under bucket frequencies collected batch-side by
+    * [[graft.operators.Dsir.hashedFreq]] — the train-batch /
+    * serve-stream split again ([[scoreStream]]'s shape): the two dense
+    * frequency tables travel as array literals inside a per-row
+    * projection, so append mode, no watermark, no state store.
+    * Downstream, threshold on `score` to gate ingest toward the target
+    * domain — the streaming complement of the batch
+    * [[graft.operators.Dsir.selectTopK]] ranking. */
+  def dsirScoreStream(docs: DataFrame, cTgt: Seq[Long],
+      cRaw: Seq[Long]): DataFrame =
+    graft.operators.Dsir.scoreWithFreq(docs, col("doc_id"), col("text"),
+      cTgt, cRaw)
 
   /** Stateless **classifier-serving stage**: score each streamed doc
     * under weights trained batch-side by

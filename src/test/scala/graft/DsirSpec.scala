@@ -42,6 +42,23 @@ class DsirSpec extends SparkTestBase {
     assert(hashed == exact)
   }
 
+  test("collected-frequency serving equals inline hashed scoring") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"w${i}a w${i}b common", i % 3 == 0)).toDF("doc_id", "text", "is_t")
+    val b = 256
+    val (ct, cr) = Dsir.hashedFreq(docs, col("doc_id"), col("text"),
+      col("is_t"), b)
+    assert(ct.size == b && cr.size == b)
+    assert(cr.sum == 90L && ct.sum == 30L, // 30 docs x 3 tokens, 10 target
+      s"freq mass: tgt ${ct.sum}, raw ${cr.sum}")
+    val served = Dsir.scoreWithFreq(docs, col("doc_id"), col("text"), ct, cr)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val inline = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"), hashBuckets = Some(b))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served == inline)
+  }
+
   test("one bucket collapses every document to the corpus-wide ratio") {
     // B = 1: all tokens share a bucket, so every document's score is
     // target_tokens/total_tokens — the graceful-degradation floor of

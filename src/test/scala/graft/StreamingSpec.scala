@@ -217,9 +217,13 @@ class StreamingSpec extends SparkTestBase {
       .cleanStream(base.toDF("doc_id", "text"))
       .select("doc_id").as[Long].head()
     val survivingText = base.find(_._1 == surviving).get._2
+    // 48 distinct gate-passing tokens (16 aligned 3-token blocks) plus a
+    // repeat of block 0 \u2014 the repetition scrub must drop exactly the tail
+    val repWords = Seq("the", "and") ++ (3 to 48).map(i => f"tok$i%02d")
     val crafted = Seq(
       (100001L, "cafe\u0301 " + survivingText + "\u200B \t mail a@b.org"),
-      (100002L, "too short to keep"))
+      (100002L, "too short to keep"),
+      (100003L, (repWords ++ repWords.take(3)).mkString(" ")))
     val rows = base ++ crafted
     val mem = MemoryStream[(Long, String)]
     val q = StreamingDownsample.cleanStream(mem.toDF().toDF("doc_id", "text"))
@@ -244,6 +248,37 @@ class StreamingSpec extends SparkTestBase {
       assert(t.contains("caf\u00e9") && !t.contains("\u200B")) // normalized
       assert(t.contains("<EMAIL>") && !t.contains("a@b.org"))  // scrubbed
     }
+    // the self-repetitive doc survives the gate with its repeated tail
+    // block (and only that) scrubbed
+    assert(batch.find(_._1 == 100003L).map(_._2)
+      .contains(repWords.mkString(" ")))
+  }
+
+  test("streaming DSIR serving equals the batch hashed scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dsir
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().toSeq
+    val b = 4096
+    val (ct, cr) = Dsir.hashedFreq(docs.toDF("doc_id", "text", "lang"),
+      col("doc_id"), col("text"), col("lang") === "en", b)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingDownsample
+      .dsirScoreStream(mem.toDF().toDF("doc_id", "text", "lang"), ct, cr)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    mem.addData(docs)
+    q.processAllAvailable()
+    val streamed = spark.table("dsir_out")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    q.stop()
+    val batch = Dsir.importanceScores(docs.toDF("doc_id", "text", "lang"),
+        col("doc_id"), col("text"), col("lang") === "en",
+        hashBuckets = Some(b))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    graft.operators.Dedup.releaseCaches()
   }
 
   test("nearDupStream refuses a k mismatched with the stored signatures") {
