@@ -35,44 +35,61 @@ object Boilerplate {
     * — which near-dup detectors never see (a self-repetitive document is
     * not a duplicate of anything else).
     *
-    * Scale shape: ZERO shuffles — segmentation, the keep-first filter,
+    * Scale shape: ZERO shuffles — segmentation, keep-first detection,
     * and reassembly are all per-row higher-order functions, so the
-    * operator runs map-side inside whatever stage consumes it. The
-    * keep-first test (`array_contains` over the preceding-segment prefix)
-    * is O(B²) in the per-document block count B — bounded by document
-    * size, not corpus size, so it holds at any corpus scale (a 1 MB doc
-    * at k=3 is ~60k blocks; web documents are orders smaller). Emits
-    * (doc_id, n_blocks, n_dup_blocks, n_dup_tokens, text_clean). */
+    * operator runs map-side inside whatever stage consumes it, and the
+    * per-row cost is O(B log B) in the per-document block count B (see
+    * the implementation comment) — bounded by document size, not corpus
+    * size, so it holds at any corpus scale. Emits (doc_id, n_blocks,
+    * n_dup_blocks, n_dup_tokens, text_clean). */
   def scrubRepeatedBlocks(df: DataFrame, id: Column, text: Column,
       k: Int = 3): DataFrame = {
     require(k > 0, s"segment size must be positive (got $k)")
+    // First-occurrence detection is sort-based, O(B log B) per document,
+    // NOT a per-block scan over the preceding prefix — that form is
+    // O(B²) and a single 1 MB page (~60k blocks at k=3) would spend ~10⁹
+    // string compares inside one row evaluation. Sorting (xxhash64(seg),
+    // position) pairs orders every run of equal-hash blocks by position,
+    // so each run's head is the keep-first survivor and the rest are the
+    // repeats — the [[Classifier.tokenFeatures]] run-length lesson.
+    // Blocks compare by 8-byte hash, never by string (the [[Dedup]]
+    // currency; a within-document collision, p ≈ B²/2⁶⁵, could scrub one
+    // distinct block — negligible, and the string-keyed oracle would
+    // catch a corpus where it ever fired). Each intermediate binds as an
+    // attribute in its own select so no stage re-computes its input.
     df.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
       .select(col("doc_id"),
         transform(
           expr(s"sequence(0, greatest(size(w) - 1, 0), $k)"),
           st => array_join(slice(col("w"), st + 1, lit(k)), " ")).as("segs"))
-      // the quadratic membership scan runs ONCE, annotating each block
-      // with its repeat flag; every output column derives from the
-      // annotation (a kept/dup filter pair would re-run it)
-      .select(col("doc_id"),
-        transform(col("segs"), (s, i) => struct(
-          s.as("seg"),
-          // s among the i segments before it => repeat of an earlier block
-          array_contains(slice(col("segs"), lit(1), i), s).as("dup")))
-          .as("ann"))
+      .select(col("doc_id"), col("segs"),
+        array_sort(transform(sequence(lit(1), size(col("segs"))),
+          i => struct(xxhash64(element_at(col("segs"), i)).as("h"),
+            i.as("i")))).as("sp"))
+      .select(col("doc_id"), col("segs"),
+        transform(
+          filter(sequence(lit(1), size(col("sp"))), j =>
+            j === 1 || element_at(col("sp"), j).getField("h") =!=
+              element_at(col("sp"), j - 1).getField("h")),
+          j => element_at(col("sp"), j).getField("i")).as("keep_i"),
+        transform(
+          filter(sequence(lit(1), size(col("sp"))), j =>
+            j > 1 && element_at(col("sp"), j).getField("h") ===
+              element_at(col("sp"), j - 1).getField("h")),
+          j => element_at(col("sp"), j).getField("i")).as("dup_i"))
       .select(
         col("doc_id"),
-        size(col("ann")).cast("long").as("n_blocks"),
-        size(filter(col("ann"), a => a.getField("dup")))
-          .cast("long").as("n_dup_blocks"),
-        aggregate(
-          filter(col("ann"), a => a.getField("dup")),
-          lit(0L),
-          (acc, a) => acc + size(split(a.getField("seg"), " ")).cast("long"))
+        size(col("segs")).cast("long").as("n_blocks"),
+        size(col("dup_i")).cast("long").as("n_dup_blocks"),
+        aggregate(col("dup_i"), lit(0L),
+          (acc, i) =>
+            acc + size(split(element_at(col("segs"), i), " ")).cast("long"))
           .as("n_dup_tokens"),
+        // keep_i is in (hash, position) order; re-sorting restores
+        // document order for reassembly
         array_join(
-          transform(filter(col("ann"), a => !a.getField("dup")),
-            a => a.getField("seg")),
+          transform(array_sort(col("keep_i")),
+            i => element_at(col("segs"), i)),
           " ").as("text_clean"))
   }
 
