@@ -37,20 +37,34 @@ import org.apache.spark.sql.functions._
   * sort, no single-task window. */
 object Dsir {
 
+  /** The feature stream DSIR scores over: unigram tokens, optionally
+    * unioned with word bigrams (the paper's actual feature space —
+    * bigrams catch phrase-level domain signal unigrams blur). Bigrams
+    * ride the codegen'd [[TextOps.shingles]] kernel; tokens cannot
+    * contain spaces, so the two feature kinds can never collide as
+    * strings. */
+  private def featureArray(text: Column, bigrams: Boolean): Column =
+    if (bigrams) concat(TextOps.tokens(text), TextOps.shingles(text, 2))
+    else TextOps.tokens(text)
+
   /** Per-document importance scores: (doc_id, n_tokens, sum_ct, sum_cr,
     * score). `isTarget` marks the rows whose token distribution defines
     * the target domain (a subset of `docs` — DSIR's raw+target corpora
     * collapse into one scan here). `hashBuckets = Some(b)` switches
-    * features from raw tokens to `xxhash64(tok) mod b` buckets — DSIR's
-    * actual memory bound, trading collisions for a fixed-width frequency
-    * table; None keeps exact tokens (oracle-comparable). */
+    * features from raw strings to `xxhash64(feature) mod b` buckets —
+    * DSIR's actual memory bound, trading collisions for a fixed-width
+    * frequency table; None keeps exact strings (oracle-comparable).
+    * `bigrams = true` adds word-bigram features (n_tokens then counts
+    * features, tokens + bigrams — the denominators on both sides of the
+    * score shift identically, so scores stay comparable across docs). */
   def importanceScores(docs: DataFrame, id: Column, text: Column,
-      isTarget: Column, hashBuckets: Option[Int] = None): DataFrame = {
+      isTarget: Column, hashBuckets: Option[Int] = None,
+      bigrams: Boolean = false): DataFrame = {
     hashBuckets.foreach(b =>
       require(b > 0, s"hashBuckets must be positive (got $b)"))
     val toks = docs
       .select(id.as("doc_id"), isTarget.as("is_t"),
-        explode(TextOps.tokens(text)).as("tok"))
+        explode(featureArray(text, bigrams)).as("tok"))
       .withColumn("feat", hashBuckets match {
         case Some(b) => pmod(xxhash64(col("tok")), lit(b.toLong))
         case None => col("tok")
@@ -88,11 +102,13 @@ object Dsir {
     * exists precisely so this is O(b), not O(vocabulary)). Bounded
     * collect by construction: ≤ `b` rows, b ≤ [[maxServeBuckets]]. */
   def hashedFreq(docs: DataFrame, id: Column, text: Column,
-      isTarget: Column, b: Int): (Seq[Long], Seq[Long]) = {
+      isTarget: Column, b: Int, bigrams: Boolean = false)
+      : (Seq[Long], Seq[Long]) = {
     require(b > 0 && b <= maxServeBuckets,
       s"serve buckets must be in [1, $maxServeBuckets] (got $b)")
     val rows = docs
-      .select(isTarget.as("is_t"), explode(TextOps.tokens(text)).as("tok"))
+      .select(isTarget.as("is_t"),
+        explode(featureArray(text, bigrams)).as("tok"))
       .groupBy(pmod(xxhash64(col("tok")), lit(b.toLong)).as("feat"))
       .agg(count(lit(1)).as("c_raw"), count(when(col("is_t"), 1)).as("c_tgt"))
       .collect()
@@ -111,12 +127,15 @@ object Dsir {
     * ordinal access, where a map literal scans linearly — the
     * [[Classifier]] lesson), so it runs unchanged on a streaming
     * DataFrame in append mode with no state store
-    * ([[graft.streaming.StreamingDownsample.dsirScoreStream]]). Scores
-    * are identical to `importanceScores(hashBuckets = Some(b))` on the
-    * same corpus (spec-asserted): sums of the same int64 counts in a
+    * ([[graft.streaming.StreamingDownsample.dsirScoreStream]]). With
+    * `bigrams` matching the [[hashedFreq]] call (the caller's contract —
+    * a mismatch scores against the wrong feature space), scores are
+    * identical to `importanceScores(hashBuckets = Some(b))` on the same
+    * corpus (spec-asserted): sums of the same int64 counts in a
     * different order, then the same single division. */
   def scoreWithFreq(docs: DataFrame, id: Column, text: Column,
-      cTgt: Seq[Long], cRaw: Seq[Long]): DataFrame = {
+      cTgt: Seq[Long], cRaw: Seq[Long], bigrams: Boolean = false)
+      : DataFrame = {
     require(cTgt.size == cRaw.size && cTgt.nonEmpty,
       s"frequency tables must be same-size and non-empty " +
         s"(got ${cTgt.size}, ${cRaw.size})")
@@ -124,7 +143,7 @@ object Dsir {
     val tLit = typedLit(cTgt)
     val rLit = typedLit(cRaw)
     docs
-      .select(id.as("doc_id"), TextOps.tokens(text).as("__w"))
+      .select(id.as("doc_id"), featureArray(text, bigrams).as("__w"))
       .select(col("doc_id"),
         transform(col("__w"),
           t => pmod(xxhash64(t), lit(b.toLong)) + 1L).as("__f"))

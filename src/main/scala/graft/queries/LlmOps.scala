@@ -1441,6 +1441,38 @@ object LlmOps {
       |ORDER BY score DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** [[dsirSelect]] over the paper's fuller feature space: unigrams
+    * UNION word bigrams (tokens cannot contain spaces, so the feature
+    * kinds never collide as strings — the oracle unions the same two
+    * streams). */
+  def dsirSelectBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.selectTopK(
+      graft.operators.Dsir.importanceScores(
+        Tables.documents(spark, dir), col("doc_id"), col("text"),
+        col("lang") === "en", bigrams = true),
+      kDocs = 100)
+
+  private val dsirSelectBigramsSql =
+    """WITH feats AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |    UNNEST(string_split(text, ' ')) AS tok FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang = 'en' AS is_t, w[pos+1] || ' ' || w[pos+2] AS tok
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |        FROM documents),
+      |       UNNEST(range(0, len(w) - 1)) AS t(pos)),
+      |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_raw,
+      |           CAST(COUNT(*) FILTER (WHERE is_t) AS BIGINT) AS c_tgt
+      |         FROM feats GROUP BY tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c_tgt) AS BIGINT) AS sum_ct,
+      |  CAST(SUM(c_raw) AS BIGINT) AS sum_cr,
+      |  CAST(SUM(c_tgt) AS DOUBLE) / CAST(SUM(c_raw) AS DOUBLE) AS score
+      |FROM feats JOIN freq USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -1890,6 +1922,7 @@ object LlmOps {
     Q("boilerplate_scrub", boilerplateScrubSql)(boilerplateScrub),
     Q("intradoc_scrub", intradocScrubSql)(intradocScrub),
     Q("dsir_select", dsirSelectSql)(dsirSelect),
+    Q("dsir_select_bigrams", dsirSelectBigramsSql)(dsirSelectBigrams),
     Q("corpus_budget", corpusBudgetSql)(corpusBudget),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q("dedup_incremental", jaccardOracle("0.8",

@@ -144,10 +144,10 @@ object StreamingDownsample {
     * Downstream, threshold on `score` to gate ingest toward the target
     * domain — the streaming complement of the batch
     * [[graft.operators.Dsir.selectTopK]] ranking. */
-  def dsirScoreStream(docs: DataFrame, cTgt: Seq[Long],
-      cRaw: Seq[Long]): DataFrame =
+  def dsirScoreStream(docs: DataFrame, cTgt: Seq[Long], cRaw: Seq[Long],
+      bigrams: Boolean = false): DataFrame =
     graft.operators.Dsir.scoreWithFreq(docs, col("doc_id"), col("text"),
-      cTgt, cRaw)
+      cTgt, cRaw, bigrams)
 
   /** Stateless **classifier-serving stage**: score each streamed doc
     * under weights trained batch-side by

@@ -42,6 +42,32 @@ class DsirSpec extends SparkTestBase {
     assert(hashed == exact)
   }
 
+  test("bigram features: hand-computed counts over tokens + bigrams") {
+    // target = doc 1. Features with bigrams: doc1 = [a, b, "a b"],
+    // doc2 = [a, c, "a c"]. Counts: a -> (2 raw, 1 tgt),
+    // b -> (1, 1), "a b" -> (1, 1), c -> (1, 0), "a c" -> (1, 0)
+    val docs = Seq(
+      (1L, "a b", true),
+      (2L, "a c", false)).toDF("doc_id", "text", "is_t")
+    val scored = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"), bigrams = true)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(scored == Seq(
+      (1L, 3L, 3L, 4L, 3.0 / 4.0),
+      (2L, 3L, 1L, 4L, 1.0 / 4.0)), s"got $scored")
+    // serve split carries the same feature space
+    val b = 64
+    val (ct, cr) = Dsir.hashedFreq(docs, col("doc_id"), col("text"),
+      col("is_t"), b, bigrams = true)
+    val served = Dsir.scoreWithFreq(docs, col("doc_id"), col("text"),
+        ct, cr, bigrams = true)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val inline = Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("is_t"), hashBuckets = Some(b), bigrams = true)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served == inline)
+  }
+
   test("collected-frequency serving equals inline hashed scoring") {
     val docs = (1L to 30L).map(i =>
       (i, s"w${i}a w${i}b common", i % 3 == 0)).toDF("doc_id", "text", "is_t")
