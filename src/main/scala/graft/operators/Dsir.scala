@@ -90,6 +90,51 @@ object Dsir {
     scored.orderBy(col("score").desc, col("doc_id")).limit(kDocs)
   }
 
+  /** The paper's ACTUAL importance weight, for callers that want it:
+    * log w(x) = Σ_f c_f(x) · (ln p̂_t[f] − ln p̂_r[f]) with add-one
+    * smoothed ML estimates p̂[f] = (c[f]+1)/(N+V) over the corpus's own
+    * feature space (V = distinct features, so unseen-in-target features
+    * still get mass). Same plan as [[importanceScores]] — one dual-count
+    * vocabulary aggregate, broadcast join-back, per-doc sum — plus a
+    * 1-row broadcast of the two normalizer constants. This column is the
+    * one place the engine computes `ln`, which is exactly why it is NOT
+    * oracle-hash-checked (libm rounding is not required to agree across
+    * engines — the repo-wide rule); the registered `dsir_weights` query
+    * is rows-only by contract, and DsirSpec property-tests the values
+    * against an independent driver-side fold instead. The ranking it
+    * induces is what [[selectTopK]] consumes; the surrogate
+    * [[importanceScores]] ranking stays the hash-checked twin. */
+  def logWeights(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, hashBuckets: Option[Int] = None,
+      bigrams: Boolean = false): DataFrame = {
+    hashBuckets.foreach(b =>
+      require(b > 0, s"hashBuckets must be positive (got $b)"))
+    val toks = docs
+      .select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(featureArray(text, bigrams)).as("tok"))
+      .withColumn("feat", hashBuckets match {
+        case Some(b) => pmod(xxhash64(col("tok")), lit(b.toLong))
+        case None => col("tok")
+      })
+    val freq = toks.groupBy(col("feat")).agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("is_t"), 1)).as("c_tgt"))
+    // normalizers: N_t / N_r token masses and V distinct features — one
+    // tiny aggregate broadcast to every row
+    val norms = freq.agg(
+      sum(col("c_tgt")).as("n_t"), sum(col("c_raw")).as("n_r"),
+      count(lit(1)).as("v"))
+    toks.join(broadcast(freq), "feat")
+      .crossJoin(broadcast(norms))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(
+          log((col("c_tgt") + 1).cast("double") /
+              (col("n_t") + col("v")).cast("double")) -
+          log((col("c_raw") + 1).cast("double") /
+              (col("n_r") + col("v")).cast("double"))).as("log_w"))
+  }
+
   // ------------------------------------------------- train-batch / serve
 
   /** Driver-side cap on the dense frequency literals: 2²⁰ buckets ×

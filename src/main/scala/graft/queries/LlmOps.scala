@@ -1473,6 +1473,19 @@ object LlmOps {
       |ORDER BY score DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** The true DSIR log importance weight ([[graft.operators.Dsir
+    * .logWeights]]) — rows-only BY CONTRACT: this is the one operator
+    * family where the engine computes `ln`, and libm rounding is not
+    * required to agree across engines, so there is no hash oracle;
+    * DsirSpec property-tests the values against an independent
+    * driver-side fold, and the hash-checked surrogate twin is
+    * `dsir_select`. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.logWeights(
+        Tables.documents(spark, dir), col("doc_id"), col("text"),
+        col("lang") === "en")
+      .orderBy("doc_id")
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -1923,6 +1936,7 @@ object LlmOps {
     Q("intradoc_scrub", intradocScrubSql)(intradocScrub),
     Q("dsir_select", dsirSelectSql)(dsirSelect),
     Q("dsir_select_bigrams", dsirSelectBigramsSql)(dsirSelectBigrams),
+    Q.noOracle("dsir_weights")(dsirWeights),
     Q("corpus_budget", corpusBudgetSql)(corpusBudget),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
     Q("dedup_incremental", jaccardOracle("0.8",

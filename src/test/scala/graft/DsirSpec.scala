@@ -100,6 +100,48 @@ class DsirSpec extends SparkTestBase {
     assert(scored.size == 3 && scored.forall(_ == 2.0 / 7.0), s"got $scored")
   }
 
+  test("log weights match an independent driver-side fold") {
+    // random tiny corpora; expected log w via a straight Scala
+    // re-derivation of the add-one-smoothed likelihood ratio
+    val rng = new scala.util.Random(7)
+    val vocabPool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 20L).map { i =>
+      val n = 1 + rng.nextInt(6)
+      (i, Seq.fill(n)(vocabPool(rng.nextInt(vocabPool.size))).mkString(" "),
+        rng.nextBoolean())
+    }
+    val got = Dsir.logWeights(docs.toDF("doc_id", "text", "is_t"),
+        col("doc_id"), col("text"), col("is_t"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // reference fold
+    val toks = docs.flatMap { case (i, t, y) => t.split(" ").map((i, _, y)) }
+    val freq = toks.groupBy(_._2).map { case (w, xs) =>
+      w -> (xs.count(_._3).toLong, xs.size.toLong) }
+    val v = freq.size.toLong
+    val nT = freq.valuesIterator.map(_._1).sum
+    val nR = freq.valuesIterator.map(_._2).sum
+    val want = docs.map { case (i, t, _) =>
+      val ws = t.split(" ").toSeq
+      val lw = ws.map { w =>
+        val (ct, cr) = freq(w)
+        math.log((ct + 1).toDouble / (nT + v).toDouble) -
+          math.log((cr + 1).toDouble / (nR + v).toDouble)
+      }.sum
+      (i, ws.size.toLong, lw)
+    }
+    assert(got.size == want.size)
+    got.zip(want).foreach { case ((gi, gn, gw), (wi, wn, ww)) =>
+      assert(gi == wi && gn == wn, s"row mismatch: $gi vs $wi")
+      assert(math.abs(gw - ww) <= 1e-9 * math.max(1.0, math.abs(ww)),
+        s"doc $gi: log_w $gw vs reference $ww") }
+    // target-pure docs must outrank raw-only docs in log-weight order
+    val pure = Dsir.logWeights(
+        Seq((1L, "t t", true), (2L, "r r", false)).toDF("doc_id", "text", "is_t"),
+        col("doc_id"), col("text"), col("is_t"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(pure(0)._3 > pure(1)._3)
+  }
+
   test("selectTopK plans a map-side partial top-k, not a global sort") {
     val docs = Tables.documents(spark, sf0001)
     val plan = Dsir.selectTopK(
