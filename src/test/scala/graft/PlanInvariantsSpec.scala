@@ -24,10 +24,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     *  - classifier_calibration: the grand positive-count total (a
     *    grouping-free aggregate, provably 1 row) broadcasts into the
     *    per-threshold confusion-count projection — the scalar_subquery
-    *    shape. */
+    *    shape;
+    *  - dsir_weights: the two smoothing normalizers (token masses +
+    *    vocabulary size, a grouping-free aggregate, provably 1 row)
+    *    broadcast into the per-token log-ratio projection — the
+    *    scalar_subquery shape again. */
   private val intendedAllPairs =
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
-      "corpus_rebalance", "classifier_calibration")
+      "corpus_rebalance", "classifier_calibration", "dsir_weights")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
