@@ -105,6 +105,48 @@ object Sampling {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** **Temperature-scaled mix** — the multilingual-LM sampling rule
+    * (p_i ∝ n_i^α, here α = ½): per-stratum quotas q_i = ⌊T · √n_i /
+    * Σ_j √n_j⌋ flatten the mix toward small strata (α→0 is uniform,
+    * α=1 proportional), then the q_i lexicographically-smallest
+    * md5(salt ‖ key) keys per stratum are kept — [[exactNPerStratum]]'s
+    * machinery with data-derived quotas. α is fixed at ½ BECAUSE the
+    * oracle must agree bitwise: IEEE 754 requires sqrt to be correctly
+    * rounded (like +,·,/ and unlike pow/exp/log), so √n, the fold
+    * Σ√n, and ⌊T·√n/Σ⌋ are bit-identical in the driver, in DuckDB, and
+    * on any engine — the same "never compute libm" discipline as
+    * `lm_unigram`, one notch wider (sqrt IS in the deterministic set).
+    *
+    * Scale shape: one #strata-row aggregate collected to the driver
+    * (the bounded-collect discipline of KMeansLite / hashedFreq); the
+    * normalizer folds over strata in SORTED-name order — the exact
+    * sequence the oracle's running-sum window evaluates, so double
+    * addition order can never diverge. Selection is the map-side
+    * partial BoundedTopK capped at max quota, quotas joined back by
+    * broadcast. Undersized strata (n_i < q_i) contribute everything —
+    * sampling is without replacement; epoch-level repetition of small
+    * strata is the dataloader's knob, not the selector's. */
+  def temperatureMix(df: DataFrame, key: Column, strata: Column,
+      totalDocs: Long, salt: String = "graft"): DataFrame = {
+    require(totalDocs > 0 && totalDocs <= Int.MaxValue,
+      s"totalDocs must be in [1, 2^31) (got $totalDocs)")
+    val counts = df.groupBy(strata.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble) }
+    val quotas = counts.map { case (s, n) =>
+      (s, math.floor(totalDocs.toDouble * math.sqrt(n.toDouble) / total)
+        .toLong) }
+    val maxQ = math.max(quotas.map(_._2).max, 1L).toInt
+    val qDf = df.sparkSession.createDataFrame(quotas.toSeq)
+      .toDF("stratum", "quota")
+    exactNPerStratum(df, key, strata, maxQ, salt)
+      .join(broadcast(qDf), "stratum")
+      .filter(col("rn") <= col("quota"))
+      .select(col("stratum"), col("key"), col("rn"))
+  }
+
   /** **Deterministic global shuffle**: every key gets a stable position
     * in md5(salt ‖ key) order plus its contiguous training shard — the
     * "shuffle once, read shards sequentially" layout every dataloader

@@ -1532,6 +1532,39 @@ object LlmOps {
       |WHERE rn <= 20
       |ORDER BY lang, rn""".stripMargin
 
+  /** **Temperature-scaled training mix** ([[graft.operators.Sampling
+    * .temperatureMix]], α = ½, T = 200 over `lang`): exact-membership
+    * oracle because every float step — √n, the running-sum normalizer
+    * in sorted-stratum order, ⌊T·√n/Σ⌋ — is IEEE-correctly-rounded
+    * arithmetic both engines compute identically (see the operator
+    * scaladoc for why α is pinned to ½). */
+  def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMix(
+        Tables.documents(spark, dir), col("doc_id"), col("lang"),
+        totalDocs = 200)
+      .select(col("stratum").as("lang"), col("key").as("doc_id"), col("rn"))
+      .orderBy("lang", "rn")
+
+  private val corpusMixTemperatureSql =
+    """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang),
+      |w AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS s FROM c),
+      |tot AS (SELECT MAX(cum) AS total FROM (
+      |    SELECT SUM(s) OVER (ORDER BY lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM w)),
+      |q AS (SELECT lang, CAST(FLOOR(200 * s / total) AS BIGINT) AS quota
+      |      FROM w, tot),
+      |r AS (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id)
+      |          AS rn
+      |      FROM documents)
+      |SELECT lang, doc_id, rn
+      |FROM r JOIN q USING (lang)
+      |WHERE rn <= quota
+      |ORDER BY lang, rn""".stripMargin
+
   /** **Deterministic global shuffle** ([[graft.operators.Sampling
     * .shufflePositions]]): stable training order + contiguous shard ids
     * via the two-phase prefix-sum rank — no single-task global window.
@@ -1974,6 +2007,7 @@ object LlmOps {
     Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
     Q("corpus_sample_exactn", corpusSampleExactNSql)(corpusSampleExactN),
+    Q("corpus_mix_temperature", corpusMixTemperatureSql)(corpusMixTemperature),
     Q("corpus_shuffle", corpusShuffleSql)(corpusShuffle),
     Q("lm_bigram", lmBigramSql)(lmBigram),
     Q("embedding_stats", embeddingStatsSql)(embeddingStats),

@@ -180,4 +180,37 @@ class SamplingSpec extends SparkTestBase {
     assert(allKept == meta.size)
     graft.operators.Dedup.releaseCaches()
   }
+
+  test("temperature mix: sqrt quotas, flattening, undersized-stratum cap") {
+    import graft.operators.Sampling
+    // skewed strata: 64 a-docs, 16 b, 4 c (√ = 8, 4, 2; Σ√ = 14)
+    val docs = ((1L to 64L).map((_, "a")) ++ (65L to 80L).map((_, "b")) ++
+      (81L to 84L).map((_, "c"))).toDF("doc_id", "s")
+    val got = Sampling.temperatureMix(docs, col("doc_id"), col("s"),
+        totalDocs = 28)
+      .as[(String, Long, Long)].collect().toSeq
+    val byStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // quotas: ⌊28·8/14⌋=16, ⌊28·4/14⌋=8, ⌊28·2/14⌋=4
+    assert(byStratum == Map("a" -> 16, "b" -> 8, "c" -> 4), s"got $byStratum")
+    // flattening: proportional shares are 64/84, 16/84, 4/84 — α=½ must
+    // LIFT the small strata's share and cut the big one's
+    assert(16.0 / 28 < 64.0 / 84 && 8.0 / 28 > 16.0 / 84 && 4.0 / 28 > 4.0 / 84)
+    // membership = the quota smallest md5 hashes per stratum, rn dense
+    val ref = docs.as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues { xs =>
+        xs.map(_._1).sortBy(id =>
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(s"graft$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString, id))
+      }.toMap
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      val want = ref(s).take(rows.size).toSeq
+      assert(rows.sortBy(_._3).map(_._2).toSeq == want, s"stratum $s") }
+    // a stratum smaller than its quota contributes everything it has:
+    // T = 84 gives c a quota of ⌊84·2/14⌋ = 12 > 4 docs — all 4 kept
+    val capped = Sampling.temperatureMix(docs, col("doc_id"), col("s"),
+        totalDocs = 84)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(capped.count(_._1 == "c") == 4)
+  }
 }
