@@ -1486,6 +1486,81 @@ object LlmOps {
         col("lang") === "en")
       .orderBy("doc_id")
 
+  /** **End-to-end corpus preparation** — the capstone composition a
+    * training-data pipeline actually runs, every stage one of this
+    * library's operators and the whole chain one exact oracle:
+    * normalize → Gopher gate → intra-document repetition scrub → PII
+    * scrub (the [[graft.streaming.StreamingDownsample.cleanStream]]
+    * batch projection, so THIS query is also what the streaming ingest
+    * path converges to) → exact dedup of the cleaned text (keep the
+    * smallest doc_id per identical text; the shuffle carries the 32-byte
+    * sha256, never the text — the oracle partitions by the string, same
+    * result w.p. ~1) → token-budget quality cut
+    * ([[graft.operators.Sampling.budgetSelect]], score = distinct-token
+    * count, shared two-phase prefix sum). On this corpus the normalize
+    * and PII stages are no-ops by construction (plain ASCII, no
+    * contacts) — they still run, and the gate/scrub/dedup/budget stages
+    * all bind. */
+  def llmPrepareCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.operators.Dedup.memoPersist(
+      graft.streaming.StreamingDownsample.cleanStream(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+    val keepers = cleaned
+      .groupBy(sha2(col("clean_text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = cleaned.join(keepers, Seq("doc_id"), "semi")
+    graft.operators.Sampling.budgetSelect(kept, col("doc_id"),
+        score = size(array_distinct(split(col("clean_text"), " "))),
+        nTokens = size(split(col("clean_text"), " ")),
+        budgetTokens = 6000)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private val llmPrepareCorpusSql = {
+    import graft.operators.TextOps
+    s"""WITH n0 AS (SELECT doc_id,
+       |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |          '${TextOps.ctlZeroWidthRe}', '', 'g'),
+       |          '${TextOps.wsRunRe}', ' ', 'g')) AS text
+       |      FROM documents),
+       |gk AS (SELECT doc_id, text FROM
+       |        (SELECT doc_id, text, string_split(text, ' ') AS w FROM n0)
+       |      WHERE ${TextOps.GopherSql.keepPredicate}),
+       |b AS (SELECT doc_id, CAST(t.k AS BIGINT) AS blk_no,
+       |        array_to_string(w[t.k+1 : t.k+3], ' ') AS seg
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM gk),
+       |           UNNEST(range(0, greatest(len(w), 1), 3)) AS t(k)),
+       |m AS (SELECT doc_id, blk_no, seg,
+       |        MIN(blk_no) OVER (PARTITION BY doc_id, seg) AS fb FROM b),
+       |sc AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY blk_no)
+       |         FILTER (WHERE blk_no = fb) AS text_clean
+       |       FROM m GROUP BY doc_id),
+       |p AS (SELECT doc_id,
+       |        regexp_replace(regexp_replace(regexp_replace(text_clean,
+       |          '${TextOps.emailRe}', '<EMAIL>', 'g'),
+       |          '${TextOps.phoneRe}', '<PHONE>', 'g'),
+       |          '${TextOps.ipRe}', '<IP>', 'g') AS clean
+       |      FROM sc),
+       |d AS (SELECT doc_id, clean FROM
+       |        (SELECT doc_id, clean,
+       |           MIN(doc_id) OVER (PARTITION BY clean) AS kp FROM p)
+       |      WHERE doc_id = kp),
+       |meta AS (SELECT doc_id,
+       |        CAST(len(list_distinct(string_split(clean, ' '))) AS BIGINT)
+       |          AS score,
+       |        CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+       |      FROM d),
+       |c AS (SELECT doc_id, score, n_tokens,
+       |        CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          AS cum_tokens
+       |      FROM meta)
+       |SELECT doc_id, score, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens - n_tokens < 6000
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------- sampling
 
   /** Language-stratified reproducible sample: en 30%, de 60%, fr 100%,
@@ -2008,6 +2083,7 @@ object LlmOps {
     Q("corpus_sample", corpusSampleSql)(corpusSample),
     Q("corpus_sample_exactn", corpusSampleExactNSql)(corpusSampleExactN),
     Q("corpus_mix_temperature", corpusMixTemperatureSql)(corpusMixTemperature),
+    Q("llm_prepare_corpus", llmPrepareCorpusSql)(llmPrepareCorpus),
     Q("corpus_shuffle", corpusShuffleSql)(corpusShuffle),
     Q("lm_bigram", lmBigramSql)(lmBigram),
     Q("embedding_stats", embeddingStatsSql)(embeddingStats),

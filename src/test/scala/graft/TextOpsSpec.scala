@@ -220,6 +220,38 @@ class TextOpsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("llm_prepare_corpus composition: every stage binds on crafted docs") {
+    // mirror the registered query's exact composition (cleanStream ->
+    // sha-keyed exact dedup -> budgetSelect) on documents crafted so
+    // each stage decides something the natural corpus doesn't force:
+    // 51 distinct gate-passing tokens (the count rule needs >= 50)
+    val base = (Seq("the", "and") ++ (3 to 51).map(i => f"tok$i%02d"))
+    val doc4 = (base ++ Seq("mail", "x@y.org")).mkString(" ")
+    val docs = Seq(
+      (1L, base.mkString(" ")),                          // survives as-is
+      (2L, (base ++ base.take(3)).mkString(" ")),        // scrub -> dup of 1
+      (3L, "too short to keep"),                         // gate drops
+      (4L, doc4)                                         // PII scrubbed
+    ).toDF("doc_id", "text")
+    val cleaned = graft.streaming.StreamingDownsample.cleanStream(docs)
+    val keepers = cleaned
+      .groupBy(sha2(col("clean_text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val kept = cleaned.join(keepers, Seq("doc_id"), "semi")
+    // gate dropped 3; scrub made 2 an exact dup of 1; dedup kept {1, 4}
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    val scrubbed4 = kept.filter(col("doc_id") === 4L)
+      .select("clean_text").as[String].head()
+    assert(scrubbed4.endsWith("mail <EMAIL>"), s"got: $scrubbed4")
+    // budget 53: doc 4 (score 53) fills it exactly; doc 1 (51) is cut
+    val out = graft.operators.Sampling.budgetSelect(kept, col("doc_id"),
+        score = size(array_distinct(split(col("clean_text"), " "))),
+        nTokens = size(split(col("clean_text"), " ")),
+        budgetTokens = 53)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((4L, 53L, 53L, 53L)), s"got $out")
+  }
+
   test("intradoc scrub: keep-first semantics, tail blocks, round-trip") {
     import graft.operators.Boilerplate
     val docs = Seq(
