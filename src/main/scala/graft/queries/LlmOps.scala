@@ -521,6 +521,46 @@ object LlmOps {
       |GROUP BY pos
       |ORDER BY pos""".stripMargin
 
+  /** Exact quantized Gram matrix over the embedding corpus
+    * ([[graft.operators.EmbeddingPca.gramQuantized]]) — the data-side
+    * half of PCA, hash-checkable because every entry is an integer sum
+    * of ⌊x·10⁶⌋ products (the `embedding_stats` fixed-point trick
+    * widened to second moments). */
+  def embeddingGram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingPca.gramQuantized(
+        Tables.embeddings(spark, dir), col("vec_id"), col("embedding"))
+      .orderBy("i", "j")
+
+  private val embeddingGramSql =
+    """SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(qi * qj) AS BIGINT) AS g_fp
+      |FROM (SELECT CAST(ti.i AS BIGINT) AS i, CAST(tj.j AS BIGINT) AS j,
+      |        CAST(FLOOR(CAST(embedding[ti.i + 1] AS DOUBLE) * 1000000)
+      |          AS BIGINT) AS qi,
+      |        CAST(FLOOR(CAST(embedding[tj.j + 1] AS DOUBLE) * 1000000)
+      |          AS BIGINT) AS qj
+      |      FROM embeddings,
+      |           UNNEST(range(0, len(embedding))) AS ti(i),
+      |           UNNEST(range(0, len(embedding))) AS tj(j)
+      |      WHERE tj.j >= ti.i)
+      |GROUP BY i, j
+      |ORDER BY i, j""".stripMargin
+
+  /** Top-4 PCA projection of every embedding ([[graft.operators
+    * .EmbeddingPca]]) — rows-only BY CONTRACT: the eigensolve has no
+    * SQL twin; the Gram it consumes is the hash-checked
+    * `embedding_gram`, and EmbeddingPcaSpec anchors the projection
+    * (planted-direction recovery, orthonormality, variance ordering,
+    * bitwise determinism). */
+  def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val w = graft.operators.EmbeddingPca.fitProjection(
+      emb, col("vec_id"), col("embedding"), k = 4)
+    graft.operators.EmbeddingPca.project(emb, col("vec_id"),
+        col("embedding"), w)
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------ text analysis
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -2087,6 +2127,8 @@ object LlmOps {
     Q("corpus_shuffle", corpusShuffleSql)(corpusShuffle),
     Q("lm_bigram", lmBigramSql)(lmBigram),
     Q("embedding_stats", embeddingStatsSql)(embeddingStats),
+    Q("embedding_gram", embeddingGramSql)(embeddingGram),
+    Q.noOracle("embedding_pca")(embeddingPca),
     Q("corpus_rebalance", corpusRebalanceSql)(corpusRebalance),
     Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EmbeddingPca
+
+class EmbeddingPcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantized gram: hand-computed integer entries") {
+    // q(0.5)=500000, q(-0.25)=-250000, q(1.0)=1000000, q(0)=0
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f)),
+      (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = EmbeddingPca.gramQuantized(df, col("vec_id"), col("embedding"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val q11 = 500000L * 500000L + 1000000L * 1000000L
+    val q12 = 500000L * -250000L + 1000000L * 0L
+    val q22 = 250000L * 250000L
+    assert(got == Seq((0L, 0L, 2L, q11), (0L, 1L, 2L, q12),
+      (1L, 1L, 2L, q22)), s"got $got")
+  }
+
+  test("recovers a planted variance direction, orthonormal, deterministic") {
+    val d = 8
+    val rng = new scala.util.Random(42)
+    val dir = {
+      val raw = Array.fill(d)(rng.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n))
+    }
+    // big variance along dir, small isotropic noise
+    val rows = (1L to 300L).map { i =>
+      val t = rng.nextGaussian() * 2.0
+      (i, (0 until d).map(j =>
+        (t * dir(j) + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val w = EmbeddingPca.fitProjection(df, col("vec_id"), col("embedding"),
+      k = 3)
+    // top component aligns with the planted direction
+    val cos0 = w.head.zip(dir).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(cos0) > 0.99, s"top component off the planted axis: $cos0")
+    // rows orthonormal
+    for (a <- w.indices; b <- w.indices) {
+      val dot = w(a).zip(w(b)).map { case (x, y) => x.toDouble * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-5, s"W[$a]·W[$b] = $dot")
+    }
+    // sign canonicalization + fixed iteration count => bitwise stable
+    val w2 = EmbeddingPca.fitProjection(df, col("vec_id"), col("embedding"),
+      k = 3)
+    assert(w == w2, "fitProjection is not deterministic")
+    // projected variance is non-increasing across components
+    val projs = EmbeddingPca.project(df, col("vec_id"), col("embedding"), w)
+      .select("p0", "p1", "p2").as[(Double, Double, Double)].collect()
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val vs = Seq(variance(projs.map(_._1).toSeq),
+      variance(projs.map(_._2).toSeq), variance(projs.map(_._3).toSeq))
+    assert(vs(0) >= vs(1) && vs(1) >= vs(2), s"variance not ordered: $vs")
+    assert(vs(0) > 10 * vs(1), s"planted axis should dominate: $vs")
+  }
+
+  test("corpus projection: fit on driver corpus, k <= d enforced") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val w = EmbeddingPca.fitProjection(emb, col("vec_id"), col("embedding"),
+      k = 2)
+    assert(w.size == 2 && w.head.size == 64)
+    val out = EmbeddingPca.project(emb, col("vec_id"), col("embedding"), w)
+    assert(out.count() == emb.count())
+    intercept[IllegalArgumentException] {
+      EmbeddingPca.fitProjection(emb, col("vec_id"), col("embedding"), k = 65)
+    }
+  }
+}
