@@ -104,25 +104,42 @@ object EmbeddingPca {
     * largest-magnitude coordinate is positive — eigenvectors are only
     * defined up to sign, and the fix makes the result canonical). */
   def fitProjection(df: DataFrame, id: Column, vec: Column,
-      k: Int): Seq[Seq[Float]] = {
+      k: Int): Seq[Seq[Float]] =
+    fitProjectionWithVariance(df, id, vec, k)._1
+
+  /** [[fitProjection]] plus each component's explained variance λ_m
+    * (the Rayleigh quotient w_mᵀ C w_m over the RAW-float covariance —
+    * the quantized Gram entries divide back by 10¹², so λ is in the
+    * embedding's own units). λ is what picks k (cumulative
+    * explained-variance ratio) and what [[projectWhitened]] scales
+    * by. */
+  def fitProjectionWithVariance(df: DataFrame, id: Column, vec: Column,
+      k: Int): (Seq[Seq[Float]], Seq[Double]) = {
     require(k > 0, s"k must be positive (got $k)")
     val sums = dimSums(df, id, vec).collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     val d = sums.size
     require(k <= d, s"k = $k exceeds embedding dim $d")
     val n = sums(0)._1.toDouble
+    val fp2 = fpScale.toDouble * fpScale.toDouble
     val cov = Array.ofDim[Double](d, d)
     gramQuantized(df, id, vec).collect().foreach { r =>
       val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
       val g = r.getLong(3).toDouble
-      val c = (g - sums(i)._2.toDouble * sums(j)._2.toDouble / n) / n
+      val c = (g - sums(i)._2.toDouble * sums(j)._2.toDouble / n) / n / fp2
       cov(i)(j) = c; cov(j)(i) = c
     }
-    topEigenvectors(cov, k).map { w =>
+    val ws = topEigenvectors(cov, k)
+    val lambdas = ws.map { w =>
+      val cw = Array.tabulate(d)(i => w.indices.map(j => cov(i)(j) * w(j)).sum)
+      w.indices.map(i => w(i) * cw(i)).sum
+    }.toSeq
+    val canon = ws.map { w =>
       val maxIdx = w.indices.maxBy(i => (math.abs(w(i)), -i))
       val sgn = if (w(maxIdx) < 0) -1.0 else 1.0
       w.map(x => (x * sgn).toFloat).toSeq
     }.toSeq
+    (canon, lambdas)
   }
 
   /** Project each embedding onto the fitted rows of W: (vec_id, p0…pk)
@@ -134,4 +151,20 @@ object EmbeddingPca {
     df.select(id.as("vec_id") +: w.zipWithIndex.map { case (row, m) =>
       graft.functions.FloatVecDot(vec, typedLit(row)).as(s"p$m")
     }: _*)
+
+  /** PCA-whitening: each projection scaled by 1/√λ_m so every retained
+    * component has unit variance — the preconditioning SemDeDup-style
+    * pipelines apply before cosine so high-variance axes don't dominate
+    * the similarity. Same per-row codegen'd dots, one extra multiply. */
+  def projectWhitened(df: DataFrame, id: Column, vec: Column,
+      w: Seq[Seq[Float]], lambdas: Seq[Double]): DataFrame = {
+    require(w.size == lambdas.size,
+      s"need one eigenvalue per component (got ${w.size}, ${lambdas.size})")
+    require(lambdas.forall(_ > 0), s"non-positive eigenvalue in $lambdas")
+    df.select(id.as("vec_id") +: w.zip(lambdas).zipWithIndex.map {
+      case ((row, l), m) =>
+        (graft.functions.FloatVecDot(vec, typedLit(row)) /
+          math.sqrt(l)).as(s"w$m")
+    }: _*)
+  }
 }

@@ -64,6 +64,33 @@ class EmbeddingPcaSpec extends SparkTestBase {
     assert(vs(0) > 10 * vs(1), s"planted axis should dominate: $vs")
   }
 
+  test("whitening: unit variance per retained component, lambda ordered") {
+    val d = 8
+    val rng = new scala.util.Random(11)
+    // anisotropic: per-dim scales 4, 2, 1, .5, ... halving
+    val rows = (1L to 400L).map { i =>
+      (i, (0 until d).map(j =>
+        (rng.nextGaussian() * 4.0 / (1 << (j min 4))).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (w, lambdas) = EmbeddingPca.fitProjectionWithVariance(
+      df, col("vec_id"), col("embedding"), k = 3)
+    assert(lambdas == lambdas.sorted.reverse, s"lambda not ordered: $lambdas")
+    assert(lambdas.head > 0)
+    val projs = EmbeddingPca.projectWhitened(df, col("vec_id"),
+        col("embedding"), w, lambdas)
+      .select("w0", "w1", "w2").as[(Double, Double, Double)].collect()
+    def popVar(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    Seq(projs.map(_._1).toSeq, projs.map(_._2).toSeq, projs.map(_._3).toSeq)
+      .zipWithIndex.foreach { case (xs, m) =>
+        val v = popVar(xs)
+        assert(math.abs(v - 1.0) < 0.05,
+          s"whitened component $m variance $v, want ~1") }
+  }
+
   test("corpus projection: fit on driver corpus, k <= d enforced") {
     val emb = Tables.embeddings(spark, sf0001)
     val w = EmbeddingPca.fitProjection(emb, col("vec_id"), col("embedding"),
