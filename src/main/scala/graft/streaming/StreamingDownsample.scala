@@ -149,6 +149,22 @@ object StreamingDownsample {
     graft.operators.Dsir.scoreWithFreq(docs, col("doc_id"), col("text"),
       cTgt, cRaw, bigrams)
 
+  /** Stateless **PCA-projection stage**: embed-then-reduce at ingest —
+    * W (and optionally λ for whitening) fitted batch-side by
+    * [[graft.operators.EmbeddingPca.fitProjectionWithVariance]], the
+    * rows travelling as array literals inside k per-row codegen'd dot
+    * products; append mode, no watermark, no state store — the same
+    * train-batch/serve-stream split as [[scoreStream]] and
+    * [[dsirScoreStream]]. */
+  def pcaProjectStream(vecs: DataFrame, w: Seq[Seq[Float]],
+      lambdas: Option[Seq[Double]] = None): DataFrame =
+    lambdas match {
+      case Some(l) => graft.operators.EmbeddingPca.projectWhitened(
+        vecs, col("vec_id"), col("embedding"), w, l)
+      case None => graft.operators.EmbeddingPca.project(
+        vecs, col("vec_id"), col("embedding"), w)
+    }
+
   /** Stateless **classifier-serving stage**: score each streamed doc
     * under weights trained batch-side by
     * [[graft.operators.Classifier.trainPerceptron]] (the train-batch /

@@ -281,6 +281,30 @@ class StreamingSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("streaming PCA projection equals the batch projection") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EmbeddingPca
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val (w, l) = EmbeddingPca.fitProjectionWithVariance(
+      vecs.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+      k = 3)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDownsample.pcaProjectStream(
+        mem.toDF().toDF("vec_id", "embedding"), w, Some(l))
+      .writeStream.format("memory").queryName("pca_out")
+      .outputMode("append").start()
+    mem.addData(vecs)
+    q.processAllAvailable()
+    val streamed = spark.table("pca_out")
+      .as[(Long, Double, Double, Double)].collect().toSet
+    q.stop()
+    val batch = StreamingDownsample.pcaProjectStream(
+        vecs.toDF("vec_id", "embedding"), w, Some(l))
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(streamed == batch && batch.size == vecs.size)
+  }
+
   test("nearDupStream refuses a k mismatched with the stored signatures") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
