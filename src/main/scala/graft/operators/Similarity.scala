@@ -37,6 +37,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** **PCA route-then-refine** ANN — the coarse-filter-with-compressed-
+    * vectors pattern (the linear-projection cousin of [[ivfPqTopK]]'s
+    * ADC): fit a kDims-component PCA on the candidate corpus
+    * ([[EmbeddingPca]] — quantized-Gram aggregate + bounded driver
+    * eigensolve), shortlist each query's `shortlist` nearest candidates
+    * by cosine IN THE REDUCED SPACE (dots over kDims floats instead of
+    * d — the scan's dominant cost shrinks by d/kDims), then re-rank the
+    * shortlist EXACTLY in the full space. Routing uses the unwhitened
+    * projection: whitening rescales axes and distorts cosine, which is
+    * exactly wrong for a metric-preserving shortlist. Output rows agree
+    * with [[bruteForceTopK]] wherever the shortlist contains the true
+    * top-k (spec-asserted recall floor + exact-cos agreement). */
+  def pcaRouteTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kDims: Int = 8, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist=$shortlist must be >= k=$k (re-rank can't add rows)")
+    val w = EmbeddingPca.fitProjection(candidates, col("vec_id"),
+      col("embedding"), kDims)
+    def reduced(df: DataFrame): DataFrame =
+      EmbeddingPca.project(df, col("vec_id"), col("embedding"), w)
+        .select(col("vec_id"),
+          array((0 until kDims).map(m => col(s"p$m").cast("float")): _*)
+            .as("embedding"))
+    val short = bruteForceTopK(reduced(queries), reduced(candidates),
+        shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    // shortlist is |queries|·shortlist rows — broadcast it into the
+    // candidate scan, pull full vectors, score exactly
+    broadcast(short)
+      .join(c, "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * VectorOps.norm(col("cv")))).as("cos"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * derived from a fixed seed so bucketing is stable across runs. */
   private def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Float]] = {

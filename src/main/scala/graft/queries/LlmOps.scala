@@ -433,6 +433,18 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** PCA route-then-refine ANN ([[graft.operators.Similarity
+    * .pcaRouteTopK]]) — rows-only (the eigensolve has no SQL twin);
+    * recall + exact-refine agreement are property-tested in
+    * EmbeddingPcaSpec. */
+  def vectorPcaRoute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.pcaRouteTopK(
+        e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF (k-means cells + nprobe) ANN — the data-adaptive scale path;
     * rows-only (k-means assignment is engine-specific). */
   def vectorIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -2097,6 +2109,7 @@ object LlmOps {
     Q("semantic_dedup", semanticDedupSql)(semanticDedupQ),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),
+    Q.noOracle("vector_pca_route")(vectorPcaRoute),
     Q.noOracle("vector_ivf")(vectorIvf),
     Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),
     Q.noOracle("vector_pq")(vectorPq),

@@ -91,6 +91,31 @@ class EmbeddingPcaSpec extends SparkTestBase {
           s"whitened component $m variance $v, want ~1") }
   }
 
+  test("pcaRouteTopK: recall floor vs brute force, refine is exact") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter(col("vec_id") < 15)
+    val k = 5
+    val truth = Similarity.bruteForceTopK(queries, e, k)
+      .select("query_id", "cand_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val got = Similarity.pcaRouteTopK(queries, e, k,
+        kDims = 8, shortlist = 60)
+      .select("query_id", "cand_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val recall = got.count(g => truthSet((g._1, g._2))).toDouble / truth.size
+    assert(recall >= 0.5, s"pca-route recall $recall below floor 0.5")
+    // wherever route and truth agree on a pair, the refined cosine is
+    // the EXACT brute-force value — the refine stage never approximates
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.filter(g => truthSet((g._1, g._2))).foreach { g =>
+      assert(g._3 == truthCos((g._1, g._2)),
+        s"refined cos differs from exact for ${(g._1, g._2)}") }
+    // per-query row count contract
+    assert(got.groupBy(_._1).forall(_._2.size == k))
+  }
+
   test("corpus projection: fit on driver corpus, k <= d enforced") {
     val emb = Tables.embeddings(spark, sf0001)
     val w = EmbeddingPca.fitProjection(emb, col("vec_id"), col("embedding"),

@@ -28,10 +28,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     *  - dsir_weights: the two smoothing normalizers (token masses +
     *    vocabulary size, a grouping-free aggregate, provably 1 row)
     *    broadcast into the per-token log-ratio projection — the
-    *    scalar_subquery shape again. */
+    *    scalar_subquery shape again;
+    *  - vector_pca_route: the routing stage is vector_topk's shape in
+    *    the REDUCED space (tiny query side broadcast against the
+    *    candidate scan); the refine stage is equi-joined. */
   private val intendedAllPairs =
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
-      "corpus_rebalance", "classifier_calibration", "dsir_weights")
+      "corpus_rebalance", "classifier_calibration", "dsir_weights",
+      "vector_pca_route")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
@@ -41,10 +45,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     * the exemption covers the documented bounded broadcast, not any
     * nested loop a refactor might sneak in. Recurses through
     * InMemoryRelations because memo-persisted stages hide their plans
-    * behind cache scans. (vector_topk is excluded from this check by
-    * its caller: its build side is the filtered query SET — small by
-    * argument, not by structure — and the all-pairs scan is that
-    * operator's documented cost.) */
+    * behind cache scans. (vector_topk and vector_pca_route are excluded
+    * from this check by their caller: their build side is the filtered
+    * query SET — small by argument, not by structure — and the
+    * all-pairs scan is those operators' documented routing cost.) */
   private def unboundedNestedLoops(
       p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -81,7 +85,7 @@ class PlanInvariantsSpec extends SparkTestBase {
         // nested loop's build side must be bounded by a limit (the seeds
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
-        if (name != "vector_topk") {
+        if (name != "vector_topk" && name != "vector_pca_route") {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
