@@ -130,7 +130,10 @@ object Sampling {
       totalDocs: Long, salt: String = "graft"): DataFrame = {
     require(totalDocs > 0 && totalDocs <= Int.MaxValue,
       s"totalDocs must be in [1, 2^31) (got $totalDocs)")
-    val counts = df.groupBy(strata.as("stratum"))
+    // stratum keys fold as STRINGS (sorted-name order is the oracle's
+    // window order) — cast up front so a non-string stratum column
+    // works and sorts the same way everywhere
+    val counts = df.groupBy(strata.cast("string").as("stratum"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val total = counts.foldLeft(0.0) { case (acc, (_, n)) =>
@@ -141,7 +144,7 @@ object Sampling {
     val maxQ = math.max(quotas.map(_._2).max, 1L).toInt
     val qDf = df.sparkSession.createDataFrame(quotas.toSeq)
       .toDF("stratum", "quota")
-    exactNPerStratum(df, key, strata, maxQ, salt)
+    exactNPerStratum(df, key, strata.cast("string"), maxQ, salt)
       .join(broadcast(qDf), "stratum")
       .filter(col("rn") <= col("quota"))
       .select(col("stratum"), col("key"), col("rn"))
