@@ -283,5 +283,33 @@ object Extras {
     Q("regex_fns", regexFnsSql)(regexFns),
     Q("explode_agg", explodeAggSql)(explodeAgg),
     Q("salted_join", saltedJoinSql)(saltedJoinQ),
-    Q("bucketed_join", bucketedJoinSql)(bucketedJoinQ))
+    Q("bucketed_join", bucketedJoinSql)(bucketedJoinQ),
+    Q("zorder_layout", zorderLayoutSql)(zorderLayout))
+
+  /** **Z-order layout key** over events ([[graft.operators.Zorder]]):
+    * the (user_id, day) Morton interleave a writer would
+    * `repartitionByRange(z).sortWithinPartitions(z)` by so min/max
+    * pruning serves BOTH a user predicate and a time predicate from the
+    * same layout. Pure bit arithmetic — the oracle runs the identical
+    * generated expression; ZorderSpec proves the pruning advantage
+    * block-by-block. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .withColumn("z",
+        graft.operators.Zorder.interleave(col("user_id"), col("day"), 16))
+      .orderBy("z", "event_id")
+
+  // lazy: referenced by the registry val above its own initializer
+  private lazy val zorderLayoutSql = {
+    val z = graft.operators.Zorder.interleaveSql("user_id", "day", 16)
+    s"""SELECT event_id, user_id, day, $z AS z
+       |FROM (SELECT event_id, user_id,
+       |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |          AS BIGINT) AS day
+       |      FROM events)
+       |ORDER BY z, event_id""".stripMargin
+  }
 }
