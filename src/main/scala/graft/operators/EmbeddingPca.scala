@@ -120,6 +120,10 @@ object EmbeddingPca {
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     val d = sums.size
     require(k <= d, s"k = $k exceeds embedding dim $d")
+    // ragged vectors would silently shrink per-dim counts and mis-center
+    // the covariance — fail loudly instead
+    require(sums.values.map(_._1).toSet.size == 1,
+      s"embeddings are ragged: per-dim counts ${sums.values.map(_._1).toSet}")
     val n = sums(0)._1.toDouble
     val fp2 = fpScale.toDouble * fpScale.toDouble
     val cov = Array.ofDim[Double](d, d)
