@@ -883,6 +883,54 @@ object LlmOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** **CCNet head/middle/tail bucketing** (Wenzek et al. 2020): split
+    * each SOURCE's documents into perplexity tertiles so a training mix
+    * can keep heads, sample middles, and drop tails per domain — graded
+    * *within* the domain because perplexity is only comparable against
+    * same-domain text. The perplexity proxy is [[lmUnigram]]'s log-free
+    * `avg_tf` (higher corpus-frequency mass ⇔ lower perplexity ⇔
+    * "head"), so every emitted value stays bitwise oracle-comparable;
+    * the tertile is `ntile(3)` over the total order (avg_tf DESC,
+    * doc_id) — standard-SQL semantics both engines share, deterministic
+    * because the order is total. Scale shape: the token-frequency
+    * stages are lmUnigram's (vocab aggregate + Heaps'-law broadcast);
+    * the tertile is a per-source rank window — the `corpus_rebalance`
+    * precedent, fine while every source fits a task's sort; web-scale
+    * sources swap in boundary VALUES from an exact two-pass order
+    * statistic (or approx percentiles) broadcast against the scan. */
+  def qualityCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val scored = toks.join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_tf"))
+    scored
+      .withColumn("bucket",
+        ntile(3).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("avg_tf").desc, col("doc_id"))).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityCcnetBucketsSql =
+    """WITH toks AS (SELECT doc_id, source,
+      |              UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+      |scored AS (SELECT doc_id, source, COUNT(*) AS n_tokens,
+      |        CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tf
+      |      FROM toks JOIN vocab USING (tok)
+      |      GROUP BY doc_id, source)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, avg_tf,
+      |  CAST(ntile(3) OVER (PARTITION BY source
+      |    ORDER BY avg_tf DESC, doc_id) AS BIGINT) AS bucket
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   /** Stopword-hit language-ID heuristic: score each candidate language by
     * stopword occurrences (with multiplicity), argmax with a fixed
     * preference order, 'unknown' when nothing hits. */
@@ -2123,6 +2171,7 @@ object LlmOps {
       classifierCalibrationSql(graft.operators.Classifier.defaultEpochs))(
       classifierCalibration),
     Q("lm_unigram", lmUnigramSql)(lmUnigram),
+    Q("quality_ccnet_buckets", qualityCcnetBucketsSql)(qualityCcnetBuckets),
     Q("lang_id", langIdSql)(langId),
     Q("token_stats", tokenStatsSql)(tokenStats),
     Q("ngram_stats", ngramStatsSql)(ngramStats),

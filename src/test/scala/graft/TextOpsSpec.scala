@@ -220,6 +220,28 @@ class TextOpsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("ccnet buckets: per-source tertiles on the corpus, balanced and ordered") {
+    val out = graft.queries.LlmOps.qualityCcnetBuckets(spark, sf0001)
+      .as[(Long, String, Long, Double, Long)].collect()
+    assert(out.nonEmpty && out.forall(r => r._5 >= 1 && r._5 <= 3))
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      // ntile balance: bucket sizes differ by at most one
+      val sizes = rows.groupBy(_._5).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"unbalanced tertiles for $src: $sizes")
+      // ordering: every head doc's (avg_tf, -doc_id) sort key is >= every
+      // tail doc's — heads are the most target-frequent (lowest-ppl proxy)
+      val byBucket = rows.groupBy(_._5).view
+        .mapValues(_.map(r => (r._4, -r._1)).toSeq).toMap
+      for (hi <- 1L to 2L; lo <- (hi + 1) to 3L
+           if byBucket.contains(hi) && byBucket.contains(lo)) {
+        assert(Ordering[(Double, Long)].gteq(byBucket(hi).min,
+          byBucket(lo).max),
+          s"bucket $hi not uniformly above bucket $lo in $src")
+      }
+    }
+  }
+
   test("llm_prepare_corpus composition: every stage binds on crafted docs") {
     // mirror the registered query's exact composition (cleanStream ->
     // sha-keyed exact dedup -> budgetSelect) on documents crafted so
