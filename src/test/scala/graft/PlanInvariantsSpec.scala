@@ -74,6 +74,27 @@ class PlanInvariantsSpec extends SparkTestBase {
     }.flatten
   }
 
+  /** The per-row operator family: queries whose whole computation is
+    * projections/filters/explodes over one scan — their plans must stay
+    * shuffle-free except the single presentation-order Exchange, so a
+    * refactor that sneaks an aggregate or join into a map-only pipeline
+    * fails here. */
+  private val perRowQueries = Set(
+    "text_normalize", "text_quality", "lang_id", "pii_scrub",
+    "quality_gopher", "doc_fingerprint", "intradoc_scrub",
+    "media_features", "media_resize", "corpus_split", "zorder_layout")
+
+  perRowQueries.toSeq.sorted.foreach { name =>
+    test(s"$name stays map-only: at most the presentation Exchange") {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$name plans $exchanges Exchanges — a per-row operator grew a " +
+          s"shuffle:\n${plan.take(1500)}")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without nested-loop/cartesian joins") {
       val df = fn(spark, sf0001)
