@@ -1601,7 +1601,11 @@ object LlmOps {
     * and PII stages are no-ops by construction (plain ASCII, no
     * contacts) — they still run, and the gate/scrub/dedup/budget stages
     * all bind. */
-  def llmPrepareCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** The capstone's shared stages: (cleaned frame, budget selection).
+    * One definition feeds the registered query AND the materializer, so
+    * the artifact on disk can never drift from the checked rows. */
+  private def preparedSelection(spark: SparkSession, dir: String,
+      budgetTokens: Long): (DataFrame, DataFrame) = {
     val cleaned = graft.operators.Dedup.memoPersist(
       graft.streaming.StreamingDownsample.cleanStream(
         Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
@@ -1610,11 +1614,37 @@ object LlmOps {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val kept = cleaned.join(keepers, Seq("doc_id"), "semi")
-    graft.operators.Sampling.budgetSelect(kept, col("doc_id"),
-        score = size(array_distinct(split(col("clean_text"), " "))),
-        nTokens = size(split(col("clean_text"), " ")),
-        budgetTokens = 6000)
+    (cleaned, graft.operators.Sampling.budgetSelect(kept, col("doc_id"),
+      score = size(array_distinct(split(col("clean_text"), " "))),
+      nTokens = size(split(col("clean_text"), " ")),
+      budgetTokens = budgetTokens))
+  }
+
+  def llmPrepareCorpus(spark: SparkSession, dir: String): DataFrame =
+    preparedSelection(spark, dir, budgetTokens = 6000)._2
       .orderBy(col("score").desc, col("doc_id"))
+
+  /** Materialize the prepared corpus — the artifact half of the
+    * capstone (the reference's whole job is WRITING the consumable
+    * parquet, `main.py:177-184`): the budget-kept documents with their
+    * cleaned text, range-partitioned and sorted by doc_id so a
+    * dataloader reads contiguous id ranges and min/max pruning serves
+    * id-range slices ([[graft.operators.Chunking.writePackedShards]]'s
+    * layout discipline). Rejoining `clean_text` by doc_id costs one
+    * broadcast of the (budget-bounded) selection into the persisted
+    * clean stage — the text column itself never shuffles. */
+  def writePreparedCorpus(spark: SparkSession, dir: String, path: String,
+      budgetTokens: Long = 6000, maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val (cleaned, sel) = preparedSelection(spark, dir, budgetTokens)
+    broadcast(sel)
+      .join(cleaned, "doc_id")
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"), col("clean_text"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
   }
 
   private val llmPrepareCorpusSql = {

@@ -274,6 +274,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(out == Seq((4L, 53L, 53L, 53L)), s"got $out")
   }
 
+  test("writePreparedCorpus: the artifact equals the checked selection") {
+    import graft.queries.LlmOps
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-prep").toString + "/corpus"
+    LlmOps.writePreparedCorpus(spark, sf0001, out)
+    val artifact = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val checked = LlmOps.llmPrepareCorpus(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(artifact.map(r => (r._1, r._2, r._3, r._4)) == checked,
+      "artifact rows diverge from the oracle-checked selection")
+    assert(artifact.nonEmpty)
+    // the written text is the CLEANED text, not the raw corpus
+    val cleanMap = graft.streaming.StreamingDownsample.cleanStream(
+        Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
+      .as[(Long, String)].collect().toMap
+    artifact.foreach { r =>
+      assert(cleanMap(r._1) == r._5, s"doc ${r._1} text not the clean form") }
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("intradoc scrub: keep-first semantics, tail blocks, round-trip") {
     import graft.operators.Boilerplate
     val docs = Seq(
