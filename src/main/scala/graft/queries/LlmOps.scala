@@ -179,6 +179,62 @@ object LlmOps {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     verifiedMinhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** **Split-leakage detection** — the eval-contamination check every
+    * training pipeline must run before trusting held-out metrics: a
+    * near-duplicate pair with one side in train and the other in
+    * val/test leaks the answer into training, and random document-level
+    * splitting GUARANTEES such pairs exist (a pair crosses the
+    * 0.8/0.1/0.1 boundary w.p. 1 − Σfᵢ² = 0.34). Composes the verified
+    * MinHash pair stage (shared via the plan-keyed memo — constructing
+    * this alongside `dedup_minhash` reuses one computation) with the
+    * deterministic md5 split assignment; emits only crossing pairs.
+    * Oracle: the exact all-pairs Jaccard SQL with the same threshold
+    * CASE (generated from `splitThresholds`, the corpus_split
+    * anti-drift discipline) — exact by the `dedup_minhash` LSH≈exact
+    * argument. The fix for a leaked pair is group-aware splitting
+    * (split by `dedup_canonical`'s cluster representative instead of
+    * raw doc_id), which this report makes measurable. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.operators.Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    verifiedMinhashPairs(spark, dir)
+      .join(assign.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("jaccard"), col("split_a"), col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val splitLeakageSql = {
+    val Seq(t1, t2, t3) =
+      graft.operators.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+    def splitOf(c: String): String =
+      s"CASE WHEN md5('graft' || CAST($c AS VARCHAR)) < '$t1' THEN 'train' " +
+        s"WHEN md5('graft' || CAST($c AS VARCHAR)) < '$t2' THEN 'val' " +
+        s"WHEN md5('graft' || CAST($c AS VARCHAR)) < '$t3' THEN 'test' " +
+        "ELSE 'rest' END"
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM words, UNNEST(range(1, len(w)-1)) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b, inter, za.n AS na, zb.n AS nb,
+       |    CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) AS jaccard,
+       |    ${splitOf("doc_a")} AS split_a, ${splitOf("doc_b")} AS split_b
+       |  FROM inter JOIN sizes za ON za.doc_id = doc_a
+       |             JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) >= 0.8)
+       |SELECT doc_a, doc_b, inter, na, nb, jaccard, split_a, split_b
+       |FROM pairs WHERE split_a <> split_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Incremental dedup: docs with id % 10 == 0 play the newly-ingested
     * delta; the rest are pre-indexed into a bucketed signature table
     * (built at construction — the cross-run persistence story), and the
@@ -2177,6 +2233,7 @@ object LlmOps {
     Q.noOracle("dsir_weights")(dsirWeights),
     Q("corpus_budget", corpusBudgetSql)(corpusBudget),
     Q("dedup_minhash", jaccardOracle("0.8"))(dedupMinhash),
+    Q("split_leakage", splitLeakageSql)(splitLeakage),
     Q("dedup_incremental", jaccardOracle("0.8",
       "\n|  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)".stripMargin))(dedupIncremental),
     Q.noOracle("dedup_simhash")(dedupSimhash),

@@ -763,4 +763,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     val plan = bloomDf.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"))
   }
+
+  test("split leakage is exactly the minhash pairs crossing the split") {
+    import graft.queries.LlmOps
+    val pairs = LlmOps.dedupMinhash(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty, "planted near-dup cluster missing at sf0.001")
+    val split = LlmOps.corpusSplit(spark, sf0001)
+      .as[(Long, String)].collect().toMap
+    val want = pairs.filter { case (a, b) => split(a) != split(b) }
+    val got = LlmOps.splitLeakage(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, String, String)]
+      .collect()
+    assert(got.map(r => (r._1, r._2)).toSet == want,
+      s"leakage set ${got.map(r => (r._1, r._2)).toSet} != expected $want")
+    got.foreach { r =>
+      assert(r._7 == split(r._1) && r._8 == split(r._2) && r._7 != r._8,
+        s"row $r carries wrong split labels") }
+    graft.operators.Dedup.releaseCaches()
+  }
 }
