@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: similarity self-join on a short string key (names,
+  * titles, SKUs) via **deletion-neighborhood blocking** (the FastSS
+  * scheme, Bocek et al. 2007) — the record-linkage counterpart of the
+  * document-level near-dup family in [[Dedup]].
+  *
+  * The naive formulation is the all-pairs O(n²) Levenshtein join — the
+  * classic dirty-dimension dedup problem (mistyped customer names, OCR'd
+  * ids) that a 100 TB warehouse cannot brute-force. Deletion-neighborhood
+  * blocking makes it a linear equi-join:
+  *
+  *  - each string emits its *deletion variants* — itself plus every
+  *    string obtained by removing exactly one character (len+1 keys,
+  *    per-row codegen'd `transform` over `sequence`, no shuffle);
+  *  - two strings within Levenshtein distance 1 ALWAYS share a variant:
+  *    substitution at position p → both deletions at p agree; insertion /
+  *    deletion → the longer side's deletion at the edited position equals
+  *    the shorter side verbatim. So the variant equi-join is a COMPLETE
+  *    candidate generator for dist ≤ 1 (EntityResolutionSpec proves it
+  *    against brute force on random edits, and the registered query's
+  *    oracle IS the quadratic all-pairs join — the driver gate re-proves
+  *    completeness on the real corpus);
+  *  - candidates collide on at most O(alphabet) strings per variant key
+  *    (all strings agreeing everywhere but the deleted position), so the
+  *    join fan-out is bounded and skew-free — no all-pairs blowup at any
+  *    scale;
+  *  - the exact `levenshtein` verify runs once per *distinct* candidate
+  *    pair (a pair at distance 0 collides on every variant; the distinct
+  *    is on the pair ids, before the verify projection).
+  *
+  * For dist ≤ k the same scheme needs k-deletion neighborhoods
+  * (multiplicative in len^k keys) — the scaladoc'd scale path is to chain
+  * this operator per edit class or fall back to the q-gram prefix filter
+  * of [[Dedup.ngramJaccardPrefix]]; dist ≤ 1 covers the dominant
+  * real-world class (single typo / digit substitution).
+  */
+object EntityResolution {
+
+  /** `name` itself plus every single-character deletion of it — the
+    * dist-≤-1-complete blocking key set, as one per-row array (codegen'd
+    * builtins only). */
+  def deletionVariants(name: Column): Column =
+    concat(
+      array(name),
+      transform(sequence(lit(1), length(name)), i =>
+        concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name)))))
+
+  /** All distinct id pairs (id_a < id_b) whose names are within
+    * Levenshtein distance 1, by deletion-variant blocking + exact verify.
+    * Output: (id_a, id_b, name_a, name_b, dist). */
+  def fuzzyPairs(df: DataFrame, id: Column, name: Column): DataFrame = {
+    val keyed = df
+      .select(id.as("id"), name.as("name"))
+      .select(col("id"), col("name"),
+        explode(deletionVariants(col("name"))).as("variant"))
+    val a = keyed.select(col("id").as("id_a"), col("name").as("name_a"),
+      col("variant"))
+    val b = keyed.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("variant"))
+    a.join(b, Seq("variant"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b")
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal history modeling: compress an event stream into
+  * slowly-changing-dimension type-2 history — per key, the run-length
+  * encoding of a changing attribute as `[valid_from, valid_to)` intervals.
+  * The warehouse-side complement of [[Diachronic]]'s downsample: where the
+  * reference keeps one snapshot per day (main.py:127-150's greedy state
+  * machine), SCD2 keeps one row per *state change*, which is what a
+  * dimension table join (`asof_join` / `latest_snapshot`) consumes.
+  *
+  * Scale shape: every step — change detection (`lag`), run numbering
+  * (running `sum`), interval close (`lead`) — is a window over the SAME
+  * `partitionBy(key)` partitioning, and the run fold is a `groupBy` on a
+  * superset of that key, so the whole operator costs ONE shuffle on the
+  * key; with hundreds of millions of keys the per-key state never
+  * materializes anywhere (no driver collection, no per-key loop — compare
+  * the reference's in-memory per-page dict). Rows out = number of state
+  * changes, the asymptotic floor for any history encoding.
+  */
+object Temporal {
+
+  /** Fold `df`'s per-event attribute into SCD2 intervals.
+    *
+    * Output: (key, state, valid_from, valid_to, n_events) where
+    * `valid_to` is the next interval's start (NULL for the current/open
+    * interval) and `n_events` counts the run's source events.
+    *
+    * `(order, tieBreak)` must totally order events within a key —
+    * without a total order, run boundaries are nondeterministic under
+    * shuffle. `valid_from` is the run's `order` value (its minimum, since
+    * the run is an `order`-contiguous slice). */
+  def scd2(df: DataFrame, key: Column, state: Column,
+      order: Column, tieBreak: Column): DataFrame = {
+    val base = df.select(key.as("key"), state.as("s"),
+      order.as("o"), tieBreak.as("tb"))
+    val w = Window.partitionBy(col("key")).orderBy(col("o"), col("tb"))
+    base
+      // a run breaks where the state differs from the previous event's
+      // (null-safe: the first event of a key always starts a run)
+      .withColumn("brk",
+        when(not(lag(col("s"), 1).over(w) <=> col("s")), 1L).otherwise(0L))
+      .withColumn("rid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("rid"))
+      .agg(min(col("s")).as("state"), // constant within a run
+        min(col("o")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1)
+          .over(Window.partitionBy(col("key")).orderBy(col("valid_from"), col("rid"))))
+      .select(col("key"), col("state"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{EntityResolution, Temporal}
+
+/** Entity resolution (deletion-variant blocking), SCD2 history, HLL
+  * rollup, and column stats. */
+class DataCleaningSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // --- deletion-variant blocking ------------------------------------
+
+  test("deletionVariants emits the string plus every single deletion") {
+    val out = Seq(("abc")).toDF("s")
+      .select(EntityResolution.deletionVariants(col("s")).as("v"))
+      .as[Seq[String]].head()
+    assert(out == Seq("abc", "bc", "ac", "ab"))
+  }
+
+  test("fuzzyPairs finds substitution, insertion and deletion neighbors") {
+    val df = Seq(
+      (1L, "karen"), (2L, "caren"),   // substitution
+      (3L, "karren"),                 // insertion vs 1
+      (4L, "kren"),                   // deletion vs 1, substitution vs 5
+      (5L, "aren")                    // deletion vs 1 and vs 2
+    ).toDF("id", "name")
+    val pairs = EntityResolution.fuzzyPairs(df, col("id"), col("name"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 5L), (4L, 5L)))
+  }
+
+  test("fuzzyPairs emits each pair exactly once (dist-0 collides on every variant)") {
+    val df = Seq((1L, "same"), (2L, "same")).toDF("id", "name")
+    val rows = EntityResolution.fuzzyPairs(df, col("id"), col("name")).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("dist") == 0)
+  }
+
+  test("property: blocking is complete vs brute-force levenshtein<=1") {
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val word = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val prop = Prop.forAll(Gen.listOfN(12, word)) { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "name")
+      val got = EntityResolution.fuzzyPairs(df, col("id"), col("name"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // ids with equal strings are distinct records: expected pairs come
+      // from index pairs, not string pairs
+      val want = (for {
+        (a, i) <- ws.zipWithIndex; (b, j) <- ws.zipWithIndex
+        if i < j && lev(a, b) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // --- SCD2 ---------------------------------------------------------
+
+  test("scd2 folds runs into closed-open intervals, open tail NULL") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 10L, "x")
+    ).toDF("k", "t", "s")
+    val out = Temporal.scd2(df, col("k"), col("s"), col("t"), col("t"))
+      .orderBy("key", "valid_from")
+      .select("key", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 10L, Some(30L), 2L),
+      (1L, "b", 30L, Some(40L), 1L),
+      (1L, "a", 40L, None, 1L),
+      (2L, "x", 10L, None, 1L)))
+  }
+
+  test("scd2 intervals tile each key's timeline (no gaps, no overlap)") {
+    val out = SparkEntry.queries("scd2_intervals")(spark, sf0001)
+    val n = out.count()
+    assert(n > 0)
+    // per key: exactly one open interval, and every valid_to equals the
+    // next valid_from (the lead construction makes this structural; the
+    // assertion guards the fold + rename plumbing)
+    val bad = out
+      .withColumn("nxt", lead(col("valid_from"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("valid_from")))
+      .filter(not(col("valid_to") <=> col("nxt")))
+    assert(bad.count() == 0)
+    // event conservation: interval n_events sums to the event count
+    val total = out.agg(sum("n_events")).as[Long].head()
+    assert(total == Tables.events(spark, sf0001).count())
+  }
+
+  // --- HLL rollup ---------------------------------------------------
+
+  test("hll_rollup merged estimate == direct sketch, within 5% of exact") {
+    val ev = Tables.events(spark, sf0001)
+    val rolled = SparkEntry.queries("hll_rollup")(spark, sf0001)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n"))
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rolled == direct) // register-max merge is lossless
+    rolled.foreach { case (t, est) =>
+      val ex = exact(t).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"$t: est=$est exact=$ex")
+    }
+  }
+
+  // --- column stats -------------------------------------------------
+
+  test("column_stats single-pass agg matches per-column recomputation") {
+    val out = SparkEntry.queries("column_stats")(spark, sf0001)
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(
+      "o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val ord = Tables.orders(spark, sf0001)
+    out.foreach { case (c, nRows, nn, ndv, minS, maxS) =>
+      assert(nRows == ord.count())
+      assert(nn == ord.filter(col(c).isNotNull).count())
+      assert(ndv == ord.select(c).distinct().count())
+      assert(minS == ord.agg(min(col(c).cast("string"))).as[String].head())
+      assert(maxS == ord.agg(max(col(c).cast("string"))).as[String].head())
+    }
+  }
+
+  test("column_stats plans one FileScan (single pass, not per-column rescans)") {
+    val plan = SparkEntry.queries("column_stats")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+}
