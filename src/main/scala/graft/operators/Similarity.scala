@@ -37,6 +37,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** **Hard-negative mining** for contrastive training: per query, the
+    * k most cosine-similar candidates with a DIFFERENT label — the
+    * standard positive-anchor / hard-negative pairing step (similar
+    * enough to be confused, labeled differently, so it carries training
+    * signal). Same shape and determinism rules as [[bruteForceTopK]]
+    * (ranks + ids only, ties by candidate id); the label-mismatch
+    * predicate rides the same broadcast join, so the scale path is
+    * unchanged (swap in the bucketed [[annTopK]] routing when the query
+    * side outgrows broadcast — mining is recall-tolerant by nature). */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+        col("label").as("clabel"), col("embedding").as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q),
+        col("query_id") =!= col("cand_id") && col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), col("qlabel"), col("cand_id"), col("clabel"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** **PCA route-then-refine** ANN — the coarse-filter-with-compressed-
     * vectors pattern (the linear-projection cousin of [[ivfPqTopK]]'s
     * ADC): fit a kDims-component PCA on the candidate corpus

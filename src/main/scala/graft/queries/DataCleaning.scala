@@ -123,9 +123,128 @@ object DataCleaning {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** **Snapshot diff**: classify documents across two corpus versions as
+    * added / removed / changed — the ingest-regression check run between
+    * consecutive crawl snapshots. Content equality is digest equality
+    * (md5 computed AT THE SCAN, map-side — text itself never crosses the
+    * shuffle), the diff is ONE full-outer equi-join on the key, and
+    * unchanged rows are dropped so output is diff-sized, not
+    * corpus-sized. The two versions are derived deterministically from
+    * the documents table (old = ids ∤ 3; new = ids ∤ 5, text uppercased
+    * for ids ÷ 7) so the gate can hash-check all three classes. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("old_id"), md5(col("text")).as("old_sig"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("new_id"),
+        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("new_sig"))
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_sig") =!= col("new_sig"), "changed")
+          .as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  private val corpusDiffSql =
+    """WITH old AS (SELECT doc_id AS old_id, md5(text) AS old_sig
+      |             FROM documents WHERE doc_id % 3 <> 0),
+      |neu AS (SELECT doc_id AS new_id,
+      |          md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END)
+      |            AS new_sig
+      |        FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT COALESCE(old_id, new_id) AS doc_id,
+      |  CASE WHEN old_id IS NULL THEN 'added'
+      |       WHEN new_id IS NULL THEN 'removed'
+      |       WHEN old_sig <> new_sig THEN 'changed' END AS change
+      |FROM old FULL OUTER JOIN neu ON old_id = new_id
+      |WHERE CASE WHEN old_id IS NULL THEN 'added'
+      |           WHEN new_id IS NULL THEN 'removed'
+      |           WHEN old_sig <> new_sig THEN 'changed' END IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  /** **Key-skew diagnostics**: the distribution report you run before
+    * choosing a partitioning — per event type, how concentrated is the
+    * user key? Two-level aggregate (per-(type,user) partial counts fold
+    * map-side; the per-type fold then touches one row per distinct key),
+    * windows share the per-type partitioning. Ratios are single
+    * divisions of exact int64s — identical doubles cross-engine. The
+    * skew factor (max/avg per key) is what [[graft.operators.Joins
+    * .saltedJoin]]'s salt width is sized from. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    perKey
+      .withColumn("mx", max(col("cnt")).over(w))
+      .withColumn("tot", sum(col("cnt")).over(w))
+      .withColumn("nk", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_rows"),
+        max(col("nk")).as("n_keys"),
+        max(col("mx")).as("max_per_key"),
+        (max(col("tot")).cast("double") / max(col("nk"))).as("avg_per_key"),
+        ((max(col("mx")) * max(col("nk"))).cast("double") / max(col("tot")))
+          .as("skew"),
+        min(when(col("cnt") === col("mx"), col("user_id"))).as("hot_key"))
+      .orderBy("event_type")
+  }
+
+  private val skewReportSql =
+    """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+      |           FROM events GROUP BY event_type, user_id),
+      |m AS (SELECT *, MAX(cnt) OVER w AS mx,
+      |        CAST(SUM(cnt) OVER w AS BIGINT) AS tot,
+      |        COUNT(*) OVER w AS nk
+      |      FROM c WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, MAX(tot) AS n_rows, MAX(nk) AS n_keys,
+      |  MAX(mx) AS max_per_key,
+      |  CAST(MAX(tot) AS DOUBLE) / MAX(nk) AS avg_per_key,
+      |  CAST(MAX(mx) * MAX(nk) AS DOUBLE) / MAX(tot) AS skew,
+      |  MIN(CASE WHEN cnt = mx THEN user_id END) AS hot_key
+      |FROM m
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** **Hard-negative mining** ([[graft.operators.Similarity
+    * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
+    * different label — the contrastive-pair step of an embedding-training
+    * pipeline. Ranks/ids only (the float cosine never ships — SURVEY §7
+    * determinism rule 5). */
+  def hardNegativesQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.hardNegatives(
+        e.filter(col("vec_id") < 20), e, k = 3)
+      .select("query_id", "qlabel", "cand_id", "clabel", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private val hardNegativesSql =
+    """SELECT query_id, qlabel, cand_id, clabel, rank FROM (
+      |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+      |    c.vec_id AS cand_id, c.label AS clabel,
+      |    row_number() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON c.vec_id <> q.vec_id AND c.label <> q.label
+      |  WHERE q.vec_id < 20)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
     Q.noOracle("hll_rollup")(hllRollup),
-    Q("column_stats", columnStatsSql)(columnStats))
+    Q("column_stats", columnStatsSql)(columnStats),
+    Q("corpus_diff", corpusDiffSql)(corpusDiff),
+    Q("skew_report", skewReportSql)(skewReport),
+    Q("hard_negatives", hardNegativesSql)(hardNegativesQ))
 }

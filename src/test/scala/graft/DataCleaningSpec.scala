@@ -143,6 +143,69 @@ class DataCleaningSpec extends SparkTestBase {
     }
   }
 
+  // --- snapshot diff -------------------------------------------------
+
+  test("corpus_diff classes match the membership arithmetic") {
+    val out = SparkEntry.queries("corpus_diff")(spark, sf0001)
+      .as[(Long, String)].collect().toMap
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    val want = ids.flatMap { id =>
+      val inOld = id % 3 != 0
+      val inNew = id % 5 != 0
+      if (inOld && !inNew) Some(id -> "removed")
+      else if (!inOld && inNew) Some(id -> "added")
+      else if (inOld && inNew && id % 7 == 0) Some(id -> "changed")
+      else None
+    }.toMap
+    assert(out == want)
+  }
+
+  // --- skew report ---------------------------------------------------
+
+  test("skew_report rows/keys/max agree with direct recomputation") {
+    val ev = Tables.events(spark, sf0001)
+    val out = SparkEntry.queries("skew_report")(spark, sf0001)
+      .select("event_type", "n_rows", "n_keys", "max_per_key", "hot_key")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == ev.count())
+    out.foreach { case (t, nRows, nKeys, mx, hot) =>
+      val counts = ev.filter(col("event_type") === t)
+        .groupBy("user_id").count().as[(Long, Long)].collect()
+      assert(nRows == counts.map(_._2).sum)
+      assert(nKeys == counts.length)
+      assert(mx == counts.map(_._2).max)
+      assert(hot == counts.filter(_._2 == mx).map(_._1).min)
+    }
+  }
+
+  // --- hard negatives ------------------------------------------------
+
+  test("hard_negatives mines cross-label neighbors consistent with brute force") {
+    val out = SparkEntry.queries("hard_negatives")(spark, sf0001)
+      .as[(Long, Int, Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, ql, _, cl, _) => ql != cl })
+    // ranks are 1..3 per query
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length))
+    }
+    // driver-side brute force agreement on one query vector
+    val e = Tables.embeddings(spark, sf0001)
+      .as[(Long, Array[Float], Int)].collect()
+    val (qid, qv, qlab) = e.find(_._1 == 0L).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = e.filter(v => v._1 != qid && v._3 != qlab)
+      .map(v => (v._1, cos(qv, v._2)))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    val got = out.filter(_._1 == qid).sortBy(_._5).map(_._3).toSeq
+    assert(got == want)
+  }
+
   test("column_stats plans one FileScan (single pass, not per-column rescans)") {
     val plan = SparkEntry.queries("column_stats")(spark, sf0001)
       .queryExecution.executedPlan.toString
