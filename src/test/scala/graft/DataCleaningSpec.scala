@@ -143,6 +143,38 @@ class DataCleaningSpec extends SparkTestBase {
     }
   }
 
+  // --- incremental SCD2 merge ---------------------------------------
+
+  test("scd2Merge ≡ full recompute across cutoffs (run extension + close + new key)") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"),  // pre-cutoff
+      (1L, 50L, "b"),                                   // extends open run
+      (1L, 60L, "a"),                                   // closes it
+      (2L, 15L, "x"), (2L, 55L, "y"),                   // state flip across cutoff
+      (3L, 70L, "z")                                    // key born after cutoff
+    ).toDF("k", "t", "s")
+    for (cutoff <- Seq(0L, 40L, 100L)) {
+      val merged = Temporal.scd2Merge(
+        Temporal.scd2(df.filter(col("t") <= cutoff),
+          col("k"), col("s"), col("t"), col("t")),
+        df.filter(col("t") > cutoff), col("k"), col("s"), col("t"), col("t"))
+      val full = Temporal.scd2(df, col("k"), col("s"), col("t"), col("t"))
+      val m = merged.orderBy("key", "valid_from").collect().toSeq
+      val f = full.orderBy("key", "valid_from").collect().toSeq
+      assert(m == f, s"cutoff=$cutoff")
+    }
+  }
+
+  test("scd2Merge history side joins by broadcast (delta-shaped work)") {
+    val plan = SparkEntry.queries("scd2_merge")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // untouched/closed pass-throughs: two broadcast joins against the
+    // distinct delta key set; the history is never hash-repartitioned
+    // for the merge routing
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined, plan)
+  }
+
   // --- snapshot diff -------------------------------------------------
 
   test("corpus_diff classes match the membership arithmetic") {
