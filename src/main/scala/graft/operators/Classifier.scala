@@ -132,6 +132,17 @@ object Classifier {
       text: Column, epochs: Int): Map[Int, Long] = {
     require(epochs > 0, s"trainPerceptron needs epochs > 0 (got $epochs)")
     val feats = Dedup.memoPersist(tokenFeatures(df, id, label, text))
+    // Train-once memo (same plan-keyed registry as the measure gates):
+    // every consumer of the same corpus+epochs — scoring, calibration,
+    // streaming serve — shares ONE training run per session instead of
+    // re-running the epoch jobs per query construction. The epochs count
+    // rides into the key as a literal column.
+    Dedup.memoGate(feats.withColumn("__train_epochs", lit(epochs))) {
+      trainLoop(feats, epochs)
+    }
+  }
+
+  private def trainLoop(feats: DataFrame, epochs: Int): Map[Int, Long] = {
     var w = Map.empty[Int, Long]
     var pocket = Map.empty[Int, Long]
     var pocketOk = -1L

@@ -182,6 +182,23 @@ class ClassifierSpec extends SparkTestBase {
     assert(plan.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }.nonEmpty)
   }
 
+  test("training is memoized per (corpus, epochs): one epoch-loop per session") {
+    import graft.operators.Dedup
+    Dedup.releaseCaches()
+    val docs = Seq((1L, 1L, "good clean prose"), (2L, -1L, "spam spam spam"),
+      (3L, 1L, "more useful text")).toDF("doc_id", "y", "text")
+    val g0 = Dedup.gateMeasurements
+    val w1 = Classifier.trainPerceptron(docs, col("doc_id"), col("y"), col("text"), 3)
+    val w2 = Classifier.trainPerceptron(docs, col("doc_id"), col("y"), col("text"), 3)
+    assert(w1 == w2)
+    assert(Dedup.gateMeasurements == g0 + 1,
+      "second construction must reuse the memoized training run")
+    // a different epoch count is a different model — trains again
+    Classifier.trainPerceptron(docs, col("doc_id"), col("y"), col("text"), 4)
+    assert(Dedup.gateMeasurements == g0 + 2)
+    Dedup.releaseCaches()
+  }
+
   test("streaming serving stage scores exactly like the batch projection") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
