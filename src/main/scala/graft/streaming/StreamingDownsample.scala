@@ -322,6 +322,59 @@ object StreamingDownsample {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One closed SCD2 interval emitted by [[scd2Stream]]. */
+  final case class Scd2Closed(user_id: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+
+  /** Per-key open-run state carried between micro-batches by
+    * [[scd2Stream]]: the current attribute value, its run start, and the
+    * run's event count — O(1) per key, like [[greedy]]'s threshold. The
+    * start rides as a full Timestamp (µs precision — a ms-long round
+    * trip would corrupt valid_from vs the batch operator). */
+  final case class Scd2Run(state: String, validFrom: Timestamp, nEvents: Long)
+
+  /** Full-precision instant for in-batch ordering: `getTime` ms plus the
+    * sub-ms microseconds that `getTime` drops. */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** **Streaming SCD2 maintenance** — the in-flight half of
+    * [[graft.operators.Temporal.scd2]]: each key's open run lives in
+    * GroupState (three fields, never the events), and an arriving event
+    * with a DIFFERENT attribute value closes the run — the closed
+    * `[valid_from, valid_to)` interval is emitted exactly once, in
+    * append mode. The open tail is deliberately NOT emitted (append mode
+    * cannot retract); it is the state itself, and the batch operator
+    * owns open intervals — the same closed-half/open-half split as
+    * [[graft.operators.Temporal.scd2Merge]]'s seeds. Within a
+    * micro-batch events are re-sorted by (ts, event_id) — the same
+    * no-order-promise handling as [[greedy]]; ACROSS batches the
+    * frontier contract of scd2Merge applies (no late data). Spec:
+    * emitted intervals ≡ the batch operator's closed rows. */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[Scd2Run]) => {
+          var run = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            run match {
+              case null =>
+                run = Scd2Run(e.event_type, e.ts, 1L)
+              case r if r.state == e.event_type =>
+                run = r.copy(nEvents = r.nEvents + 1)
+              case r =>
+                out += Scd2Closed(userId, r.state, r.validFrom, e.ts, r.nEvents)
+                run = Scd2Run(e.event_type, e.ts, 1L)
+            }
+          }
+          state.update(run)
+          out.iterator
+        })
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

@@ -101,6 +101,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming SCD2 emits exactly the batch operator's closed intervals") {
+    implicit val sqlCtx = spark.sqlContext
+    // driver corpus replayed across two micro-batches split on event
+    // time (scd2Merge's frontier contract: no late data)
+    val corpus = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    val cut = Timestamp.valueOf("2024-01-15 00:00:00")
+    mem.addData(corpus.filter(_.ts.before(cut)))
+    q.processAllAvailable()
+    mem.addData(corpus.filterNot(_.ts.before(cut)))
+    q.processAllAvailable()
+    val got = spark.table("scd2_out")
+      .select("user_id", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+    q.stop()
+    val batch = SparkEntry.queries("scd2_intervals")(spark, sf0001)
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+    // open tails live in state, not output: per key the stream emitted
+    // exactly one interval fewer than the full batch history
+    val batchAll = SparkEntry.queries("scd2_intervals")(spark, sf0001).count()
+    val keys = SparkEntry.queries("scd2_intervals")(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(got.size == batchAll - keys)
+  }
+
   test("streaming session windows converge to the batch sessionize islands") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)
