@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit (the Deequ/dbt-test shape): a check
+  * suite compiles into the fewest jobs that can answer it, instead of
+  * one scan per assertion.
+  *
+  *  - Row-level checks ([[NotNull]], [[Range]], [[Predicate]]) against
+  *    one table fold into ONE conditional aggregate —
+  *    `count(when(violated))` columns side by side in a single pass, so
+  *    a 50-rule suite over a 100 TB fact table still costs one scan;
+  *  - [[Unique]] is a key-grouped count (map-side partial; only keys
+  *    with duplicates survive the post-aggregate filter);
+  *  - [[ForeignKey]] is a LEFT ANTI join against the parent's key
+  *    projection (broadcast when the parent is dimension-sized — the
+  *    same shape as the reference's incremental skip, SURVEY §2.1-S2).
+  *
+  * Every check emits (check, n_checked, n_violations, pass) — an audit
+  * row, not an exception: pipelines gate on the report (`pass = false →
+  * quarantine the batch`), which keeps the audit idempotent and
+  * mergeable across partitions/batches. */
+object DataQuality {
+
+  /** One declarative expectation over a table. */
+  sealed trait Check { def name: String }
+  /** `column` must never be NULL. */
+  final case class NotNull(name: String, column: String) extends Check
+  /** `column` must lie in [lo, hi] (NULLs are [[NotNull]]'s business). */
+  final case class Range(name: String, column: String, lo: Double, hi: Double)
+      extends Check
+  /** Arbitrary row predicate that must hold (NULL counts as violation). */
+  final case class Predicate(name: String, holds: Column) extends Check
+  /** `columns` must be unique across the table; violations = surplus
+    * rows beyond the first per duplicated key. */
+  final case class Unique(name: String, columns: Seq[String]) extends Check
+  /** Every non-NULL `column` value must exist in `parent.parentColumn`;
+    * violations = orphan child rows. */
+  final case class ForeignKey(name: String, column: String,
+      parent: DataFrame, parentColumn: String) extends Check
+
+  /** Run the suite against `df`; one report row per check, ordered by
+    * check name (names must be unique — the report is keyed on them). */
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val rowLevel = checks.collect {
+      case NotNull(n, c) => n -> col(c).isNull
+      case Range(n, c, lo, hi) =>
+        n -> (col(c).isNotNull && !col(c).between(lo, hi))
+      case Predicate(n, holds) => n -> !coalesce(holds, lit(false))
+    }
+    val rowReport: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else {
+        // single pass: total + one violation counter per check
+        val one = df.agg(count(lit(1)).as("n_checked"),
+          rowLevel.map { case (n, bad) =>
+            count(when(bad, 1)).as(s"viol_$n")
+          }: _*)
+        Some(one.select(explode(array(rowLevel.map { case (n, _) =>
+          struct(lit(n).as("check"), col("n_checked"),
+            col(s"viol_$n").as("n_violations"))
+        }: _*)).as("s")).select("s.*"))
+      }
+    val others: Seq[DataFrame] = checks.collect {
+      case Unique(n, cols) =>
+        df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_checked"),
+            coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
+          .select(lit(n).as("check"), col("n_checked"), col("n_violations"))
+      case ForeignKey(n, c, parent, pc) =>
+        // one child scan: LEFT join against the parent's distinct key
+        // projection (broadcast — it's a dimension), then count total
+        // and unmatched in the same aggregate
+        df.select(col(c)).filter(col(c).isNotNull)
+          .join(broadcast(parent.select(col(pc).as(c)).distinct()
+            .withColumn("__parent_hit", lit(1))), Seq(c), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            count(when(col("__parent_hit").isNull, 1)).as("n_violations"))
+          .select(lit(n).as("check"), col("n_checked"), col("n_violations"))
+    }
+    val names = checks.map(_.name)
+    require(names.distinct == names, s"duplicate check names in $names")
+    (rowReport.toSeq ++ others).reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("check")
+  }
+}

@@ -260,7 +260,57 @@ object DataCleaning {
       |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** **Declarative data-quality audit** ([[graft.operators.DataQuality
+    * .audit]]): five expectations over the orders table — nullability,
+    * range, domain, key uniqueness, and referential integrity against
+    * the customer dimension. The three row-level rules share ONE
+    * conditional-aggregate scan; the range bound is deliberately tight
+    * enough to fail, so the report carries both pass and fail rows. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    audit(Tables.orders(spark, dir), Seq(
+      NotNull("orders_custkey_not_null", "o_custkey"),
+      Range("orders_totalprice_range", "o_totalprice", 0.0, 300000.0),
+      Predicate("orders_status_domain",
+        col("o_orderstatus").isin("O", "F", "P")),
+      Unique("orders_orderkey_unique", Seq("o_orderkey")),
+      ForeignKey("orders_custkey_fk", "o_custkey",
+        Tables.customer(spark, dir), "c_custkey")))
+  }
+
+  private val dqAuditSql =
+    """SELECT 'orders_custkey_not_null' AS "check", COUNT(*) AS n_checked,
+      |  COUNT(*) FILTER (o_custkey IS NULL) AS n_violations,
+      |  COUNT(*) FILTER (o_custkey IS NULL) = 0 AS pass
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_totalprice_range', COUNT(*),
+      |  COUNT(*) FILTER (o_totalprice IS NOT NULL
+      |                   AND o_totalprice NOT BETWEEN 0.0 AND 300000.0),
+      |  COUNT(*) FILTER (o_totalprice IS NOT NULL
+      |                   AND o_totalprice NOT BETWEEN 0.0 AND 300000.0) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_status_domain', COUNT(*),
+      |  COUNT(*) FILTER (NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)),
+      |  COUNT(*) FILTER (NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_orderkey_unique', CAST(SUM(cnt) AS BIGINT),
+      |  CAST(SUM(cnt - 1) AS BIGINT), CAST(SUM(cnt - 1) AS BIGINT) = 0
+      |FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+      |UNION ALL
+      |SELECT 'orders_custkey_fk',
+      |  COUNT(*) FILTER (o_custkey IS NOT NULL),
+      |  COUNT(*) FILTER (o_custkey IS NOT NULL
+      |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      |  COUNT(*) FILTER (o_custkey IS NOT NULL
+      |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+      |FROM orders
+      |ORDER BY "check"""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dq_audit", dqAuditSql)(dqAudit),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
     // merge ≡ full recompute: the incremental path answers the batch SQL

@@ -143,6 +143,48 @@ class DataCleaningSpec extends SparkTestBase {
     }
   }
 
+  // --- data-quality audit -------------------------------------------
+
+  test("audit counts engineered violations of every check kind") {
+    import graft.operators.DataQuality._
+    val child = Seq(
+      (1L, Some(10L), 5.0, "ok"),
+      (2L, Some(10L), -1.0, "ok"),   // range violation
+      (2L, Some(99L), 2.0, "bad"),   // dup key + orphan FK + domain
+      (3L, None, 3.0, "ok")          // null FK (not an FK violation)
+    ).toDF("id", "fk", "v", "status")
+    val parent = Seq(10L, 11L).toDF("pid")
+    val rep = audit(child, Seq(
+      NotNull("fk_not_null", "fk"),
+      Range("v_range", "v", 0.0, 10.0),
+      Predicate("status_domain", col("status") === "ok"),
+      Unique("id_unique", Seq("id")),
+      ForeignKey("fk_exists", "fk", parent, "pid")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map { case (k, b, c, d) => k -> ((b, c, d)) }.toMap
+    assert(rep("fk_not_null") == ((4L, 1L, false)))
+    assert(rep("v_range") == ((4L, 1L, false)))
+    assert(rep("status_domain") == ((4L, 1L, false)))
+    assert(rep("id_unique") == ((4L, 1L, false)))
+    assert(rep("fk_exists") == ((3L, 1L, false)))
+    // a clean table passes everything
+    val clean = audit(parent, Seq(
+      NotNull("p_not_null", "pid"), Unique("p_unique", Seq("pid"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.forall(_._4))
+  }
+
+  test("row-level checks share one scan; FK parent joins by broadcast") {
+    val plan = SparkEntry.queries("dq_audit")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // orders is scanned once for the three row-level rules (the other
+    // two scans are the Unique groupBy and the FK child side)
+    val ordersScans = "FileScan parquet \\[o_"
+      .r.findAllIn(plan).length
+    assert(ordersScans == 3, s"expected 3 orders scans, got $ordersScans\n$plan")
+    assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined, plan)
+  }
+
   // --- incremental SCD2 merge ---------------------------------------
 
   test("scd2Merge ≡ full recompute across cutoffs (run extension + close + new key)") {
