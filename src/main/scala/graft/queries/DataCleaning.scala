@@ -309,8 +309,81 @@ object DataCleaning {
       |FROM orders
       |ORDER BY "check"""".stripMargin
 
+  /** **Equi-depth histogram** — the CBO selectivity statistic: decile
+    * boundaries from ONE exact percentile aggregate, bucket assignment
+    * as a per-row fold over the broadcast 9-boundary array (ties stay
+    * together — boundary-based, not ntile's rank-split, so no global
+    * sort window anywhere), then per-bucket count/min/max. At warehouse
+    * scale the exact percentile (a distinct-value count map) swaps to
+    * the `approx_percentile` sketch — same plan shape. min/max are
+    * pass-through doubles (SURVEY §7 rule 2); the boundaries themselves
+    * stay internal (interpolated doubles — only comparisons cross
+    * engines, and `exact_pct` pins the interpolation equal). */
+  def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val qs = (1 to 9).map(_ / 10.0)
+    val b = ord.agg(expr(
+      s"percentile(o_totalprice, array(${qs.mkString(",")}))").as("bs"))
+    ord.crossJoin(broadcast(b))
+      .select(col("o_totalprice"),
+        aggregate(col("bs"), lit(0),
+          (acc, x) => acc + when(col("o_totalprice") > x, 1).otherwise(0))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val histogramEquidepthSql =
+    """WITH b AS (SELECT quantile_cont(o_totalprice,
+      |                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |           FROM orders)
+      |SELECT bucket, COUNT(*) AS n,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM (SELECT o_totalprice,
+      |        CAST(len(list_filter(bs, x -> o_totalprice > x)) AS INT)
+      |          AS bucket
+      |      FROM orders, b)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** **Winsorization** — robust outlier clipping: per order priority,
+    * clamp totals to that group's [p05, p95]. The per-group percentile
+    * aggregate folds to #groups rows and broadcasts back — the
+    * train/serve split of every normalization stage ([[graft.operators
+    * .Dsir]]'s frequency tables, the classifier weights): statistics
+    * pass over the data once, the application is a per-row projection. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val bounds = ord.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    ord.join(broadcast(bounds), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        greatest(least(col("o_totalprice"), col("p95")), col("p05"))
+          .as("clipped"),
+        (col("o_totalprice") < col("p05") || col("o_totalprice") > col("p95"))
+          .as("was_outlier"))
+      .orderBy("o_orderkey")
+  }
+
+  private val winsorizeSql =
+    """WITH b AS (SELECT o_orderpriority,
+      |             quantile_cont(o_totalprice, 0.05) AS p05,
+      |             quantile_cont(o_totalprice, 0.95) AS p95
+      |           FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+      |  GREATEST(LEAST(o_totalprice, p95), p05) AS clipped,
+      |  o_totalprice < p05 OR o_totalprice > p95 AS was_outlier
+      |FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dq_audit", dqAuditSql)(dqAudit),
+    Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
+    Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
     // merge ≡ full recompute: the incremental path answers the batch SQL

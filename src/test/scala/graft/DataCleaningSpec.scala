@@ -185,6 +185,38 @@ class DataCleaningSpec extends SparkTestBase {
     assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined, plan)
   }
 
+  // --- histogram + winsorize ----------------------------------------
+
+  test("histogram_equidepth buckets tile the value range with full coverage") {
+    val out = SparkEntry.queries("histogram_equidepth")(spark, sf0001)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    val ord = Tables.orders(spark, sf0001)
+    assert(out.map(_._2).sum == ord.count())
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    // buckets are ordered, non-overlapping ranges
+    out.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // global min/max covered
+    val (mn, mx) = ord.agg(min("o_totalprice"), max("o_totalprice"))
+      .as[(Double, Double)].head()
+    assert(out.head._3 == mn && out.last._4 == mx)
+  }
+
+  test("winsorize clips exactly the outlier rows into the group bounds") {
+    val out = SparkEntry.queries("winsorize")(spark, sf0001)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, price, clipped, wasOutlier) =>
+      if (wasOutlier) assert(clipped != price)
+      else assert(clipped == price)
+    }
+    // ~10% clipped per group (p05/p95 bounds), never more than 12%
+    val frac = out.count(_._5).toDouble / out.length
+    assert(frac > 0.05 && frac < 0.12, s"outlier fraction $frac")
+  }
+
   // --- incremental SCD2 merge ---------------------------------------
 
   test("scd2Merge ≡ full recompute across cutoffs (run extension + close + new key)") {

@@ -31,11 +31,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    scalar_subquery shape again;
     *  - vector_pca_route: the routing stage is vector_topk's shape in
     *    the REDUCED space (tiny query side broadcast against the
-    *    candidate scan); the refine stage is equi-joined. */
+    *    candidate scan); the refine stage is equi-joined;
+    *  - hard_negatives: vector_topk's exact shape with the label
+    *    predicate riding the same broadcast join (anchors broadcast,
+    *    corpus never moves; annTopK is the documented scale path);
+    *  - histogram_equidepth: the 9-boundary percentile frame (a
+    *    grouping-free aggregate, provably 1 row) broadcasts into the
+    *    per-row bucket-assignment fold — the scalar_subquery shape. */
   private val intendedAllPairs =
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
-      "vector_pca_route")
+      "vector_pca_route", "hard_negatives", "histogram_equidepth")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
@@ -45,7 +51,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     * the exemption covers the documented bounded broadcast, not any
     * nested loop a refactor might sneak in. Recurses through
     * InMemoryRelations because memo-persisted stages hide their plans
-    * behind cache scans. (vector_topk and vector_pca_route are excluded
+    * behind cache scans. (vector_topk, vector_pca_route, and hard_negatives are excluded
     * from this check by their caller: their build side is the filtered
     * query SET — small by argument, not by structure — and the
     * all-pairs scan is those operators' documented routing cost.) */
@@ -106,7 +112,7 @@ class PlanInvariantsSpec extends SparkTestBase {
         // nested loop's build side must be bounded by a limit (the seeds
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
-        if (name != "vector_topk" && name != "vector_pca_route") {
+        if (!Set("vector_topk", "vector_pca_route", "hard_negatives")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
