@@ -144,6 +144,40 @@ object DataCleaning {
       .orderBy("user_id", "valid_from", "state")
   }
 
+  /** **Keyed upsert** ([[graft.operators.Upsert.upsert]]): base = the
+    * even-keyed orders, delta = the odd-keyed orders (inserts) plus the
+    * %10 == 0 keys with a bumped total (updates), with delta 'F'-status
+    * rows acting as tombstones. Oracle replays the same reconciliation
+    * declaratively (base rows surviving only when no delta row claims
+    * the key, plus delta non-tombstones). */
+  def upsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val base = ord.filter(col("o_orderkey") % 2 === 0)
+    val delta = ord.filter(col("o_orderkey") % 2 === 1)
+      .unionByName(ord.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+    graft.operators.Upsert.upsert(base, delta, col("o_orderkey"),
+        col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val upsertSnapshotSql =
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |delta AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1
+      |          UNION ALL
+      |          SELECT o_orderkey, o_custkey, o_orderstatus,
+      |            o_totalprice + 1000.0, o_orderdate, o_orderpriority
+      |          FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM delta d
+      |                    WHERE d.o_orderkey = b.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta
+      |  WHERE o_orderstatus <> 'F')
+      |ORDER BY o_orderkey""".stripMargin
+
   /** **Snapshot diff**: classify documents across two corpus versions as
     * added / removed / changed — the ingest-regression check run between
     * consecutive crawl snapshots. Content equality is digest equality
@@ -382,6 +416,7 @@ object DataCleaning {
 
   val all: Seq[Q] = Seq(
     Q("dq_audit", dqAuditSql)(dqAudit),
+    Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),

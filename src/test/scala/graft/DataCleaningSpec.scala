@@ -185,6 +185,20 @@ class DataCleaningSpec extends SparkTestBase {
     assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined, plan)
   }
 
+  // --- keyed upsert --------------------------------------------------
+
+  test("upsert: delta wins per key, tombstones delete, base never reshuffles") {
+    import graft.operators.Upsert
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("k", "v", "ver")
+    val delta = Seq((2L, "B", 2), (3L, "DEAD", 2), (4L, "d", 2)).toDF("k", "v", "ver")
+    val out = Upsert.upsert(base, delta, col("k"), col("v") === "DEAD")
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq((1L, "a", 1), (2L, "B", 2), (4L, "d", 2)))
+    val plan = Upsert.upsert(base, delta, col("k"), col("v") === "DEAD")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+  }
+
   // --- histogram + winsorize ----------------------------------------
 
   test("histogram_equidepth buckets tile the value range with full coverage") {
