@@ -178,6 +178,31 @@ object DataCleaning {
       |  WHERE o_orderstatus <> 'F')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** **JSONL round trip** ([[graft.sources.TextSources]]): export the
+    * documents table as line-delimited JSON (zstd) and re-ingest it with
+    * an explicit schema under the PERMISSIVE corrupt-record policy — the
+    * bronze-layer ingestion path. The oracle is the original table: the
+    * gate proves the export→ingest cycle is lossless (unicode text
+    * escaping included) and that a clean file quarantines nothing. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_jsonl_docs").getAbsolutePath
+    graft.sources.TextSources.writeJsonl(Tables.documents(spark, dir), tmp)
+    graft.sources.TextSources
+      .readJsonl(spark, tmp, graft.Tables.documentsSchema)
+      // quarantine filter on a DATA column (a malformed line parses as
+      // all-NULL data columns): filtering on _corrupt_record itself
+      // trips QUERY_ONLY_CORRUPT_RECORD_COLUMN as soon as a consumer
+      // (count()) prunes the projection down to it
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val jsonlRoundtripSql =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** **Snapshot diff**: classify documents across two corpus versions as
     * added / removed / changed — the ingest-regression check run between
     * consecutive crawl snapshots. Content equality is digest equality
@@ -417,6 +442,7 @@ object DataCleaning {
   val all: Seq[Q] = Seq(
     Q("dq_audit", dqAuditSql)(dqAudit),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
+    Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),

@@ -35,6 +35,43 @@ class SourcesSpec extends SparkTestBase {
     assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
   }
 
+  test("corrupt-record policy: PERMISSIVE quarantines, DROPMALFORMED sheds, FAILFAST throws") {
+    import graft.sources.TextSources
+    val dir = Files.createTempDirectory("graftjsonl").toString
+    val f = new java.io.File(dir, "part.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |this line is not json
+        |{"doc_id": 2, "text": "fine", "lang": "de", "source": "s", "n_chars": 4}
+        |""".stripMargin)
+    // cache: Spark disallows corrupt-column-only queries straight off
+    // the raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val permissive = TextSources.readJsonl(spark, dir, Tables.documentsSchema)
+      .cache()
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col(TextSources.corruptCol).isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.select(TextSources.corruptCol).head().getString(0)
+      .contains("not json"))
+    val dropped = TextSources.readJsonl(spark, dir, Tables.documentsSchema,
+      mode = "DROPMALFORMED")
+    assert(dropped.count() == 2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      TextSources.readJsonl(spark, dir, Tables.documentsSchema,
+        mode = "FAILFAST").count()
+    }
+    assert(ex.getMessage.contains("FAILFAST") ||
+      ex.getCause != null)
+  }
+
+  test("jsonl_roundtrip query preserves every document byte for byte") {
+    val back = SparkEntry.queries("jsonl_roundtrip")(spark, sf0001)
+    val orig = Tables.documents(spark, sf0001)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig.select("doc_id", "text", "lang", "source",
+      "n_chars")).count() == 0)
+  }
+
   test("Manifest.fileList extracts a job's dump files; inputPaths resolves them") {
     // the reference's dumpstatus.json shape: {"jobs": {"f1": {...}, ...}}
     val dir = Files.createTempDirectory("graftmanifest").toString
