@@ -225,6 +225,23 @@ object Similarity {
     slice(array_sort(scored), 1, n).getField("cell")
   }
 
+  /** Public cell assignment — every vector's nearest k-means centroid
+    * (the IVF routing step exposed for corpus analysis): one bounded
+    * TakeOrdered sample, driver Lloyd, then a per-row codegen'd argmin
+    * over the nCells centroid literals. The literal form is right for
+    * routing-scale nCells (≤ low hundreds — the same codegen bound
+    * [[Dedup.semanticDedup]] documents); past that, switch to its
+    * broadcast-seeds + window-argmax assignment. */
+  def assignCells(df: DataFrame, nCells: Int = 16): DataFrame = {
+    val c0 = df.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val sample = trainSample(c0)
+    val cents = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
+      .map(_.map(_.toFloat)).zipWithIndex
+    val nearestCells = nearestCellsOf(cents) _
+    c0.select(col("cand_id").as("vec_id"),
+      nearestCells(col("cv"), 1).getItem(0).as("cell"))
+  }
+
   /** Shared tail of the IVF paths: score probed (query, candidate) rows
     * and keep each query's top k. */
   private def scoreCells(qAssigned: DataFrame, cAssigned: DataFrame,

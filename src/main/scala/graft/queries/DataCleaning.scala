@@ -291,6 +291,33 @@ object DataCleaning {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** **Cluster-mixture report** ([[graft.operators.Similarity
+    * .assignCells]]): k-means cells over the embedding corpus, reported
+    * as per-cluster size, majority label, and purity — the data-mixture
+    * analysis a curation pipeline runs before choosing sampling weights
+    * (which clusters dominate? which are label-pure?). Rows-only by
+    * contract (k-means assignment is engine-specific); the spec pins
+    * determinism, size conservation, and majority/purity arithmetic. */
+  def corpusClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = graft.operators.Similarity.assignCells(e)
+      .join(e.select("vec_id", "label"), "vec_id")
+    val perLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("cnt").desc, col("label"))
+    perLabel
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("n"),
+        col("label").as("majority_label"),
+        col("cnt").as("n_majority"),
+        (col("cnt").cast("double") / col("n")).as("purity"))
+      .orderBy("cell")
+  }
+
   /** **Hard-negative mining** ([[graft.operators.Similarity
     * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
     * different label — the contrastive-pair step of an embedding-training
@@ -450,6 +477,7 @@ object DataCleaning {
     // merge ≡ full recompute: the incremental path answers the batch SQL
     Q("scd2_merge", scd2IntervalsSql)(scd2Merge),
     Q.noOracle("hll_rollup")(hllRollup),
+    Q.noOracle("corpus_clusters")(corpusClusters),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),
     Q("skew_report", skewReportSql)(skewReport),

@@ -185,6 +185,34 @@ class DataCleaningSpec extends SparkTestBase {
     assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined, plan)
   }
 
+  // --- cluster mixture -----------------------------------------------
+
+  test("corpus_clusters: deterministic, size-conserving, purity arithmetic") {
+    val rep1 = SparkEntry.queries("corpus_clusters")(spark, sf0001)
+      .as[(Int, Long, Int, Long, Double)].collect().toSeq
+    val rep2 = SparkEntry.queries("corpus_clusters")(spark, sf0001)
+      .as[(Int, Long, Int, Long, Double)].collect().toSeq
+    assert(rep1 == rep2) // seeded sample + seeded Lloyd
+    assert(rep1.map(_._2).sum == Tables.embeddings(spark, sf0001).count())
+    assert(rep1.size > 1, "degenerate single cluster")
+    rep1.foreach { case (_, n, _, nMaj, purity) =>
+      assert(nMaj <= n && purity == nMaj.toDouble / n)
+    }
+    // majority label is the argmax of the recomputed per-cell label counts
+    val e = Tables.embeddings(spark, sf0001)
+    val assigned = graft.operators.Similarity.assignCells(e)
+      .join(e.select("vec_id", "label"), "vec_id")
+      .as[(Long, Int, Int)].collect()
+    val byCell = assigned.groupBy(_._2)
+    rep1.foreach { case (cell, n, maj, nMaj, _) =>
+      val labels = byCell(cell).map(_._3)
+      assert(labels.length == n)
+      val want = labels.groupBy(identity).map { case (l, xs) => (l, xs.length) }
+        .toSeq.minBy { case (l, c) => (-c, l) }
+      assert((maj, nMaj) == want)
+    }
+  }
+
   // --- keyed upsert --------------------------------------------------
 
   test("upsert: delta wins per key, tombstones delete, base never reshuffles") {
