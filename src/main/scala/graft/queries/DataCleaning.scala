@@ -318,6 +318,34 @@ object DataCleaning {
       .orderBy("cell")
   }
 
+  /** **PageRank over the trade graph** ([[graft.operators.Graph
+    * .pageRank]]): nation→nation edges weighted by total trade value
+    * (customer's nation → supplier's nation per lineitem), 10 damped
+    * rounds. Emits the rank ORDER (position, ties by node), never the
+    * float ranks — SURVEY §7 rule 5 — and is rows-only by contract
+    * (iterative float sums have no SQL twin); GraphSpec anchors the
+    * values against an independent driver-side reference. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("val"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(sum(col("val")).as("w"))
+    val ranks = graft.operators.Graph.pageRank(
+      edges, col("src"), col("dst"), col("w"), iters = 10)
+    ranks.select(col("node").as("nationkey"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("node"))).as("rank_pos"))
+      .orderBy("rank_pos")
+  }
+
   /** **Hard-negative mining** ([[graft.operators.Similarity
     * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
     * different label — the contrastive-pair step of an embedding-training
@@ -478,6 +506,7 @@ object DataCleaning {
     Q("scd2_merge", scd2IntervalsSql)(scd2Merge),
     Q.noOracle("hll_rollup")(hllRollup),
     Q.noOracle("corpus_clusters")(corpusClusters),
+    Q.noOracle("graph_pagerank")(graphPagerank),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),
     Q("skew_report", skewReportSql)(skewReport),

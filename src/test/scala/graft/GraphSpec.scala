@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Dedup, Graph}
+
+/** Weighted PageRank: agreement with an independent driver-side
+  * reference, mass conservation, dangling-node handling. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent in-memory reference — same dangling redistribution. */
+  private def refPageRank(edges: Seq[(Long, Long, Double)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, t, w) =>
+        contrib(t) += r(s) * (w / outW(s))
+      }
+      val flowed = contrib.values.sum
+      val dangling = 1.0 - flowed
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long, Double)], iters: Int)
+      : Map[Long, Double] = {
+    val df = edges.toDF("src", "dst", "w")
+    val out = Graph.pageRank(df, col("src"), col("dst"), col("w"), iters)
+      .as[(Long, Double)].collect().toMap
+    Dedup.releaseCaches()
+    out
+  }
+
+  test("matches the reference on a hand graph with a dangling node") {
+    // 1 -> 2 -> 3, 3 dangling; 1 also -> 3 with half the weight
+    val edges = Seq((1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+    val got = run(edges, iters = 10)
+    val want = refPageRank(edges, iters = 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conserved
+    // the sink accumulates the most mass
+    assert(got.maxBy(_._2)._1 == 3L)
+  }
+
+  test("property: agrees with the reference on random weighted graphs") {
+    val gen = for {
+      n <- Gen.choose(2, 8)
+      m <- Gen.choose(1, 20)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n.toLong - 1)
+        t <- Gen.choose(0L, n.toLong - 1)
+        w <- Gen.choose(1, 9)
+      } yield (s, t, w.toDouble))
+    } yield es.distinct
+    val prop = Prop.forAll(gen) { es =>
+      es.isEmpty || {
+        val got = run(es, iters = 5)
+        val want = refPageRank(es, iters = 5)
+        got.keySet == want.keySet &&
+          got.forall { case (k, v) => math.abs(v - want(k)) < 1e-9 }
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("graph_pagerank emits a total rank order over every trading nation") {
+    val out = SparkEntry.queries("graph_pagerank")(spark, sf0001)
+      .as[(Int, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sorted == (1 to out.length))
+    assert(out.map(_._1).distinct.length == out.length)
+    // deterministic across constructions
+    val again = SparkEntry.queries("graph_pagerank")(spark, sf0001)
+      .as[(Int, Int)].collect().toSeq
+    assert(out == again)
+    Dedup.releaseCaches()
+  }
+}
