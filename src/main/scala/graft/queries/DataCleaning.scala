@@ -203,6 +203,29 @@ object DataCleaning {
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** **Small-file compaction report** ([[graft.sources.Sink.compact]]):
+    * fragment the documents table into 8 files per lang partition (a
+    * simulated append-heavy layout), compact to ≤700 rows per file, and
+    * report per partition. `files_ok` asserts INSIDE the engine that the
+    * rewritten file count equals ceil(rows/target); the oracle pins the
+    * row conservation and expects every partition compacted. */
+  def compactReport(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_compact_docs").getAbsolutePath
+    Tables.documents(spark, dir).repartition(8)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    graft.sources.Sink.compact(spark, tmp, "lang", targetRows = 700L)
+      .select(col("lang"), col("rows"), col("rows_after"),
+        (col("files_after") === ceil(col("rows").cast("double") / 700.0)
+          .cast("long")).as("files_ok"))
+      .orderBy("lang")
+  }
+
+  private val compactReportSql =
+    """SELECT lang, COUNT(*) AS rows, COUNT(*) AS rows_after,
+      |  TRUE AS files_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** **Snapshot diff**: classify documents across two corpus versions as
     * added / removed / changed — the ingest-regression check run between
     * consecutive crawl snapshots. Content equality is digest equality
@@ -498,6 +521,7 @@ object DataCleaning {
     Q("dq_audit", dqAuditSql)(dqAudit),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
+    Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),

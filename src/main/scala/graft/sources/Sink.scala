@@ -40,6 +40,47 @@ object Sink {
       path,
       partitionCols = Seq("wiki", "month"))
 
+  /** **Small-file compaction** — the table-maintenance job every
+    * partitioned 100 TB dataset needs: streaming/batch appends leave
+    * partitions fragmented into many undersized files (one per task per
+    * micro-batch), and scan cost becomes file-open-bound instead of
+    * byte-bound. Rewrite each partition into `ceil(rows/targetRows)`
+    * files: ONE read of the fragmented layout, a repartition keyed on
+    * (partition, file-slot) so output files land near `targetRows` rows
+    * each, one write. Returns the per-partition (files_before,
+    * files_after, rows) report — the audit row a maintenance scheduler
+    * gates on, same report-first discipline as
+    * [[graft.operators.DataQuality]]. Content is preserved exactly
+    * (spec: row-set equality before/after). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive (got $targetRows)")
+    def fileStats(p: String, filesCol: String, rowsCol: String): DataFrame =
+      spark.read.parquet(p)
+        .select(col(partitionCol), input_file_name().as("f"))
+        .groupBy(col(partitionCol))
+        .agg(countDistinct(col("f")).as(filesCol), count(lit(1)).as(rowsCol))
+    val before = fileStats(path, "files_before", "rows")
+    // one shuffle keyed on the partition column co-locates each
+    // partition's rows in one task; maxRecordsPerFile then splits any
+    // oversized partition into ceil(rows/targetRows) files — the
+    // deterministic file count the report carries
+    spark.read.parquet(path)
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", targetRows)
+      .partitionBy(partitionCol)
+      .parquet(path + "__compacted")
+    before
+      .join(fileStats(path + "__compacted", "files_after", "rows_after"),
+        partitionCol)
+      .select(col(partitionCol).cast("string").as(partitionCol),
+        col("files_before"), col("files_after"), col("rows"),
+        col("rows_after"))
+      .orderBy(partitionCol)
+  }
+
   /** The reference's incremental skip (S2): drop work items whose derived
     * output key already exists. A genuine left-anti join over the key
     * transform `item + "." + suffix` (main.py:66-68); `overwrite=true`

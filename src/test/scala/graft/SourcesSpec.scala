@@ -72,6 +72,33 @@ class SourcesSpec extends SparkTestBase {
       "n_chars")).count() == 0)
   }
 
+  test("compact rewrites fragmented partitions to ceil(rows/target) files, content intact") {
+    import graft.sources.Sink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftcompact").toString + "/t"
+    val data = (1 to 500).map(i => (i.toLong, s"g${i % 3}", s"v$i"))
+      .toDF("id", "g", "v")
+    data.repartition(6).write.partitionBy("g").parquet(dir)
+    val rep = Sink.compact(spark, dir, "g", targetRows = 100L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(_._1) == Seq("g0", "g1", "g2"))
+    rep.foreach { case (g, fb, fa, rows, rowsAfter) =>
+      assert(rows == rowsAfter)
+      assert(fb == 6, s"$g fragmented into $fb files, expected 6")
+      assert(fa == math.ceil(rows / 100.0).toLong, s"$g -> $fa files")
+      assert(fa < fb)
+    }
+    // on-disk file count matches the report; content preserved exactly
+    val back = spark.read.parquet(dir + "__compacted")
+    assert(back.count() == 500)
+    assert(back.select("id", "g", "v").exceptAll(data).count() == 0)
+    rep.foreach { case (g, _, fa, _, _) =>
+      val files = new java.io.File(dir + s"__compacted/g=$g")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == fa, s"on-disk $files != reported $fa for $g")
+    }
+  }
+
   test("Manifest.fileList extracts a job's dump files; inputPaths resolves them") {
     // the reference's dumpstatus.json shape: {"jobs": {"f1": {...}, ...}}
     val dir = Files.createTempDirectory("graftmanifest").toString
