@@ -136,6 +136,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size == batchAll - keys)
   }
 
+  test("versioned upsert sink: streamed deltas converge to the batch fold, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Upsert
+    val dir = java.nio.file.Files.createTempDirectory("graftupsert").toString + "/snap"
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "v", "seq")
+      .writeStream
+      .foreachBatch(Upsert.versionedSink(dir, "k", "seq", "seq",
+        isTombstone = col("v") === "DEAD"))
+      .outputMode("update").start()
+    mem.addData(Seq((1L, "a", 1L), (2L, "b", 2L)))
+    q.processAllAvailable()
+    mem.addData(Seq((2L, "b2", 3L), (2L, "b3", 4L), (3L, "c", 5L))) // in-batch dedup
+    q.processAllAvailable()
+    mem.addData(Seq((1L, "DEAD", 6L), (4L, "d", 7L)))               // delete + insert
+    q.processAllAvailable()
+    q.stop()
+    val got = Upsert.readLatest(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((2L, "b3", 4L), (3L, "c", 5L), (4L, "d", 7L)))
+    // replay safety: re-applying the last batch id over the same state
+    // rewrites its own version rather than stacking a new one
+    val sink = Upsert.versionedSink(dir, "k", "seq", "seq",
+      col("v") === "DEAD")
+    sink(Seq((1L, "DEAD", 6L), (4L, "d", 7L)).toDF("k", "v", "seq"), 2L)
+    val replayed = Upsert.readLatest(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(replayed == got)
+  }
+
   test("streaming session windows converge to the batch sessionize islands") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)
