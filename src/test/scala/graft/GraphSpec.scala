@@ -23,8 +23,10 @@ class GraphSpec extends SparkTestBase {
       edges.foreach { case (s, t, w) =>
         contrib(t) += r(s) * (w / outW(s))
       }
-      val flowed = contrib.values.sum
-      val dangling = 1.0 - flowed
+      // same dangling formulation as the engine: Σ rank over
+      // out-edge-less nodes (not 1 − flowed — float-identical only up
+      // to rounding, and the spec tolerance should not absorb that)
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
       r = nodes.map(v =>
         v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
     }
