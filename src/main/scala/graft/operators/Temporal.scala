@@ -62,6 +62,46 @@ object Temporal {
         col("n_events"))
   }
 
+  /** **Daily resample with forward fill** — sparse observations onto a
+    * dense per-key daily grid, gaps carrying the last observed value
+    * (the sensor/price/metric gap-fill every time-series warehouse
+    * runs). Shape: the day's closing observation is a (key, day) window
+    * rank; the grid is a per-row `sequence(min_day, max_day)` explode
+    * (pure arithmetic, no generator join); the fill is
+    * `last(_, ignoreNulls)` over the SAME `partitionBy(key)` the join
+    * already shuffled on — so the whole operator costs the (key, day)
+    * aggregation shuffle plus one key shuffle. Grid size is bounded by
+    * span/day, not event count — the dense frame can EXCEED the input
+    * for long-lived keys; that expansion is the operator's point.
+    *
+    * Output: (key, day, value_filled, n_obs, is_gap); leading days
+    * before a key's first observation cannot occur (grid starts at its
+    * first observed day), so `value_filled` is never NULL. */
+  def resampleFfillDaily(df: DataFrame, key: Column, ts: Column,
+      value: Column, tie: Column): DataFrame = {
+    val base = df.select(key.as("key"), to_date(ts).as("day"),
+      value.as("v"), ts.as("t"), tie.as("tb"))
+    val wDay = Window.partitionBy(col("key"), col("day"))
+    val daily = base
+      .withColumn("rn", row_number().over(
+        wDay.orderBy(col("t").desc, col("tb").desc)))
+      .withColumn("n_obs", count(lit(1)).over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("day"), col("v").as("day_last"), col("n_obs"))
+    val spine = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("key"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wFill = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        last(col("day_last"), ignoreNulls = true).over(wFill)
+          .as("value_filled"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("day_last").isNull.as("is_gap"))
+  }
+
   /** **Incremental SCD2 maintenance** — the MERGE INTO pattern: fold a
     * delta batch of events into an existing [[scd2]] history WITHOUT
     * recomputing untouched keys. Exactness contract (spec + oracle):

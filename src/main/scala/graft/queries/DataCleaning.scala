@@ -226,6 +226,40 @@ object DataCleaning {
       |  TRUE AS files_ok
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** **Daily resample + forward fill** ([[graft.operators.Temporal
+    * .resampleFfillDaily]]): each user's event values onto a dense daily
+    * grid, gaps carrying the last observation forward. `value_filled`
+    * is a pass-through double (never recomputed — SURVEY §7 rule 2). */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.resampleFfillDaily(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "day")
+
+  private val resampleFfillSql =
+    """WITH ranked AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_obs
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, value AS day_last, n_obs FROM ranked WHERE rn = 1
+      |), spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE
+      |      AS day
+      |  FROM daily GROUP BY user_id
+      |)
+      |SELECT s.user_id AS user_id, s.day AS day,
+      |  last_value(d.day_last IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS UNBOUNDED PRECEDING) AS value_filled,
+      |  COALESCE(d.n_obs, 0) AS n_obs, d.day IS NULL AS is_gap
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY user_id, day""".stripMargin
+
   /** **Snapshot diff**: classify documents across two corpus versions as
     * added / removed / changed — the ingest-regression check run between
     * consecutive crawl snapshots. Content equality is digest equality
@@ -531,6 +565,7 @@ object DataCleaning {
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
     // merge ≡ full recompute: the incremental path answers the batch SQL
     Q("scd2_merge", scd2IntervalsSql)(scd2Merge),
+    Q("resample_ffill", resampleFfillSql)(resampleFfill),
     Q.noOracle("hll_rollup")(hllRollup),
     Q.noOracle("corpus_clusters")(corpusClusters),
     Q.noOracle("graph_pagerank")(graphPagerank),

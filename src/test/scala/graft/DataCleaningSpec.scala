@@ -185,6 +185,41 @@ class DataCleaningSpec extends SparkTestBase {
     assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(plan).isDefined, plan)
   }
 
+  // --- resample + forward fill ---------------------------------------
+
+  test("resampleFfillDaily fills gaps with the day's closing observation") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 1.0, 1L),
+      (1L, Timestamp.valueOf("2024-01-01 20:00:00"), 2.0, 2L), // closes day 1
+      (1L, Timestamp.valueOf("2024-01-04 12:00:00"), 9.0, 3L), // 2-day gap
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 5.0, 4L)
+    ).toDF("k", "t", "v", "e")
+    val out = Temporal.resampleFfillDaily(df, col("k"), col("t"), col("v"),
+        col("e"))
+      .orderBy("key", "day")
+      .as[(Long, java.sql.Date, Double, Long, Boolean)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(out == Seq(
+      (1L, d("2024-01-01"), 2.0, 2L, false),
+      (1L, d("2024-01-02"), 2.0, 0L, true),
+      (1L, d("2024-01-03"), 2.0, 0L, true),
+      (1L, d("2024-01-04"), 9.0, 1L, false),
+      (2L, d("2024-01-02"), 5.0, 1L, false)))
+  }
+
+  test("resample_ffill grid tiles each user's observed span exactly") {
+    val out = SparkEntry.queries("resample_ffill")(spark, sf0001)
+    val n = out.count()
+    val spans = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+        .as("days"))
+      .agg(sum("days")).as[Long].head()
+    assert(n == spans)
+    assert(out.filter(col("value_filled").isNull).count() == 0)
+  }
+
   // --- cluster mixture -----------------------------------------------
 
   test("corpus_clusters: deterministic, size-conserving, purity arithmetic") {
