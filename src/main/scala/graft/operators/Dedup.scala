@@ -895,6 +895,16 @@ object Dedup {
       minTokens: Int): DataFrame = {
     require(minTokens >= n,
       s"minTokens ($minTokens) must be >= shingle width n ($n)")
+    // the spans stage is shared session state like the verified-pairs
+    // stage: the span listing (dedup_substring) and the scrub
+    // (substringScrub) both consume it, and spans are duplicated-mass-
+    // sized, so the persist is cheap relative to the positional join it
+    // avoids re-running
+    memoPersist(substringSpansUncached(df, id, text, n, minTokens))
+  }
+
+  private def substringSpansUncached(df: DataFrame, id: Column,
+      text: Column, n: Int, minTokens: Int): DataFrame = {
     val minRun = minTokens - n + 1
     val ps = positionalShingles(df, id, text, n)
     // identical subplans on both sides: Spark plans one shuffle on h and a
