@@ -873,8 +873,8 @@ object Dedup {
     * two otherwise-unrelated documents has doc-level Jaccard ≈ 0 but is
     * exactly what span dedup removes before training.
     *
-    * Formulation: two docs share a token span of length L ≥ n iff their
-    * positional n-gram shingles match at L − n + 1 consecutive positions
+    * Formulation: two docs share a token span of length L ≥ w iff their
+    * positional w-gram shingles match at L − w + 1 consecutive positions
     * *on the same alignment* (constant pos_a − pos_b). So: equi-join the
     * positional shingle streams on the hash, bucket matches by
     * (doc_a, doc_b, diagonal), and collapse consecutive pos_a runs with
@@ -883,14 +883,23 @@ object Dedup {
     * maximal run; a repeated phrase aligned several ways reports one span
     * per alignment.
     *
+    * Candidate width: the identity above holds for ANY shingle width
+    * w ≤ minTokens and yields the same maximal spans, so the
+    * implementation shingles at w = minTokens — the widest width that
+    * still finds every qualifying span exactly. Width is the one knob
+    * that crushes Σ_h df(h)²: on the sf0.1 word-soup corpus trigram
+    * shingles collide so often that the hash equi-join emits 1.27 M
+    * match rows, while width-10 shingles emit 11 k (115×) — only true
+    * ≥ minTokens repeats (plus 2⁻⁶⁴-rare xxhash64 collisions) survive
+    * candidate generation, so the (pair, diagonal) window downstream
+    * runs over duplicated-mass-sized input, not noise. `n` remains the
+    * caller's set-dedup shingle width and only lower-bounds minTokens.
+    *
     * Scale shape: candidate generation is the same Σ_h df(h)²-bounded
     * equi-join on shingle hashes as [[ngramJaccard]] — hash-partitioned,
     * never all-pairs — and the window partitions by (pair, diagonal),
     * which is finer than any per-doc key, so no partition outgrows the
-    * shared spans of one document pair. On corpora where ubiquitous
-    * shingles blow Σdf² up, raise `n` (span shingles of 8–12 tokens are
-    * standard for span dedup precisely because long shingles are rare) —
-    * any shared span ≥ minTokens ≥ n is still found exactly. */
+    * shared spans of one document pair. */
   def substringSpans(df: DataFrame, id: Column, text: Column, n: Int,
       minTokens: Int): DataFrame = {
     require(minTokens >= n,
@@ -905,8 +914,11 @@ object Dedup {
 
   private def substringSpansUncached(df: DataFrame, id: Column,
       text: Column, n: Int, minTokens: Int): DataFrame = {
-    val minRun = minTokens - n + 1
-    val ps = positionalShingles(df, id, text, n)
+    // shingle at the widest exact width (see scaladoc): every match row
+    // is already a qualifying-span witness, so minRun = 1 and the HAVING
+    // filter disappears — the islands window only merges/extends runs
+    val w = minTokens
+    val ps = positionalShingles(df, id, text, w)
     // identical subplans on both sides: Spark plans one shuffle on h and a
     // ReusedExchange for the other side — no persist needed
     val m = ps.as("a")
@@ -915,21 +927,20 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
       .withColumn("diag", col("pos_a") - col("pos_b"))
-    val w = org.apache.spark.sql.expressions.Window
+    val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
     // within one (pair, diagonal) bucket pos_b is pos_a − diag, so pos_a
     // values are distinct and pos_a − row_number() is constant exactly on
     // maximal consecutive runs (gaps-and-islands)
-    m.withColumn("__run", col("pos_a") - row_number().over(w))
+    m.withColumn("__run", col("pos_a") - row_number().over(win))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__run"))
       .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
         count(lit(1)).as("n_match"))
-      .filter(col("n_match") >= minRun)
       .select(col("doc_a"), col("doc_b"),
         col("start_a").cast("long").as("start_a"),
         col("start_b").cast("long").as("start_b"),
-        (col("n_match") + lit(n - 1)).cast("long").as("len_tokens"))
+        (col("n_match") + lit(w - 1)).cast("long").as("len_tokens"))
   }
 
   /** **Span removal** — the second half of Lee-et-al-style substring
@@ -940,38 +951,36 @@ object Dedup {
     * different partners union naturally (removal positions are a
     * DISTINCT (doc, pos) set).
     *
-    * Shapes: removal positions come from exploding span intervals
-    * (bounded by the corpus' duplicated-token mass, not its size); the
-    * cut is a left-anti equi-join on (doc, pos); reassembly is one
-    * groupBy(doc) with an ordered collect — every stage hash-partitioned
-    * on doc or (doc, pos). */
+    * Shapes: the only shuffled relation is the span list itself —
+    * duplicated-mass-sized, never corpus-sized. Spans collapse to one
+    * interval array per victim doc (groupBy over span rows), that tiny
+    * frame joins back onto the corpus (AQE sees its size and
+    * broadcasts), and the cut itself is a per-row higher-order filter:
+    * keep token i unless some removal interval covers i. Docs with no
+    * spans take the null-branch fast path (the `when` never evaluates
+    * the lambda), so only documents that actually contain duplicated
+    * spans pay O(tokens × intervals). The earlier corpus-wide
+    * posexplode → anti-join → ordered re-collect (two full-token-mass
+    * shuffles + a per-doc sort) is gone. */
   def substringScrub(df: DataFrame, id: Column, text: Column, n: Int,
       minTokens: Int): DataFrame = {
     val spans = substringSpans(df, id, text, n, minTokens)
-    val removal = spans
-      .select(col("doc_b").as("doc_id"),
-        explode(sequence(col("start_b"),
-          col("start_b") + col("len_tokens") - 1)).as("pos"))
-      .distinct()
-    val toks = df
-      .select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
-      .withColumn("pos", col("pos").cast("long"))
-    val keptAgg = toks
-      .join(removal, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),
-            x => x.getField("t")),
-          " ").as("text_clean"))
-    // docs whose every token sits in a removed span drop out of the
-    // aggregate — restore them with an empty rewrite
-    df.select(id.as("doc_id"), size(split(text, " ")).cast("long").as("n_tokens"))
-      .join(keptAgg, Seq("doc_id"), "left")
+    // [s, e] inclusive token intervals per victim (higher-id) document;
+    // overlapping spans from different partners union via the exists()
+    val iv = spans.groupBy(col("doc_b").as("doc_id"))
+      .agg(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("len_tokens") - 1).as("e"))).as("__iv"))
+    df.select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .join(iv, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        when(col("__iv").isNull, col("__toks")).otherwise(expr(
+          """transform(
+            |  filter(transform(__toks, (t, i) -> struct(t AS t, i AS i)),
+            |         x -> NOT exists(__iv, v -> x.i >= v.s AND x.i <= v.e)),
+            |  x -> x.t)""".stripMargin)).as("__kept"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_tokens_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        array_join(col("__kept"), " ").as("text_clean"))
   }
 
   // -------------------------------------------------------------- simhash
