@@ -12,20 +12,35 @@ import org.apache.spark.sql.functions._
   * deterministically tie-broken by (count desc, pair asc).
   *
   * Scale shape: the corpus collapses ONCE to the distinct-word frequency
-  * table (Heaps'-law small — the only full-corpus shuffle), persisted
-  * and shared by every iteration. Each of the `nMerges` iterations is
-  * two bounded jobs over that table: an adjacent-pair count (equi-key
-  * groupBy) and a 1-row TakeOrdered argmax; the merge itself is applied
-  * lazily as a codegen'd fold, so iteration k re-runs k folds over the
-  * persisted words rather than materializing a new table per round —
-  * O(nMerges²) passes over the SMALL table, zero extra shuffles, and
-  * only nMerges single-row driver actions (same bounded-collect
-  * discipline as [[KMeansLite]]'s trainer). */
+  * table (Heaps'-law small — the only full-corpus shuffle), which is then
+  * COLLECTED and the whole merge loop runs driver-side over the in-memory
+  * table with incremental pair-count maintenance (the Sennrich reference
+  * implementation's own design; same bounded-collect discipline as
+  * [[KMeansLite]]'s trainer, guarded by an explicit row cap). One Spark
+  * job total, regardless of nMerges — a real 32k-merge vocabulary costs
+  * O(nMerges × pairs) driver work over a table Heaps' law keeps in the
+  * single-digit-millions, not nMerges² cluster jobs. The per-merge
+  * distributed formulation it replaced (one pair-count job + one argmax
+  * action per merge, lazily chained folds) survives as
+  * [[runMergeLoopDistributed]], the executable reference BpeSpec pins
+  * the driver loop against. */
 object Bpe {
 
-  /** Serializes [[train]]'s merge loops within the JVM — see the
-    * call-site comment for why concurrent trainings over one plan would
-    * corrupt each other's stride checkpoints. */
+  /** Distinct-word cap for the driver-side merge loop's collect. Heaps'
+    * law puts real web-corpus vocabularies in the low millions (English
+    * CommonCrawl: ~10⁶–10⁷ distinct pre-tokens); 2²³ ≈ 8.4 M rows of
+    * (count, short symbol array) is a few hundred MB of driver heap —
+    * the same order [[KMeansLite]]'s sample collect allows. Corpora past
+    * the cap fail loudly rather than silently OOMing the driver. */
+  private val MaxVocabRows = 1 << 23
+
+  /** Serializes [[runMergeLoopDistributed]]'s merge loops within the
+    * JVM: two concurrent distributed trainings over the same words plan
+    * would SHARE their plan-keyed stride caches (Spark's CacheManager
+    * keys by logical plan), and the first finisher's unpersist would
+    * evict the other's live checkpoint mid-loop. The production
+    * driver-side loop ([[runMergeLoopLocal]]) touches no plan-keyed
+    * state and does not take this lock. */
   private val trainLock = new Object
 
   /** Greedy left-to-right merge of adjacent (l, r) symbol runs, as a fold
@@ -72,40 +87,126 @@ object Bpe {
             .as("syms")))
     // the learned merge table is memoized per (session, words-plan,
     // nMerges): the trainer and every consumer that replays its merges
-    // (token_bpe_encode re-derives them) share ONE run of the
-    // nMerges-iteration driver loop instead of re-collecting per
-    // construction. nMerges enters the gate key as a marker column —
-    // memoGate keys on the canonicalized plan alone.
-    // trainLock serializes merge loops within the JVM: two concurrent
-    // trainings over the same words plan would SHARE their plan-keyed
-    // stride caches (Spark's CacheManager keys by logical plan), and the
-    // first finisher's unpersist would evict the other's live checkpoint
-    // mid-loop — reintroducing the O(nMerges²) replay the stride
-    // prevents. Training is a driver-paced loop anyway; other gated
-    // operators stay unblocked (memoGate releases the registry lock
-    // while measuring).
+    // (token_bpe_encode re-derives them) share ONE run of the collect +
+    // driver loop instead of re-collecting per construction. nMerges
+    // enters the gate key as a marker column — memoGate keys on the
+    // canonicalized plan alone.
     val merges = Dedup.memoGate(words.withColumn("__n_merges", lit(nMerges))) {
-      Bpe.trainLock.synchronized { runMergeLoop(words, nMerges) }
+      runMergeLoopLocal(collectVocab(words), nMerges)
     }
     import spark.implicits._
     merges.toDF("step", "lhs", "rhs", "pair_count")
   }
 
-  /** Every `MergePersistStride` iterations the rewritten vocab is
-    * persisted, capping the lazy fold chain each argmax re-evaluates at
-    * stride length: without it, iteration k replays k folds from the
-    * base table and the loop totals O(nMerges²) fold applications —
-    * irrelevant at nMerges=8, the difference between minutes and hours
-    * at a real 10³⁺-merge vocabulary. Exactly ONE checkpoint stays live:
-    * the superseded one is released only after the next argmax action
-    * has materialized its successor (unpersisting earlier would force
-    * that materialization to replay the whole chain), and the last one
-    * is released when the loop ends — the memoized merge table, not the
-    * caches, is what callers reuse. */
+  /** Collect the persisted (cnt, syms) vocabulary for the driver loop,
+    * failing loudly past [[MaxVocabRows]] — the count probe is one cheap
+    * job over the already-persisted table. */
+  private def collectVocab(words: DataFrame): Array[(Long, Array[String])] = {
+    val n = words.count()
+    require(n <= MaxVocabRows,
+      s"BPE vocabulary has $n distinct pre-tokens, over the driver-side " +
+        s"cap $MaxVocabRows — pre-filter the corpus or raise the cap " +
+        "deliberately (driver heap scales with it)")
+    words.select(col("cnt"), col("syms")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+  }
+
+  /** The production merge loop: classic in-memory BPE training over the
+    * collected word-frequency table with incremental pair-statistics
+    * maintenance (Sennrich et al.'s own `replace_pair` discipline). Per
+    * merge: one O(#pairs) argmax scan, then only the words that actually
+    * contain the winning pair are rewritten — their old adjacent pairs
+    * decremented, the greedy left-to-right merge applied, new pairs
+    * incremented. The pair→words index is maintained additively (stale
+    * entries are filtered by the rewrite's containment check), so total
+    * work is O(nMerges × #pairs + Σ rewritten-word lengths): a 32k-merge
+    * vocabulary trains in driver seconds-to-minutes with zero Spark jobs
+    * inside the loop. Deterministic tie-break (count desc, lhs asc,
+    * rhs asc) — identical to the distributed reference's TakeOrdered. */
+  private[graft] def runMergeLoopLocal(vocab: Array[(Long, Array[String])],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val cnts = vocab.map(_._1)
+    val syms = vocab.map(w => mutable.ArrayBuffer.from(w._2))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + delta
+      if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+    }
+    def indexPairs(wid: Int): Unit = {
+      val w = syms(wid)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        bump(p, cnts(wid))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wid
+        i += 1
+      }
+    }
+    syms.indices.foreach(indexPairs)
+
+    // greedy left-to-right non-overlapping merge — the imperative twin of
+    // applyMerge's fold (BpeSpec pins the equivalence property-wise)
+    def rewrite(w: mutable.ArrayBuffer[String], l: String,
+        r: String): mutable.ArrayBuffer[String] = {
+      val out = new mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        if (i < w.length - 1 && w(i) == l && w(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= nMerges && pairCount.nonEmpty) {
+      var bestP: (String, String) = null
+      var bestC = Long.MinValue
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC &&
+            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestC = c
+        }
+      }
+      val (l, r) = bestP
+      merges += ((step, l, r, bestC))
+      // the index may hold stale word ids (decrements never un-index);
+      // the containment scan inside the rewrite pass filters them
+      pairWords.remove(bestP).foreach(_.foreach { wid =>
+        val w = syms(wid)
+        var contains = false
+        var i = 0
+        while (!contains && i < w.length - 1) {
+          contains = w(i) == l && w(i + 1) == r; i += 1
+        }
+        if (contains) {
+          var j = 0
+          while (j < w.length - 1) { bump((w(j), w(j + 1)), -cnts(wid)); j += 1 }
+          syms(wid) = rewrite(w, l, r)
+          indexPairs(wid)
+        }
+      })
+      pairCount.remove(bestP) // fully consumed by the merge
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  /** The superseded per-merge distributed loop — one pair-count job and
+    * one 1-row argmax action per merge over the persisted vocab, merges
+    * applied as lazily chained folds with a persist every
+    * [[MergePersistStride]] steps to cap replay. Kept as the executable
+    * reference [[runMergeLoopLocal]] is spec-pinned against (BpeSpec
+    * compares both loops merge for merge); not on the production path —
+    * at a real vocabulary its nMerges² fold replays and 2·nMerges
+    * cluster jobs are exactly what the driver-side loop removes. */
   private val MergePersistStride = 16
 
-  private def runMergeLoop(words: DataFrame,
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
+  private[graft] def runMergeLoopDistributed(words: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] = trainLock.synchronized {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = words.select(col("cnt"), col("syms"))
     var live: Option[DataFrame] = None      // current checkpoint

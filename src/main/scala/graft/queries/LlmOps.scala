@@ -1145,15 +1145,17 @@ object LlmOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  /** BPE merge-loop trainer ([[graft.operators.Bpe.train]]): 8 iterations
-    * of corpus-wide adjacent-pair counting + deterministic best-pair
-    * merge (count desc, pair asc). Full hash oracle: the greedy
-    * left-to-right merge fold runs verbatim as DuckDB `list_reduce`, so
-    * the oracle replays the identical 8 stages — pair counts, argmax
-    * tie-breaks, and rewrites — in SQL. */
+  /** BPE merge-loop trainer ([[graft.operators.Bpe.train]]): 64
+    * iterations of corpus-wide adjacent-pair counting + deterministic
+    * best-pair merge (count desc, pair asc) — all 64 run in ONE
+    * driver-side pass over the collected word table (one Spark job
+    * total). Full hash oracle: the greedy left-to-right merge fold runs
+    * verbatim as DuckDB `list_reduce`, so the oracle replays the
+    * identical 64 stages — pair counts, argmax tie-breaks, and rewrites
+    * — as a generated unrolled CTE chain. */
   def tokenBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.train(Tables.documents(spark, dir), col("text"),
-        nMerges = 8)
+        nMerges = 64)
       .orderBy("step")
 
   /** The merge-rewrite lambda both BPE oracles splice into `list_reduce`
@@ -1166,7 +1168,13 @@ object LlmOps {
 
   /** Shared WITH-clause body for the BPE oracles: vocab (w0/s0), then per
     * stage k the pair counts (pk), the argmax best pair (bk), and the
-    * rewritten vocab (sk). Generated, not hand-written. */
+    * rewritten vocab (sk). Generated, not hand-written. Each sk/bk is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and since stage k
+    * references s(k−1) twice (pair counts + rewrite), inlining doubles
+    * the expansion per stage — at 64 stages that is 2⁶⁴ scans (the
+    * un-hinted form exhausts file descriptors before it exhausts time).
+    * Materialization makes the oracle evaluate each stage once, exactly
+    * like the trainer it checks. */
   private def bpeOracleStages(nMerges: Int): String = {
     val stages = (1 to nMerges).map { k =>
       val prev = s"s${k - 1}"
@@ -1174,26 +1182,26 @@ object LlmOps {
          |          CAST(SUM(cnt) AS BIGINT) AS c
          |        FROM $prev, UNNEST(range(1, len(syms))) AS t(i)
          |        GROUP BY 1, 2),
-         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-         |s$k AS (SELECT $prev.cnt, string_split(list_reduce($prev.syms,
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT $prev.cnt, string_split(list_reduce($prev.syms,
          |          ${bpeFoldSql("b")}), ' ') AS syms
          |        FROM $prev CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS (SELECT tok AS w, COUNT(*) AS cnt
+    s"""w0 AS MATERIALIZED (SELECT tok AS w, COUNT(*) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(text,
        |          '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS tok FROM documents)
        |  GROUP BY tok),
-       |s0 AS (SELECT cnt,
+       |s0 AS MATERIALIZED (SELECT cnt,
        |         list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
        |       FROM w0),
        |$stages""".stripMargin
   }
 
   private val tokenBpeTrainSql = {
-    val union = (1 to 8)
+    val union = (1 to 64)
       .map(k => s"SELECT $k AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH ${bpeOracleStages(8)}
+    s"""WITH ${bpeOracleStages(64)}
        |$union
        |ORDER BY step""".stripMargin
   }

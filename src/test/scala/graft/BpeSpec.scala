@@ -145,18 +145,41 @@ class BpeSpec extends SparkTestBase {
     assert(result.passed, result.status.toString)
   }
 
-  test("long merge runs cross the persist stride and stay consistent with short runs") {
+  test("long merge runs stay consistent with short runs") {
     graft.operators.Dedup.releaseCaches()
     val docs = Tables.documents(spark, sf0001)
     val m20 = Bpe.train(docs, col("text"), nMerges = 20)
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
     val m8 = Bpe.train(docs, col("text"), nMerges = 8)
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
-    // a longer run extends a shorter one — the stride persist at step 16
-    // must not perturb the merge sequence
+    // a longer run extends a shorter one
     assert(m20.size == 20)
     assert(m20.take(8) == m8)
     assert(m20.map(_._4).sliding(2).forall { case Seq(a, b) => b <= a })
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("driver-side merge loop equals the distributed reference loop") {
+    // the production in-memory loop (incremental pair stats) against the
+    // superseded per-merge distributed formulation, merge for merge, on
+    // the real sf0.001 corpus — at nMerges=20 the distributed loop also
+    // crosses its persist stride (16), covering the checkpoint path
+    graft.operators.Dedup.releaseCaches()
+    val docs = Tables.documents(spark, sf0001)
+    val words = docs
+      .select(explode(graft.operators.TextOps.bpeishTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .persist()
+    val vocab = words.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    for (n <- Seq(8, 20)) {
+      val local = Bpe.runMergeLoopLocal(vocab, n)
+      val dist = Bpe.runMergeLoopDistributed(words, n)
+      assert(local == dist, s"nMerges=$n")
+    }
+    words.unpersist()
     graft.operators.Dedup.releaseCaches()
   }
 
