@@ -30,39 +30,65 @@ object Upsert {
     kept.unionByName(delta.filter(!isTombstone))
   }
 
+  /** One committed snapshot version: directory `v=<version>_b=<batchId>`
+    * under the sink root, counted only once its `_SUCCESS` marker exists
+    * (Spark's parquet committer writes it last, so a crashed write is
+    * invisible to every reader and to the next sink invocation). */
+  private case class Version(version: Long, batchId: Long,
+      dir: org.apache.hadoop.fs.Path)
+
+  /** List the committed versions of a sink directory, ascending. All
+    * listing goes through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * resolved from the path itself, so the sink runs unchanged against
+    * `file:`, `hdfs:`, `s3a:`, `gs:` — the stores the 100 TB story
+    * actually lives on (the earlier `java.io.File` form was local-only). */
+  private def listVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, Seq[Version]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .flatMap { s =>
+          val name = s.getPath.getName.stripPrefix("v=")
+          name.split("_b=") match {
+            case Array(v, b) if fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+              Some(Version(v.toLong, b.toLong, s.getPath))
+            case _ => None
+          }
+        }.sortBy(_.version)
+    (fs, vs)
+  }
+
   /** The **streaming half**: a `foreachBatch` body maintaining a
-    * VERSIONED parquet snapshot under `path/v=<n>` — each micro-batch
-    * reads the latest version, folds the batch through [[upsert]]
-    * (after within-batch latest-wins dedup on `(order, tie)`), and
-    * writes the next version. Append-only versioning sidesteps the
-    * read-while-overwrite hazard (the Delta-log idea without the log);
-    * compaction of old versions is [[graft.sources.Sink.compact]]'s
-    * kind of job. Batch ids are NOT used as versions: a replayed batch
-    * (at-least-once delivery) re-applies idempotently because upsert of
-    * the same delta twice is a no-op on the same base version only —
-    * so the sink reads the version WRITTEN BY the last *distinct*
-    * batch id, recorded in the version directory name
-    * (`v=<n>_b=<batchId>`): a replay of batch b overwrites its own
-    * version instead of stacking a new one. */
+    * VERSIONED parquet snapshot under `path/v=<n>_b=<batchId>` — each
+    * micro-batch reads the latest committed version, folds the batch
+    * through [[upsert]] (after within-batch latest-wins dedup on
+    * `(order, tie)`), and writes the next version. Strictly append-only,
+    * replays included (the Delta-log idea without the log): a replayed
+    * batch id b (at-least-once delivery) writes a FRESH version whose
+    * base is everything strictly before b's first version — bitwise the
+    * same snapshot content as b's original application, so readers see
+    * an idempotent state while no committed directory is ever rewritten
+    * in place. A crash at ANY point therefore loses at most the
+    * in-flight (un-`_SUCCESS`-marked) write, which the restarted stream
+    * redelivers; the previously committed chain always survives.
+    * Superseded replay versions are [[vacuum]]'s job. */
   def versionedSink(path: String, key: String, order: String, tie: String,
       isTombstone: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val dir = new java.io.File(path)
-      val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map { f =>
-          val Array(v, b) = f.getName.stripPrefix("v=").split("_b=")
-          (v.toLong, b.toLong, f)
-        }.sortBy(_._1)
-      // replay of the SAME batch id rewrites its own version; its base
-      // is everything strictly before it
-      val (myVersion, baseVersions) = versions.find(_._2 == batchId) match {
-        case Some((v, _, _)) => (v, versions.filter(_._1 < v))
-        case None => (versions.map(_._1).maxOption.getOrElse(0L) + 1, versions)
+      val (_, versions) = listVersions(spark, path)
+      val myVersion = versions.map(_.version).maxOption.getOrElse(0L) + 1
+      // replay of batch id b bases on the state BEFORE b first applied;
+      // a first delivery bases on the full committed chain
+      val baseVersions = versions.find(_.batchId == batchId) match {
+        case Some(first) => versions.filter(_.version < first.version)
+        case None => versions
       }
       val base = baseVersions.lastOption match {
-        case Some((_, _, f)) => spark.read.parquet(f.getAbsolutePath)
+        case Some(v) => spark.read.parquet(v.dir.toString)
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
       }
@@ -78,13 +104,54 @@ object Upsert {
     }
   }
 
-  /** Latest materialized state of a [[versionedSink]] directory. */
+  /** Latest committed state of a [[versionedSink]] directory. */
   def readLatest(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .sortBy(_.getName.stripPrefix("v=").split("_b=")(0).toLong)
-    require(vs.nonEmpty, s"no versions under $path")
-    spark.read.parquet(vs.last.getAbsolutePath)
+    val (_, vs) = listVersions(spark, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    spark.read.parquet(vs.last.dir.toString)
+  }
+
+  /** Time travel: the snapshot exactly as version `version` committed
+    * it. Versions survive until [[vacuum]] retires them. */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long): DataFrame = {
+    val (_, vs) = listVersions(spark, path)
+    vs.find(_.version == version) match {
+      case Some(v) => spark.read.parquet(v.dir.toString)
+      case None => throw new IllegalArgumentException(
+        s"version $version not present under $path — committed: " +
+          vs.map(_.version).mkString("[", ",", "]"))
+    }
+  }
+
+  /** Committed (version, batchId) pairs, ascending — the sink's history
+    * listing for time-travel discovery. */
+  def versions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long)] =
+    listVersions(spark, path)._2.map(v => (v.version, v.batchId))
+
+  /** Retention vacuum: delete committed versions older than the last
+    * `keepLast`, but NEVER anything the replay protocol may still read —
+    * every version from the base of the latest distinct batch id onward
+    * is protected, so a restart that redelivers the most recent batch
+    * still finds the exact base its replay must fold over. (Batches
+    * before that are checkpoint-committed: Structured Streaming never
+    * redelivers them.) Returns the versions deleted. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val (fs, vs) = listVersions(spark, path)
+    if (vs.isEmpty) return Seq.empty
+    val latestBatch = vs.last.batchId
+    val firstOfLatestBatch = vs.find(_.batchId == latestBatch).get.version
+    // the replay base: greatest version strictly below the latest
+    // batch's first version (or everything, if that batch opened the log)
+    val replayFloor = vs.filter(_.version < firstOfLatestBatch)
+      .map(_.version).maxOption.getOrElse(Long.MinValue)
+    val keepFloor = vs.takeRight(keepLast).head.version
+    val victims = vs.filter(v => v.version < keepFloor && v.version < replayFloor)
+    victims.foreach(v => fs.delete(v.dir, true))
+    victims.map(_.version)
   }
 }

@@ -156,14 +156,58 @@ class StreamingSpec extends SparkTestBase {
     val got = Upsert.readLatest(spark, dir)
       .as[(Long, String, Long)].collect().toSet
     assert(got == Set((2L, "b3", 4L), (3L, "c", 5L), (4L, "d", 7L)))
-    // replay safety: re-applying the last batch id over the same state
-    // rewrites its own version rather than stacking a new one
+    // replay safety: re-applying the last batch id appends a FRESH
+    // version based on the pre-batch state — identical snapshot content,
+    // and no committed directory is ever rewritten in place (a crash
+    // mid-replay can no longer lose the original version)
+    val before = Upsert.versions(spark, dir)
     val sink = Upsert.versionedSink(dir, "k", "seq", "seq",
       col("v") === "DEAD")
     sink(Seq((1L, "DEAD", 6L), (4L, "d", 7L)).toDF("k", "v", "seq"), 2L)
+    val after = Upsert.versions(spark, dir)
+    assert(after.size == before.size + 1 && after.take(before.size) == before)
+    assert(after.last._2 == 2L) // replayed batch id, new version number
     val replayed = Upsert.readLatest(spark, dir)
       .as[(Long, String, Long)].collect().toSet
     assert(replayed == got)
+  }
+
+  test("versioned sink: time travel, history, and retention vacuum on a file:-scheme path") {
+    import graft.operators.Upsert
+    // explicit Hadoop file: scheme — the sink's listing/delete go through
+    // FileSystem, so this is the local twin of the s3a:/gs: deployment
+    val dir = "file:" +
+      java.nio.file.Files.createTempDirectory("graftvsink").toString + "/snap"
+    val sink = Upsert.versionedSink(dir, "k", "seq", "seq",
+      isTombstone = col("v") === "DEAD")
+    sink(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "seq"), 0L)
+    sink(Seq((2L, "b2", 3L), (3L, "c", 4L)).toDF("k", "v", "seq"), 1L)
+    sink(Seq((1L, "DEAD", 5L), (4L, "d", 6L)).toDF("k", "v", "seq"), 2L)
+    assert(Upsert.versions(spark, dir) == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    def state(v: Long) = Upsert.readVersion(spark, dir, v)
+      .as[(Long, String, Long)].collect().toSet
+    assert(state(1) == Set((1L, "a", 1L), (2L, "b", 2L)))
+    assert(state(2) == Set((1L, "a", 1L), (2L, "b2", 3L), (3L, "c", 4L)))
+    assert(state(3) == Set((2L, "b2", 3L), (3L, "c", 4L), (4L, "d", 6L)))
+    assert(Upsert.readLatest(spark, dir)
+      .as[(Long, String, Long)].collect().toSet == state(3))
+    intercept[IllegalArgumentException](Upsert.readVersion(spark, dir, 9L))
+    // replay of the latest batch appends v4 with the same content as v3
+    sink(Seq((1L, "DEAD", 5L), (4L, "d", 6L)).toDF("k", "v", "seq"), 2L)
+    assert(Upsert.versions(spark, dir) ==
+      Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 2L)))
+    assert(state(4) == state(3))
+    // vacuum(keepLast=1) may delete v1 but NEVER the latest-distinct-
+    // batch chain: v2 is the replay base of batch 2 (its first version
+    // is v3), and v3/v4 are at-or-after it
+    assert(Upsert.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+    assert(Upsert.versions(spark, dir) == Seq((2L, 1L), (3L, 2L), (4L, 2L)))
+    // a further replay of batch 2 still finds its exact base and
+    // reproduces the same snapshot
+    sink(Seq((1L, "DEAD", 5L), (4L, "d", 6L)).toDF("k", "v", "seq"), 2L)
+    assert(state(5) == state(3))
+    // vacuum is idempotent once the floor is reached
+    assert(Upsert.vacuum(spark, dir, keepLast = 1) == Seq.empty)
   }
 
   test("streaming session windows converge to the batch sessionize islands") {
