@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions._
   *    pair (a pair at distance 0 collides on every variant; the distinct
   *    is on the pair ids, before the verify projection).
   *
-  * For dist ≤ k the same scheme needs k-deletion neighborhoods
-  * (multiplicative in len^k keys) — the scaladoc'd scale path is to chain
-  * this operator per edit class or fall back to the q-gram prefix filter
-  * of [[Dedup.ngramJaccardPrefix]]; dist ≤ 1 covers the dominant
-  * real-world class (single typo / digit substitution).
+  * For dist ≤ k the same scheme uses k-deletion neighborhoods: FastSS's
+  * theorem generalizes — ed(u,v) ≤ k implies the ≤k-deletion
+  * neighborhoods intersect — so [[fuzzyPairs2]] blocks on the
+  * 1 + L + C(L,2)-key ≤2-deletion set and verifies `levenshtein ≤ 2`,
+  * covering the two-typo collisions common in OCR'd dimensions. Length
+  * gating is implicit: variants of strings whose lengths differ by more
+  * than 2·k can never be equal, so no cross-length blowup. Keys grow
+  * O(L^k), which is why k stops at 2 here; beyond that the q-gram prefix
+  * filter of [[Dedup.ngramJaccardPrefix]] is the better geometry.
   */
 object EntityResolution {
 
@@ -53,10 +57,40 @@ object EntityResolution {
       transform(sequence(lit(1), length(name)), i =>
         concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name))))))
 
+  /** The ≤2-deletion neighborhood: [[deletionVariants]] plus every
+    * string obtained by deleting two characters (positions i < j). Same
+    * codegen'd-builtins-only discipline; the `when` guards keep
+    * `sequence` ascending on 0/1-char strings (Spark's sequence(a, b)
+    * with a > b DESCENDS rather than returning empty). Distinct for the
+    * same run-collapse reason as the 1-deletion set. */
+  def deletionVariants2(name: Column): Column = {
+    val L = length(name)
+    val d2 = when(L >= 2,
+      flatten(transform(sequence(lit(1), L - 1), i =>
+        transform(sequence(i + 1, L), j =>
+          concat(name.substr(lit(1), i - 1),
+            name.substr(i + 1, j - i - 1),
+            name.substr(j + 1, L))))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(concat(deletionVariants(name), d2))
+  }
+
   /** All distinct id pairs (id_a < id_b) whose names are within
     * Levenshtein distance 1, by deletion-variant blocking + exact verify.
     * Output: (id_a, id_b, name_a, name_b, dist). */
-  def fuzzyPairs(df: DataFrame, id: Column, name: Column): DataFrame = {
+  def fuzzyPairs(df: DataFrame, id: Column, name: Column): DataFrame =
+    fuzzyPairsImpl(df, id, name, deletionVariants, 1)
+
+  /** [[fuzzyPairs]] at Levenshtein distance ≤ 2: ≤2-deletion
+    * neighborhood blocking + exact verify (complete by the FastSS
+    * theorem at k=2; EntityResolutionSpec property-proves it on random
+    * 2-edit neighborhoods and the registered query's oracle is again
+    * the quadratic all-pairs join). */
+  def fuzzyPairs2(df: DataFrame, id: Column, name: Column): DataFrame =
+    fuzzyPairsImpl(df, id, name, deletionVariants2, 2)
+
+  private def fuzzyPairsImpl(df: DataFrame, id: Column, name: Column,
+      variants: Column => Column, maxDist: Int): DataFrame = {
     // Rebalance the dimension before fan-out: a dimension table often
     // arrives as a handful of scan partitions, and a broadcast candidate
     // join would pin explode + verify + the partial distinct to those few
@@ -65,20 +99,29 @@ object EntityResolution {
     // cheapest shuffle available to buy full-cluster parallelism for the
     // CPU-bound verify.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val keyed = df
-      .select(id.as("id"), name.as("name"))
-      .repartition(n)
-      .select(col("id"), col("name"),
-        explode(deletionVariants(col("name"))).as("variant"))
-    val a = keyed.select(col("id").as("id_a"), col("name").as("name_a"),
-      col("variant"))
-    val b = keyed.select(col("id").as("id_b"), col("name").as("name_b"),
-      col("variant"))
-    a.join(b, Seq("variant"))
+    val base = df.select(id.as("id"), name.as("name")).repartition(n)
+    // candidate generation runs on (id, xxhash64(variant)) only: equal
+    // variants hash equal (completeness intact) and a 2⁻⁶⁴ hash alias
+    // merely adds one candidate the exact verify rejects — while the
+    // join + distinct, the mass-dominant stages, move 16-byte rows
+    // instead of dragging two name strings through every collision
+    val keyed = base
+      .select(col("id"),
+        explode(variants(col("name"))).as("__v"))
+      .select(col("id"), xxhash64(col("__v")).as("vh"))
+    val a = keyed.select(col("id").as("id_a"), col("vh"))
+    val b = keyed.select(col("id").as("id_b"), col("vh"))
+    val cand = a.join(b, Seq("vh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b")
+      .select("id_a", "id_b")
       .distinct()
+    // names rejoin only for the verified projection — two equi-joins on
+    // the dimension itself (AQE broadcasts it when small)
+    cand
+      .join(base.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
 }

@@ -32,6 +32,38 @@ object DataCleaning {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Entity resolution at Levenshtein distance ≤ 2
+    * ([[graft.operators.EntityResolution.fuzzyPairs2]]): the two-typo
+    * collision class (OCR'd sources, double digit slips), blocked on
+    * ≤2-deletion neighborhoods. Oracle: the quadratic all-pairs join
+    * again, so the driver gate proves k=2 completeness on the real
+    * corpus exactly as it does for k=1. Aggregated to per-left-record
+    * match counts: the pair list itself is ~n×(digit-neighbor count)
+    * rows of redundant name text at any sf, while the count shape is
+    * what a dedup pipeline consumes (pick-the-canonical step) — and any
+    * dropped or phantom pair still flips a count, so the oracle's teeth
+    * are identical. */
+  def fuzzyMatchK2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.fuzzyPairs2(
+        Tables.customer(spark, dir), col("c_custkey"), col("c_name"))
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("dist")).as("sum_dist"),
+        min(col("id_b")).as("min_id_b"),
+        max(col("id_b")).as("max_id_b"))
+      .orderBy("id_a")
+
+  private val fuzzyMatchK2Sql =
+    """SELECT a.c_custkey AS id_a,
+      |  CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  CAST(SUM(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS sum_dist,
+      |  MIN(b.c_custkey) AS min_id_b,
+      |  MAX(b.c_custkey) AS max_id_b
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |GROUP BY a.c_custkey
+      |ORDER BY id_a""".stripMargin
+
   /** **SCD2 history build** ([[graft.operators.Temporal.scd2]]): each
     * user's event-type stream run-length-encoded into
     * `[valid_from, valid_to)` intervals — one shuffle on the key, rows
@@ -562,6 +594,7 @@ object DataCleaning {
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
+    Q("fuzzy_match_k2", fuzzyMatchK2Sql)(fuzzyMatchK2),
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
     // merge ≡ full recompute: the incremental path answers the batch SQL
     Q("scd2_merge", scd2IntervalsSql)(scd2Merge),

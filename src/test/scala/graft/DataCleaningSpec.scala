@@ -62,6 +62,66 @@ class DataCleaningSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("deletionVariants2 emits exactly the <=2-deletion neighborhood") {
+    val out = Seq(("abcd")).toDF("s")
+      .select(EntityResolution.deletionVariants2(col("s")).as("v"))
+      .as[Seq[String]].head().toSet
+    // 0 deletions, 4 single deletions, C(4,2)=6 double deletions
+    assert(out == Set("abcd",
+      "bcd", "acd", "abd", "abc",
+      "cd", "bd", "bc", "ad", "ac", "ab"))
+    // degenerate lengths: sequence() must never run descending
+    val short = Seq(("a"), ("ab")).toDF("s")
+      .select(EntityResolution.deletionVariants2(col("s")).as("v"))
+      .as[Seq[String]].collect().map(_.toSet)
+    assert(short(0) == Set("a", ""))
+    assert(short(1) == Set("ab", "a", "b", ""))
+  }
+
+  test("property: k=2 blocking is complete vs brute-force levenshtein<=2") {
+    // corpora built as random 2-edit neighborhoods: each extra word is a
+    // base word pushed through 1-2 random substitutions/insertions/
+    // deletions, so true dist<=2 pairs (and near-miss dist-3 pairs via
+    // chained edits) are dense — exactly the regime that catches an
+    // incomplete candidate generator
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val word = for {
+      n <- Gen.choose(1, 7); cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    def edit(w: String, rng: scala.util.Random): String = {
+      val i = rng.nextInt(math.max(w.length, 1))
+      rng.nextInt(3) match {
+        case 0 if w.nonEmpty => w.updated(i, ('a' + rng.nextInt(3)).toChar) // sub
+        case 1 => w.take(i) + ('a' + rng.nextInt(3)).toChar + w.drop(i)     // ins
+        case _ if w.nonEmpty => w.take(i) + w.drop(i + 1)                   // del
+        case _ => w
+      }
+    }
+    val corpus = for {
+      bases <- Gen.listOfN(4, word)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      bases.flatMap { b =>
+        b :: List.fill(2)((1 to 1 + rng.nextInt(2)).foldLeft(b)((w, _) => edit(w, rng)))
+      }.filter(_.nonEmpty)
+    }
+    val prop = Prop.forAll(corpus) { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "name")
+      val got = EntityResolution.fuzzyPairs2(df, col("id"), col("name"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (a, i) <- ws.zipWithIndex; (b, j) <- ws.zipWithIndex
+        if i < j && lev(a, b) <= 2
+      } yield (i.toLong, j.toLong)).toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
