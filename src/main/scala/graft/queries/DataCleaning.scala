@@ -438,6 +438,76 @@ object DataCleaning {
       .orderBy("rank_pos")
   }
 
+  /** **Fixed-point PageRank** ([[graft.operators.Graph
+    * .pageRankFixedPoint]]): the same nation trade graph, weighted by
+    * lineitem COUNT (integer by construction), ranks as integer
+    * multiples of 10⁻¹². Integer arithmetic is exact and order-free, so
+    * unlike [[graphPagerank]] this one is a FULL hash oracle: the DuckDB
+    * twin replays all 10 rounds as a generated unrolled-CTE chain
+    * (MATERIALIZED — same inlining trap as the BPE oracle) with
+    * identical truncating divisions, and the early-stop probe cannot
+    * diverge because an integer fixed point makes further rounds the
+    * identity. */
+  def graphPagerankFp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    // earlyStop off: at scale 10⁻¹² the 0.85-contraction cannot reach
+    // the integer fixed point inside 10 rounds (0.85¹⁰ ≈ 0.2), so the
+    // per-round probe would be 10 jobs of pure overhead here; the
+    // early-stop path is exercised (and proven ≡) by GraphSpec
+    graft.operators.Graph.pageRankFixedPoint(
+        edges, col("src"), col("dst"), col("w"), iters = 10,
+        earlyStop = false)
+      .select(col("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  private val graphPagerankFpSql = {
+    val stages = (1 to 10).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (SELECT e.dst AS node,
+         |          CAST(SUM((r.rank * e.w) // e.wout) AS BIGINT) AS in_mass
+         |        FROM $prev r JOIN edges e ON r.node = e.src
+         |        GROUP BY e.dst),
+         |d$k AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+         |        FROM $prev r WHERE r.node NOT IN (SELECT src FROM edges)),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(
+         |      150 * 1000000000000 // (1000 * nn.n)
+         |      + (850 * (COALESCE(c.in_mass, 0) + d.dmass // nn.n)) // 1000
+         |    AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node
+         |  CROSS JOIN d$k d CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, w,
+       |    CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS wout
+       |  FROM raw),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$stages
+       |SELECT node, rank FROM r10 ORDER BY node""".stripMargin
+  }
+
   /** **Hard-negative mining** ([[graft.operators.Similarity
     * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
     * different label — the contrastive-pair step of an embedding-training
@@ -602,6 +672,7 @@ object DataCleaning {
     Q.noOracle("hll_rollup")(hllRollup),
     Q.noOracle("corpus_clusters")(corpusClusters),
     Q.noOracle("graph_pagerank")(graphPagerank),
+    Q("graph_pagerank_fp", graphPagerankFpSql)(graphPagerankFp),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),
     Q("skew_report", skewReportSql)(skewReport),

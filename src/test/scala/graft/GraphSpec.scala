@@ -77,6 +77,68 @@ class GraphSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("zero-out-weight sources route through dangling; mass stays conserved") {
+    // node 1's weights cancel to 0: normalizing would make p NULL and
+    // silently drop its rank mass — the operator must treat it as
+    // dangling instead (ADVICE r6)
+    val edges = Seq((1L, 2L, 1.0), (1L, 3L, -1.0), (2L, 3L, 1.0))
+    val got = run(edges, iters = 10)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(v => !v.isNaN && v > 0))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // structure: 3 is the sink fed by 2; 1 contributes only dangling mass
+    assert(got(3L) > got(2L))
+  }
+
+  test("fixed-point pageRank: early stop is bitwise-equal to fixed iterations") {
+    // a regular graph: uniform ranks are the exact integer fixed point
+    // after round 1, so earlyStop cuts 49 of 50 rounds — and must still
+    // equal the full run bit for bit
+    val ring = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 0L, 1L))
+    def runFp(early: Boolean, iters: Int): Map[Long, Long] = {
+      val out = Graph.pageRankFixedPoint(ring.toDF("src", "dst", "w"),
+          col("src"), col("dst"), col("w"), iters = iters, earlyStop = early)
+        .as[(Long, Long)].collect().toMap
+      Dedup.releaseCaches()
+      out
+    }
+    val fast = runFp(early = true, iters = 50)
+    val full = runFp(early = false, iters = 50)
+    assert(fast == full)
+    assert(fast.values.toSet.size == 1) // uniform on the regular ring
+    // an irregular graph (no early fixed point within 6 rounds): the
+    // probe must not perturb the trajectory either
+    val irr = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L))
+    def runIrr(early: Boolean): Map[Long, Long] = {
+      val out = Graph.pageRankFixedPoint(irr.toDF("src", "dst", "w"),
+          col("src"), col("dst"), col("w"), iters = 6, earlyStop = early)
+        .as[(Long, Long)].collect().toMap
+      Dedup.releaseCaches()
+      out
+    }
+    assert(runIrr(true) == runIrr(false))
+  }
+
+  test("fixed-point pageRank matches the float reference to truncation precision") {
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L))
+    val got = Graph.pageRankFixedPoint(edges.toDF("src", "dst", "w"),
+        col("src"), col("dst"), col("w"), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    val want = refPageRank(edges.map(e => (e._1, e._2, e._3.toDouble)), iters = 10)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v / 1e12 - want(k)) < 1e-9, s"node $k")
+    }
+  }
+
+  test("fixed-point pageRank rejects nonpositive weights loudly") {
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(bad, col("src"), col("dst"), col("w"))
+    }
+    Dedup.releaseCaches()
+  }
+
   test("graph_pagerank emits a total rank order over every trading nation") {
     val out = SparkEntry.queries("graph_pagerank")(spark, sf0001)
       .as[(Int, Int)].collect().toSeq
