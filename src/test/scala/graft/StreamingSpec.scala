@@ -312,6 +312,95 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.toSet == expected)
   }
 
+  test("nearDupPairsBatch equals nearDupStream and shuffles fewer bytes on wide docs") {
+    // wide-doc fixture: 600-token documents (hss is hundreds of longs per
+    // doc — the payload the stateless variant must ride on all 16 band
+    // rows), odd ids = near-dup copies of even ids
+    val vocab = (0 until 4000).map(i => f"w$i%04d")
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(600)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    def perturb(t: String, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      t.split(" ").map(w => if (r.nextInt(100) < 2) vocab(r.nextInt(vocab.size)) else w)
+        .mkString(" ")
+    }
+    val idx = (0 until 20).map(i => (2L * i, doc(i)))
+    val delta = idx.map { case (id, t) => (id + 1, perturb(t, id.toInt)) }
+    graft.operators.Dedup.writeSignatureIndex(
+      idx.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      table = "graft_sig_index_widefb")
+    val deltaDf = delta.toDF("doc_id", "text")
+
+    def shuffleBytes(run: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        run
+        Thread.sleep(1500) // listener bus is async
+        bytes.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // force the shuffle path: with broadcast joins both variants shuffle
+    // ~nothing and the width comparison would measure the noise floor
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      var aRows: Set[(Long, Long, Long)] = Set.empty
+      var bRows: Set[(Long, Long, Long)] = Set.empty
+      val statelessBytes = shuffleBytes {
+        aRows = StreamingDownsample.nearDupStream(deltaDf, spark, "graft_sig_index_widefb")
+          .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+      }
+      val batchBytes = shuffleBytes {
+        bRows = StreamingDownsample.nearDupPairsBatch(deltaDf, spark, "graft_sig_index_widefb")
+          .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+      }
+      assert(aRows.nonEmpty && aRows == bRows)
+      assert(batchBytes < statelessBytes / 2,
+        s"foreachBatch form shuffled $batchBytes B vs stateless $statelessBytes B")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      aqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+
+    // end-to-end through a real foreachBatch sink: identical pair set
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftndfb").toString + "/pairs"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingDownsample.nearDupForeachBatch(
+        spark, "graft_sig_index_widefb", out))
+      .outputMode("update").start()
+    mem.addData(delta.take(10)); q.processAllAvailable()
+    mem.addData(delta.drop(10)); q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(out)
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect()
+    assert(sunk.length == sunk.toSet.size)
+    val expected = StreamingDownsample
+      .nearDupPairsBatch(deltaDf, spark, "graft_sig_index_widefb")
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+    assert(sunk.toSet == expected)
+  }
+
   test("streaming clean stage equals the batch projection (normalize -> gopher -> scrub)") {
     implicit val sqlCtx = spark.sqlContext
     // corpus docs plus crafted rows that exercise each stage: an
