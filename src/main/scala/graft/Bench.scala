@@ -83,8 +83,22 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
+    // Per-query sample spread (max/min): the noise self-diagnostic. A
+    // quiet host runs both cold samples within ~1.2x; spreads past 1.5x
+    // mean external load perturbed the run, and per-query times should
+    // be compared round-over-round only with that flag in hand (the r6
+    // driver bench read 2-4x spreads and its "regressions" were load,
+    // not code). n_noisy + max_spread ride the headline so the flag
+    // survives the driver's stdout tail without opening the file.
+    def spreadOf(s: Seq[Double]): Double =
+      if (s.isEmpty || s.min <= 0) 1.0 else s.max / s.min
+    val spreads = results.map { case (k, _, s, _) => (k, spreadOf(s)) }
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val nNoisy = spreads.count(_._2 > 1.5)
+    val maxSpread = spreads.map(_._2).maxOption.getOrElse(1.0)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout: the full JSON
     // (queries + samples + errors) goes to a file, and the LAST printed
     // line is guaranteed to fit the tail — with the per-query map if it
@@ -96,9 +110,9 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     val withQueries =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"full":"$fullPath","sf":"$sfDir"}"""
     val totalsOnly =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"full":"$fullPath","sf":"$sfDir"}"""
     // The consumer keeps only the last ~2000 chars of stdout. When the
     // per-query line fits that window it is the single (parseable) line;
     // when the registry outgrows it, the per-query line still prints —

@@ -87,7 +87,13 @@ object Temporal {
         wDay.orderBy(col("t").desc, col("tb").desc)))
       .withColumn("n_obs", count(lit(1)).over(wDay))
       .filter(col("rn") === 1)
-      .select(col("key"), col("day"), col("v").as("day_last"), col("n_obs"))
+      // __observed is a constant-true marker: after the left join below
+      // its NULL-ness is a JOIN MISS, which is what is_gap means. Keying
+      // the gap off day_last's own NULL-ness would misclassify a day
+      // whose closing observation legitimately carries a NULL value —
+      // the SQL twin (d.day IS NULL) and the engine would then diverge
+      .select(col("key"), col("day"), col("v").as("day_last"), col("n_obs"),
+        lit(true).as("__observed"))
     val spine = daily.groupBy(col("key"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("key"),
@@ -99,7 +105,7 @@ object Temporal {
         last(col("day_last"), ignoreNulls = true).over(wFill)
           .as("value_filled"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        col("day_last").isNull.as("is_gap"))
+        col("__observed").isNull.as("is_gap"))
   }
 
   /** **Incremental SCD2 maintenance** — the MERGE INTO pattern: fold a

@@ -210,15 +210,24 @@ object DataCleaning {
       |  WHERE o_orderstatus <> 'F')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Per-driver scratch directory for queries that materialize as a
+    * side effect of construction: suffixed with the Spark application
+    * id, so concurrent drivers (bench + sbt test, parallel suites in
+    * separate JVMs) cannot read each other's half-rewritten data — a
+    * fixed shared path raced exactly that way (ADVICE r6). */
+  private def scratch(spark: SparkSession, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${spark.sparkContext.applicationId}").getAbsolutePath
+
   /** **JSONL round trip** ([[graft.sources.TextSources]]): export the
-    * documents table as line-delimited JSON (zstd) and re-ingest it with
+    * documents table as line-delimited JSON (gzip — Spark's JSON writer
+    * has no zstd codec) and re-ingest it with
     * an explicit schema under the PERMISSIVE corrupt-record policy — the
     * bronze-layer ingestion path. The oracle is the original table: the
     * gate proves the export→ingest cycle is lossless (unicode text
     * escaping included) and that a clean file quarantines nothing. */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_jsonl_docs").getAbsolutePath
+    val tmp = scratch(spark, "graft_jsonl_docs")
     graft.sources.TextSources.writeJsonl(Tables.documents(spark, dir), tmp)
     graft.sources.TextSources
       .readJsonl(spark, tmp, graft.Tables.documentsSchema)
@@ -242,8 +251,7 @@ object DataCleaning {
     * rewritten file count equals ceil(rows/target); the oracle pins the
     * row conservation and expects every partition compacted. */
   def compactReport(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_compact_docs").getAbsolutePath
+    val tmp = scratch(spark, "graft_compact_docs")
     Tables.documents(spark, dir).repartition(8)
       .write.mode("overwrite").partitionBy("lang").parquet(tmp)
     graft.sources.Sink.compact(spark, tmp, "lang", targetRows = 700L)

@@ -268,6 +268,28 @@ class DataCleaningSpec extends SparkTestBase {
       (2L, d("2024-01-02"), 5.0, 1L, false)))
   }
 
+  test("resampleFfillDaily: a NULL closing value is observed, not a gap") {
+    import java.sql.Timestamp
+    // day 1 closes on a NULL value: is_gap must key off the JOIN MISS
+    // (matching the SQL twin's d.day IS NULL), not the value's NULL-ness
+    // — keying off the value misclassified this day as a gap (ADVICE r6)
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 08:00:00"), Some(1.0), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 20:00:00"), None, 2L),
+      (1L, Timestamp.valueOf("2024-01-03 12:00:00"), Some(9.0), 3L)
+    ).toDF("k", "t", "v", "e")
+    val out = Temporal.resampleFfillDaily(df, col("k"), col("t"), col("v"),
+        col("e"))
+      .orderBy("key", "day")
+      .select("day", "n_obs", "is_gap")
+      .as[(java.sql.Date, Long, Boolean)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(out == Seq(
+      (d("2024-01-01"), 2L, false), // observed, even though the value is NULL
+      (d("2024-01-02"), 0L, true),
+      (d("2024-01-03"), 1L, false)))
+  }
+
   test("resample_ffill grid tiles each user's observed span exactly") {
     val out = SparkEntry.queries("resample_ffill")(spark, sf0001)
     val n = out.count()
