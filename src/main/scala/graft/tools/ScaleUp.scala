@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Weak-scaling input generator: builds an sf(k×0.1) dataset as `k`
@@ -72,16 +72,24 @@ object ScaleUp {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
     }
+    // names get a 3-char per-copy suffix: cross-copy name pairs land at
+    // Levenshtein distance >= 3, so the entity-resolution operators see
+    // k disjoint shards (per the protocol) instead of every name
+    // duplicated k times — which would grow the TRUE dist<=2 pair count
+    // ~k² and measure output shape, not plan scaling
+    def suffixed(name: Column, c: Int): Column =
+      if (c == 0) name else concat(name, lit(s"_$c$c$c"))
     copies("customer") { (df, c) =>
       if (c == 0) df
       else df.select((col("c_custkey") + off(c)).as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_acctbal"),
-        col("c_mktsegment"))
+        suffixed(col("c_name"), c).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }
     copies("supplier") { (df, c) =>
       if (c == 0) df
       else df.select((col("s_suppkey") + off(c)).as("s_suppkey"),
-        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        suffixed(col("s_name"), c).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
     }
     spark.stop()
   }
