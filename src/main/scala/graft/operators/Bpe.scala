@@ -256,6 +256,22 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a learned merge table (the tokenizer MODEL artifact — what
+    * a training pipeline ships from the train job to every encode job):
+    * one small parquet of (step, lhs, rhs, pair_count) in training
+    * order. Single file — the table is nMerges rows. */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.orderBy("step").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Load a [[saveMerges]] artifact back into the (lhs, rhs) replay
+    * sequence [[encode]]/[[encodeDocs]] consume. Training order is the
+    * model semantics — the `step` column, not file order, defines it. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("step").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
   /** Apply a learned merge table to arbitrary text: pre-tokenize, split
     * each word to characters, replay every merge in training order — the
     * encode half of the tokenizer as a pure per-row expression

@@ -159,6 +159,26 @@ class BpeSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("merge-table save/load round-trips the model and its encodings") {
+    graft.operators.Dedup.releaseCaches()
+    val docs = Tables.documents(spark, sf0001)
+    val merges = Bpe.train(docs, col("text"), nMerges = 12)
+    val path = java.nio.file.Files.createTempDirectory("graftbpe").toString + "/model"
+    Bpe.saveMerges(merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    val direct = merges.orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq.map(m => (m._2, m._3))
+    assert(loaded == direct && loaded.size == 12)
+    // encodings under the loaded model are the encodings under the
+    // trained one — the artifact IS the tokenizer
+    val a = Bpe.encodeDocs(docs, col("doc_id"), col("text"), direct)
+      .as[(Long, Seq[String])].collect().toMap
+    val b = Bpe.encodeDocs(docs, col("doc_id"), col("text"), loaded)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(a == b && a.values.exists(_.nonEmpty))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("driver-side merge loop equals the distributed reference loop") {
     // the production in-memory loop (incremental pair stats) against the
     // superseded per-merge distributed formulation, merge for merge, on
