@@ -203,6 +203,33 @@ class BpeSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("driver loop trains 1024 merges over a 30k-word vocabulary in-memory") {
+    // the registered corpora exhaust adjacent pairs at ~89 merges, so
+    // real-vocab capability is demonstrated on a synthetic Zipf word
+    // table: 30k distinct words, lengths 4-12 over 26 letters. The whole
+    // loop is driver-side — no Spark jobs — and must stay well-founded
+    // (every merged symbol built from chars or earlier merges) at depth
+    val rng = new scala.util.Random(11)
+    val vocab = Array.tabulate(30000) { i =>
+      val len = 4 + rng.nextInt(9)
+      val w = Array.fill(len)(('a' + rng.nextInt(26)).toChar).mkString
+      // Zipf-ish counts so argmax ties are rare but present
+      (1L + 1000000L / (i + 1), w.map(_.toString).toArray)
+    }
+    val t0 = System.nanoTime()
+    val merges = Bpe.runMergeLoopLocal(vocab, 1024)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1024, s"exhausted at ${merges.size}")
+    info(f"1024 merges over 30k words in $secs%.2f s driver-side")
+    val known = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (_, l, r, c) =>
+      assert(c >= 1)
+      assert(l.length == 1 || known.contains(l), s"unbuildable lhs $l")
+      assert(r.length == 1 || known.contains(r), s"unbuildable rhs $r")
+      known += (l + r)
+    }
+  }
+
   test("trainer is stable on the sf0.001 corpus and merges nest correctly") {
     val docs = Tables.documents(spark, sf0001)
     val out = Bpe.train(docs, col("text"), nMerges = 8)
