@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FrequentItems
+
+/** Heavy-hitter detection: the keys whose count exceeds a threshold,
+  * answered EXACTLY without ever materializing the full per-key count
+  * table. The 100 TB motivation: an exact `groupBy(key).count` over a
+  * high-cardinality key (tokens, URLs, session ids) shuffles one partial
+  * row per distinct key per map task; when only the few frequent keys
+  * matter, almost all of that shuffle is waste. The classic two-phase
+  * answer (cf. Misra–Gries 1982; Agarwal et al., PODS 2012 for the
+  * mergeable form):
+  *
+  *   1. one scan folds each partition into a size-`k`
+  *      [[graft.functions.FrequentItems]] summary — partial-mergeable, so
+  *      the shuffle is ≤ k rows per task and the merged candidate set is
+  *      GUARANTEED to contain every key with count > n/(k+1);
+  *   2. a second scan recounts ONLY the candidates exactly: rows are
+  *      pre-filtered by a broadcast join on the ≤ k candidate keys, so
+  *      only matching rows enter the (map-side-combined) count.
+  *
+  * Because any candidate SUPERSET recounts to the same thresholded
+  * answer, the result is exact and deterministic even though MG summaries
+  * vary with partition order — the same
+  * approximate-generate / exact-verify discipline as the MinHash and IVF
+  * families. Used standalone as the `heavy_hitters` query and named in
+  * [[Boilerplate]] as the scan-only candidate path for corpus-frequency
+  * stages at extreme scale.
+  */
+object Frequent {
+
+  /** Keys of `df` (under `key`) whose exact count is ≥ (numer/denom) ×
+    * the mean count per distinct key, as (item, cnt) ordered by item.
+    * The mean-relative threshold makes the selection scale-invariant
+    * (TPC-H-style data keeps per-key counts constant as rows and keys
+    * grow together); the comparison is the exact integer
+    * cross-multiplication `cnt · n_keys · denom ≥ n · numer` — no
+    * division, so the answer is bitwise reproducible cross-engine.
+    *
+    * Completeness precondition: the threshold must exceed n/(k+1), i.e.
+    * `numer · (k+1) > denom · n_keys`. The first-pass aggregate knows
+    * both n and n_keys, so the plan CHECKS the precondition at runtime:
+    * `assert_true` raises before any row is emitted if `k` was sized too
+    * small for the observed key cardinality (fail loud, never silently
+    * incomplete — the [[Dedup]] Bloom-clamp discipline).
+    *
+    * Plan shape: scan 1 = the summary aggregate (+ n, n_keys in the same
+    * pass; the 1-row result is memo-persisted so the candidate explode
+    * and the totals read don't recompute it); scan 2 = broadcast-join
+    * pre-filter → count. Both scans read only the key column. Honest
+    * cost note: the exact `count_distinct` denominator makes pass 1
+    * shuffle one row per distinct key per task (the distinct-aggregate
+    * Expand) — fine for warehouse diagnostics, but at web-scale key
+    * cardinality use [[heavyKeysFraction]], whose precondition is static
+    * and whose shuffle stays ≤ k+1 rows per task.
+    */
+  /** Keys whose exact count is ≥ (numer/denom) × n — the classic
+    * φ-frequent-items form, and the true scan-only scale path: the
+    * completeness precondition `numer·(k+1) > denom` is STATIC (no data
+    * needed), so pass 1 is just the mergeable summary + a count — shuffle
+    * ≤ k+1 rows per task with NO per-distinct-key traffic anywhere.
+    * Prefer this at web scale; [[heavyKeys]]'s mean-relative threshold is
+    * the warehouse-diagnostics form and pays one exact-distinct pass for
+    * its denominator. Same integer cross-multiplication, same exact
+    * recount, same (item, cnt) output. */
+  def heavyKeysFraction(
+      df: DataFrame,
+      key: Column,
+      k: Int,
+      numer: Int,
+      denom: Int): DataFrame = {
+    require(numer > 0 && denom > 0, s"threshold must be positive: $numer/$denom")
+    require(numer.toLong * (k + 1) > denom,
+      s"FrequentItems k=$k cannot guarantee threshold $numer/$denom of n — " +
+        s"need k+1 > $denom/$numer")
+    val aggRow = Dedup.memoPersist(
+      df.agg(
+        FrequentItems(key, k).as("cands"),
+        count(key).as("n")))
+    val cands = aggRow.select(explode(col("cands")).as("item"))
+    val totals = aggRow.select(col("n"))
+    df.select(key.as("item"))
+      .join(broadcast(cands), "item")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .where(col("cnt") * denom >= col("n") * numer)
+      .select(col("item"), col("cnt"))
+      .orderBy("item")
+  }
+
+  def heavyKeys(
+      df: DataFrame,
+      key: Column,
+      k: Int,
+      numer: Int = 3,
+      denom: Int = 2): DataFrame = {
+    require(numer > 0 && denom > 0, s"threshold must be positive: $numer/$denom")
+    val aggRow = Dedup.memoPersist(
+      df.agg(
+        FrequentItems(key, k).as("cands"),
+        count(key).as("n"), // non-null keys only, matching the summary
+        count_distinct(key).as("nk")))
+    val cands = aggRow.select(explode(col("cands")).as("item"))
+    val totals = aggRow.select(
+      col("n"), col("nk"),
+      assert_true(
+        lit(numer).cast("long") * (k + 1) > lit(denom).cast("long") * col("nk"),
+        concat(lit(s"FrequentItems k=$k cannot guarantee threshold $numer/$denom of mean over "),
+          col("nk"), lit(" keys — raise k above denom*n_keys/numer")))
+        .as("guard"))
+    df.select(key.as("item"))
+      .join(broadcast(cands), "item")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .where(col("cnt") * col("nk") * denom >= col("n") * numer && col("guard").isNull)
+      .select(col("item"), col("cnt"))
+      .orderBy("item")
+  }
+}

@@ -388,6 +388,52 @@ object DataCleaning {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** **Heavy hitters** ([[graft.operators.Frequent.heavyKeys]]): the
+    * customers placing ≥ 1.5× the mean number of orders, answered by the
+    * Misra–Gries two-phase shape — a size-12288 mergeable summary scan
+    * (shuffle ≤ k rows/task, candidates guaranteed complete above
+    * n/(k+1)) + an exact broadcast-pre-filtered recount. The oracle is
+    * the EXACT full `GROUP BY ... HAVING`, so the driver gate proves on
+    * the real key distribution that the summary missed nothing — the
+    * same approximate-generate / exact-verify discipline as
+    * `fuzzy_match`'s quadratic oracle. Threshold compares by integer
+    * cross-multiplication (`cnt·nk·2 ≥ n·3`), no division anywhere. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequent.heavyKeys(
+      Tables.orders(spark, dir).select(col("o_custkey")),
+      col("o_custkey"), k = 12288, numer = 3, denom = 2)
+
+  private val heavyHittersSql =
+    """WITH g AS (SELECT o_custkey AS item, COUNT(*) AS cnt
+      |           FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nk FROM g)
+      |SELECT item, cnt FROM g, t
+      |WHERE cnt * nk * 2 >= n * 3
+      |ORDER BY item""".stripMargin
+
+  /** **φ-frequent tokens** ([[graft.operators.Frequent
+    * .heavyKeysFraction]]): the tokens making up ≥ 3.2% of the corpus —
+    * the fraction-of-n heavy-hitter form whose completeness precondition
+    * (`numer·(k+1) > denom`) is STATIC, so the summary pass shuffles
+    * ≤ k+1 rows per task with no per-distinct-key traffic at all: the
+    * scan-only candidate path for corpus-frequency stages
+    * ([[graft.operators.Boilerplate]]'s criterion) at web-scale
+    * vocabularies. Oracle = the exact `GROUP BY ... HAVING` again. */
+  def frequentTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequent.heavyKeysFraction(
+      Tables.documents(spark, dir)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok")),
+      col("tok"), k = 48, numer = 32, denom = 1000)
+
+  private val frequentTokensSql =
+    """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |g AS (SELECT tok AS item, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g)
+      |SELECT item, cnt FROM g, t
+      |WHERE cnt * 1000 >= n * 32
+      |ORDER BY item""".stripMargin
+
   /** **Cluster-mixture report** ([[graft.operators.Similarity
     * .assignCells]]): k-means cells over the embedding corpus, reported
     * as per-cluster size, majority label, and purity — the data-mixture
@@ -684,5 +730,7 @@ object DataCleaning {
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),
     Q("skew_report", skewReportSql)(skewReport),
+    Q("heavy_hitters", heavyHittersSql)(heavyHitters),
+    Q("frequent_tokens", frequentTokensSql)(frequentTokens),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ))
 }

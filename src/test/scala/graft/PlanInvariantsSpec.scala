@@ -41,7 +41,8 @@ class PlanInvariantsSpec extends SparkTestBase {
   private val intendedAllPairs =
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
-      "vector_pca_route", "hard_negatives", "histogram_equidepth")
+      "vector_pca_route", "hard_negatives", "histogram_equidepth",
+      "heavy_hitters", "frequent_tokens")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
@@ -67,6 +68,11 @@ class PlanInvariantsSpec extends SparkTestBase {
         case l: org.apache.spark.sql.execution.CollectLimitExec => l
         case g: org.apache.spark.sql.execution.GlobalLimitExec => g
         case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        // memo-persisted bounded stages hide the aggregate behind a
+        // cache scan (heavy_hitters' 1-row totals), and cached plans are
+        // AQE-wrapped with no children — hop through both
+        case c: InMemoryTableScanExec if bounded(c.relation.cachedPlan) => c
+        case a: AdaptiveSparkPlanExec if bounded(a.inputPlan) => a
       }.nonEmpty
     p.collect {
       case a: AdaptiveSparkPlanExec => unboundedNestedLoops(a.inputPlan)
