@@ -58,6 +58,32 @@ object StreamingDownsample {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming heavy-hitter candidates: per tumbling event-time window,
+    * a [[graft.functions.FrequentItems]] Misra–Gries summary of the hot
+    * keys plus the window's row count — the unbounded-stream half of
+    * [[graft.operators.Frequent]]'s two-phase shape. The summary
+    * aggregate is partial-mergeable, so it folds incrementally across
+    * micro-batches through the state store with O(k) state per open
+    * window (never per distinct key — the whole point at web-scale key
+    * cardinality), finalizing in append mode when the watermark passes.
+    *
+    * Contract (same as batch pass 1): `candidates` is GUARANTEED to
+    * contain every key with in-window count > n/(k+1) — the candidate
+    * set itself may vary with merge order, so the exact thresholded
+    * answer comes from the batch-side recount of the flagged windows
+    * (the train-batch/serve-stream split, with stream and batch sharing
+    * the aggregate by construction). */
+  def frequentStream(events: DataFrame, k: Int = 64,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(
+        graft.functions.FrequentItems(col("user_id"), k).as("candidates"),
+        count(col("user_id")).as("n"))
+      .select(col("win.start").cast("date").as("day"),
+        col("candidates"), col("n"))
+
   /** Streaming sessionization: `session_window` dynamic-gap windows — the
     * unbounded-stream twin of the batch gaps-and-islands `sessionize`
     * query. Sessions merge while events arrive within `gap` of the

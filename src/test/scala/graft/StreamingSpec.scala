@@ -281,6 +281,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batchExpected(sample))
   }
 
+  test("streaming frequent-items windows keep every true heavy hitter with O(k) state") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3 // 5 distinct users, k=3: summaries genuinely prune
+    val mem = MemoryStream[Event]
+    // 10-day watermark: the second (out-of-order) batch still lands, so
+    // the test exercises the cross-micro-batch state-store merge
+    val q = StreamingDownsample.frequentStream(mem.toDF(), k = k,
+        watermark = "10 days")
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("append").start()
+    mem.addData(sample.take(150))
+    q.processAllAvailable()
+    mem.addData(sample.drop(150))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(9998L, Timestamp.valueOf("2024-03-01 00:00:00"), 0L, "e", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("freq_out")
+      .select("day", "candidates", "n")
+      .as[(java.sql.Date, Seq[Long], Long)].collect()
+      .map { case (d, c, n) => (d.toString, (c, n)) }.toMap
+    q.stop()
+    val byDay = sample.groupBy(
+      _.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (day, evs) =>
+      val (cands, n) = got(day)
+      assert(n == evs.size.toLong)
+      assert(cands.size <= k)
+      val counts = evs.groupBy(_.user_id).view.mapValues(_.size.toLong)
+      val mustHave = counts.filter { case (_, c) => c * (k + 1) > n }.keySet
+      assert(mustHave.subsetOf(cands.toSet),
+        s"day $day lost heavy hitters ${mustHave -- cands.toSet}")
+    }
+  }
+
   test("streaming near-dup vs signature index equals the batch cross pairs, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
