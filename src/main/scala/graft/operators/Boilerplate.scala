@@ -115,6 +115,12 @@ object Boilerplate {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("bh"), lit(true).as("is_bp"))
+    scrubTail(segs, frequent)
+  }
+
+  /** Shared scrub reassembly: left-join the boilerplate flag back onto
+    * the segment stream and fold each document once. */
+  private def scrubTail(segs: DataFrame, frequent: DataFrame): DataFrame =
     segs.join(frequent, Seq("bh"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -130,5 +136,72 @@ object Boilerplate {
               when(col("is_bp").isNull, struct(col("blk_no"), col("seg"))))),
             x => x.getField("seg")),
           " ").as("text_clean"))
+
+  /** [[scrubFrequent]] with a FRACTION-of-docs criterion answered
+    * through the [[graft.functions.FrequentItems]] Misra–Gries summary —
+    * the web-scale form. [[scrubFrequent]]'s exact doc-frequency
+    * aggregate shuffles one row per distinct segment per task; at 100 TB
+    * the distinct-segment universe is billions of keys and that shuffle
+    * dominates. Here the criterion is "segment appears in ≥
+    * max(2, ⌈numer·D/denom⌉) of the D documents" (CCNet's page-fraction
+    * rule, floored at 2 so tiny corpora don't scrub everything), and the
+    * doc-frequency stage becomes the two-phase heavy-hitter shape:
+    *
+    *   1. per-document DISTINCT segment hashes are built doc-locally
+    *      (`array_distinct` before the explode — no shuffle), then one
+    *      summary scan folds each task to ≤ kSummary candidates;
+    *   2. only candidates are recounted exactly (broadcast pre-filter),
+    *      and the threshold test runs on exact counts.
+    *
+    * Completeness is guarded at runtime: `assert_true` fires unless
+    * t·(kSummary+1) > n (n = per-doc-distinct segment rows), so an
+    * undersized summary fails loud rather than under-scrubbing. D is the
+    * row count of `df` (one row per document by the corpus contract).
+    * Output is bitwise [[scrubFrequent]]'s shape, so the full scrub gets
+    * an exact DuckDB oracle despite the approximate candidate stage —
+    * the approximate-generate / exact-verify discipline again. */
+  def scrubFrequentFraction(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, numer: Int = 1, denom: Int = 2000,
+      kSummary: Int = 32768): DataFrame = {
+    require(k > 0, s"segment size must be positive (got $k)")
+    require(numer > 0 && denom > 0, s"fraction must be positive: $numer/$denom")
+    val segs = Dedup.memoPersist(
+      df.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(expr(s"sequence(0, greatest(size(w) - 1, 0), $k)"))
+            .as(Seq("blk_no", "st")))
+        .select(col("doc_id"), col("blk_no").cast("long").as("blk_no"),
+          array_join(slice(col("w"), col("st") + 1, lit(k)), " ").as("seg"))
+        .withColumn("bh", xxhash64(col("seg"))))
+    // doc-locally distinct segment hashes: zero shuffle before the summary
+    val docSegs = df.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          expr(s"sequence(0, greatest(size(w) - 1, 0), $k)"),
+          st => xxhash64(array_join(slice(col("w"), st + 1, lit(k)), " "))))
+          .as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("bh"))
+    val aggRow = Dedup.memoPersist(docSegs.agg(
+      graft.functions.FrequentItems(col("bh"), kSummary).as("cands"),
+      count(lit(1)).as("n")))
+    val nDocs = Dedup.memoPersist(df.agg(count(lit(1)).as("nd_docs")))
+    val cands = aggRow.select(explode(col("cands")).as("bh"))
+    val thr = nDocs.crossJoin(aggRow.select(col("n")))
+      .select(
+        greatest(lit(2L),
+          expr(s"(nd_docs * $numer + ${denom - 1}) div $denom")).as("thr"),
+        col("n"))
+      .select(col("thr"),
+        assert_true(col("thr") * (kSummary + 1) > col("n"),
+          concat(lit(s"FrequentItems kSummary=$kSummary cannot guarantee doc-fraction $numer/$denom at n = "),
+            col("n"), lit(" distinct (doc, segment) rows — raise kSummary")))
+          .as("guard"))
+    val frequent = docSegs.join(broadcast(cands), "bh")
+      .groupBy(col("bh"))
+      .agg(count(lit(1)).as("nd")) // docSegs is per-doc distinct: count = doc count
+      .crossJoin(broadcast(thr))
+      .where(col("nd") >= col("thr") && col("guard").isNull)
+      .select(col("bh"), lit(true).as("is_bp"))
+    scrubTail(segs, frequent)
   }
 }

@@ -1548,6 +1548,43 @@ object LlmOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** **Fraction-criterion boilerplate scrub** ([[graft.operators
+    * .Boilerplate.scrubFrequentFraction]]): the same C4/CCNet scrub with
+    * the page-fraction rule — drop segments in ≥ max(2, ⌈D/2000⌉) docs —
+    * where the doc-frequency stage runs as the Misra–Gries two-phase
+    * heavy-hitter shape (doc-local distinct, ≤ kSummary rows/task
+    * summary, exact recount of candidates only) instead of an exact
+    * distinct-segment aggregate. The whole scrub still hash-matches the
+    * exact DuckDB twin: candidates are guaranteed complete above the
+    * runtime-guarded threshold, and everything emitted passes the exact
+    * recount. */
+  def boilerplateFrequent(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.scrubFrequentFraction(
+        Tables.documents(spark, dir), col("doc_id"), col("text"),
+        k = 3, numer = 1, denom = 2000, kSummary = 32768)
+      .orderBy("doc_id")
+
+  private val boilerplateFrequentSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, CAST(t.k / 3 AS BIGINT) AS blk_no,
+      |        array_to_string(w[t.k+1 : t.k+3], ' ') AS seg
+      |      FROM d, UNNEST(range(0, greatest(len(w), 1), 3)) AS t(k)),
+      |dd AS (SELECT DISTINCT doc_id, seg FROM b),
+      |t AS (SELECT greatest(2,
+      |        ((SELECT COUNT(*) FROM documents) * 1 + 1999) // 2000) AS thr),
+      |f AS (SELECT seg, TRUE AS is_bp FROM dd, t
+      |      GROUP BY seg, thr HAVING COUNT(*) >= thr)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(COUNT(*) FILTER (WHERE is_bp) AS BIGINT) AS n_scrubbed_blocks,
+      |  CAST(COALESCE(SUM(len(string_split(seg, ' '))) FILTER (WHERE is_bp), 0)
+      |    AS BIGINT) AS n_scrubbed_tokens,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY blk_no)
+      |    FILTER (WHERE is_bp IS NULL), '') AS text_clean
+      |FROM b LEFT JOIN f USING (seg)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** **Intra-document repetition scrub** ([[graft.operators.Boilerplate
     * .scrubRepeatedBlocks]]): within each page, repeats of an
     * earlier-seen 3-token segment are dropped, first occurrence kept —
@@ -2235,6 +2272,7 @@ object LlmOps {
     Q("pii_scrub", piiScrubSql)(piiScrub),
     Q("text_normalize", textNormalizeSql)(textNormalize),
     Q("boilerplate_scrub", boilerplateScrubSql)(boilerplateScrub),
+    Q("boilerplate_frequent", boilerplateFrequentSql)(boilerplateFrequent),
     Q("intradoc_scrub", intradocScrubSql)(intradocScrub),
     Q("dsir_select", dsirSelectSql)(dsirSelect),
     Q("dsir_select_bigrams", dsirSelectBigramsSql)(dsirSelectBigrams),

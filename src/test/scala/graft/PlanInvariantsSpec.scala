@@ -42,7 +42,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "hard_negatives", "histogram_equidepth",
-      "heavy_hitters", "frequent_tokens")
+      "heavy_hitters", "frequent_tokens", "boilerplate_frequent")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

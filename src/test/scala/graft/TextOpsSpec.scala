@@ -220,6 +220,35 @@ class TextOpsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("fraction scrub equals the exact minDocs scrub where the thresholds coincide") {
+    import graft.operators.Boilerplate
+    val docs = Tables.documents(spark, sf0001)
+    // D=500 docs: max(2, ceil(500/2000)) = 2, so the fraction form must
+    // reproduce scrubFrequent(minDocs = 2) bitwise — the MG candidate
+    // stage may differ per run, the exact recount must not
+    graft.operators.Dedup.releaseCaches()
+    val exact = Boilerplate.scrubFrequent(docs, col("doc_id"), col("text"),
+      k = 3, minDocs = 2).orderBy("doc_id").collect().toSeq
+    val viaMg = Boilerplate.scrubFrequentFraction(docs, col("doc_id"),
+      col("text"), k = 3, numer = 1, denom = 2000, kSummary = 32768)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaMg == exact)
+    assert(exact.map(_.getLong(2)).sum > 0, "expected a binding scrub")
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("fraction scrub fails loud when the summary is too small for the guarantee") {
+    import graft.operators.Boilerplate
+    val docs = Tables.documents(spark, sf0001)
+    graft.operators.Dedup.releaseCaches()
+    val ex = intercept[Exception] {
+      Boilerplate.scrubFrequentFraction(docs, col("doc_id"), col("text"),
+        k = 3, numer = 1, denom = 2000, kSummary = 16).collect()
+    }
+    assert(ex.getMessage != null)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("ccnet buckets: per-source tertiles on the corpus, balanced and ordered") {
     val out = graft.queries.LlmOps.qualityCcnetBuckets(spark, sf0001)
       .as[(Long, String, Long, Double, Long)].collect()
