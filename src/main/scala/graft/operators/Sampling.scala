@@ -203,4 +203,49 @@ object Sampling {
       .select(col("doc_id"), col("score"), col("n_tokens"),
         col("n_tokens_cum").as("cum_tokens"))
   }
+
+  /** **Deterministic sample-based quantiles**: per-group quantile
+    * estimates from the k lexicographically-smallest md5(salt ‖ key)
+    * rows — the engine's answer to "approximate percentiles at 100 TB"
+    * that is still HASH-CHECKABLE. Every quantile sketch (t-digest, KLL,
+    * `approx_percentile`) is merge-order-dependent and so can only ever
+    * be rows-only against an oracle; a bottom-k-by-hash sample is a pure
+    * function of (salt, data) — the same membership determinism as
+    * [[hashSample]] — so the estimate itself is bit-identical in DuckDB
+    * and the driver gate verifies the whole path exactly.
+    *
+    * Statistically the sample is uniform (md5 order is independent of
+    * the value column), so the q-quantile estimate has rank error
+    * O(1/√k) — k = 512 gives ~±2-5 rank points, the same regime as
+    * `approx_percentile`'s default accuracy. When k ≥ group size the
+    * sample is the whole group and the estimate is EXACT (spec-pinned).
+    *
+    * Scale shape: one [[graft.functions.BoundedTopK]] aggregate — each
+    * map task reduces to ≤ k rows per group before the shuffle (never a
+    * per-group sort), estimates are per-row array arithmetic on the
+    * ≤ k-element sample. The estimator is the discrete (no-interpolation)
+    * upper quantile: sample value at rank ⌈q·n_s⌉ — integer index
+    * arithmetic, value a pass-through double (determinism rules 2/4). */
+  def sampleQuantiles(df: DataFrame, group: Column, key: Column,
+      value: Column, k: Int, quantilesPermille: Seq[Int] = Seq(500, 900, 990),
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"sample size must be positive (got $k)")
+    require(quantilesPermille.nonEmpty &&
+      quantilesPermille.forall(q => q > 0 && q <= 1000),
+      s"quantiles must be permille in (0, 1000]: $quantilesPermille")
+    val h = md5(concat(lit(salt), key.cast("string")))
+    val qCols = quantilesPermille.map { q =>
+      element_at(col("vs"),
+        greatest(lit(1), expr(s"($q * size(vs) + 999) div 1000")).cast("int"))
+        .as(s"q$q")
+    }
+    df.select(group.as("grp"), h.as("h"), value.as("v"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.BoundedTopK(struct(col("h"), col("v")), k).as("top"))
+      .select(col("grp"),
+        array_sort(transform(col("top"), t => t.getField("v"))).as("vs"))
+      .select(Seq(col("grp"), size(col("vs")).cast("long").as("n_sample")) ++
+        qCols: _*)
+      .orderBy("grp")
+  }
 }

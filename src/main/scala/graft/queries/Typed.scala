@@ -121,9 +121,40 @@ object Typed {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** **Sample-based quantiles** ([[graft.operators.Sampling
+    * .sampleQuantiles]]): per-flag p50/p90/p99 estimates from the 512
+    * lexicographically-smallest md5(salt ‖ rowkey) rows per group — the
+    * approximate-percentile path that is still hash-checkable, because a
+    * bottom-k-by-hash sample is a pure function of (salt, data) where
+    * every sketch (incl. [[approxPct]]) is merge-order-dependent.
+    * [[exactPct]] is the exactness anchor; the spec bounds the rank
+    * error. */
+  def quantileSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleQuantiles(
+      Tables.lineitem(spark, dir), col("l_returnflag"),
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")),
+      col("l_extendedprice"), k = 512)
+
+  private val quantileSampleSql =
+    """WITH s AS (
+      |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY md5('graft' || CAST(l_orderkey AS VARCHAR) || '|' ||
+      |                   CAST(l_linenumber AS VARCHAR))) AS rn
+      |  FROM lineitem),
+      |t AS (SELECT grp, list(v ORDER BY v) AS vs
+      |      FROM s WHERE rn <= 512 GROUP BY grp)
+      |SELECT grp, CAST(len(vs) AS BIGINT) AS n_sample,
+      |  vs[CAST(greatest(1, (500 * len(vs) + 999) // 1000) AS BIGINT)] AS q500,
+      |  vs[CAST(greatest(1, (900 * len(vs) + 999) // 1000) AS BIGINT)] AS q900,
+      |  vs[CAST(greatest(1, (990 * len(vs) + 999) // 1000) AS BIGINT)] AS q990
+      |FROM t ORDER BY grp""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("typed_agg", typedAggSql)(typedAgg),
     Q("window_range", windowRangeSql)(windowRange),
     Q("exact_pct", exactPctSql)(exactPct),
+    Q("quantile_sample", quantileSampleSql)(quantileSample),
     Q.noOracle("approx_pct")(approxPct))
 }

@@ -213,4 +213,38 @@ class SamplingSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSeq
     assert(capped.count(_._1 == "c") == 4)
   }
+
+  test("sampleQuantiles: bounded rank error at k=512, exact when k covers the group") {
+    val li = Tables.lineitem(spark, sf0001)
+    val key = concat(col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string"))
+    val est = Sampling.sampleQuantiles(li, col("l_returnflag"), key,
+        col("l_extendedprice"), k = 512)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val groups = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(est.keySet == groups.keySet)
+    groups.foreach { case (g, vs) =>
+      val (nS, q500, q900, q990) = est(g)
+      assert(nS == math.min(512L, vs.length.toLong))
+      // true CDF position of each estimate stays near its target: the
+      // md5 sample is uniform, so rank error ~ 1/sqrt(k) (~0.044); the
+      // corpus values below are fixed, bound chosen with 2x headroom
+      def cdf(x: Double): Double = vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(cdf(q500) - 0.5) < 0.09, s"$g p50 off: ${cdf(q500)}")
+      assert(math.abs(cdf(q900) - 0.9) < 0.09, s"$g p90 off: ${cdf(q900)}")
+      assert(cdf(q990) >= 0.90 && q990 <= vs.last, s"$g p99 off: ${cdf(q990)}")
+    }
+    // k >= every group: the sample IS the group and estimates are exact
+    val exact = Sampling.sampleQuantiles(li, col("l_returnflag"), key,
+        col("l_extendedprice"), k = 1000000)
+      .collect().map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    groups.foreach { case (g, vs) =>
+      val n = vs.length
+      assert(exact(g)._1 == vs((500 * n + 999) / 1000 - 1), s"$g exact p50")
+      assert(exact(g)._2 == vs((900 * n + 999) / 1000 - 1), s"$g exact p90")
+    }
+  }
 }
