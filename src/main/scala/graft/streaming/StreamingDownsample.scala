@@ -84,6 +84,37 @@ object StreamingDownsample {
       .select(col("win.start").cast("date").as("day"),
         col("candidates"), col("n"))
 
+  /** Streaming per-window quantile estimates from the deterministic
+    * bottom-k-by-hash sample ([[graft.operators.Sampling
+    * .sampleQuantiles]]'s stream twin): the k smallest
+    * md5(salt ‖ event_id) rows per tumbling window fold incrementally
+    * through the state store via the mergeable
+    * [[graft.functions.BoundedTopK]] partial — O(k) state per open
+    * window — and finalize in append mode. Unlike [[frequentStream]]'s
+    * candidates (a superset whose identity depends on merge order), the
+    * bottom-k sample is a PURE FUNCTION of the window's data, so the
+    * finalized estimates are bitwise what the batch operator computes on
+    * the same day (spec-asserted) — approximate in value, exact in
+    * reproducibility. */
+  def quantileStream(events: DataFrame, k: Int = 512,
+      watermark: String = "1 day", salt: String = "graft"): DataFrame = {
+    val h = md5(concat(lit(salt), col("event_id").cast("string")))
+    val qCols = Seq(500, 900, 990).map { q =>
+      element_at(col("vs"),
+        greatest(lit(1), expr(s"($q * size(vs) + 999) div 1000")).cast("int"))
+        .as(s"q$q")
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), h.as("h"), col("value").as("v"))
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(graft.functions.BoundedTopK(struct(col("h"), col("v")), k).as("top"))
+      .select(col("win.start").cast("date").as("day"),
+        array_sort(transform(col("top"), t => t.getField("v"))).as("vs"))
+      .select(Seq(col("day"), size(col("vs")).cast("long").as("n_sample")) ++
+        qCols: _*)
+  }
+
   /** Streaming sessionization: `session_window` dynamic-gap windows — the
     * unbounded-stream twin of the batch gaps-and-islands `sessionize`
     * query. Sessions merge while events arrive within `gap` of the

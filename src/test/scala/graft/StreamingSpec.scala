@@ -316,6 +316,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming bottom-k sample quantiles equal the batch operator bitwise per day") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.quantileStream(mem.toDF(), k = 64,
+        watermark = "10 days")
+      .writeStream.format("memory").queryName("qstream_out")
+      .outputMode("append").start()
+    mem.addData(sample.take(100))
+    q.processAllAvailable()
+    mem.addData(sample.drop(100)) // out-of-order: exercises the state merge
+    q.processAllAvailable()
+    mem.addData(Seq(Event(9997L, Timestamp.valueOf("2024-03-01 00:00:00"), 0L, "e", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("qstream_out")
+      .select("day", "n_sample", "q500", "q900", "q990")
+      .as[(java.sql.Date, Long, Double, Double, Double)].collect()
+      .map(r => (r._1.toString, (r._2, r._3, r._4, r._5))).toMap
+    q.stop()
+    // batch twin: same sample rule per UTC day over the same events
+    val batch = graft.operators.Sampling.sampleQuantiles(
+        sample.toDF().select(
+          to_date(col("ts")).as("day"), col("event_id"), col("value")),
+        group = col("day"), key = col("event_id"), value = col("value"),
+        k = 64)
+      .as[(java.sql.Date, Long, Double, Double, Double)].collect()
+      .map(r => (r._1.toString, (r._2, r._3, r._4, r._5))).toMap
+    assert(got.nonEmpty)
+    assert(got == batch) // bitwise: the sample is a pure function of the data
+  }
+
   test("streaming near-dup vs signature index equals the batch cross pairs, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
