@@ -92,6 +92,47 @@ object Frequent {
       .orderBy("item")
   }
 
+  /** Per-GROUP heavy hitters — [[heavyKeys]] under a grouping: for each
+    * group, the keys with count ≥ (numer/denom) × that group's mean
+    * count per distinct key. The summary is a true grouped aggregate
+    * (one Misra–Gries buffer per group, partial-merged map-side), so
+    * pass 1 shuffles ≤ k rows per group per task; the recount
+    * pre-filters on (group, key) and the per-group totals come back
+    * through an ordinary broadcast equi-join on the group — no nested
+    * loop anywhere. The completeness precondition is guarded per group:
+    * the group with the largest key cardinality is the binding one, and
+    * assert_true raises if k is too small for ANY group. */
+  def heavyKeysPerGroup(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      k: Int,
+      numer: Int = 3,
+      denom: Int = 2): DataFrame = {
+    require(numer > 0 && denom > 0, s"threshold must be positive: $numer/$denom")
+    val aggRows = Dedup.memoPersist(
+      df.groupBy(group.as("grp"))
+        .agg(
+          FrequentItems(key, k).as("cands"),
+          count(key).as("n"),
+          count_distinct(key).as("nk")))
+    val cands = aggRows.select(col("grp"), explode(col("cands")).as("item"))
+    val totals = aggRows.select(col("grp"), col("n"), col("nk"),
+      assert_true(
+        lit(numer).cast("long") * (k + 1) > lit(denom).cast("long") * col("nk"),
+        concat(lit(s"FrequentItems k=$k cannot guarantee threshold $numer/$denom of mean for group "),
+          col("grp").cast("string"), lit(" with "), col("nk"), lit(" keys")))
+        .as("guard"))
+    df.select(group.as("grp"), key.as("item"))
+      .join(broadcast(cands), Seq("grp", "item"))
+      .groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("grp"))
+      .where(col("cnt") * col("nk") * denom >= col("n") * numer && col("guard").isNull)
+      .select(col("grp"), col("item"), col("cnt"))
+      .orderBy("grp", "item")
+  }
+
   def heavyKeys(
       df: DataFrame,
       key: Column,

@@ -411,6 +411,26 @@ object DataCleaning {
       |WHERE cnt * nk * 2 >= n * 3
       |ORDER BY item""".stripMargin
 
+  /** **Per-group heavy hitters** ([[graft.operators.Frequent
+    * .heavyKeysPerGroup]]): per event type, the users generating ≥ 1.5×
+    * that type's mean events-per-user — the grouped form of
+    * `heavy_hitters`, with one Misra–Gries buffer per group and the
+    * per-group totals returning through a broadcast equi-join (no
+    * nested loop). Oracle = the exact grouped `HAVING` again. */
+  def heavyHittersByType(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequent.heavyKeysPerGroup(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+      col("event_type"), col("user_id"), k = 2048, numer = 3, denom = 2)
+
+  private val heavyHittersByTypeSql =
+    """WITH g AS (SELECT event_type AS grp, user_id AS item, COUNT(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nk
+      |      FROM g GROUP BY grp)
+      |SELECT grp, item, cnt FROM g JOIN t USING (grp)
+      |WHERE cnt * nk * 2 >= n * 3
+      |ORDER BY grp, item""".stripMargin
+
   /** **φ-frequent tokens** ([[graft.operators.Frequent
     * .heavyKeysFraction]]): the tokens making up ≥ 3.2% of the corpus —
     * the fraction-of-n heavy-hitter form whose completeness precondition
@@ -732,5 +752,6 @@ object DataCleaning {
     Q("skew_report", skewReportSql)(skewReport),
     Q("heavy_hitters", heavyHittersSql)(heavyHitters),
     Q("frequent_tokens", frequentTokensSql)(frequentTokens),
+    Q("heavy_hitters_by_type", heavyHittersByTypeSql)(heavyHittersByType),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ))
 }

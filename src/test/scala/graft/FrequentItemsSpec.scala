@@ -122,6 +122,23 @@ class FrequentItemsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("per-group form equals the exact grouped HAVING on sf0.001 events") {
+    val ev = Tables.events(spark, sf0001).select(col("event_type"), col("user_id"))
+    graft.operators.Dedup.releaseCaches()
+    val got = Frequent.heavyKeysPerGroup(ev, col("event_type"), col("user_id"),
+        k = 2048).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perKey = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = perKey.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val n = rows.map(_._3).sum
+      val nk = rows.length.toLong
+      rows.filter { case (_, _, c) => c * nk * 2 >= n * 3 }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.toSeq == want)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("fraction form matches the exact answer and rejects a statically undersized k") {
     val toks = Tables.documents(spark, sf0001)
       .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
