@@ -98,7 +98,7 @@ object Bench {
     val nNoisy = spreads.count(_._2 > 1.5)
     val maxSpread = spreads.map(_._2).maxOption.getOrElse(1.0)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpus,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout: the full JSON
     // (queries + samples + errors) goes to a file, and the LAST printed
     // line is guaranteed to fit the tail — with the per-query map if it
@@ -110,9 +110,9 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     val withQueries =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"cpus":$cpus,"full":"$fullPath","sf":"$sfDir"}"""
     val totalsOnly =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"cpus":$cpus,"full":"$fullPath","sf":"$sfDir"}"""
     // The consumer keeps only the last ~2000 chars of stdout. When the
     // per-query line fits that window it is the single (parseable) line;
     // when the registry outgrows it, the per-query line still prints —
