@@ -160,6 +160,40 @@ object Boilerplate {
     * Output is bitwise [[scrubFrequent]]'s shape, so the full scrub gets
     * an exact DuckDB oracle despite the approximate candidate stage —
     * the approximate-generate / exact-verify discipline again. */
+  /** [[scrubFrequentFraction]] with the summary SIZED FROM THE DATA: a
+    * one-row pre-pass (memoized via [[Dedup.memoGate]]) computes the doc
+    * count D and a DETERMINISTIC upper bound on the distinct (doc,
+    * segment) rows — the total segment count Σ(⌊(|w|−1)/k⌋+1), no
+    * distinct needed — and sizes the summary to ⌊nUpper/t⌋+1 where t is
+    * the fraction threshold. Unlike [[graft.operators.Frequent
+    * .heavyKeysAuto]]'s HLL estimate this bound cannot under-shoot, but
+    * the exact in-plan guard still stands. Past `kCap` the raise is
+    * refused loudly (summary entries cost ~50 B; the default cap is
+    * ~50 MB — far above any fraction worth scrubbing at). Raises above
+    * `kFloor` are logged. */
+  def scrubFrequentFractionAuto(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, numer: Int = 1, denom: Int = 2000,
+      kFloor: Int = 32768, kCap: Int = 1 << 20): DataFrame = {
+    val pre = df.select(TextOps.tokens(text).as("w"))
+      .agg(count(lit(1)).as("d"),
+        sum(expr(s"CAST(greatest(size(w) - 1, 0) div $k AS LONG) + 1")).as("n_upper"))
+    val (d, nUpper) = Dedup.memoGate(pre) {
+      val r = pre.head(); (r.getLong(0), r.getLong(1))
+    }
+    val t = math.max(2L, (d * numer + denom - 1) / denom)
+    val need = nUpper / t + 1
+    require(need <= kCap,
+      s"scrubFrequentFractionAuto: $nUpper segment rows at threshold $t need a " +
+        s"$need-entry summary, over the $kCap cap — widen the fraction or raise kCap")
+    val kSummary = math.max(need, kFloor.toLong).toInt
+    if (kSummary > kFloor) {
+      System.err.println(
+        s"[graft] scrubFrequentFractionAuto: sized summary to $kSummary entries " +
+          s"($nUpper segment rows, threshold $t docs)")
+    }
+    scrubFrequentFraction(df, id, text, k, numer, denom, kSummary)
+  }
+
   def scrubFrequentFraction(df: DataFrame, id: Column, text: Column,
       k: Int = 3, numer: Int = 1, denom: Int = 2000,
       kSummary: Int = 32768): DataFrame = {

@@ -92,6 +92,47 @@ object Frequent {
       .orderBy("item")
   }
 
+  /** [[heavyKeys]] with the summary SIZED FROM THE DATA: a cheap
+    * `approx_count_distinct` pre-pass (HLL — no distinct Expand, one
+    * 1-row aggregate memoized by [[Dedup.memoGate]]) estimates the key
+    * cardinality, and the summary size becomes
+    * ⌈denom·est·margin/numer⌉ + 1, clamped to `kCap`. Correctness NEVER
+    * rests on the estimate: the exact `assert_true` guard inside
+    * [[heavyKeys]] still certifies the precondition against the true
+    * distinct count, so an HLL under-estimate past the margin fails loud
+    * exactly like a hand-sized k — the estimate only removes the
+    * hand-tuning. Past `kCap` (the summary's memory budget: entries cost
+    * ~50 B, the default cap is ~50 MB) the raise is refused loudly — the
+    * mean-relative threshold on keys that numerous means the data has no
+    * heavy hitters worth a summary this large, and the caller should
+    * switch to [[heavyKeysFraction]]. A raise above the floor is logged
+    * (the [[Dedup]] Bloom-clamp discipline: adapt, bound, say so). */
+  def heavyKeysAuto(
+      df: DataFrame,
+      key: Column,
+      numer: Int = 3,
+      denom: Int = 2,
+      kFloor: Int = 4096,
+      kCap: Int = 1 << 20): DataFrame = {
+    require(numer > 0 && denom > 0, s"threshold must be positive: $numer/$denom")
+    val est = Dedup.memoGate(df.agg(approx_count_distinct(key).as("est"))) {
+      df.agg(approx_count_distinct(key).as("est")).head().getLong(0)
+    }
+    // 1.2 margin over the ±2% HLL error; +1 so the strict inequality in
+    // the exact guard holds when est is exact
+    val need = math.ceil(denom.toDouble * est * 1.2 / numer).toLong + 1
+    require(need <= kCap,
+      s"heavyKeysAuto: ~$est distinct keys need a $need-entry summary, over the " +
+        s"$kCap cap — no mean-relative heavy hitters worth that memory; use " +
+        "heavyKeysFraction or raise kCap")
+    val k = math.max(need, kFloor.toLong).toInt
+    if (k > kFloor) {
+      System.err.println(
+        s"[graft] heavyKeysAuto: sized summary to $k entries for ~$est distinct keys")
+    }
+    heavyKeys(df, key, k, numer, denom)
+  }
+
   /** Per-GROUP heavy hitters — [[heavyKeys]] under a grouping: for each
     * group, the keys with count ≥ (numer/denom) × that group's mean
     * count per distinct key. The summary is a true grouped aggregate

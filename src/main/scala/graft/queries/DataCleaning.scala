@@ -399,9 +399,12 @@ object DataCleaning {
     * `fuzzy_match`'s quadratic oracle. Threshold compares by integer
     * cross-multiplication (`cnt·nk·2 ≥ n·3`), no division anywhere. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Frequent.heavyKeys(
+    // auto form: an approx_count_distinct pre-pass sizes the summary for
+    // whatever key cardinality the corpus has; the exact in-plan guard
+    // still certifies, so correctness never rests on the estimate
+    graft.operators.Frequent.heavyKeysAuto(
       Tables.orders(spark, dir).select(col("o_custkey")),
-      col("o_custkey"), k = 12288, numer = 3, denom = 2)
+      col("o_custkey"), numer = 3, denom = 2)
 
   private val heavyHittersSql =
     """WITH g AS (SELECT o_custkey AS item, COUNT(*) AS cnt

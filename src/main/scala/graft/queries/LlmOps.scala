@@ -1559,9 +1559,11 @@ object LlmOps {
     * runtime-guarded threshold, and everything emitted passes the exact
     * recount. */
   def boilerplateFrequent(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Boilerplate.scrubFrequentFraction(
+    // auto form: a deterministic segment-count upper bound sizes the
+    // summary per corpus; the exact in-plan guard still certifies
+    graft.operators.Boilerplate.scrubFrequentFractionAuto(
         Tables.documents(spark, dir), col("doc_id"), col("text"),
-        k = 3, numer = 1, denom = 2000, kSummary = 32768)
+        k = 3, numer = 1, denom = 2000)
       .orderBy("doc_id")
 
   private val boilerplateFrequentSql =

@@ -122,6 +122,36 @@ class FrequentItemsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("auto-sized forms equal the fixed-k answers; the cap refuses loudly") {
+    val orders = Tables.orders(spark, sf0001).select(col("o_custkey"))
+    graft.operators.Dedup.releaseCaches()
+    val fixed = Frequent.heavyKeys(orders, col("o_custkey"), k = 2048)
+      .collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    val auto = Frequent.heavyKeysAuto(orders, col("o_custkey")).collect().toSeq
+    assert(auto == fixed)
+    intercept[IllegalArgumentException] {
+      Frequent.heavyKeysAuto(orders, col("o_custkey"), kCap = 64)
+    }
+    // boilerplate: kFloor=64 would fail as a FIXED size (the sf0.001
+    // corpus needs ~4.7k entries at the 2-doc threshold); auto raises to
+    // the deterministic bound and must reproduce the exact scrub
+    val docs = Tables.documents(spark, sf0001)
+    graft.operators.Dedup.releaseCaches()
+    val exact = graft.operators.Boilerplate.scrubFrequent(docs,
+      col("doc_id"), col("text"), k = 3, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    val autoScrub = graft.operators.Boilerplate.scrubFrequentFractionAuto(docs,
+      col("doc_id"), col("text"), k = 3, numer = 1, denom = 2000, kFloor = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(autoScrub == exact)
+    intercept[IllegalArgumentException] {
+      graft.operators.Boilerplate.scrubFrequentFractionAuto(docs,
+        col("doc_id"), col("text"), kCap = 128)
+    }
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("per-group form equals the exact grouped HAVING on sf0.001 events") {
     val ev = Tables.events(spark, sf0001).select(col("event_type"), col("user_id"))
     graft.operators.Dedup.releaseCaches()
