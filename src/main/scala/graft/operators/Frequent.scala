@@ -143,6 +143,38 @@ object Frequent {
     * loop anywhere. The completeness precondition is guarded per group:
     * the group with the largest key cardinality is the binding one, and
     * assert_true raises if k is too small for ANY group. */
+  /** [[heavyKeysPerGroup]] auto-sized like [[heavyKeysAuto]]: the
+    * pre-pass estimates the per-group key cardinality and the summary is
+    * sized for the LARGEST group (one shared k — the aggregate is one
+    * expression). The per-group estimate collect is bounded by the group
+    * count, which callers of a per-group report have already accepted as
+    * small (the #strata-row collect discipline of `temperatureMix`). The
+    * exact per-group guard still certifies every group. */
+  def heavyKeysPerGroupAuto(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      numer: Int = 3,
+      denom: Int = 2,
+      kFloor: Int = 4096,
+      kCap: Int = 1 << 20): DataFrame = {
+    require(numer > 0 && denom > 0, s"threshold must be positive: $numer/$denom")
+    val pre = df.groupBy(group.as("grp")).agg(approx_count_distinct(key).as("est"))
+    val est = Dedup.memoGate(pre) {
+      pre.select(max(col("est"))).head().getLong(0)
+    }
+    val need = math.ceil(denom.toDouble * est * 1.2 / numer).toLong + 1
+    require(need <= kCap,
+      s"heavyKeysPerGroupAuto: largest group has ~$est distinct keys, needing a " +
+        s"$need-entry summary over the $kCap cap")
+    val k = math.max(need, kFloor.toLong).toInt
+    if (k > kFloor) {
+      System.err.println(
+        s"[graft] heavyKeysPerGroupAuto: sized summary to $k entries for ~$est keys in the largest group")
+    }
+    heavyKeysPerGroup(df, group, key, k, numer, denom)
+  }
+
   def heavyKeysPerGroup(
       df: DataFrame,
       group: Column,

@@ -421,9 +421,9 @@ object DataCleaning {
     * per-group totals returning through a broadcast equi-join (no
     * nested loop). Oracle = the exact grouped `HAVING` again. */
   def heavyHittersByType(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Frequent.heavyKeysPerGroup(
+    graft.operators.Frequent.heavyKeysPerGroupAuto(
       Tables.events(spark, dir).select(col("event_type"), col("user_id")),
-      col("event_type"), col("user_id"), k = 2048, numer = 3, denom = 2)
+      col("event_type"), col("user_id"), numer = 3, denom = 2)
 
   private val heavyHittersByTypeSql =
     """WITH g AS (SELECT event_type AS grp, user_id AS item, COUNT(*) AS cnt

@@ -149,6 +149,15 @@ class FrequentItemsSpec extends SparkTestBase {
       graft.operators.Boilerplate.scrubFrequentFractionAuto(docs,
         col("doc_id"), col("text"), kCap = 128)
     }
+    // grouped auto: equals the fixed-k grouped form
+    val ev = Tables.events(spark, sf0001).select(col("event_type"), col("user_id"))
+    graft.operators.Dedup.releaseCaches()
+    val gFixed = Frequent.heavyKeysPerGroup(ev, col("event_type"),
+      col("user_id"), k = 2048).collect().toSeq
+    graft.operators.Dedup.releaseCaches()
+    val gAuto = Frequent.heavyKeysPerGroupAuto(ev, col("event_type"),
+      col("user_id")).collect().toSeq
+    assert(gAuto == gFixed)
     graft.operators.Dedup.releaseCaches()
   }
 
