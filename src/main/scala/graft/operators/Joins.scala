@@ -56,6 +56,58 @@ object Joins {
       .drop("__salt")
   }
 
+  /** [[saltedJoin]] with the salt width MEASURED, not guessed: a
+    * Misra–Gries probe over the big side's key column finds the hot
+    * keys cheaply (≤ `kProbe` rows/task shuffle — never a full per-key
+    * count), an exact recount of just those candidates gives the true
+    * max-per-key, and the salt becomes the smallest s with
+    * max/s ≤ 8 × mean (clamped to `maxSalt`). No key above the mean
+    * can hide from the probe: MG guarantees every key with share
+    * > n/(kProbe+1) of rows surfaces, and a key below 1/(kProbe+1)
+    * (0.02% at the default 4096) cannot melt a task at any realistic
+    * partition count. When the measured skew needs no salting (s = 1)
+    * the plain join is returned untouched — the probe is the only cost.
+    * Decision is logged; measurement is [[Dedup.memoGate]]-memoized per
+    * (plan, session) so constructing the query twice probes once.
+    *
+    * This is [[graft.functions.FrequentItems]] powering PLANNING: the
+    * same summary that answers `heavy_hitters` sizes the physical join —
+    * what `skew_report`'s scaladoc promised by hand, done by the
+    * engine. */
+  def saltedJoinAuto(
+      big: DataFrame, small: DataFrame,
+      bigKey: Column, smallKey: Column,
+      joinType: String = "inner",
+      kProbe: Int = 4096, maxSalt: Int = 64): DataFrame = {
+    val pre = big.select(bigKey.as("__k"))
+    val probe = pre.agg(
+      graft.functions.FrequentItems(col("__k"), kProbe).as("cands"),
+      count(col("__k")).as("n"),
+      approx_count_distinct(col("__k")).as("nk"))
+    val salt = Dedup.memoGate(probe) {
+      val row = probe.head()
+      val cands = row.getSeq[Any](0)
+      val n = row.getLong(1)
+      val nk = math.max(row.getLong(2), 1L)
+      val avg = math.max(n.toDouble / nk, 1.0)
+      val maxHot =
+        if (cands.isEmpty) 0L
+        else pre.filter(col("__k").isin(cands: _*))
+          .groupBy(col("__k")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+      val s = math.min(maxSalt.toLong, math.ceil(maxHot / (8.0 * avg)).toLong)
+      math.max(1L, s).toInt
+    }
+    if (salt > 1) {
+      System.err.println(s"[graft] saltedJoinAuto: measured hot-key skew, salting $salt ways")
+      saltedJoin(big, small, bigKey, smallKey, salt, joinType)
+    } else {
+      require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+        s"saltedJoinAuto supports (${saltableJoinTypes.mkString(", ")}); got '$joinType'")
+      big.join(small, bigKey === smallKey, joinType)
+    }
+  }
+
   /** Write both sides bucketed+sorted by the join key. Subsequent joins
     * on that key read co-located buckets — zero Exchange in the plan.
     * The standard layout investment for a fact table joined repeatedly

@@ -39,6 +39,38 @@ object Extras {
       |      FROM events GROUP BY user_id) ON user_id = u2
       |ORDER BY event_id""".stripMargin
 
+  /** **Auto-salted join** ([[graft.operators.Joins.saltedJoinAuto]]):
+    * the salt width MEASURED by a Misra–Gries probe instead of guessed.
+    * The big side collapses 90% of users to a single "guest" key (the
+    * classic real-world hot key: anonymous traffic, NULL surrogate) —
+    * the probe finds it, the exact candidate recount sizes the salt,
+    * and the salted plan runs; the oracle is the PLAIN join, so the
+    * gate proves the measured salting is semantics-preserving on the
+    * real corpus. The same `FrequentItems` summary that answers
+    * `heavy_hitters` here powers physical-join planning. */
+  def saltedJoinAutoQ(spark: SparkSession, dir: String): DataFrame = {
+    val gkey = when(col("user_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), gkey.as("gkey"))
+    val dim = ev.groupBy(col("gkey")).agg(count(lit(1)).as("n_key_events"))
+      .withColumnRenamed("gkey", "g2")
+    graft.operators.Joins.saltedJoinAuto(
+        ev, dim, col("gkey"), col("g2"))
+      .groupBy(col("gkey"))
+      .agg(count(lit(1)).as("n_rows"), max(col("n_key_events")).as("n_key_events"))
+      .orderBy("gkey")
+  }
+
+  private val saltedJoinAutoSql =
+    """WITH ev AS (SELECT event_id,
+      |              CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS gkey
+      |            FROM events),
+      |dim AS (SELECT gkey AS g2, COUNT(*) AS n_key_events FROM ev GROUP BY 1)
+      |SELECT gkey, COUNT(*) AS n_rows, MAX(n_key_events) AS n_key_events
+      |FROM ev JOIN dim ON gkey = g2
+      |GROUP BY gkey
+      |ORDER BY gkey""".stripMargin
+
   /** **Bucketed co-located join**: both sides written as bucketed+sorted
     * tables on the join key at construction (the layout investment a
     * fact table joined repeatedly on one key pays once), then joined
@@ -283,6 +315,7 @@ object Extras {
     Q("regex_fns", regexFnsSql)(regexFns),
     Q("explode_agg", explodeAggSql)(explodeAgg),
     Q("salted_join", saltedJoinSql)(saltedJoinQ),
+    Q("salted_join_auto", saltedJoinAutoSql)(saltedJoinAutoQ),
     Q("bucketed_join", bucketedJoinSql)(bucketedJoinQ),
     Q("zorder_layout", zorderLayoutSql)(zorderLayout))
 

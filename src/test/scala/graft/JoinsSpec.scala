@@ -33,6 +33,31 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoinAuto measures skew: salts the hot key, skips uniform keys") {
+    // same pathological shape: key 7 holds 90% of the big side
+    val big = spark.range(0, 20000).toDF("id")
+      .withColumn("k", when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100))
+      .withColumn("v", col("id") * 2)
+    val small = spark.range(0, 100).toDF("k").withColumn("w", col("k") * 10)
+    graft.operators.Dedup.releaseCaches()
+    val auto = Joins.saltedJoinAuto(big, small, big("k"), small("k"))
+    // the measured plan must actually salt (the probe saw key 7)
+    assert(auto.queryExecution.analyzed.toString.contains("__salt"),
+      "expected a salted plan for the 90%-hot key")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w")
+      .collect().map(_.toSeq).toSet
+    assert(auto.select(big("k"), col("v"), col("w"))
+      .collect().map(_.toSeq).toSet == plain)
+    // uniform keys: salt must come out 1 and the plain join be returned
+    val uni = spark.range(0, 20000).toDF("id")
+      .withColumn("k", col("id") % 100).withColumn("v", col("id"))
+    graft.operators.Dedup.releaseCaches()
+    val auto1 = Joins.saltedJoinAuto(uni, small, uni("k"), small("k"))
+    assert(!auto1.queryExecution.analyzed.toString.contains("__salt"),
+      "uniform keys must not pay the salting machinery")
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("saltedJoin rejects small-side-driven join types") {
     val big = spark.range(0, 10).toDF("k")
     val small = spark.range(0, 10).toDF("k2")
