@@ -108,6 +108,63 @@ object Temporal {
         col("__observed").isNull.as("is_gap"))
   }
 
+  /** [[resampleFfillDaily]]'s LINEAR sibling: gap days interpolate
+    * between the surrounding observed days' closing values instead of
+    * carrying the last one forward — sensor/metric gap filling where a
+    * step function would bias downstream aggregates. Every gap day has
+    * both neighbors by construction (the spine spans [first, last]
+    * observed day, and both endpoints are observed).
+    *
+    * Exact-oracle discipline for a float formula: the interpolation is
+    * spelled as the SAME three correctly-rounded IEEE ops in both
+    * engines — `v0 + (v1 − v0) · (Δprev / Δspan)` with the day deltas
+    * exact int64s and the division the only rounding point — so the
+    * result hash-matches bitwise (the `avg` rule of SURVEY §7 rule 3,
+    * one notch wider). A NULL closing value on a neighbor propagates
+    * NULL through the arithmetic identically in both engines.
+    *
+    * Scale shape: identical to [[resampleFfillDaily]] — one (key, day)
+    * shuffle for the closing observation, one key shuffle shared by the
+    * join and both fill windows (prev via unbounded-preceding `last`,
+    * next via unbounded-following `first`, same partitioning); grid
+    * size bounded by span, not event count. */
+  def resampleInterpDaily(df: DataFrame, key: Column, ts: Column,
+      value: Column, tie: Column): DataFrame = {
+    val base = df.select(key.as("key"), to_date(ts).as("day"),
+      value.as("v"), ts.as("t"), tie.as("tb"))
+    val wDay = Window.partitionBy(col("key"), col("day"))
+    val daily = base
+      .withColumn("rn", row_number().over(
+        wDay.orderBy(col("t").desc, col("tb").desc)))
+      .withColumn("n_obs", count(lit(1)).over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("day"), col("v").as("day_last"), col("n_obs"),
+        lit(true).as("__observed"))
+    val spine = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("key"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wPrev = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsStruct = when(col("__observed").isNotNull,
+      struct(col("day").as("d"), col("day_last").as("v")))
+    spine.join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"), col("day_last"), col("n_obs"),
+        col("__observed"),
+        last(obsStruct, ignoreNulls = true).over(wPrev).as("p"),
+        first(obsStruct, ignoreNulls = true).over(wNext).as("n"))
+      .select(col("key"), col("day"),
+        when(col("__observed").isNotNull, col("day_last"))
+          .otherwise(col("p.v") + (col("n.v") - col("p.v")) *
+            (datediff(col("day"), col("p.d")) /
+              datediff(col("n.d"), col("p.d"))))
+          .as("value_interp"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("__observed").isNull.as("is_gap"))
+  }
+
   /** **Incremental SCD2 maintenance** — the MERGE INTO pattern: fold a
     * delta batch of events into an existing [[scd2]] history WITHOUT
     * recomputing untouched keys. Exactness contract (spec + oracle):

@@ -300,6 +300,60 @@ object DataCleaning {
       |  ON s.user_id = d.user_id AND s.day = d.day
       |ORDER BY user_id, day""".stripMargin
 
+  /** **Daily resample + linear interpolation** ([[graft.operators
+    * .Temporal.resampleInterpDaily]]): `resample_ffill`'s linear
+    * sibling — gap days interpolate between the neighboring observed
+    * closing values, `v0 + (v1−v0)·(Δ/span)` spelled as the same three
+    * IEEE ops in both engines (the division of exact int64 day deltas
+    * is the only rounding point), so the float formula still
+    * hash-matches. */
+  def resampleInterp(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.resampleInterpDaily(
+        Tables.events(spark, dir), col("user_id"), col("ts"),
+        col("value"), col("event_id"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "day")
+
+  private val resampleInterpSql =
+    """WITH ranked AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_obs
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, value AS day_last, n_obs FROM ranked WHERE rn = 1
+      |), spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE
+      |      AS day
+      |  FROM daily GROUP BY user_id
+      |), g AS (
+      |  SELECT s.user_id AS user_id, s.day AS day, d.day_last, d.n_obs,
+      |    d.day IS NOT NULL AS observed,
+      |    last_value(CASE WHEN d.day IS NOT NULL THEN d.day END IGNORE NULLS)
+      |      OVER wp AS pd,
+      |    last_value(CASE WHEN d.day IS NOT NULL THEN d.day_last END IGNORE NULLS)
+      |      OVER wp AS pv,
+      |    first_value(CASE WHEN d.day IS NOT NULL THEN d.day END IGNORE NULLS)
+      |      OVER wn AS nd,
+      |    first_value(CASE WHEN d.day IS NOT NULL THEN d.day_last END IGNORE NULLS)
+      |      OVER wn AS nv
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day
+      |  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+      |                ROWS UNBOUNDED PRECEDING),
+      |         wn AS (PARTITION BY s.user_id ORDER BY s.day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, day,
+      |  CASE WHEN observed THEN day_last
+      |       ELSE pv + (nv - pv) * ((day - pd) / (nd - pd)) END
+      |    AS value_interp,
+      |  COALESCE(n_obs, 0) AS n_obs, NOT observed AS is_gap
+      |FROM g
+      |ORDER BY user_id, day""".stripMargin
+
   /** **Snapshot diff**: classify documents across two corpus versions as
     * added / removed / changed — the ingest-regression check run between
     * consecutive crawl snapshots. Content equality is digest equality
@@ -746,6 +800,7 @@ object DataCleaning {
     // merge ≡ full recompute: the incremental path answers the batch SQL
     Q("scd2_merge", scd2IntervalsSql)(scd2Merge),
     Q("resample_ffill", resampleFfillSql)(resampleFfill),
+    Q("resample_interp", resampleInterpSql)(resampleInterp),
     Q.noOracle("hll_rollup")(hllRollup),
     Q.noOracle("corpus_clusters")(corpusClusters),
     Q.noOracle("graph_pagerank")(graphPagerank),

@@ -290,6 +290,33 @@ class DataCleaningSpec extends SparkTestBase {
       (d("2024-01-03"), 1L, false)))
   }
 
+  test("resampleInterpDaily interpolates gaps linearly between closing values") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 1.0, 1L),
+      (1L, Timestamp.valueOf("2024-01-01 20:00:00"), 2.0, 2L), // closes day 1
+      (1L, Timestamp.valueOf("2024-01-04 12:00:00"), 8.0, 3L), // 2-day gap
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 5.0, 4L)
+    ).toDF("k", "t", "v", "e")
+    val out = Temporal.resampleInterpDaily(df, col("k"), col("t"), col("v"),
+        col("e"))
+      .orderBy("key", "day")
+      .as[(Long, java.sql.Date, Double, Long, Boolean)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // gap days walk the 2.0 -> 8.0 line: 2 + 6*(1/3) = 4, 2 + 6*(2/3) = 6
+    assert(out == Seq(
+      (1L, d("2024-01-01"), 2.0, 2L, false),
+      (1L, d("2024-01-02"), 4.0, 0L, true),
+      (1L, d("2024-01-03"), 6.0, 0L, true),
+      (1L, d("2024-01-04"), 8.0, 1L, false),
+      (2L, d("2024-01-02"), 5.0, 1L, false)))
+    // observed days and grid shape agree with the ffill sibling
+    val ffill = Temporal.resampleFfillDaily(df, col("k"), col("t"), col("v"),
+        col("e")).select("key", "day", "is_gap")
+      .as[(Long, java.sql.Date, Boolean)].collect().toSet
+    assert(out.map(r => (r._1, r._2, r._5)).toSet == ffill)
+  }
+
   test("resample_ffill grid tiles each user's observed span exactly") {
     val out = SparkEntry.queries("resample_ffill")(spark, sf0001)
     val n = out.count()
