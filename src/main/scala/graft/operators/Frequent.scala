@@ -32,6 +32,46 @@ import graft.functions.FrequentItems
   */
 object Frequent {
 
+  /** Per-GROUP φ-frequent items: for each group, the keys making up
+    * ≥ (numer/denom) of THAT GROUP's rows — [[heavyKeysFraction]] under
+    * a grouping, with the same STATIC completeness precondition
+    * (`numer·(k+1) > denom`, no per-group cardinality needed) because
+    * the MG guarantee `count > n_g/(k+1)` holds per buffer and each
+    * group has its own buffer. Pass 1 shuffles ≤ k+1 rows per group per
+    * task; per-group totals return through a broadcast equi-join.
+    *
+    * The motivating consumer is ANALYZE-style column profiling
+    * (`value_profile`): stack (column_name, value) pairs and group by
+    * column name — every column's most-common values in ONE corpus
+    * scan, the optimizer/data-quality statistic warehouses collect. */
+  def heavyKeysPerGroupFraction(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      k: Int,
+      numer: Int,
+      denom: Int): DataFrame = {
+    require(numer > 0 && denom > 0, s"threshold must be positive: $numer/$denom")
+    require(numer.toLong * (k + 1) > denom,
+      s"FrequentItems k=$k cannot guarantee threshold $numer/$denom of n — " +
+        s"need k+1 > $denom/$numer")
+    val aggRows = Dedup.memoPersist(
+      df.groupBy(group.as("grp"))
+        .agg(
+          FrequentItems(key, k).as("cands"),
+          count(key).as("n")))
+    val cands = aggRows.select(col("grp"), explode(col("cands")).as("item"))
+    val totals = aggRows.select(col("grp"), col("n"))
+    df.select(group.as("grp"), key.as("item"))
+      .join(broadcast(cands), Seq("grp", "item"))
+      .groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("grp"))
+      .where(col("cnt") * denom >= col("n") * numer)
+      .select(col("grp"), col("item"), col("cnt"))
+      .orderBy("grp", "item")
+  }
+
   /** Keys of `df` (under `key`) whose exact count is ≥ (numer/denom) ×
     * the mean count per distinct key, as (item, cnt) ordered by item.
     * The mean-relative threshold makes the selection scale-invariant

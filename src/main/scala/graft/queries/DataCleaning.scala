@@ -488,6 +488,44 @@ object DataCleaning {
       |WHERE cnt * nk * 2 >= n * 3
       |ORDER BY grp, item""".stripMargin
 
+  /** **Column value profile** ([[graft.operators.Frequent
+    * .heavyKeysPerGroupFraction]]): ANALYZE-style most-common-values —
+    * for each profiled column, the values making up ≥ 5% of rows, all
+    * columns in ONE corpus scan (stack (column, value) pairs, group the
+    * Misra–Gries summary by column name; static completeness guard, ≤
+    * k+1 rows per column per task). The high-cardinality `o_custkey`
+    * rides the same pass and correctly yields NO common values — the
+    * point of a summary-based profiler is that such a column costs O(k)
+    * memory, not an enumeration. The `column_stats` sibling counts and
+    * bounds; this one names the values. */
+  def valueProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stacked = o.select(explode(array(
+        struct(lit("o_orderstatus").as("c"),
+          col("o_orderstatus").cast("string").as("v")),
+        struct(lit("o_orderpriority").as("c"),
+          col("o_orderpriority").cast("string").as("v")),
+        struct(lit("o_custkey").as("c"),
+          col("o_custkey").cast("string").as("v")))).as("cv"))
+      .select(col("cv.c").as("c"), col("cv.v").as("v"))
+    graft.operators.Frequent.heavyKeysPerGroupFraction(
+      stacked, col("c"), col("v"), k = 64, numer = 5, denom = 100)
+  }
+
+  private val valueProfileSql =
+    """WITH s AS (
+      |  SELECT 'o_orderstatus' AS grp, CAST(o_orderstatus AS VARCHAR) AS item
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+      |g AS (SELECT grp, item, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+      |t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY grp)
+      |SELECT grp, item, cnt FROM g JOIN t USING (grp)
+      |WHERE cnt * 100 >= n * 5
+      |ORDER BY grp, item""".stripMargin
+
   /** **φ-frequent tokens** ([[graft.operators.Frequent
     * .heavyKeysFraction]]): the tokens making up ≥ 3.2% of the corpus —
     * the fraction-of-n heavy-hitter form whose completeness precondition
@@ -811,5 +849,6 @@ object DataCleaning {
     Q("heavy_hitters", heavyHittersSql)(heavyHitters),
     Q("frequent_tokens", frequentTokensSql)(frequentTokens),
     Q("heavy_hitters_by_type", heavyHittersByTypeSql)(heavyHittersByType),
+    Q("value_profile", valueProfileSql)(valueProfile),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ))
 }

@@ -178,6 +178,27 @@ class FrequentItemsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("per-group fraction form equals the exact grouped HAVING; static guard") {
+    val ev = Tables.events(spark, sf0001).select(col("event_type"), col("user_id"))
+    graft.operators.Dedup.releaseCaches()
+    // 2% of each type's events: some users qualify, most don't
+    val got = Frequent.heavyKeysPerGroupFraction(ev, col("event_type"),
+        col("user_id"), k = 64, numer = 2, denom = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perKey = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = perKey.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val n = rows.map(_._3).sum
+      rows.filter { case (_, _, c) => c * 100 >= n * 2 }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.toSeq == want)
+    intercept[IllegalArgumentException] {
+      Frequent.heavyKeysPerGroupFraction(ev, col("event_type"),
+        col("user_id"), k = 16, numer = 2, denom = 100)
+    }
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("fraction form matches the exact answer and rejects a statically undersized k") {
     val toks = Tables.documents(spark, sf0001)
       .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
