@@ -369,6 +369,34 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, rn""".stripMargin
 
+  /** Distribution window functions: `ntile` / `percent_rank` /
+    * `cume_dist` per nation. The ORDER BY carries a total tie-break
+    * (`c_custkey`) so rank-derived values are deterministic, and both
+    * doubles are SINGLE divisions of exact small integers —
+    * `(rank-1)/(n-1)` and `peers/n` — which IEEE round-to-nearest makes
+    * bit-identical across engines (the same discipline as the engine's
+    * other oracled ratios; no float SUM order is involved). One shuffle
+    * on the partition key; all four functions share the sort. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_nationkey", "pct_rank", "c_custkey")
+  }
+
+  private val windowDistributionSql =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  ntile(4)       OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist()    OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, pct_rank, c_custkey""".stripMargin
+
   /** Running (prefix) aggregates + lag/lead over an explicit ROWS frame.
     * The running sum is computed over exact decimals so the result is
     * independent of the engine's frame-evaluation strategy (Spark's
@@ -542,6 +570,7 @@ object Relational {
     Q("asof_join_sql", asofJoinSql)(asofJoinSqlQ),
     Q("asof_join_nearest", asofJoinNearestSql)(asofJoinNearest),
     Q("window_rank", windowRankSql)(windowRank),
+    Q("window_distribution", windowDistributionSql)(windowDistribution),
     Q("window_running", windowRunningSql)(windowRunning),
     Q("topk_per_group", topkPerGroupSql)(topkPerGroup),
     Q("topk_global", topkGlobalSql)(topkGlobal),
