@@ -11,9 +11,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // "local[*]" is a valid master but a bare "*" is not valid JSON —
+    // quote non-numeric values so the bench artifact always parses
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,29 +61,47 @@ object Bench {
     // throws is recorded LOUDLY (err field + errors count in the headline)
     // instead of benching as instant — a silent catch would let a broken
     // query masquerade as the fastest one.
+    //
+    // Process CPU time rides next to wall time: spread (max/min wall)
+    // only catches noise that perturbs ONE of the two samples. Sustained
+    // external load slows both samples equally — spread reads ~1.0 and
+    // the flag is blind — but this process's CPU seconds stay roughly
+    // flat while wall inflates, so a round-over-round wall jump with a
+    // flat cpu number is load, not regression (the r7 driver run read
+    // llm_clean_corpus at 19 s / spread 1.19 for exactly this reason).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None // non-HotSpot JVM: cpu fields emit as 0.0
+    }
     val results = picked.toSeq.map { case (name, fn) =>
       var err: Option[String] = None
       val samples = Seq.fill(2) {
         clearState()
+        val c0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)) }
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = osBean.map(b => (b.getProcessCpuTime - c0) / 1e9).getOrElse(0.0)
+        (wall, cpu)
       }
-      (name, samples.min, samples, err)
+      (name, samples.map(_._1).min, samples.map(_._1), err, samples.map(_._2))
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, s, _) =>
+    val raw = results.map { case (k, _, s, _, _) =>
       "\"" + k + "\":" + s.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+    val cpuJson = results.map { case (k, _, _, _, c) =>
+      "\"" + k + "\":" + c.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val nErr = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
@@ -92,13 +114,13 @@ object Bench {
     // survives the driver's stdout tail without opening the file.
     def spreadOf(s: Seq[Double]): Double =
       if (s.isEmpty || s.min <= 0) 1.0 else s.max / s.min
-    val spreads = results.map { case (k, _, s, _) => (k, spreadOf(s)) }
+    val spreads = results.map { case (k, _, s, _, _) => (k, spreadOf(s)) }
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val nNoisy = spreads.count(_._2 > 1.5)
     val maxSpread = spreads.map(_._2).maxOption.getOrElse(1.0)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"cpu":$cpuJson,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpusJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout: the full JSON
     // (queries + samples + errors) goes to a file, and the LAST printed
     // line is guaranteed to fit the tail — with the per-query map if it
@@ -110,9 +132,9 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     val withQueries =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"cpus":$cpus,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"cpus":$cpusJson,"full":"$fullPath","sf":"$sfDir"}"""
     val totalsOnly =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"cpus":$cpus,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"cpus":$cpusJson,"full":"$fullPath","sf":"$sfDir"}"""
     // The consumer keeps only the last ~2000 chars of stdout. When the
     // per-query line fits that window it is the single (parseable) line;
     // when the registry outgrows it, the per-query line still prints —

@@ -72,31 +72,6 @@ object Frequent {
       .orderBy("grp", "item")
   }
 
-  /** Keys of `df` (under `key`) whose exact count is ≥ (numer/denom) ×
-    * the mean count per distinct key, as (item, cnt) ordered by item.
-    * The mean-relative threshold makes the selection scale-invariant
-    * (TPC-H-style data keeps per-key counts constant as rows and keys
-    * grow together); the comparison is the exact integer
-    * cross-multiplication `cnt · n_keys · denom ≥ n · numer` — no
-    * division, so the answer is bitwise reproducible cross-engine.
-    *
-    * Completeness precondition: the threshold must exceed n/(k+1), i.e.
-    * `numer · (k+1) > denom · n_keys`. The first-pass aggregate knows
-    * both n and n_keys, so the plan CHECKS the precondition at runtime:
-    * `assert_true` raises before any row is emitted if `k` was sized too
-    * small for the observed key cardinality (fail loud, never silently
-    * incomplete — the [[Dedup]] Bloom-clamp discipline).
-    *
-    * Plan shape: scan 1 = the summary aggregate (+ n, n_keys in the same
-    * pass; the 1-row result is memo-persisted so the candidate explode
-    * and the totals read don't recompute it); scan 2 = broadcast-join
-    * pre-filter → count. Both scans read only the key column. Honest
-    * cost note: the exact `count_distinct` denominator makes pass 1
-    * shuffle one row per distinct key per task (the distinct-aggregate
-    * Expand) — fine for warehouse diagnostics, but at web-scale key
-    * cardinality use [[heavyKeysFraction]], whose precondition is static
-    * and whose shuffle stays ≤ k+1 rows per task.
-    */
   /** Keys whose exact count is ≥ (numer/denom) × n — the classic
     * φ-frequent-items form, and the true scan-only scale path: the
     * completeness precondition `numer·(k+1) > denom` is STATIC (no data
@@ -173,16 +148,6 @@ object Frequent {
     heavyKeys(df, key, k, numer, denom)
   }
 
-  /** Per-GROUP heavy hitters — [[heavyKeys]] under a grouping: for each
-    * group, the keys with count ≥ (numer/denom) × that group's mean
-    * count per distinct key. The summary is a true grouped aggregate
-    * (one Misra–Gries buffer per group, partial-merged map-side), so
-    * pass 1 shuffles ≤ k rows per group per task; the recount
-    * pre-filters on (group, key) and the per-group totals come back
-    * through an ordinary broadcast equi-join on the group — no nested
-    * loop anywhere. The completeness precondition is guarded per group:
-    * the group with the largest key cardinality is the binding one, and
-    * assert_true raises if k is too small for ANY group. */
   /** [[heavyKeysPerGroup]] auto-sized like [[heavyKeysAuto]]: the
     * pre-pass estimates the per-group key cardinality and the summary is
     * sized for the LARGEST group (one shared k — the aggregate is one
@@ -215,6 +180,16 @@ object Frequent {
     heavyKeysPerGroup(df, group, key, k, numer, denom)
   }
 
+  /** Per-GROUP heavy hitters — [[heavyKeys]] under a grouping: for each
+    * group, the keys with count ≥ (numer/denom) × that group's mean
+    * count per distinct key. The summary is a true grouped aggregate
+    * (one Misra–Gries buffer per group, partial-merged map-side), so
+    * pass 1 shuffles ≤ k rows per group per task; the recount
+    * pre-filters on (group, key) and the per-group totals come back
+    * through an ordinary broadcast equi-join on the group — no nested
+    * loop anywhere. The completeness precondition is guarded per group:
+    * the group with the largest key cardinality is the binding one, and
+    * assert_true raises if k is too small for ANY group. */
   def heavyKeysPerGroup(
       df: DataFrame,
       group: Column,
@@ -241,11 +216,41 @@ object Frequent {
       .groupBy(col("grp"), col("item"))
       .agg(count(lit(1)).as("cnt"))
       .join(broadcast(totals), Seq("grp"))
-      .where(col("cnt") * col("nk") * denom >= col("n") * numer && col("guard").isNull)
+      // cnt·nk·denom in Long wraps silently past 2⁶³ (n ≳ 3e12 rows with
+      // nk ~1.5M under the k-guard) — exactly the scale this operator
+      // exists for. DECIMAL(38,0) keeps the cross-multiplication exact
+      // to 10³⁸, far beyond any physical row count.
+      .where(col("cnt").cast("decimal(38,0)") * col("nk") * denom >=
+        col("n").cast("decimal(38,0)") * numer && col("guard").isNull)
       .select(col("grp"), col("item"), col("cnt"))
       .orderBy("grp", "item")
   }
 
+  /** Keys of `df` (under `key`) whose exact count is ≥ (numer/denom) ×
+    * the mean count per distinct key, as (item, cnt) ordered by item.
+    * The mean-relative threshold makes the selection scale-invariant
+    * (TPC-H-style data keeps per-key counts constant as rows and keys
+    * grow together); the comparison is the exact integer
+    * cross-multiplication `cnt · n_keys · denom ≥ n · numer` — no
+    * division, so the answer is bitwise reproducible cross-engine.
+    *
+    * Completeness precondition: the threshold must exceed n/(k+1), i.e.
+    * `numer · (k+1) > denom · n_keys`. The first-pass aggregate knows
+    * both n and n_keys, so the plan CHECKS the precondition at runtime:
+    * `assert_true` raises before any row is emitted if `k` was sized too
+    * small for the observed key cardinality (fail loud, never silently
+    * incomplete — the [[Dedup]] Bloom-clamp discipline).
+    *
+    * Plan shape: scan 1 = the summary aggregate (+ n, n_keys in the same
+    * pass; the 1-row result is memo-persisted so the candidate explode
+    * and the totals read don't recompute it); scan 2 = broadcast-join
+    * pre-filter → count. Both scans read only the key column. Honest
+    * cost note: the exact `count_distinct` denominator makes pass 1
+    * shuffle one row per distinct key per task (the distinct-aggregate
+    * Expand) — fine for warehouse diagnostics, but at web-scale key
+    * cardinality use [[heavyKeysFraction]], whose precondition is static
+    * and whose shuffle stays ≤ k+1 rows per task.
+    */
   def heavyKeys(
       df: DataFrame,
       key: Column,
@@ -271,7 +276,12 @@ object Frequent {
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(totals))
-      .where(col("cnt") * col("nk") * denom >= col("n") * numer && col("guard").isNull)
+      // cnt·nk·denom in Long wraps silently past 2⁶³ (n ≳ 3e12 rows with
+      // nk ~1.5M under the k-guard) — exactly the scale this operator
+      // exists for. DECIMAL(38,0) keeps the cross-multiplication exact
+      // to 10³⁸, far beyond any physical row count.
+      .where(col("cnt").cast("decimal(38,0)") * col("nk") * denom >=
+        col("n").cast("decimal(38,0)") * numer && col("guard").isNull)
       .select(col("item"), col("cnt"))
       .orderBy("item")
   }

@@ -113,11 +113,17 @@ object Graph {
       edges.select(src.as("src"), dst.as("dst"), weight.cast("long").as("w")))
     // positive-weight guard (the float operator routes wout<=0 through
     // dangling; here a nonpositive or null weight means the caller
-    // skipped quantization — fail loudly): one bounded 1-row probe
+    // skipped quantization — fail loudly): one bounded 1-row probe.
+    // rank can reach ~scale (all mass on one node), so rank*w must stay
+    // under Long.MaxValue — the admissible weight ceiling is
+    // Long.MaxValue/scale (~9.2e6 at the default scale), tracked from
+    // the scale parameter rather than hard-coded.
+    val wMax = Long.MaxValue / scale
     val bad = e0.filter(col("w").isNull || col("w") <= 0 ||
-      col("w") > 9000000L * 1000L).limit(1).collect()
+      col("w") > wMax).limit(1).collect()
     require(bad.isEmpty,
-      s"pageRankFixedPoint needs integer weights in (0, 9e9]; got ${bad.mkString}")
+      s"pageRankFixedPoint needs integer weights in (0, $wMax] " +
+        s"(Long.MaxValue/scale keeps rank*w exact); got ${bad.mkString}")
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val eN = Dedup.memoPersist(e0.join(outW, "src")
       .select(col("src"), col("dst"), col("w"), col("wout")))

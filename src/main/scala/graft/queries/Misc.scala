@@ -106,9 +106,51 @@ object Misc {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** **2-D skyline** (Pareto front) over orders
+    * ([[graft.operators.Skyline.skyline2d]]): the non-dominated
+    * (price-bucket, order-month) rows — "no other order was both
+    * cheaper-or-equal and earlier-or-equal, strictly better in one".
+    * Coarse quantization (price/1000, calendar month) produces plenty of
+    * coordinate duplicates, exercising the tie rule (equal points
+    * dominate in neither direction, so both surface). Only integer
+    * comparisons touch the data after the one floor(), so the result is
+    * bitwise engine-independent. The oracle is the O(n²) NOT-EXISTS
+    * dominance definition itself, run over DISTINCT points (dominance
+    * depends only on coordinates) and joined back to rows — the gate
+    * proves the engine's linear prefix-min formulation ≡ the quadratic
+    * definition on real data. */
+  def skylineQ(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") / 1000).cast("long").as("x"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("y"))
+    graft.operators.Skyline.skyline2d(pts, "x", "y")
+      .where(col("is_skyline"))
+      .select(col("o_orderkey"), col("x"), col("y"))
+      .orderBy("o_orderkey")
+  }
+
+  private val skylineSql =
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS x,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS y
+      |  FROM orders),
+      |d AS (SELECT DISTINCT x, y FROM pts),
+      |front AS (
+      |  SELECT x, y FROM d a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM d b
+      |    WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)))
+      |SELECT p.o_orderkey, p.x, p.y
+      |FROM pts p JOIN front USING (x, y)
+      |ORDER BY p.o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("window_navigation", windowNavigationSql)(windowNavigation),
     Q("bag_ops", bagOpsSql)(bagOps),
     Q("scalar_subquery", scalarSubquerySql)(scalarSubquery),
-    Q("null_fns", nullFnsSql)(nullFns))
+    Q("null_fns", nullFnsSql)(nullFns),
+    Q("skyline", skylineSql)(skylineQ))
 }

@@ -34,7 +34,10 @@ object ScaleUp {
 
     def copies(t: String)(rekey: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
-      val union = (0 until k).map(c => rekey(base, c)).reduce(_ union _)
+      // unionByName: copy 0 is the raw parquet frame while copies c>0
+      // are hand-ordered selects — positional union would silently
+      // misalign same-typed columns if the source column order drifts
+      val union = (0 until k).map(c => rekey(base, c)).reduce(_ unionByName _)
       union.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: ${k}x written")
     }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Skyline
+
+/** [[graft.operators.Skyline.skyline2d]] against the O(n²) dominance
+  * definition: a row is on the front iff NO other row is ≤ in both
+  * coordinates and < in at least one. Points are drawn from a small grid
+  * so coordinate duplicates (ties on x, on y, and on BOTH) occur
+  * constantly — the tie rule (equal points dominate in neither
+  * direction, both surface) is the part a naive strict-< formulation
+  * gets wrong. The registered `skyline` query adds the DuckDB
+  * NOT-EXISTS gate on real data; this spec covers the adversarial
+  * corners randomized data finds. */
+class SkylineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Long)]): Seq[Boolean] =
+    pts.map { case (x, y) =>
+      !pts.exists { case (bx, by) =>
+        bx <= x && by <= y && (bx < x || by < y)
+      }
+    }
+
+  private def check(pts: Seq[(Long, Long)]): Unit = {
+    val df = pts.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline2d(df, "x", "y")
+      .select(col("id"), col("is_skyline"))
+      .as[(Long, Boolean)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == brute(pts),
+      s"skyline2d disagrees with brute force on ${pts.take(50)}")
+  }
+
+  test("skyline2d ≡ brute-force dominance on a dense tie-heavy grid") {
+    // every point of a 6×6 grid twice: maximal coordinate duplication —
+    // only (0,0) is on the front, and BOTH copies of it must be flagged
+    val grid = for (x <- 0L to 5L; y <- 0L to 5L; _ <- 1 to 2) yield (x, y)
+    check(grid)
+    val flags = brute(grid)
+    assert(flags.count(identity) == 2, "both copies of the minimum surface")
+  }
+
+  test("skyline2d ≡ brute-force on an anti-chain (everything on the front)") {
+    // strictly decreasing y over increasing x: nothing dominates anything
+    check((0L to 20L).map(i => (i, 20L - i)))
+  }
+
+  test("skyline2d ≡ brute-force on a chain (only the minimum survives)") {
+    check((0L to 20L).map(i => (i, i)))
+  }
+
+  test("skyline2d ≡ brute-force dominance on random tie-heavy points") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      pts <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    } yield pts
+    val prop = Prop.forAll(gen) { pts => check(pts); true }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("skyline plans no single-task global window over row-scaled data") {
+    // the only empty-partitionSpec Window allowed is the O(P)
+    // partition-bases prefix-min — its input must be the __pid-grouped
+    // aggregate (one row per partition), never the row-scaled frame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => globalWindows(a.inputPlan)
+      case c: InMemoryTableScanExec => globalWindows(c.relation.cachedPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+    }.flatten
+    def pidBounded(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+        case c: InMemoryTableScanExec if pidBounded(c.relation.cachedPlan) => c
+        case a: AdaptiveSparkPlanExec if pidBounded(a.inputPlan) => a
+      }.nonEmpty
+    val df = SparkEntry.queries("skyline")(spark, sf0001)
+    val globals = globalWindows(df.queryExecution.executedPlan)
+    assert(globals.nonEmpty, "expected the bounded partition-bases window")
+    globals.foreach { w =>
+      assert(pidBounded(w.child),
+        s"global window over a frame not bounded by the __pid aggregate:\n" +
+          w.child.toString.take(1200))
+    }
+  }
+}
