@@ -2024,6 +2024,52 @@ object LlmOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** **Group-aware split** — the fix `split_leakage` measures the need
+    * for: assign train/val/test at the near-dup CLUSTER key instead of
+    * the document key, so both sides of every verified near-dup pair
+    * land in the same split by construction (they share a
+    * `cluster_rep`) and the leak count is structurally zero
+    * (SamplingSpec proves it on the same pair stage). Docs in no
+    * cluster hash under their own id — for them this IS `corpus_split`.
+    *
+    * Scale shape: the clusters frame (only docs with ≥1 verified
+    * near-dup pair — tiny next to the corpus) comes from the memo-shared
+    * pair stage and LEFT-joins onto the corpus by doc_id; the split is
+    * the same per-row md5 CASE as `corpus_split`. One broadcast-able
+    * equi-join over what `corpus_split` already paid — the anti-join
+    * discipline of the reference's skip-list (main.py:66-68) applied at
+    * the split boundary: never re-randomize what clustering already
+    * bound together. Oracle: the shared recursive-CTE cluster chain +
+    * the same threshold CASE at COALESCE(cluster_rep, doc_id). */
+  def corpusSplitGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Dedup
+      .connectedComponentsAuto(verifiedMinhashPairs(spark, dir))
+    Tables.documents(spark, dir)
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("split_key"),
+        graft.operators.Sampling.splitColumn(
+          coalesce(col("cluster_rep"), col("doc_id")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusSplitGroupedSql = {
+    val Seq(t1, t2, t3) =
+      graft.operators.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+    s"""WITH RECURSIVE
+       |$minhashClusterCtes,
+       |keyed AS (SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS split_key
+       |          FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+       |SELECT doc_id, split_key,
+       |  CASE WHEN md5('graft' || CAST(split_key AS VARCHAR)) < '$t1' THEN 'train'
+       |       WHEN md5('graft' || CAST(split_key AS VARCHAR)) < '$t2' THEN 'val'
+       |       WHEN md5('graft' || CAST(split_key AS VARCHAR)) < '$t3' THEN 'test'
+       |       ELSE 'rest' END AS split
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Sliding-window chunking (64-token chunks, stride 48 → 16-token
     * overlap) — [[graft.operators.Chunking.chunks]]; the chunk text
     * itself is emitted and hash-checked. */
@@ -2328,6 +2374,7 @@ object LlmOps {
     Q.noOracle("embedding_pca")(embeddingPca),
     Q("corpus_rebalance", corpusRebalanceSql)(corpusRebalance),
     Q("corpus_split", corpusSplitSql)(corpusSplit),
+    Q("corpus_split_grouped", corpusSplitGroupedSql)(corpusSplitGrouped),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
     Q.noOracle("winnow_fingerprint")(winnowFingerprint))
 }

@@ -247,4 +247,40 @@ class SamplingSpec extends SparkTestBase {
       assert(exact(g)._2 == vs((900 * n + 999) / 1000 - 1), s"$g exact p90")
     }
   }
+
+  test("grouped split: zero cross-split near-dup pairs; doc-level split leaks") {
+    // the demonstration the corpus_split_grouped scaladoc promises: on
+    // the same verified near-dup pair stage, the document-keyed split
+    // strands pair-members on opposite sides (leakage > 0 — a pair
+    // crosses w.p. 1 − Σfᵢ² = 0.34 under independent hashing), while the
+    // cluster-rep-keyed split can never split a pair (both members share
+    // the key the md5 CASE hashes)
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf0001)
+      .select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0, "fixture has near-dup pairs to leak")
+    def crossing(splitQuery: String): Long = {
+      val assign = SparkEntry.queries(splitQuery)(spark, sf0001)
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .count()
+    }
+    assert(crossing("corpus_split") > 0,
+      "doc-level split should strand at least one near-dup pair across splits")
+    assert(crossing("corpus_split_grouped") == 0,
+      "cluster-keyed split must never separate a verified near-dup pair")
+  }
+
+  test("grouped split agrees with corpus_split for every unclustered doc") {
+    val grouped = SparkEntry.queries("corpus_split_grouped")(spark, sf0001)
+    val plain = SparkEntry.queries("corpus_split")(spark, sf0001)
+    val diff = grouped.filter(col("split_key") === col("doc_id"))
+      .select(col("doc_id"), col("split"))
+      .join(plain.withColumnRenamed("split", "split_plain"), "doc_id")
+      .filter(col("split") =!= col("split_plain"))
+    assert(diff.count() == 0,
+      "a doc outside every cluster hashes under its own id — identical to corpus_split")
+  }
 }
