@@ -263,6 +263,19 @@ object Similarity {
     val sample = trainSample(c0)
     val cents = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
       .map(_.map(_.toFloat)).zipWithIndex
+    ivfTopKWithCentroids(queries, candidates, cents, k, nprobe)
+  }
+
+  /** Inline IVF routing + scoring under EXPLICIT centroids — the math
+    * [[ivfTopK]] runs after training, factored out so index maintenance
+    * can be proven against it: serving from a base+delta index must
+    * equal this inline computation over the unioned corpus under the
+    * SAME centroids (DedupSimilaritySpec), isolating the append path
+    * from k-means nondeterminism across differently-sampled corpora. */
+  private[graft] def ivfTopKWithCentroids(queries: DataFrame,
+      candidates: DataFrame, cents: Seq[(Array[Float], Int)], k: Int,
+      nprobe: Int = 8): DataFrame = {
+    val c0 = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val nearestCells = nearestCellsOf(cents) _
     val cAssigned = c0
       .withColumn("cn", VectorOps.norm(col("cv")))
@@ -316,13 +329,57 @@ object Similarity {
     * only the probed cells' buckets. No retrain, no re-assignment, no
     * full-index pass — the query-time work is proportional to the probed
     * fraction. */
-  def ivfTopKIndexed(queries: DataFrame,
-      spark: org.apache.spark.sql.SparkSession, table: String, k: Int,
-      nprobe: Int = 8): DataFrame = {
-    val cents = spark.table(s"${table}__centroids")
+  /** The nCells-row centroid side table of a [[writeIvfIndex]] index —
+    * a bounded driver-side read (routing metadata, the reference's own
+    * driver-side work-list shape). */
+  private[graft] def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(Array[Float], Int)] =
+    spark.table(s"${table}__centroids")
       .select(col("cell"), col("centroid")).collect()
       .map(r => (r.getSeq[Float](1).toArray, r.getInt(0)))
       .sortBy(_._2).toSeq
+
+  /** **Incremental IVF index maintenance** — [[Dedup.incrementalDedup]]'s
+    * contract applied to ANN: a delta of new vectors joins the persisted
+    * index WITHOUT a rebuild. The delta is assigned to the index's
+    * EXISTING centroids (read from the side table — no retrain: centroid
+    * identity is exactly what keeps old and new entries in comparable
+    * cells) and appended to the bucketed table under the same bucket
+    * spec, so later [[ivfTopKIndexed]] serves base+delta with the same
+    * bucket-pruned scan and ZERO Exchange on the index side. Work is
+    * proportional to |delta| — one per-row assignment map over the delta
+    * and a bucketed append; the base index is never read, re-shuffled,
+    * or rewritten. The approximation contract is the standard IVF one:
+    * centroids slowly drift from optimal as the corpus distribution
+    * shifts; recall against a same-centroid rebuild is IDENTICAL by
+    * construction (spec-proven), and a periodic [[writeIvfIndex]]
+    * retrain is the compaction step, exactly as the dedup signature
+    * index re-buckets on its own cadence. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame): Unit = {
+    val cents = readCentroids(spark, table)
+    require(cents.nonEmpty, s"appendToIvfIndex: empty centroid table for '$table'")
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendToIvfIndex: '$table' is not a bucketed IVF index"))
+    val nearestCells = nearestCellsOf(cents) _
+    delta.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("cell", nearestCells(col("cv"), 1).getItem(0))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(table)
+  }
+
+  def ivfTopKIndexed(queries: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, table: String, k: Int,
+      nprobe: Int = 8): DataFrame = {
+    val cents = readCentroids(spark, table)
     require(cents.nonEmpty, s"ivfTopKIndexed: empty centroid table for '$table'")
     val nearestCells = nearestCellsOf(cents) _
     // persisted: the routed query batch feeds the probe-list collect AND

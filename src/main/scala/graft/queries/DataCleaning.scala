@@ -64,6 +64,34 @@ object DataCleaning {
       |GROUP BY a.c_custkey
       |ORDER BY id_a""".stripMargin
 
+  /** **Per-record 3-nearest fuzzy match**
+    * ([[graft.operators.EntityResolution.fuzzyTopK]]) — the
+    * bounded-output entity-resolution form: each customer's 3 closest
+    * Levenshtein-≤2 neighbors by (dist, id_b), with the exact total
+    * match count alongside so a bound cap is announced per row, never
+    * silent. This is the shape that survives a near-dup-saturated
+    * dimension at 100 TB (output ≤ k·n by construction, map-side
+    * partial top-k before the only post-verify shuffle); oracle = the
+    * quadratic all-pairs join + ROW_NUMBER under the same total order. */
+  def fuzzyMatchTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.fuzzyTopK(
+        Tables.customer(spark, dir), col("c_custkey"), col("c_name"), k = 3)
+      .orderBy("id_a", "rn")
+
+  private val fuzzyMatchTopKSql =
+    """WITH d AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      |  FROM customer a JOIN customer b ON a.c_custkey <> b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+      |r AS (SELECT id_a, id_b, dist,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS INTEGER) AS rn,
+      |        COUNT(*) OVER (PARTITION BY id_a) AS n_matches
+      |      FROM d)
+      |SELECT id_a, rn, id_b, dist, n_matches
+      |FROM r WHERE rn <= 3
+      |ORDER BY id_a, rn""".stripMargin
+
   /** **SCD2 history build** ([[graft.operators.Temporal.scd2]]): each
     * user's event-type stream run-length-encoded into
     * `[valid_from, valid_to)` intervals — one shuffle on the key, rows
@@ -834,6 +862,7 @@ object DataCleaning {
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("fuzzy_match_k2", fuzzyMatchK2Sql)(fuzzyMatchK2),
+    Q("fuzzy_match_k2_topk", fuzzyMatchTopKSql)(fuzzyMatchTopK),
     Q("scd2_intervals", scd2IntervalsSql)(scd2Intervals),
     // merge ≡ full recompute: the incremental path answers the batch SQL
     Q("scd2_merge", scd2IntervalsSql)(scd2Merge),

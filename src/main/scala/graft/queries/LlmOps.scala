@@ -528,6 +528,26 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** **Incremental IVF maintenance** ([[Similarity.appendToIvfIndex]]):
+    * 90% of the corpus builds the persisted index, the other 10% plays
+    * the newly-ingested delta — assigned to the index's EXISTING
+    * centroids and appended to its buckets, work ∝ |delta|, no rebuild —
+    * then the query batch is served from the combined index. Rows-only
+    * (k-means); anchored by the spec proving served base+delta ≡ inline
+    * IVF over the union under the same centroids, with the delta path
+    * planning zero Exchange on the index side. */
+  def vectorIvfDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
+      "graft_ivf_delta_index")
+    Similarity.appendToIvfIndex(spark, "graft_ivf_delta_index",
+      e.filter(col("vec_id") % 10 === 0))
+    Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 20), spark,
+        "graft_ivf_delta_index", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): IVF routing + product-
     * quantized asymmetric-distance scoring — the memory-bound scale path
     * (codes are ~30× smaller than the vectors they rank); rows-only
@@ -2341,6 +2361,7 @@ object LlmOps {
     Q.noOracle("vector_pca_route")(vectorPcaRoute),
     Q.noOracle("vector_ivf")(vectorIvf),
     Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),
+    Q.noOracle("vector_ivf_delta")(vectorIvfDelta),
     Q.noOracle("vector_pq")(vectorPq),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),

@@ -183,6 +183,91 @@ object Relational {
       |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q21's shape — **semi + anti self-joins on the same fact**:
+    * suppliers who were the SOLE late shipper on a multi-supplier order
+    * ("late" = shipped > 60 days after the order date; this corpus has
+    * no commit/receipt dates). Three logical scans of lineitem: the late
+    * rows, a semi join proving another supplier exists on the order, an
+    * anti join proving no OTHER supplier was late on it. The semi/anti
+    * sides project only (orderkey, suppkey) — the two self-join
+    * exchanges carry 16-byte rows, never the fact's payload, and all
+    * three shuffles share the l_orderkey key so AQE can reuse the
+    * exchange. Counts stay int-exact; the supplier attach is a
+    * broadcast. */
+  def multiExistsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val late = li
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  private val multiExistsJoinSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |late AS (
+      |  SELECT l_orderkey, l_suppkey FROM li
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM li l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H Q18's shape — a **group-HAVING aggregate driving a semi
+    * join**: orders whose total lineitem quantity exceeds 250, with
+    * their customer. The HAVING-filtered per-order aggregate (tiny — the
+    * heavy-order tail) is the driving side; joining it back to orders IS
+    * the semi join with the aggregate riding along as payload, and AQE
+    * broadcasts it. Quantity sums in DECIMAL so the HAVING boundary and
+    * the emitted sum are exact in both engines. */
+  def bigOrdersSemi(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.orders(spark, dir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  private val bigOrdersSemiSql =
+    """SELECT c_name, o_custkey, o_orderkey, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+      |  ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Equi + range predicate join: lineitems shipped within 30 days of their
     * order's date. The range condition rides on the equi-join (no
     * nested-loop explosion); counts stay int-exact. */
@@ -563,6 +648,8 @@ object Relational {
     Q("q5_join", q5JoinSql)(q5Join),
     Q("anti_join", antiJoinSql)(antiJoin),
     Q("semi_join", semiJoinSql)(semiJoin),
+    Q("multi_exists_join", multiExistsJoinSql)(multiExistsJoin),
+    Q("big_orders_semi", bigOrdersSemiSql)(bigOrdersSemi),
     Q("range_join", rangeJoinSql)(rangeJoin),
     Q("band_join", bandJoinSql)(bandJoin),
     Q("asof_join", asofJoinSql)(asofJoin),

@@ -122,6 +122,32 @@ class DataCleaningSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("fuzzyTopK: per-record k-nearest ≡ brute force, exact n_matches, loud cap") {
+    // dense fixture: single-character names over a 3-letter alphabet so
+    // every name is within distance 2 of every other — the cap MUST bind
+    val ws = Seq("a", "b", "c", "aa", "ab", "ba", "bb", "abc", "abd")
+    val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "name")
+    val k = 3
+    val got = EntityResolution.fuzzyTopK(df, col("id"), col("name"), k)
+      .select("id_a", "rn", "id_b", "dist", "n_matches")
+      .as[(Long, Int, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val all = for {
+      (a, i) <- ws.zipWithIndex; (b, j) <- ws.zipWithIndex
+      if i != j && lev(a, b) <= 2
+    } yield (i.toLong, j.toLong, lev(a, b))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (ia, ms) =>
+      val sorted = ms.sortBy(m => (m._3, m._2)).take(k)
+      sorted.zipWithIndex.map { case ((_, ib, d), pos) =>
+        (ia, pos + 1, ib, d, ms.size.toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want,
+      s"got ${got.toSeq.take(20)}\nwant ${want.take(20)}")
+    // the fixture is dense enough that truncation happened and was announced
+    assert(got.exists(r => r._5 > k), "cap should bind and n_matches say so")
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)

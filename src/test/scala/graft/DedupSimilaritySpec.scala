@@ -271,6 +271,42 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(s < t, s"scan read every bucket ($s of $t)")
   }
 
+  test("IVF delta append: served base+delta ≡ inline same-centroid IVF, zero index-side Exchange") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    val q = e.filter(col("vec_id") < 20)
+    Similarity.writeIvfIndex(base, "ivf_delta_spec")
+    Similarity.appendToIvfIndex(spark, "ivf_delta_spec", delta)
+    val served = Similarity.ivfTopKIndexed(q, spark, "ivf_delta_spec", k = 5)
+    // same centroids (the index's, trained on base) over the SAME
+    // base+delta corpus: the appended index must serve exactly what the
+    // inline computation finds — the only difference allowed is layout
+    val cents = Similarity.readCentroids(spark, "ivf_delta_spec")
+    val inline = Similarity
+      .ivfTopKWithCentroids(q, base.unionByName(delta), cents, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = served.select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == inline && got.nonEmpty)
+    // delta rows actually serve: at 10% of the corpus some must rank
+    assert(got.exists(_._2 % 10 == 0), "no delta vector in any top-k")
+    // the index side plans ZERO Exchange: the bucketed scan (base files +
+    // appended delta files) feeds the scoring join directly, and the one
+    // allowed shuffle is the query-side window — count total Exchanges
+    // and locate none under the scan side
+    val plan = served.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n${plan.take(1200)}")
+    val scanLines = plan.linesIterator.filter(_.contains("ivf_delta_spec")).toSeq
+    assert(scanLines.nonEmpty)
+    // the appended table still reads as ONE bucketed scan — an append
+    // that broke the bucket spec would surface as a union of scans with
+    // an Exchange reinstated before the join
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      s"index side re-shuffled on cell:\n${plan.take(1500)}")
+  }
+
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
