@@ -157,4 +157,101 @@ object Graph {
     }
     ranks
   }
+
+  /** **Triangle census** over an undirected edge set — (n_nodes,
+    * n_edges, n_wedges, n_triangles) in one row. Triangle counting is
+    * the clustering-coefficient primitive of graph-shaped corpus
+    * diagnostics (link-farm detection in crawl graphs, community density
+    * in co-occurrence graphs).
+    *
+    * The naive formulation is the cubic 3-way self-join; the engine runs
+    * the **degree-oriented node-iterator** (Cohen 2009 / Suri &
+    * Vassilvitskii WWW'11 — the MapReduce-era standard): each edge is
+    * directed from its lower-(degree, id) endpoint to the higher, so
+    * every wedge is generated at its lowest-order corner exactly once
+    * and the wedge count is Σ outdeg·(outdeg−1)/2 with
+    * outdeg ≤ O(√m) on any graph (arboricity bound) — the quadratic
+    * hot-vertex blowup a star graph inflicts on the unoriented join
+    * cannot happen. Wedges close through one more equi-join (left semi
+    * against the oriented edges), all three stages plain hash-joins on
+    * node keys. The oracle is the cubic definitional join over u<v<w —
+    * orientation-free, so the gate proves the oriented plan counts
+    * exactly the definition's triangles. All counts are exact integers.
+    *
+    * The orientation tie-break on ids makes the wedge count
+    * deterministic; triangles are orientation-independent. */
+  def triangleStats(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val e = Dedup.memoPersist(
+      edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+        .distinct())
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: src = lower (deg, id) endpoint; carry the dst's order key
+    // so the wedge join can impose b < c without re-joining degrees
+    val oriented = Dedup.memoPersist(
+      e.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("s"), col("v").as("d"),
+              struct(col("dv").as("deg"), col("v").as("id")).as("dord")))
+            .otherwise(
+              struct(col("v").as("s"), col("u").as("d"),
+                struct(col("du").as("deg"), col("u").as("id")).as("dord")))
+            .as("o"))
+        .select(col("o.s").as("s"), col("o.d").as("d"), col("o.dord").as("dord")))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.dord") < col("e2.dord"))
+      .select(col("e1.d").as("wu"), col("e2.d").as("wv"))
+    val closed = wedges
+      .join(oriented.select(col("s").as("wu"), col("d").as("wv")),
+        Seq("wu", "wv"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("c"))
+    val nEdges = e.agg(count(lit(1)).as("c"))
+    val nWedges = wedges.agg(count(lit(1)).as("c"))
+    val nTri = closed.agg(count(lit(1)).as("c"))
+    nNodes.select(col("c").as("n_nodes"))
+      .crossJoin(nEdges.select(col("c").as("n_edges")))
+      .crossJoin(nWedges.select(col("c").as("n_wedges")))
+      .crossJoin(nTri.select(col("c").as("n_triangles")))
+  }
+
+  /** **Multi-source BFS hop distance** — (node, hops) for every node
+    * reachable from `seeds` over the undirected `edges`, hops = exact
+    * minimum hop count. The frontier loop is the Pregel shape: each
+    * round ONE equi-join of the CURRENT FRONTIER (not the visited set)
+    * against the edge list + an anti join against visited — work per
+    * round ∝ frontier out-degree mass, rounds = eccentricity of the
+    * seed set, `localCheckpoint` per round keeps the plan linear
+    * (the [[pageRankFixedPoint]] discipline). Hop counts are exact
+    * integers under a deterministic expansion, so the recursive-CTE
+    * oracle hash-matches. */
+  def bfsHops(edges: DataFrame, a: Column, b: Column,
+      seeds: DataFrame, seedCol: Column, maxHops: Int = 20): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0 (got $maxHops)")
+    // undirected: keep both directions for the frontier join
+    val e = Dedup.memoPersist(
+      edges.select(a.as("x"), b.as("y"))
+        .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
+        .unionByName(edges.select(b.as("x"), a.as("y")))
+        .distinct())
+    var visited = seeds.select(seedCol.as("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(e, col("node") === col("x"))
+        .select(col("y").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
 }

@@ -705,6 +705,93 @@ object DataCleaning {
        |SELECT node, rank FROM r10 ORDER BY node""".stripMargin
   }
 
+  /** **Triangle census** ([[graft.operators.Graph.triangleStats]]) over
+    * the part co-occurrence graph (parts sharing a sampled order):
+    * (n_nodes, n_edges, n_wedges, n_triangles), all exact integers. The
+    * engine runs the degree-oriented node-iterator (wedges generated at
+    * each wedge's lowest-(deg,id) corner, outdeg bounded by O(√m));
+    * the oracle is the CUBIC definitional 3-way self-join over
+    * u < v < w — orientation-free, so the gate proves the oriented plan
+    * ≡ the definition. Wedge count replays the same deterministic
+    * orientation in SQL. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // part co-occurrence on a 10% order sample: each order contributes a
+    // small clique over its parts, so the graph is SPARSE (~6 edges per
+    // node at any SF — co-occurrence over a large catalog) yet rich in
+    // triangles. The supplier graph is the wrong demo shape: 1000
+    // suppliers x 150k orders is 91% of the complete graph at sf0.1,
+    // and a near-clique's triangle count measures nothing but n^3.
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+    graft.operators.Graph.triangleStats(edges, col("pa"), col("pb"))
+  }
+
+  private val graphTrianglesSql =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY node),
+      |o AS (SELECT
+      |        CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+      |             THEN e.u ELSE e.v END AS s
+      |      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      |w AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_wedges
+      |      FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY s)),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      |                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |       w.n_wedges, t.n_triangles
+      |FROM w CROSS JOIN t""".stripMargin
+
+  /** **Multi-source BFS hop distance** ([[graft.operators.Graph
+    * .bfsHops]]) over the same sparse part co-occurrence graph, from
+    * the every-500th-part seed set: exact minimum hops per reachable
+    * node — integer under a deterministic frontier expansion, so the
+    * recursive-CTE oracle hash-matches (the `dedup_clusters` chain's
+    * little sibling: reachability there, distance here). */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    // same sparse part-co-occurrence graph as `graph_triangles` (the
+    // dense supplier graph reaches everything in one hop — no distance
+    // structure to measure); seeds = every 500th part
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 500 === 0)
+    graft.operators.Graph.bfsHops(edges, col("pa"), col("pb"),
+        seeds, col("p_partkey"))
+      .orderBy("node")
+  }
+
+  private val graphBfsSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0),
+      |reach AS (
+      |  SELECT p_partkey AS node, 0 AS hops FROM part WHERE p_partkey % 500 = 0
+      |  UNION
+      |  SELECT e.y, reach.hops + 1
+      |  FROM reach JOIN e ON e.x = reach.node
+      |  WHERE reach.hops < 20)
+      |SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+      |FROM reach GROUP BY node
+      |ORDER BY node""".stripMargin
+
   /** **Hard-negative mining** ([[graft.operators.Similarity
     * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
     * different label — the contrastive-pair step of an embedding-training
@@ -872,6 +959,8 @@ object DataCleaning {
     Q.noOracle("corpus_clusters")(corpusClusters),
     Q.noOracle("graph_pagerank")(graphPagerank),
     Q("graph_pagerank_fp", graphPagerankFpSql)(graphPagerankFp),
+    Q("graph_triangles", graphTrianglesSql)(graphTriangles),
+    Q("graph_bfs", graphBfsSql)(graphBfs),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),
     Q("skew_report", skewReportSql)(skewReport),

@@ -268,6 +268,38 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q11's shape — a **share-of-grand-total HAVING**: nations
+    * holding more than 3% of all supplier account balance. The grand
+    * total is a grouping-free aggregate over the (already tiny)
+    * per-nation frame — provably one row, broadcast — and the threshold
+    * compares by DECIMAL cross-multiplication (`nb·100 > tot·3`), no
+    * division, so the boundary is exact in both engines. The
+    * scalar_subquery plan shape (1-row broadcast), exempted as such in
+    * PlanInvariantsSpec. */
+  def nationShare(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("s_acctbal"))).as("nb"))
+    val tot = per.agg(sum(col("nb")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("nb") * 100 > col("tot") * 3)
+      .select(col("n_name"), col("nb").cast("double").as("nation_bal"))
+      .orderBy("n_name")
+  }
+
+  private val nationShareSql =
+    """WITH per AS (
+      |  SELECT n_name, SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS nb
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |tot AS (SELECT SUM(nb) AS tot FROM per)
+      |SELECT n_name, CAST(nb AS DOUBLE) AS nation_bal
+      |FROM per CROSS JOIN tot
+      |WHERE nb * 100 > tot * 3
+      |ORDER BY n_name""".stripMargin
+
   /** Equi + range predicate join: lineitems shipped within 30 days of their
     * order's date. The range condition rides on the equi-join (no
     * nested-loop explosion); counts stay int-exact. */
@@ -650,6 +682,7 @@ object Relational {
     Q("semi_join", semiJoinSql)(semiJoin),
     Q("multi_exists_join", multiExistsJoinSql)(multiExistsJoin),
     Q("big_orders_semi", bigOrdersSemiSql)(bigOrdersSemi),
+    Q("nation_share", nationShareSql)(nationShare),
     Q("range_join", rangeJoinSql)(rangeJoin),
     Q("band_join", bandJoinSql)(bandJoin),
     Q("asof_join", asofJoinSql)(asofJoin),

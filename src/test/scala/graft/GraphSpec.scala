@@ -151,4 +151,114 @@ class GraphSpec extends SparkTestBase {
     assert(out == again)
     Dedup.releaseCaches()
   }
+
+  // --- triangle census / BFS ------------------------------------------
+
+  private def refTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    // (n_edges, n_wedges, n_triangles) by brute force over the distinct
+    // undirected edge set, wedges under the engine's (deg, id) orientation
+    val e = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct
+    val eset = e.toSet
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    def ord(n: Long) = (deg(n), n)
+    val out = e.map { case (u, v) =>
+      if (Ordering[(Long, Long)].lt(ord(u), ord(v))) (u, v) else (v, u)
+    }
+    val wedges = out.groupBy(_._1).values
+      .map { es => val c = es.size.toLong; c * (c - 1) / 2 }.sum
+    val nodes = deg.keys.toSeq.sorted
+    val tris = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      u = nodes(i); v = nodes(j); w = nodes(k)
+      if eset((u, v)) && eset((u, w)) && eset((v, w))
+    } yield 1).size.toLong
+    (e.size.toLong, wedges, tris)
+  }
+
+  test("triangleStats ≡ brute force on hand graphs (star has zero triangles)") {
+    // star: the hot-vertex case the degree orientation exists for
+    val star = (2L to 12L).map(i => (1L, i))
+    val sdf = star.toDF("a", "b")
+    val s = Graph.triangleStats(sdf, col("a"), col("b"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(s == ((12L, 11L, 0L, 0L)), s"star stats $s")
+    // K4: every triple closes
+    val k4 = for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val k = Graph.triangleStats(k4.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(k == ((4L, 6L, 4L, 4L)), s"K4 stats $k")
+    Dedup.releaseCaches()
+  }
+
+  test("property: triangleStats ≡ brute force on random multigraph input") {
+    val gen = for {
+      n <- Gen.choose(3, 24)
+      m <- Gen.choose(1, 80)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield es.filter(p => p._1 != p._2)
+    val prop = Prop.forAll(gen) { es =>
+      es.isEmpty || {
+        val got = Graph.triangleStats(es.toDF("a", "b"), col("a"), col("b"))
+          .as[(Long, Long, Long, Long)].head()
+        Dedup.releaseCaches()
+        val (ne, nw, nt) = refTriangles(es)
+        (got._2, got._3, got._4) == ((ne, nw, nt))
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+    Dedup.releaseCaches()
+  }
+
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Seq[Long]): Map[Long, Int] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(p => p._1 != p._2)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    var dist = seeds.distinct.map(_ -> 0).toMap
+    var frontier = seeds.distinct
+    var h = 0
+    while (frontier.nonEmpty) {
+      h += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      next.foreach(n => dist += n -> h)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsHops: exact min hops on a path graph, unreachable nodes absent") {
+    // path 1-2-3-4-5 plus isolated edge 10-11; seed 1
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val seeds = Seq(1L).toDF("s")
+    val got = Graph.bfsHops(es.toDF("a", "b"), col("a"), col("b"),
+        seeds, col("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    Dedup.releaseCaches()
+  }
+
+  test("property: bfsHops ≡ driver BFS on random graphs with multi-source seeds") {
+    val gen = for {
+      n <- Gen.choose(3, 30)
+      m <- Gen.choose(1, 70)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+      nSeeds <- Gen.choose(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.choose(1L, n.toLong))
+    } yield (es.filter(p => p._1 != p._2), seeds)
+    val prop = Prop.forAll(gen) { case (es, seeds) =>
+      es.isEmpty || {
+        val got = Graph.bfsHops(es.toDF("a", "b"), col("a"), col("b"),
+            seeds.toDF("s"), col("s"))
+          .as[(Long, Int)].collect().toMap
+        Dedup.releaseCaches()
+        got == refBfs(es, seeds)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+    Dedup.releaseCaches()
+  }
 }

@@ -42,7 +42,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "hard_negatives", "histogram_equidepth",
-      "heavy_hitters", "frequent_tokens", "boilerplate_frequent")
+      "heavy_hitters", "frequent_tokens", "boilerplate_frequent",
+      // nation_share: the grand-total frame (a grouping-free aggregate,
+      // provably 1 row) broadcasts into the per-nation threshold filter —
+      // the scalar_subquery shape
+      "nation_share",
+      // graph_triangles: the output row is three 1-row grouping-free
+      // aggregates (edges/wedges/triangles counts) cross-joined — each
+      // BNLJ build side provably one row
+      "graph_triangles")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
