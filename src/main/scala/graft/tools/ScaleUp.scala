@@ -26,6 +26,9 @@ object ScaleUp {
     val Array(src, out, kStr) = args.take(3)
     val k = kStr.toInt
     require(k >= 1, "k must be >= 1")
+    // optional 4th arg: comma-separated table subset, for topping up an
+    // existing scale dir with tables added to the protocol later
+    val only = args.lift(3).map(_.split(",").toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -33,6 +36,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def copies(t: String)(rekey: (DataFrame, Int) => DataFrame): Unit = {
+      if (!only.forall(_.contains(t))) return
       val base = spark.read.parquet(s"$src/$t.parquet")
       // unionByName: copy 0 is the raw parquet frame while copies c>0
       // are hand-ordered selects — positional union would silently
@@ -93,6 +97,29 @@ object ScaleUp {
       else df.select((col("s_suppkey") + off(c)).as("s_suppkey"),
         suffixed(col("s_name"), c).as("s_name"),
         col("s_nationkey"), col("s_acctbal"))
+    }
+    copies("part") { (df, c) =>
+      if (c == 0) df
+      else df.select((col("p_partkey") + off(c)).as("p_partkey"),
+        suffixed(col("p_name"), c).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }
+    // embeddings re-key ids only — the float vectors repeat per copy
+    // (there is no principled way to "suffix" geometry). Index/serving
+    // ops (IVF build, delta append, routed scans) measure correctly:
+    // their cost is corpus mass and bucket layout. Pairwise similarity
+    // dedup would see k-1 exact cross-copy twins per vector and is NOT
+    // part of the embeddings decade protocol.
+    copies("embeddings") { (df, c) =>
+      if (c == 0) df
+      else df.select((col("vec_id") + off(c)).as("vec_id"),
+        col("embedding"), col("label"))
+    }
+    // the 25-row nation dim is fixed by protocol (see scaladoc): one copy
+    if (only.forall(_.contains("nation"))) {
+      spark.read.parquet(s"$src/nation.parquet")
+        .write.mode("overwrite").parquet(s"$out/nation.parquet")
+      println("nation: 1x written (fixed dim)")
     }
     spark.stop()
   }
