@@ -272,6 +272,44 @@ object DataCleaning {
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** **CSV round trip** ([[graft.sources.TextSources.writeCsv]] /
+    * `readCsv`): the same bronze-layer contract as [[jsonlRoundtrip]] on
+    * the other classic interchange format — explicit schema (no
+    * inference pass), RFC-4180 quote-doubling, PERMISSIVE quarantine.
+    * The oracle is the original table: lossless cycle, nothing
+    * quarantined on a clean file. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(spark, "graft_csv_docs")
+    graft.sources.TextSources.writeCsv(Tables.documents(spark, dir), tmp)
+    graft.sources.TextSources
+      .readCsv(spark, tmp, graft.Tables.documentsSchema)
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val csvRoundtripSql = jsonlRoundtripSql
+
+  /** **ORC round trip**: the columnar interchange sibling of the parquet
+    * sink (S6) — orders written as zstd ORC and re-read. Exercises
+    * timestamp/double/string type preservation through the second
+    * columnar format a lakehouse actually encounters; oracle = the
+    * source table (lossless cycle). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(spark, "graft_orc_orders")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .option("compression", "zstd").orc(tmp)
+    spark.read.orc(tmp)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** **Small-file compaction report** ([[graft.sources.Sink.compact]]):
     * fragment the documents table into 8 files per lang partition (a
     * simulated append-heavy layout), compact to ≤700 rows per file, and
@@ -944,6 +982,8 @@ object DataCleaning {
     Q("dq_audit", dqAuditSql)(dqAudit),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
+    Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),
+    Q("orc_roundtrip", orcRoundtripSql)(orcRoundtrip),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),

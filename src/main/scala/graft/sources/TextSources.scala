@@ -43,4 +43,39 @@ object TextSources {
     * round trip. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** Read CSV at `path` with an EXPLICIT schema (no inference — the
+    * [[graft.Tables]] discipline: schema inference is a full extra pass
+    * at 100 TB and silently widens types) and the same corrupt-record
+    * policy surface as [[readJsonl]]. Quoting must match [[writeCsv]]:
+    * `escape`-doubled quotes, no multiLine (embedded newlines would cost
+    * splittability; the writer strips the one column that could carry
+    * them is NOT done — callers whose text can hold newlines should use
+    * JSONL, which is why `documents` round-trips are exercised on BOTH
+    * ingestion paths). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      mode: String = "PERMISSIVE"): DataFrame = {
+    val withQuarantine =
+      if (mode == "PERMISSIVE" && !schema.fieldNames.contains(corruptCol))
+        schema.add(StructField(corruptCol, StringType))
+      else schema
+    spark.read
+      .schema(withQuarantine)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+  }
+
+  /** CSV export half: header + RFC-4180 quote-doubling, gzip (same
+    * text-codec constraint as JSONL). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "gzip")
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
 }

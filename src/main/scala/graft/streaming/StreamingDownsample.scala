@@ -513,6 +513,51 @@ object StreamingDownsample {
         })
   }
 
+  final case class PointK(key: Long, x: Long, y: Long)
+  final case class Front(xs: Seq[Long], ys: Seq[Long], nSeen: Long)
+  final case class FrontOut(key: Long, xs: Seq[Long], ys: Seq[Long],
+    n_seen: Long)
+
+  /** **Streaming skyline** — per-key incremental Pareto front, the
+    * stateful twin of [[graft.operators.Skyline.skyline2d]]: state per
+    * key is the CURRENT FRONT ONLY (sorted (x, y) pairs), never the
+    * point history — O(front) memory, and 2-D fronts over random data
+    * run O(log n) points, so hundreds of millions of keys hold. Each
+    * arriving point is checked against the front (dominated → dropped on
+    * arrival; else inserted and the points it dominates evicted) — work
+    * per batch ∝ batch × front. Emits, in update mode, the full current
+    * front of every key that received data. Tie semantics match the
+    * batch operator exactly: coordinate-duplicate points dominate in
+    * neither direction, so BOTH ride the front (the state is a list, not
+    * a set). A point evicted from the front can never return (dominance
+    * is monotone under insertion), which is what makes the
+    * front-only state lossless — StreamingSpec proves the converged
+    * front ≡ the batch operator per key under adversarial arrival
+    * orders. `n_seen` (total points absorbed) rides along so a consumer
+    * can identify the newest emission per key without relying on sink
+    * row order. */
+  def skylineStream(points: Dataset[PointK]): Dataset[FrontOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: Long, batch: Iterator[PointK], state: GroupState[Front]) => {
+          var front: Seq[(Long, Long)] =
+            state.getOption.map(f => f.xs.zip(f.ys)).getOrElse(Seq.empty)
+          var seen = state.getOption.map(_.nSeen).getOrElse(0L)
+          def dom(q: (Long, Long), p: (Long, Long)): Boolean =
+            q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2)
+          batch.foreach { e =>
+            val p = (e.x, e.y)
+            seen += 1
+            if (!front.exists(q => dom(q, p)))
+              front = front.filterNot(q => dom(p, q)) :+ p
+          }
+          val sorted = front.sorted
+          state.update(Front(sorted.map(_._1), sorted.map(_._2), seen))
+          FrontOut(key, sorted.map(_._1), sorted.map(_._2), seen)
+        })
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:
