@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance for MERGEABLE aggregates —
+  * the warehouse pattern that keeps a grouped rollup fresh without
+  * rescanning history: `new_view = old_view ⊕ agg(delta)`, legal exactly
+  * when every measure is a commutative monoid fold (count/sum add,
+  * min/max fold by least/greatest — the same algebra that makes Spark's
+  * own partial aggregation correct). AVG and friends ride as (sum, n)
+  * pairs; non-mergeable measures (exact distinct, exact percentile) are
+  * precisely the ones [[graft.queries.DataCleaning]]'s `hll_rollup`
+  * documents the sketch answer for.
+  *
+  * Work is ∝ |view| + |delta|: one aggregate over the delta (map-side
+  * partials, as always) and ONE full-outer equi-join on the group keys —
+  * hash-partitioned, no base-table rescan anywhere. The base table is
+  * only ever read by the initial build, which is the entire point: at
+  * 100 TB the view is rebuilt never, refreshed every ingest. The
+  * registered `mv_refresh` query's oracle is the full recompute over
+  * base+delta, so the driver gate proves ⊕ ≡ recompute on real data
+  * (the `scd2_merge` discipline: incremental path answers the batch
+  * SQL). Sibling of [[Upsert.upsert]] (plain rows), [[Temporal
+  * .scd2Merge]] (interval runs), and [[Similarity.appendToIvfIndex]]
+  * (ANN buckets) — the same delta-shaped-work contract, here for
+  * aggregates. */
+object Mv {
+
+  /** Merge a materialized grouped aggregate with the SAME-SHAPED
+    * aggregate of a delta. `sums` columns add (null = absent group =
+    * identity 0), `mins`/`maxs` fold by least/greatest (which skip
+    * nulls). Keys present in only one side pass through — full-outer
+    * semantics, so brand-new groups appear and untouched groups survive
+    * unchanged. Column sets of `view` and `deltaAgg` must match. */
+  def refresh(view: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+      sums: Seq[String], mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "mv refresh needs at least one group key")
+    val measures = sums ++ mins ++ maxs
+    require(measures.nonEmpty, "mv refresh needs at least one measure")
+    require(view.columns.toSet == deltaAgg.columns.toSet,
+      s"view/delta shape mismatch: ${view.columns.toSeq} vs ${deltaAgg.columns.toSeq}")
+    val a = view.select(
+      keys.map(col) ++ measures.map(c => col(c).as(s"__a_$c")): _*)
+    val b = deltaAgg.select(
+      keys.map(col) ++ measures.map(c => col(c).as(s"__b_$c")): _*)
+    def merged(c: String): Column = {
+      val (x, y) = (col(s"__a_$c"), col(s"__b_$c"))
+      if (sums.contains(c))
+        // coalesce-to-zero keeps the add total when a group exists on
+        // one side only; lit(0) coerces to the measure's numeric type
+        (coalesce(x, lit(0)) + coalesce(y, lit(0))).as(c)
+      else if (mins.contains(c)) least(x, y).as(c) // least/greatest skip nulls
+      else greatest(x, y).as(c)
+    }
+    a.join(b, keys, "full_outer")
+      .select(keys.map(col) ++ measures.map(merged): _*)
+  }
+}

@@ -830,6 +830,78 @@ object DataCleaning {
       |FROM reach GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** **Incremental materialized-view refresh** ([[graft.operators.Mv
+    * .refresh]]): the per-(user, event_type) rollup (count, DECIMAL
+    * value sum, first/last ts) maintained as `old_view ⊕ agg(delta)` —
+    * one delta aggregate + one full-outer key join, NO base rescan
+    * (work ∝ view + delta; the delta-shaped contract of `scd2_merge` /
+    * `upsert_snapshot` / `vector_ivf_delta`, here for aggregates).
+    * 90% of events build the view, 10% play the delta; the oracle is
+    * the full recompute over everything, so the gate proves ⊕ ≡
+    * recompute on real data. Sum emitted via DECIMAL → double (SURVEY
+    * §7 rule 1). */
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_v"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val ev = Tables.events(spark, dir)
+    val view = aggOf(ev.filter(col("event_id") % 10 =!= 0))
+    val deltaAgg = aggOf(ev.filter(col("event_id") % 10 === 0))
+    graft.operators.Mv.refresh(view, deltaAgg,
+        keys = Seq("user_id", "event_type"),
+        sums = Seq("n", "sum_v"), mins = Seq("min_ts"), maxs = Seq("max_ts"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sum_v").cast("double").as("sum_v"), col("min_ts"), col("max_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val mvRefreshSql =
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** **Robust outlier flags (median/MAD)** — the heavy-tail-safe sibling
+    * of [[winsorize]]'s percentile clip: per event type, flag values
+    * whose absolute deviation from the group MEDIAN exceeds ~3σ under
+    * the MAD estimate (3 × 1.4826 pre-folded to the single constant
+    * 4.4478, so both engines do ONE multiply — no rounding-order
+    * divergence). Two grouped exact-percentile aggregates (#groups-row
+    * frames, broadcast back — the winsorize train/serve shape);
+    * cross-engine interpolation equality is pinned by `exact_pct`. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        (abs(col("value") - col("med")) > col("mad") * 4.4478).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
+  private val robustOutliersSql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m USING (event_type)
+      |  GROUP BY e.event_type)
+      |SELECT event_id, e.event_type, value, m.med, d.mad,
+      |  (abs(value - m.med) > d.mad * 4.4478) AS is_outlier
+      |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   /** **Hard-negative mining** ([[graft.operators.Similarity
     * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
     * different label — the contrastive-pair step of an embedding-training
@@ -984,6 +1056,8 @@ object DataCleaning {
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
     Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),
     Q("orc_roundtrip", orcRoundtripSql)(orcRoundtrip),
+    Q("mv_refresh", mvRefreshSql)(mvRefresh),
+    Q("robust_outliers", robustOutliersSql)(robustOutliers),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),

@@ -148,6 +148,32 @@ class DataCleaningSpec extends SparkTestBase {
     assert(got.exists(r => r._5 > k), "cap should bind and n_matches say so")
   }
 
+  test("Mv.refresh ≡ full recompute: new keys, untouched keys, empty delta") {
+    import graft.operators.Mv
+    def aggOf(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("k", "v", "t").groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+    val base = Seq(("a", 1L, 10L), ("a", 2L, 5L), ("b", 7L, 3L))
+    // delta: extends a, leaves b untouched, introduces c
+    val delta = Seq(("a", 10L, 1L), ("c", 4L, 99L))
+    def run(d: Seq[(String, Long, Long)]) =
+      Mv.refresh(aggOf(base), aggOf(d), keys = Seq("k"),
+          sums = Seq("n", "sum_v"), mins = Seq("min_t"), maxs = Seq("max_t"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val want = aggOf(base ++ delta)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(run(delta) == want)
+    // empty delta: refresh is the identity on the view
+    assert(run(Seq.empty) ==
+      aggOf(base).as[(String, Long, Long, Long, Long)].collect().toSet)
+    // shape mismatch fails loudly, not silently misaligned
+    intercept[IllegalArgumentException] {
+      Mv.refresh(aggOf(base).drop("max_t"), aggOf(delta), Seq("k"),
+        sums = Seq("n", "sum_v"), mins = Seq("min_t"), maxs = Seq("max_t"))
+    }
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
