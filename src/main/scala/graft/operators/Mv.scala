@@ -57,4 +57,35 @@ object Mv {
     a.join(b, keys, "full_outer")
       .select(keys.map(col) ++ measures.map(merged): _*)
   }
+
+  /** The **streaming half** — a `foreachBatch` body maintaining a
+    * continuously-refreshed VIEW snapshot under `path/v=<n>_b=<batchId>`:
+    * each micro-batch runs `aggOf` over its (delta) rows and folds the
+    * result through [[refresh]] against the latest committed version.
+    * This is incremental view maintenance FROM A STREAM — the Delta
+    * "MERGE into aggregate table" loop with the same strictly-append
+    * version chain, `_SUCCESS` gating, replay protocol (a redelivered
+    * batch id bases on the state before its first application —
+    * [[Upsert.versionPlan]], shared so the two sinks cannot drift) and
+    * [[Upsert.readLatest]]/[[Upsert.readVersion]]/[[Upsert.vacuum]]
+    * surface as the row-level sink. Per batch the work is
+    * agg(batch) + one view-sized join — never a history rescan, which
+    * is the entire point of maintaining the view. */
+  def versionedViewSink(path: String, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil)(
+      aggOf: DataFrame => DataFrame): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val (myVersion, baseDir) = Upsert.versionPlan(spark, path, batchId)
+      val deltaAgg = aggOf(batch)
+      val merged = baseDir match {
+        case Some(d) =>
+          refresh(spark.read.parquet(d.toString), deltaAgg, keys,
+            sums, mins, maxs)
+        case None => deltaAgg
+      }
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/v=${myVersion}_b=$batchId")
+    }
+  }
 }

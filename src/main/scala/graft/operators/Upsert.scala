@@ -75,20 +75,31 @@ object Upsert {
     * in-flight (un-`_SUCCESS`-marked) write, which the restarted stream
     * redelivers; the previously committed chain always survives.
     * Superseded replay versions are [[vacuum]]'s job. */
+  /** The next version number to write and the base version to fold
+    * over, honoring the replay protocol: a replayed batch id bases on
+    * the state strictly BEFORE its first application, a first delivery
+    * on the full committed chain. Shared by [[versionedSink]] and
+    * [[Mv.versionedViewSink]] so the two sinks cannot drift on replay
+    * semantics. */
+  private[operators] def versionPlan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Long): (Long, Option[org.apache.hadoop.fs.Path]) = {
+    val (_, versions) = listVersions(spark, path)
+    val myVersion = versions.map(_.version).maxOption.getOrElse(0L) + 1
+    val baseVersions = versions.find(_.batchId == batchId) match {
+      case Some(first) => versions.filter(_.version < first.version)
+      case None => versions
+    }
+    (myVersion, baseVersions.lastOption.map(_.dir))
+  }
+
   def versionedSink(path: String, key: String, order: String, tie: String,
       isTombstone: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val (_, versions) = listVersions(spark, path)
-      val myVersion = versions.map(_.version).maxOption.getOrElse(0L) + 1
-      // replay of batch id b bases on the state BEFORE b first applied;
-      // a first delivery bases on the full committed chain
-      val baseVersions = versions.find(_.batchId == batchId) match {
-        case Some(first) => versions.filter(_.version < first.version)
-        case None => versions
-      }
-      val base = baseVersions.lastOption match {
-        case Some(v) => spark.read.parquet(v.dir.toString)
+      val (myVersion, baseDir) = versionPlan(spark, path, batchId)
+      val base = baseDir match {
+        case Some(d) => spark.read.parquet(d.toString)
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
       }

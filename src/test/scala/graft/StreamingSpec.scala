@@ -616,6 +616,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("versioned view sink: streamed deltas converge to the batch aggregate, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Mv, Upsert}
+    val dir = java.nio.file.Files.createTempDirectory("graftmv").toString + "/view"
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+    val sink = Mv.versionedViewSink(dir, Seq("k"),
+      sums = Seq("n", "sum_v"), mins = Seq("min_t"), maxs = Seq("max_t"))(aggOf)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = mem.toDF().toDF("k", "v", "t")
+      .writeStream.foreachBatch(sink).outputMode("update").start()
+    val all = Seq(("a", 1L, 10L), ("a", 2L, 5L), ("b", 7L, 3L),
+      ("a", 10L, 1L), ("c", 4L, 99L), ("b", 1L, 50L))
+    mem.addData(all.take(3)); q.processAllAvailable()
+    mem.addData(all.slice(3, 5)); q.processAllAvailable()
+    mem.addData(all.drop(5)); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "n", "sum_v", "min_t", "max_t")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val want = rows(aggOf(all.toDF("k", "v", "t")))
+    assert(rows(Upsert.readLatest(spark, dir)) == want && want.size == 3)
+    // replay of the last batch id writes a FRESH version with identical
+    // content — the shared versionPlan protocol, proven on this sink too
+    val before = Upsert.versions(spark, dir)
+    sink(all.drop(5).toDF("k", "v", "t"), 2L)
+    val after = Upsert.versions(spark, dir)
+    assert(after.size == before.size + 1)
+    assert(rows(Upsert.readLatest(spark, dir)) == want)
+  }
+
   test("streaming skyline: converged per-key front ≡ batch dominance under adversarial order") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingDownsample.PointK
