@@ -316,6 +316,65 @@ object DataCleaning {
     * report per partition. `files_ok` asserts INSIDE the engine that the
     * rewritten file count equals ceil(rows/target); the oracle pins the
     * row conservation and expects every partition compacted. */
+  /** **Hive-style partition pruning**: documents laid out
+    * `partitionBy(lang)` and read back under a lang predicate — the scan
+    * must visit ONLY the matching partition directories (the plan's
+    * `PartitionFilters`; DataCleaningSpec asserts it and that the
+    * pruned-out files are never listed into the scan). This is the
+    * directory-level companion of bucket pruning (`bucketed_join` /
+    * `vector_ivf_indexed`) and min/max pruning (`zorder_layout`): at
+    * 100 TB, lang/day/source partitioning is the first 100× reduction a
+    * query sees, before a single row is read. Oracle = the same
+    * predicate on the unpartitioned table (layout must not change
+    * answers). */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(spark, "graft_part_docs")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("lang") === "en")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val partitionPruneSql =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents WHERE lang = 'en'
+      |ORDER BY doc_id""".stripMargin
+
+  /** **Dynamic partition pruning**: the lang predicate arrives through a
+    * JOIN against a tiny dim (the star-schema case — the fact's
+    * partition filter is not known until the dim is filtered), and Spark
+    * prunes the fact's partitions AT RUNTIME from the dim's build side
+    * (`dynamicpruningexpression` in the scan — spec-asserted). The
+    * lakehouse query shape: date-dim → fact-partition pruning without
+    * the user ever writing the partition predicate. */
+  def partitionPruneDynamic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = scratch(spark, "graft_part_docs_dyn")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    // the dim must be a FILE source with a real (non-constant-foldable)
+    // filter: a local Seq's filter folds into the LocalRelation and the
+    // DPP rule then sees no filtering side to prune from
+    val dimPath = scratch(spark, "graft_part_lang_dim")
+    Seq(("en", "English"), ("de", "German"), ("fr", "French"),
+        ("es", "Spanish"), ("ja", "Japanese"))
+      .toDF("dim_lang", "lang_name")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("lang_name") === "English")
+    spark.read.parquet(tmp)
+      .join(dim, col("lang") === col("dim_lang"))
+      .select("doc_id", "lang", "lang_name")
+      .orderBy("doc_id")
+  }
+
+  private val partitionPruneDynamicSql =
+    """SELECT doc_id, lang, 'English' AS lang_name
+      |FROM documents WHERE lang = 'en'
+      |ORDER BY doc_id""".stripMargin
+
   def compactReport(spark: SparkSession, dir: String): DataFrame = {
     val tmp = scratch(spark, "graft_compact_docs")
     Tables.documents(spark, dir).repartition(8)
@@ -1057,6 +1116,8 @@ object DataCleaning {
     Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),
     Q("orc_roundtrip", orcRoundtripSql)(orcRoundtrip),
     Q("mv_refresh", mvRefreshSql)(mvRefresh),
+    Q("partition_prune", partitionPruneSql)(partitionPrune),
+    Q("partition_prune_dynamic", partitionPruneDynamicSql)(partitionPruneDynamic),
     Q("robust_outliers", robustOutliersSql)(robustOutliers),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),

@@ -148,6 +148,31 @@ class DataCleaningSpec extends SparkTestBase {
     assert(got.exists(r => r._5 > k), "cap should bind and n_matches say so")
   }
 
+  test("partition pruning: static PartitionFilters and runtime dynamicpruning reach the scan") {
+    val static = SparkEntry.queries("partition_prune")(spark, sf0001)
+    val sPlan = static.queryExecution.executedPlan.toString
+    assert(sPlan.contains("PartitionFilters: [isnotnull(lang"),
+      s"no partition filter in scan:\n${sPlan.take(1200)}")
+    // the pruned scan must select exactly ONE partition directory (en)
+    // out of the several langs the layout wrote
+    // sparkPlan, not executedPlan: AQE hides the scan behind its
+    // wrapper node until execution
+    val counts = static.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.selectedPartitions.partitionCount,
+          f.relation.location.inputFiles.length) }
+    assert(counts.nonEmpty)
+    counts.foreach { case (selected, totalFiles) =>
+      assert(selected == 1 && totalFiles > selected,
+        s"expected 1 selected partition of a multi-partition layout, " +
+          s"got $selected (layout has $totalFiles files)")
+    }
+    val dyn = SparkEntry.queries("partition_prune_dynamic")(spark, sf0001)
+    val dPlan = dyn.queryExecution.executedPlan.toString
+    assert(dPlan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${dPlan.take(1500)}")
+  }
+
   test("Mv.refresh ≡ full recompute: new keys, untouched keys, empty delta") {
     import graft.operators.Mv
     def aggOf(rows: Seq[(String, Long, Long)]) =
