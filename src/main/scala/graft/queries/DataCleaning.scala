@@ -889,6 +889,43 @@ object DataCleaning {
       |FROM reach GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** **Fixed-point EWMA** — exponential smoothing (α = 1/2) of each
+    * user's value stream, in the [[graphPagerankFp]] integer discipline:
+    * values quantize to thousandths via an explicit floor (Spark's
+    * double→long cast truncates, DuckDB's ROUNDS — the cast is never
+    * shared bare), and the smoothing step is the truncating integer fold
+    * `acc ← (acc + v) div 2` over the (ts, event_id)-ordered stream —
+    * exact, order-DEFINED arithmetic, so a recursive float formula that
+    * normally has no SQL twin hash-matches via DuckDB's `list_reduce`
+    * (same first-element init as the engine's explicit seed + slice).
+    * Per key the fold is one grouped aggregate over the collected
+    * history — bounded per-key sequences, the `sessionize`/`scd2`
+    * contract; unbounded streams take the watermarked state-store route
+    * of `scd2Stream`. */
+  def ewmaFixed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("vq")))).as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        expr("""aggregate(
+                  slice(transform(arr, x -> x.vq), 2, size(arr)),
+                  element_at(transform(arr, x -> x.vq), 1),
+                  (acc, x) -> (acc + x) div 2)""").as("ewma_q"))
+      .orderBy("user_id")
+
+  private val ewmaFixedSql =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  list_reduce(
+      |    list(CAST(floor(value * 1000) AS BIGINT) ORDER BY ts, event_id),
+      |    (acc, x) -> (acc + x) // 2) AS ewma_q
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** **Incremental materialized-view refresh** ([[graft.operators.Mv
     * .refresh]]): the per-(user, event_type) rollup (count, DECIMAL
     * value sum, first/last ts) maintained as `old_view ⊕ agg(delta)` —
@@ -1119,6 +1156,7 @@ object DataCleaning {
     Q("partition_prune", partitionPruneSql)(partitionPrune),
     Q("partition_prune_dynamic", partitionPruneDynamicSql)(partitionPruneDynamic),
     Q("robust_outliers", robustOutliersSql)(robustOutliers),
+    Q("ewma_fixed", ewmaFixedSql)(ewmaFixed),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),
