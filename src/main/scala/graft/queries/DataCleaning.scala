@@ -889,6 +889,65 @@ object DataCleaning {
       |FROM reach GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** **Exact-moment correlation** — Pearson corr / sample covariance of
+    * (n_chars, n_tokens) per language WITHOUT the float-merge
+    * nondeterminism of the built-in `corr`/`covar_samp` (whose partial
+    * merges sum doubles in partition order, engine-specific): both
+    * variables are integers, so the five sufficient statistics
+    * Σx, Σy, Σxy, Σx², Σy² are EXACT DECIMAL(38,0) sums, and corr/cov
+    * derive from them by an identical short float expression in both
+    * engines (each step single-rounded on identical inputs). The
+    * sketch-vs-exact split of `hll_rollup` applied to second moments:
+    * the mergeable exact form IS the scale path — one map-side-combined
+    * aggregate, five numbers per group. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+    val m = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x") * col("y"))).as("sxy"),
+      sum(d(col("x") * col("x"))).as("sxx"),
+      sum(d(col("y") * col("y"))).as("syy"))
+    val dn = d(col("n"))
+    m.select(col("lang"), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("syy"),
+        ((dn * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (dn * (dn - 1)).cast("double")).as("cov_samp"),
+        ((dn * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dn * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dn * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+      .orderBy("lang")
+  }
+
+  private val statsMomentsSql =
+    """WITH m AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |  FROM (SELECT lang, n_chars AS x,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |        FROM documents)
+      |  GROUP BY lang)
+      |SELECT lang, n, sx, sy, sxy, sxx, syy,
+      |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+      |    CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE)
+      |    AS cov_samp,
+      |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)))
+      |    AS corr
+      |FROM m
+      |ORDER BY lang""".stripMargin
+
   /** **Fixed-point EWMA** — exponential smoothing (α = 1/2) of each
     * user's value stream, in the [[graphPagerankFp]] integer discipline:
     * values quantize to thousandths via an explicit floor (Spark's
@@ -1157,6 +1216,7 @@ object DataCleaning {
     Q("partition_prune_dynamic", partitionPruneDynamicSql)(partitionPruneDynamic),
     Q("robust_outliers", robustOutliersSql)(robustOutliers),
     Q("ewma_fixed", ewmaFixedSql)(ewmaFixed),
+    Q("stats_moments", statsMomentsSql)(statsMoments),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),
