@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Spread- and CPU-aware comparison of two BENCH_FULL.json artifacts.
+
+Usage: tools/benchdiff.py <old.json> <new.json> [threshold]
+
+Classifies each common query's wall-clock delta using the artifacts' own
+noise fields instead of a bare ratio:
+  - REGRESSION: wall grew past the threshold (default 1.3x), BOTH runs
+    were steady (spread <= 1.5), and process-CPU grew in step — a real
+    cost increase, not host load;
+  - LOAD?: wall grew but cpu stayed flat (sustained external load — the
+    signature the r7 driver run showed on llm_clean_corpus), or either
+    run's own spread already flags noise;
+  - IMPROVED / ~same otherwise.
+Queries present in only one artifact are listed separately. Exit code 1
+iff any REGRESSION was found, so a round script can gate on it.
+"""
+import json
+import sys
+
+
+def load(p):
+    with open(p) as f:
+        return json.load(f)
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    oq, nq = old["queries"], new["queries"]
+    osp, nsp = old.get("spread", {}), new.get("spread", {})
+    ocpu, ncpu = old.get("cpu", {}), new.get("cpu", {})
+    if old.get("cpus") != new.get("cpus") or old.get("sf") != new.get("sf"):
+        print(f"WARNING: configs differ — cpus {old.get('cpus')} vs "
+              f"{new.get('cpus')}, sf {old.get('sf')} vs {new.get('sf')}")
+    rows, regressions = [], []
+    for k in sorted(set(oq) & set(nq)):
+        if oq[k] <= 0:
+            continue
+        r = nq[k] / oq[k]
+        noisy = max(osp.get(k, 1.0), nsp.get(k, 1.0)) > 1.5
+        co = min(ocpu.get(k, [0.0]) or [0.0])
+        cn = min(ncpu.get(k, [0.0]) or [0.0])
+        cr = (cn / co) if co > 0 else None
+        # sub-half-second queries are dominated by job-scheduling jitter;
+        # a 1.3x swing there is not signal at any confidence
+        tiny = max(oq[k], nq[k]) < 0.5
+        if r >= thr and not noisy and not tiny and cr is not None \
+                and cr >= (1 + (r - 1) / 2):
+            cls = "REGRESSION"   # wall AND cpu grew on steady runs
+            regressions.append(k)
+        elif r >= thr and not noisy and not tiny and cr is None:
+            cls = "grew?"        # no cpu data in the old artifact
+        elif r >= thr and not tiny:
+            cls = "LOAD?" if (cr is not None and cr < (1 + (r - 1) / 2)) \
+                else "noisy"
+        elif r >= thr:
+            cls = "jitter"
+        elif r <= 1 / thr:
+            cls = "IMPROVED"
+        else:
+            continue
+        cinfo = f" cpu x{cr:.2f}" if cr is not None else ""
+        rows.append(f"{cls:10s} {k:28s} {oq[k]:7.2f}s -> {nq[k]:7.2f}s "
+                    f"(x{r:.2f}{cinfo}"
+                    f"{' spread!' if noisy else ''})")
+    for line in rows:
+        print(line)
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    if only_old:
+        print(f"removed: {', '.join(only_old)}")
+    if only_new:
+        print(f"added:   {', '.join(only_new)}")
+    print(f"total {old['value']:.1f}s -> {new['value']:.1f}s  "
+          f"({len(oq)} -> {len(nq)} queries); "
+          f"{len(regressions)} regression(s)")
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
