@@ -1028,7 +1028,11 @@ object DataCleaning {
     * 4.4478, so both engines do ONE multiply — no rounding-order
     * divergence). Two grouped exact-percentile aggregates (#groups-row
     * frames, broadcast back — the winsorize train/serve shape);
-    * cross-engine interpolation equality is pinned by `exact_pct`. */
+    * cross-engine interpolation equality is pinned by `exact_pct`. At
+    * warehouse scale the exact percentile (which buffers each group's
+    * values) swaps to the `approx_percentile` sketch — same plan, same
+    * broadcast — exactly as [[winsorize]] and `histogram_equidepth`
+    * document; exact here so the DuckDB gate can hash-match. */
   def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
