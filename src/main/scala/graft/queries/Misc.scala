@@ -147,10 +147,50 @@ object Misc {
       |FROM pts p JOIN front USING (x, y)
       |ORDER BY p.o_orderkey""".stripMargin
 
+  /** **3-D skyline** ([[graft.operators.Skyline.skylineND]]): the
+    * non-dominated (price-bucket, order-month, priority-rank) orders —
+    * cheapest AND earliest AND most urgent, no axis sacrificed. The
+    * engine runs the local-front-then-merge two-phase (per-partition
+    * Pareto fold over distinct coords, bounded driver merge under a loud
+    * cap, coordinate semi-join back); the oracle is again the
+    * definitional NOT-EXISTS over distinct triples. The priority rank is
+    * the leading digit of o_orderpriority — pure string slicing, exact
+    * in both engines. */
+  def skyline3dQ(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") / 1000).cast("long").as("x"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("y"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("z"))
+    graft.operators.Skyline.skylineND(pts, Seq("x", "y", "z"))
+      .select(col("o_orderkey"), col("x"), col("y"), col("z"))
+      .orderBy("o_orderkey")
+  }
+
+  private val skyline3dSql =
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS x,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS y,
+      |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS z
+      |  FROM orders),
+      |d AS (SELECT DISTINCT x, y, z FROM pts),
+      |front AS (
+      |  SELECT x, y, z FROM d a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM d b
+      |    WHERE b.x <= a.x AND b.y <= a.y AND b.z <= a.z
+      |      AND (b.x < a.x OR b.y < a.y OR b.z < a.z)))
+      |SELECT p.o_orderkey, p.x, p.y, p.z
+      |FROM pts p JOIN front USING (x, y, z)
+      |ORDER BY p.o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("window_navigation", windowNavigationSql)(windowNavigation),
     Q("bag_ops", bagOpsSql)(bagOps),
     Q("scalar_subquery", scalarSubquerySql)(scalarSubquery),
     Q("null_fns", nullFnsSql)(nullFns),
-    Q("skyline", skylineSql)(skylineQ))
+    Q("skyline", skylineSql)(skylineQ),
+    Q("skyline_3d", skyline3dSql)(skyline3dQ))
 }

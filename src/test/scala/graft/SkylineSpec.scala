@@ -65,6 +65,43 @@ class SkylineSpec extends SparkTestBase {
     assert(result.passed, result.status.toString)
   }
 
+  test("skylineND ≡ brute-force dominance in 3-D, duplicates restored, cap is loud") {
+    val rng = new scala.util.Random(11)
+    // tie-heavy 3-D points with deliberate full-coordinate duplicates
+    val pts = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(5).toLong,
+      rng.nextInt(5).toLong)) ++ Seq((0L, 4L, 2L), (0L, 4L, 2L))
+    val df = pts.zipWithIndex.map { case ((x, y, z), i) => (i.toLong, x, y, z) }
+      .toDF("id", "x", "y", "z")
+    val got = Skyline.skylineND(df, Seq("x", "y", "z"))
+      .select("id").as[Long].collect().toSet
+    val want = pts.zipWithIndex.collect {
+      case (p, i) if !pts.exists(q =>
+        q._1 <= p._1 && q._2 <= p._2 && q._3 <= p._3 && q != p &&
+          !(q._1 == p._1 && q._2 == p._2 && q._3 == p._3)) => i.toLong
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // every coordinate-duplicate of a front point surfaces
+    val frontCoords = pts.zipWithIndex.filter(p => want(p._2.toLong)).map(_._1).toSet
+    val dupIds = pts.zipWithIndex.filter(p => frontCoords(p._1)).map(_._2.toLong).toSet
+    assert(dupIds == got)
+    // 2-D agreement with the prefix-min operator on the same points
+    val nd2 = Skyline.skylineND(df, Seq("x", "y"))
+      .select("id").as[Long].collect().toSet
+    val flag2 = Skyline.skyline2d(df, "x", "y")
+      .filter(col("is_skyline")).select("id").as[Long].collect().toSet
+    assert(nd2 == flag2)
+    // the cap refuses loudly instead of truncating — on an anti-chain
+    // (x+y+z constant: nothing dominates anything, the front is ALL
+    // points; the random-grid df above almost surely contains (0,0,0)
+    // and folds to a single-coordinate front that no cap can bind)
+    val anti = (for (i <- 0L to 9L; j <- 0L to 9L - i)
+      yield (i, j, 9L - i - j)).toDF("x", "y", "z")
+    val err = intercept[IllegalArgumentException] {
+      Skyline.skylineND(anti, Seq("x", "y", "z"), maxFrontRows = 10)
+    }
+    assert(err.getMessage.contains("front rows exceed"))
+  }
+
   test("skyline plans no single-task global window over row-scaled data") {
     // the only empty-partitionSpec Window allowed is the O(P)
     // partition-bases prefix-min — its input must be the __pid-grouped
