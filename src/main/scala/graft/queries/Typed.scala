@@ -20,7 +20,7 @@ object Typed {
   /** Typed Aggregator — partial-mergeable like any DeclarativeAggregate;
     * demonstrates the `Aggregator[IN, BUF, OUT]` API on a reduction whose
     * correctness the SQL oracle can check. */
-  object charStats extends Aggregator[DocRow, CharStats, CharStats] {
+  object charStatsAgg extends Aggregator[DocRow, CharStats, CharStats] {
     override def zero: CharStats = CharStats(0L, 0L)
     override def reduce(b: CharStats, d: DocRow): CharStats =
       CharStats(b.total_chars + d.n_chars, b.n_docs + 1)
@@ -37,7 +37,7 @@ object Typed {
     Tables.documents(spark, dir)
       .as[DocRow]
       .groupByKey(_.lang)
-      .agg(charStats.toColumn.name("stats"))
+      .agg(charStatsAgg.toColumn.name("stats"))
       .select(col("key").as("lang"),
         col("stats.total_chars").as("total_chars"),
         col("stats.n_docs").as("n_docs"))
