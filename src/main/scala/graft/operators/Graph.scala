@@ -219,6 +219,53 @@ object Graph {
       .crossJoin(nTri.select(col("c").as("n_triangles")))
   }
 
+  /** **Weighted single-source shortest paths** (multi-source, positive
+    * INTEGER weights) — the weighted sibling of [[bfsHops]]: exact
+    * minimum path weight from the seed set, by distributed Bellman–Ford
+    * relaxation. Per round ONE dist⋈edges equi-join proposes `d + w`
+    * candidates, one min-aggregate folds them into the running
+    * distances, `localCheckpoint` keeps the loop linear, and an exact
+    * integer fixed point makes the early-stop probe sound (the
+    * [[pageRankFixedPoint]] discipline — no float drift can un-converge
+    * it). Positive weights bound shortest-path hop count by `maxDist`
+    * (every hop costs ≥ 1), so `maxDist` caps both the distance AND the
+    * rounds; candidates past it are pruned in-round, which is also what
+    * keeps the recursive-CTE oracle's walk space finite. Exact integers
+    * throughout → full hash oracle. */
+  def ssspFixed(edges: DataFrame, a: Column, b: Column, weight: Column,
+      seeds: DataFrame, seedCol: Column, maxDist: Long): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    val e = Dedup.memoPersist(
+      edges.select(a.as("x"), b.as("y"), weight.cast("long").as("w"))
+        .filter(col("x") =!= col("y") && col("x").isNotNull &&
+          col("y").isNotNull)
+        .unionByName(edges.select(b.as("x"), a.as("y"),
+          weight.cast("long").as("w")))
+        .groupBy(col("x"), col("y")).agg(min(col("w")).as("w")))
+    val bad = e.filter(col("w") <= 0 || col("w").isNull).limit(1).collect()
+    require(bad.isEmpty,
+      s"ssspFixed needs positive integer weights; got ${bad.mkString}")
+    var dist = seeds.select(seedCol.as("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    var round = 0L
+    var converged = false
+    while (round < maxDist && !converged) {
+      round += 1
+      val cand = dist.join(e, col("node") === col("x"))
+        .select(col("y").as("node"), (col("d") + col("w")).as("d"))
+        .filter(col("d") <= maxDist)
+      val next = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      converged = next.join(dist.withColumnRenamed("d", "__prev"),
+          Seq("node"), "left")
+        .filter(col("__prev").isNull || col("d") =!= col("__prev"))
+        .limit(1).collect().isEmpty
+      dist = next
+    }
+    dist
+  }
+
   /** **Multi-source BFS hop distance** — (node, hops) for every node
     * reachable from `seeds` over the undirected `edges`, hops = exact
     * minimum hop count. The frontier loop is the Pregel shape: each

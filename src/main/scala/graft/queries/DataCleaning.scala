@@ -1061,6 +1061,49 @@ object DataCleaning {
       |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** **Weighted shortest paths** ([[graft.operators.Graph.ssspFixed]])
+    * on the same sparse part graph, edge weight = 1 + (co-occurrence
+    * count mod 3) — deterministic small positive integers so the
+    * Bellman–Ford relaxation reaches an exact integer fixed point and
+    * the recursive-CTE walk oracle stays finite (distance cap 8 bounds
+    * both the walk space and the rounds, since every hop costs ≥ 1). The
+    * weighted sibling of `graph_bfs`: hops there, path weight here. */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg((lit(1) + count(lit(1)) % 3).as("w"))
+    val seeds = Tables.part(spark, dir).filter(col("p_partkey") % 500 === 0)
+    graft.operators.Graph.ssspFixed(pairs, col("pa"), col("pb"), col("w"),
+        seeds, col("p_partkey"), maxDist = 8L)
+      .orderBy("node")
+  }
+
+  private val graphSsspSql =
+    """WITH RECURSIVE eraw AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |    CAST(1 + COUNT(*) % 3 AS BIGINT) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u AS x, v AS y, w FROM eraw
+      |      UNION ALL SELECT v, u, w FROM eraw),
+      |walk AS (
+      |  SELECT p_partkey AS node, CAST(0 AS BIGINT) AS d
+      |  FROM part WHERE p_partkey % 500 = 0
+      |  UNION
+      |  SELECT e.y, walk.d + e.w
+      |  FROM walk JOIN e ON e.x = walk.node
+      |  WHERE walk.d + e.w <= 8)
+      |SELECT node, MIN(d) AS d
+      |FROM walk GROUP BY node
+      |ORDER BY node""".stripMargin
+
   /** **Hard-negative mining** ([[graft.operators.Similarity
     * .hardNegatives]]): per anchor, the 3 most-similar vectors with a
     * different label — the contrastive-pair step of an embedding-training
@@ -1238,6 +1281,7 @@ object DataCleaning {
     Q("graph_pagerank_fp", graphPagerankFpSql)(graphPagerankFp),
     Q("graph_triangles", graphTrianglesSql)(graphTriangles),
     Q("graph_bfs", graphBfsSql)(graphBfs),
+    Q("graph_sssp", graphSsspSql)(graphSssp),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),
     Q("skew_report", skewReportSql)(skewReport),

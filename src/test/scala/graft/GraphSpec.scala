@@ -239,6 +239,62 @@ class GraphSpec extends SparkTestBase {
     Dedup.releaseCaches()
   }
 
+  private def refSssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      cap: Long): Map[Long, Long] = {
+    // driver Dijkstra over the min-weight-canonicalized undirected graph
+    val adj = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((x, y), es) => (x, y, es.map(_._3).min) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(e => (e._2, e._3)).toSeq }
+    val dist = scala.collection.mutable.Map[Long, Long](seeds.distinct.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue[(Long, Long)](
+      seeds.distinct.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, n) = pq.dequeue()
+      if (dist(n) == d) adj.getOrElse(n, Nil).foreach { case (m, w) =>
+        val nd = d + w
+        if (nd <= cap && nd < dist.getOrElse(m, Long.MaxValue)) {
+          dist(m) = nd; pq.enqueue((nd, m))
+        }
+      }
+    }
+    dist.toMap
+  }
+
+  test("ssspFixed: exact weighted distances on a hand graph, cap honored") {
+    // 1 -2- 2 -2- 3 and a direct heavy edge 1-3 (weight 5): path wins
+    val es = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 5L), (4L, 5L, 9L))
+    val got = Graph.ssspFixed(es.toDF("a", "b", "w"), col("a"), col("b"),
+        col("w"), Seq(1L).toDF("s"), col("s"), maxDist = 6L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L)) // 4-5 unreachable, 9 > cap anyway
+    Dedup.releaseCaches()
+  }
+
+  test("property: ssspFixed ≡ driver Dijkstra on random weighted multigraphs") {
+    val gen = for {
+      n <- Gen.choose(3, 25)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong),
+        Gen.choose(1L, n.toLong), Gen.choose(1L, 4L)))
+      nSeeds <- Gen.choose(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.choose(1L, n.toLong))
+    } yield (es.filter(e => e._1 != e._2), seeds)
+    val prop = Prop.forAll(gen) { case (es, seeds) =>
+      es.isEmpty || {
+        val got = Graph.ssspFixed(es.toDF("a", "b", "w"), col("a"),
+            col("b"), col("w"), seeds.toDF("s"), col("s"), maxDist = 10L)
+          .as[(Long, Long)].collect().toMap
+        Dedup.releaseCaches()
+        got == refSssp(es, seeds, cap = 10L)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+    Dedup.releaseCaches()
+  }
+
   test("property: bfsHops ≡ driver BFS on random graphs with multi-source seeds") {
     val gen = for {
       n <- Gen.choose(3, 30)
