@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Behavioral, DataCleaning, Extras, LlmOps, Misc, Q, Relational, ScalarFns, Typed}
+import graft.queries.{Behavioral, DataCleaning, Extras, LlmOps, Misc, Q, Relational, ScalarFns, Tpch, Typed}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     Relational.all ++ ScalarFns.all ++ LlmOps.all ++ Extras.all ++
-      Behavioral.all ++ Typed.all ++ Misc.all ++ DataCleaning.all
+      Behavioral.all ++ Typed.all ++ Misc.all ++ DataCleaning.all ++ Tpch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature semantic: greedy daily downsample

@@ -248,4 +248,36 @@ object Sampling {
         qCols: _*)
       .orderBy("grp")
   }
+
+  /** **Deterministic weighted sample**: the k rows with the smallest
+    * `hash(salt ‖ key) / weight` priority — rows with larger weight get
+    * proportionally smaller priorities and are more likely to enter the
+    * sample, rows with equal weight compete uniformly (md5 order).
+    * This is the hash-seeded cousin of Efraimidis–Spiliotis weighted
+    * reservoir sampling with `u/w` in place of `u^(1/w)`: the exact
+    * E–S exponent needs `pow`/`log` (libm — not hash-checkable across
+    * engines), while the `u/w` priority is ONE IEEE division of a
+    * 60-bit-hash double by the weight — bit-identical in Spark and
+    * DuckDB, so the whole sample is exactly oracle-checkable. The
+    * resulting inclusion probabilities are weight-monotone but not the
+    * exact E–S probabilities; for training-mix work (favor long/
+    * high-quality documents reproducibly) monotonicity + determinism is
+    * the contract that matters, and the spec pins the monotone-inclusion
+    * property on random corpora.
+    *
+    * Scale shape: priority is per-row arithmetic in the scan;
+    * `orderBy(priority).limit(k)` plans as TakeOrderedAndProject —
+    * every map task keeps ≤ k rows, the driver merges bounded heaps;
+    * no global sort, no full shuffle, same shape at 100 TB. */
+  def weightedPriorityTopK(df: DataFrame, key: Column, weight: Column,
+      k: Int, salt: String = "graftws"): DataFrame = {
+    require(k > 0, s"sample size must be positive (got $k)")
+    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+    df.filter(weight > 0)
+      .select(key.as("key"), weight.as("weight"),
+        (h.cast("double") / weight.cast("double")).as("priority"))
+      .orderBy(col("priority"), col("key"))
+      .limit(k)
+  }
 }

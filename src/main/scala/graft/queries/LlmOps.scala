@@ -1840,6 +1840,28 @@ object LlmOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** **Deterministic weighted sample** ([[graft.operators.Sampling
+    * .weightedPriorityTopK]]): the 64 documents with the smallest
+    * `hash/weight` priority, weight = document length — longer documents
+    * proportionally more likely, membership a pure function of (salt,
+    * corpus). The priority is one IEEE division of exactly-equal
+    * operands in both engines, so the whole sample (including the
+    * priority doubles) is hash-oracle-checkable; plans as
+    * TakeOrderedAndProject (map-side bounded top-k, no global sort). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedPriorityTopK(
+        Tables.documents(spark, dir), col("doc_id"), col("n_chars"), k = 64)
+      .withColumnRenamed("key", "doc_id")
+
+  private val weightedSampleSql =
+    """SELECT doc_id, n_chars AS weight,
+      |  CAST(CAST(concat('0x', substr(md5(concat('graftws', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+      |    / CAST(n_chars AS DOUBLE) AS priority
+      |FROM documents
+      |WHERE n_chars > 0
+      |ORDER BY priority, doc_id
+      |LIMIT 64""".stripMargin
+
   /** **Exact-n stratified sample** ([[graft.operators.Sampling
     * .exactNPerStratum]]): a fixed 20-document quota per language in
     * md5 hash order — map-side partial top-k per stratum (BoundedTopK),
@@ -2385,6 +2407,7 @@ object LlmOps {
     Q("corpus_pack", corpusPackSql)(corpusPack),
     Q("corpus_pack_text", corpusPackTextSql)(corpusPackText),
     Q("corpus_sample", corpusSampleSql)(corpusSample),
+    Q("weighted_sample", weightedSampleSql)(weightedSample),
     Q("corpus_sample_exactn", corpusSampleExactNSql)(corpusSampleExactN),
     Q("corpus_mix_temperature", corpusMixTemperatureSql)(corpusMixTemperature),
     Q("llm_prepare_corpus", llmPrepareCorpusSql)(llmPrepareCorpus),

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Warehouse relational breadth: the remaining classic TPC-H query shapes
+  * not yet covered by [[Relational]] (Q1/Q3/Q5), [[Extras]]
+  * (`corr_subquery` = per-key average decorrelation), [[Misc]]
+  * (`scalar_subquery` = global average), or the round-8 wave
+  * (`multi_exists_join` = Q21, `big_orders_semi` = Q18, `nation_share` =
+  * Q11). Adapted to the driver corpus (FIXTURES.md — no `partsupp`
+  * table, so Q2/Q9-shaped queries substitute lineitem price / part
+  * retail-price for supply cost; semantics of the *composition* — the
+  * part a query engine must plan well — are preserved).
+  *
+  * Exactness protocol (the repo rule): every float aggregate is an exact
+  * DECIMAL(18,2) sum cast to DOUBLE at the boundary; every threshold
+  * against an average is cross-multiplied into exact-decimal form
+  * (`qty · cnt · 5 < sum` instead of `qty < 0.2 · sum/cnt`); ratios are
+  * ONE IEEE division of two exactly-equal doubles in both engines.
+  *
+  * Scale notes (100 TB reading): every query here filters its dimension
+  * tables FIRST and broadcasts them into the fact scan, so the big
+  * lineitem/orders shuffles carry only surviving rows; the only
+  * fact-sized shuffles are the final keyed aggregations and (for Q17/Q2
+  * shapes) one per-partkey statistics pass — both map-side-combined
+  * hash aggregates. */
+object Tpch {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private val revenue: Column =
+    dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+
+  // ---------------------------------------------------------------- Q7
+
+  /** TPC-H Q7 shape — "volume shipping" between two trading nations:
+    * revenue by (supplier nation, customer nation, ship year) for the
+    * two directed pairs of a fixed nation pair, over a two-year window.
+    *
+    * Plan: both nation-filtered dimensions (suppliers of the pair's
+    * nations; customers of the pair's nations) broadcast into the fact
+    * scans, so lineitem and orders are each reduced to ~2/25 of their
+    * rows BEFORE the one fact-to-fact equi-join on orderkey. The
+    * direction predicate (A→B or B→A) evaluates post-join on two
+    * broadcast-joined name columns. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_12", "NATION_3"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("nk2"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        revenue.as("volume"), year(col("l_shipdate")).cast("int").as("l_year"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_3") ||
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_12"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val volumeShippingSql =
+    """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND l_suppkey = s_suppkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3')
+      |      OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_12'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+
+  /** TPC-H Q8 shape — "market share": of all PROMO-part revenue sold to
+    * ASIA customers per order year, the fraction supplied by NATION_12.
+    * The share is `CAST(num AS DOUBLE) / CAST(den AS DOUBLE)` — both
+    * operands exact decimals, so the single IEEE division is identical
+    * in both engines.
+    *
+    * Plan: part (type filter), supplier+nation, customer+nation+region
+    * are all broadcast; the two fact-sized operations are
+    * lineitem⋈orders on orderkey and the final per-year hash agg. The
+    * numerator rides as a conditional aggregate — no second pass. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revenue.as("volume"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_12", col("volume"))
+          .otherwise(dec2(lit(0)))).cast("double").as("nation_volume"),
+        sum(col("volume")).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  private val marketShareSql =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |    AND p_type = 'PROMO')
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+
+  /** TPC-H Q9 shape — "product profit" by (supplier nation, order year)
+    * for parts whose name contains a substring. The corpus has no
+    * partsupp, so unit cost substitutes the part's retail price
+    * (`p_retailprice · l_quantity`) — the composition (5-way join, CASE
+    * arithmetic, two-key agg) is what's exercised. Both products are
+    * cast to DECIMAL(18,4) before the subtraction so both engines
+    * subtract identical exact operands. */
+  def profitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val widgetParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), dec2(col("p_retailprice")).as("rp"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    val amount = dec4(revenue) - dec4(col("rp") * dec2(col("l_quantity")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val profitByNationSql =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |      - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%widget%')
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q13
+
+  /** TPC-H Q13 shape — customer order-count distribution: a LEFT OUTER
+    * join (customers with zero qualifying orders must appear with
+    * c_count = 0) under a join-side filter, then a second aggregation
+    * over the first's result. Exercises outer-join-with-condition
+    * planning plus agg-of-agg.
+    *
+    * Plan: orders filtered before the join; at 100 TB both sides
+    * shuffle on custkey once (customer is the smaller side and would
+    * broadcast at dimension scale; the shape stays correct either
+    * way); the second agg's input is one row per customer. */
+  def custdist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val custdistSql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q17
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
+    * brand's parts whose quantity is below 20% of that part's average
+    * quantity, total extended price scaled by 1/7. The correlated
+    * average is decorrelated into one per-part aggregate and the
+    * threshold is cross-multiplied (`5·qty·cnt < sum`) so the
+    * comparison is exact-decimal in both engines; the final ÷7 is one
+    * IEEE division of an exact double.
+    *
+    * Plan: brand parts broadcast-semi-reduce lineitem first (~1/25 of
+    * rows); the per-part (count, sum) aggregate runs on the reduced
+    * fact and joins back broadcast. No fact-sized shuffle survives at
+    * dimension-scale part counts. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#16").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), dec2(col("l_quantity")).as("qty"),
+        dec2(col("l_extendedprice")).as("ep"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val stats = li.groupBy(col("l_partkey").as("sk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+    li.join(broadcast(stats), col("l_partkey") === col("sk"))
+      .filter(col("qty") * lit(5) * col("cnt") < col("sum_qty"))
+      .agg((sum(col("ep")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  private val smallQtyRevenueSql =
+    """SELECT CAST(SUM(ep) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  JOIN (
+      |    SELECT l_partkey AS sk, COUNT(*) AS cnt,
+      |      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |    FROM lineitem JOIN part ON p_partkey = l_partkey
+      |    WHERE p_brand = 'Brand#16'
+      |    GROUP BY l_partkey) ON l_partkey = sk
+      |  WHERE p_brand = 'Brand#16'
+      |    AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty)""".stripMargin
+
+  // --------------------------------------------------------------- Q19
+
+  /** TPC-H Q19 shape — disjunctive multi-attribute predicate: revenue
+    * from lineitem⋈part rows satisfying any of three (brand, size
+    * range, quantity range) conjunctions. Exercises OR-of-ANDs
+    * pushdown: the part-side conjuncts (`p_brand`/`p_size`) filter the
+    * broadcast dimension, the lineitem-side conjuncts (`l_quantity`)
+    * evaluate in the scan, and only the residual OR crosses the join. */
+  def disjunctivePred(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter((col("p_brand") === "Brand#13" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(5, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30)))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"), revenue.as("volume"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(col("volume")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val disjunctivePredSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --------------------------------------------------------------- Q22
+
+  /** TPC-H Q22 shape — "global sales opportunity": customers from a
+    * nation set with above-average positive balance and no RECENT
+    * orders (the corpus' order density gives every customer *some*
+    * order, so the anti-join condition is "none since 2001-01-01" —
+    * same composition, non-degenerate result). The scalar average is a
+    * 1-row broadcast and the comparison is cross-multiplied
+    * (`bal · cnt > sum`) so it is exact-decimal; the no-recent-orders
+    * condition is a left-anti join against the date-filtered orders
+    * fact.
+    *
+    * Plan: the anti join is the only fact-sized operation; at scale it
+    * shuffles orders' filtered custkey projection once (or broadcasts
+    * the filtered customer side — either is sound; Spark picks by
+    * size). */
+  def globalCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(1, 3, 5, 8, 10, 12, 15, 18, 21, 24)
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(nations: _*))
+    val avgStats = broadcast(cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("cnt_pos"), sum(dec2(col("c_acctbal"))).as("sum_pos")))
+    cust.crossJoin(avgStats)
+      .filter(dec2(col("c_acctbal")) * col("cnt_pos") > col("sum_pos"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val globalCustomersSql =
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 8, 10, 12, 15, 18, 21, 24)
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM customer
+      |       WHERE c_nationkey IN (1, 3, 5, 8, 10, 12, 15, 18, 21, 24) AND c_acctbal > 0)
+      |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+      |       WHERE c_nationkey IN (1, 3, 5, 8, 10, 12, 15, 18, 21, 24) AND c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q2
+
+  /** TPC-H Q2 shape — correlated MIN across a join: for each part of a
+    * fixed size, the supplier rows achieving that part's minimum
+    * extended price (the corpus' stand-in for min supply cost), with
+    * supplier nation attached. Ties keep every achieving supplier
+    * (DISTINCT on the output key set), exactly like Q2's multi-supplier
+    * minima.
+    *
+    * Plan: the correlated subquery decorrelates into a per-partkey MIN
+    * window over the size-filtered fact slice — one shuffle on partkey,
+    * no join back (window reuses the partitioning). Supplier and nation
+    * attach as broadcasts. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val sizeParts = Tables.part(spark, dir)
+      .filter(col("p_size") === 10).select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_extendedprice")).as("ep"))
+      .join(broadcast(sizeParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("min_ep", min(col("ep")).over(w))
+      .filter(col("ep") === col("min_ep"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+        col("ep").cast("double").as("min_price"))
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  private val minCostSupplierSql =
+    """SELECT DISTINCT l_partkey AS p_partkey, s_name, n_name,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS min_price
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_size = 10
+      |  AND CAST(l_extendedprice AS DECIMAL(18,2)) =
+      |    (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+      |     FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val all: Seq[Q] = Seq(
+    Q("volume_shipping", volumeShippingSql)(volumeShipping),
+    Q("market_share", marketShareSql)(marketShare),
+    Q("profit_by_nation", profitByNationSql)(profitByNation),
+    Q("custdist", custdistSql)(custdist),
+    Q("small_qty_revenue", smallQtyRevenueSql)(smallQtyRevenue),
+    Q("disjunctive_pred", disjunctivePredSql)(disjunctivePred),
+    Q("global_customers", globalCustomersSql)(globalCustomers),
+    Q("min_cost_supplier", minCostSupplierSql)(minCostSupplier))
+}

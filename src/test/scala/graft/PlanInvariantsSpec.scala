@@ -47,6 +47,10 @@ class PlanInvariantsSpec extends SparkTestBase {
       // provably 1 row) broadcasts into the per-nation threshold filter —
       // the scalar_subquery shape
       "nation_share",
+      // global_customers (Q22): the positive-balance (count, sum) frame
+      // (a grouping-free aggregate, provably 1 row) broadcasts into the
+      // above-average filter — the scalar_subquery shape
+      "global_customers",
       // graph_triangles: the output row is three 1-row grouping-free
       // aggregates (edges/wedges/triangles counts) cross-joined — each
       // BNLJ build side provably one row
