@@ -235,12 +235,15 @@ object Graph {
   def ssspFixed(edges: DataFrame, a: Column, b: Column, weight: Column,
       seeds: DataFrame, seedCol: Column, maxDist: Long): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    // union BOTH orientations first, THEN filter: a guard on only the
+    // forward branch would let a null-endpoint/self-loop edge slip in
+    // through the reversed branch and emit a spurious null-keyed row
     val e = Dedup.memoPersist(
       edges.select(a.as("x"), b.as("y"), weight.cast("long").as("w"))
-        .filter(col("x") =!= col("y") && col("x").isNotNull &&
-          col("y").isNotNull)
         .unionByName(edges.select(b.as("x"), a.as("y"),
           weight.cast("long").as("w")))
+        .filter(col("x") =!= col("y") && col("x").isNotNull &&
+          col("y").isNotNull)
         .groupBy(col("x"), col("y")).agg(min(col("w")).as("w")))
     val bad = e.filter(col("w") <= 0 || col("w").isNull).limit(1).collect()
     require(bad.isEmpty,
@@ -279,11 +282,13 @@ object Graph {
   def bfsHops(edges: DataFrame, a: Column, b: Column,
       seeds: DataFrame, seedCol: Column, maxHops: Int = 20): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0 (got $maxHops)")
-    // undirected: keep both directions for the frontier join
+    // undirected: keep both directions for the frontier join; filter
+    // AFTER the union so dirty edges (null endpoint / self-loop) are
+    // dropped from BOTH orientations, not just the forward one
     val e = Dedup.memoPersist(
       edges.select(a.as("x"), b.as("y"))
-        .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
         .unionByName(edges.select(b.as("x"), a.as("y")))
+        .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
         .distinct())
     var visited = seeds.select(seedCol.as("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint()

@@ -49,8 +49,12 @@ object Mv {
       val (x, y) = (col(s"__a_$c"), col(s"__b_$c"))
       if (sums.contains(c))
         // coalesce-to-zero keeps the add total when a group exists on
-        // one side only; lit(0) coerces to the measure's numeric type
-        (coalesce(x, lit(0)) + coalesce(y, lit(0))).as(c)
+        // one side only; lit(0) coerces to the measure's numeric type.
+        // BOTH-null stays NULL: a group whose view sum is legitimately
+        // NULL (all measure values NULL) must refresh to NULL, matching
+        // the full-recompute oracle — the ⊕ ≡ recompute contract
+        when(x.isNull && y.isNull, lit(null))
+          .otherwise(coalesce(x, lit(0)) + coalesce(y, lit(0))).as(c)
       else if (mins.contains(c)) least(x, y).as(c) // least/greatest skip nulls
       else greatest(x, y).as(c)
     }

@@ -376,6 +376,38 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** **IVF compaction/retrain** — the [[Upsert.vacuum]] analogue for the
+    * ANN index, closing the maintenance loop [[appendToIvfIndex]]'s
+    * cadence contract promises: after many deltas the centroids (trained
+    * on the original base) drift from the corpus distribution and recall
+    * degrades SILENTLY — cells get lopsided, nprobe probes the wrong
+    * regions. Compaction re-trains on the CURRENT base+delta contents
+    * and rebuilds the bucketed layout in one pass: stage the current
+    * rows (generation copy — the rewrite is inherently a full copy, the
+    * same accounting as `Upsert.vacuum`'s fold-to-one-version), then
+    * [[writeIvfIndex]] from the stage (fresh seeded sample → Lloyd →
+    * assignment → bucketed write + new centroid side table), then drop
+    * the stage. Work ∝ corpus size, run on a cadence (e.g. when
+    * |appended| exceeds a fraction of |base|); SERVE cost is unchanged —
+    * [[ivfTopKIndexed]] still reads only probed buckets. Recall of
+    * (drifted index) vs (compacted index) vs exact is spec-measured
+    * (DedupSimilaritySpec). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, nCells: Int = 16, buckets: Int = 8): Unit = {
+    val stage = s"${table}__compact_stage"
+    // stage first: writeIvfIndex drops the target's files before writing,
+    // and a lazy read of the table being overwritten would lose the data
+    Joins.dropTableAndLocation(spark, stage)
+    spark.table(table).select(col("cand_id"), col("cv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").saveAsTable(stage)
+    writeIvfIndex(
+      spark.table(stage).select(col("cand_id").as("vec_id"),
+        col("cv").as("embedding")),
+      table, nCells, buckets)
+    Joins.dropTableAndLocation(spark, stage)
+  }
+
   def ivfTopKIndexed(queries: DataFrame,
       spark: org.apache.spark.sql.SparkSession, table: String, k: Int,
       nprobe: Int = 8): DataFrame = {

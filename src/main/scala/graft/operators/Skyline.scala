@@ -82,10 +82,24 @@ object Skyline {
     * fold is genuinely per-partition imperative state with no
     * aggregate/window form at arbitrary d (the rubric's last-resort
     * tier, used as designed); everything that touches full-data volume
-    * (scan, fold, final join) stays distributed. */
+    * (scan, fold, final join) stays distributed.
+    *
+    * Contract: every dim must already be an INTEGRAL column
+    * (byte/short/int/long) — dominance over quantized coordinates is the
+    * caller's explicit decision (`floor(x/1000).cast("long")`), never a
+    * silent truncation of doubles inside the operator — and null dim
+    * values fail the job loudly (dominance is undefined on null). */
   def skylineND(df: DataFrame, dims: Seq[String],
       maxFrontRows: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     require(dims.size >= 2, s"need >= 2 dims, got $dims")
+    dims.foreach { dname =>
+      val dt = df.schema(dname).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"skylineND dims must be integral (byte/short/int/long); '$dname' " +
+          s"is $dt — quantize explicitly (e.g. floor(...).cast(\"long\")) " +
+          "so the dominance granularity is the caller's choice")
+    }
     val spark = df.sparkSession
     def dominates(q: Seq[Long], p: Seq[Long]): Boolean =
       q.zip(p).forall { case (a, b) => a <= b } && q != p
@@ -101,16 +115,29 @@ object Skyline {
       front.iterator
     }
     // phase 1: distributed local fronts over DISTINCT coords (the final
-    // join restores row multiplicity); phase 2: bounded driver merge
-    val collected = df.select(dims.map(c => col(c).cast("long")): _*)
+    // join restores row multiplicity); phase 2: front-of-fronts — ONE
+    // more application of the same fold on a single coalesced partition
+    // (no shuffle; Σ|local fronts| rows flow to one task, not the
+    // driver), so the driver collect below only ever sees the FINAL
+    // front, never a set proportional to partition count; the loud cap
+    // stays as the last-resort bound on that true front
+    val front = df.select(dims.map(c => col(c).cast("long")): _*)
       .distinct()
       .rdd.mapPartitions(rows =>
-        fold(rows.map(r => dims.indices.map(r.getLong): Seq[Long])))
-      .collect()
-    require(collected.length <= maxFrontRows,
-      s"skylineND: ${collected.length} candidate front rows exceed " +
+        fold(rows.map { r =>
+          dims.indices.map { i =>
+            require(!r.isNullAt(i),
+              s"skylineND: null value in dim '${dims(i)}' — dominance " +
+                "is undefined on null; filter or impute upstream")
+            r.getLong(i)
+          }: Seq[Long]
+        }))
+      .coalesce(1)
+      .mapPartitions(fold)
+      .collect().toSeq
+    require(front.length <= maxFrontRows,
+      s"skylineND: ${front.length} front rows exceed " +
         s"$maxFrontRows — no Pareto front worth reading at this size")
-    val front = fold(collected.iterator).toSeq
     val frontDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         front.map(p => org.apache.spark.sql.Row.fromSeq(p)), 1),

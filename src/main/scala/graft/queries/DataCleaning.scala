@@ -896,7 +896,14 @@ object DataCleaning {
     * variables are integers, so the five sufficient statistics
     * Σx, Σy, Σxy, Σx², Σy² are EXACT DECIMAL(38,0) sums, and corr/cov
     * derive from them by an identical short float expression in both
-    * engines (each step single-rounded on identical inputs). The
+    * engines (each step single-rounded on identical inputs). Crucially
+    * the exact DECIMAL sums are cast to DOUBLE FIRST and every derived
+    * op is IEEE double on those casts: a DECIMAL(38,0)×DECIMAL(38,0)
+    * product would exceed the 38-digit type cap and each engine applies
+    * its own (version-specific) precision-loss rule — the round-8 hash
+    * failure. All sufficient statistics are < 2⁵³ at any plausible SF,
+    * so the DOUBLE casts themselves are exact and the identical op tree
+    * is engine-version-proof. The
     * sketch-vs-exact split of `hll_rollup` applied to second moments:
     * the mergeable exact form IS the scale path — one map-side-combined
     * aggregate, five numbers per group. */
@@ -913,14 +920,15 @@ object DataCleaning {
       sum(d(col("x") * col("y"))).as("sxy"),
       sum(d(col("x") * col("x"))).as("sxx"),
       sum(d(col("y") * col("y"))).as("syy"))
-    val dn = d(col("n"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val sxxd = col("sxx").cast("double"); val syyd = col("syy").cast("double")
     m.select(col("lang"), col("n"), col("sx"), col("sy"), col("sxy"),
         col("sxx"), col("syy"),
-        ((dn * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (dn * (dn - 1)).cast("double")).as("cov_samp"),
-        ((dn * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((dn * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((dn * col("syy") - col("sy") * col("sy")).cast("double"))))
+        ((nd * sxyd - sxd * syd) / (nd * (nd - lit(1.0d)))).as("cov_samp"),
+        ((nd * sxyd - sxd * syd) /
+          (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))
           .as("corr"))
       .orderBy("lang")
   }
@@ -938,13 +946,15 @@ object DataCleaning {
       |        FROM documents)
       |  GROUP BY lang)
       |SELECT lang, n, sx, sy, sxy, sxx, syy,
-      |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
-      |    CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE)
-      |    AS cov_samp,
-      |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
-      |    (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)) *
-      |     sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)))
-      |    AS corr
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
       |FROM m
       |ORDER BY lang""".stripMargin
 

@@ -548,6 +548,29 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** **IVF compaction** ([[Similarity.compactIvfIndex]]): build the index
+    * on 60% of the corpus, append the other 40% as deltas against the
+    * STALE centroids (maximal drift pressure for this corpus), then
+    * compact — retrain on the full contents and rebuild the buckets —
+    * and serve the query batch from the compacted index. The timed query
+    * includes the compaction itself (layout-investment accounting, like
+    * `vector_ivf_indexed` timing its build); work ∝ corpus, serve cost
+    * unchanged. Rows-only (k-means); anchored by the spec measuring
+    * recall(drifted) ≤ recall(compacted) bounds vs exact top-k and
+    * compacted ≡ fresh-rebuild row identity. */
+  def vectorIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 < 3),
+      "graft_ivf_compact_index")
+    Similarity.appendToIvfIndex(spark, "graft_ivf_compact_index",
+      e.filter(col("vec_id") % 5 >= 3))
+    Similarity.compactIvfIndex(spark, "graft_ivf_compact_index")
+    Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 20), spark,
+        "graft_ivf_compact_index", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): IVF routing + product-
     * quantized asymmetric-distance scoring — the memory-bound scale path
     * (codes are ~30× smaller than the vectors they rank); rows-only
@@ -2384,6 +2407,7 @@ object LlmOps {
     Q.noOracle("vector_ivf")(vectorIvf),
     Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),
     Q.noOracle("vector_ivf_delta")(vectorIvfDelta),
+    Q.noOracle("vector_ivf_compact")(vectorIvfCompact),
     Q.noOracle("vector_pq")(vectorPq),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),

@@ -409,6 +409,208 @@ object Tpch {
       |     FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
       |ORDER BY p_partkey, s_name""".stripMargin
 
+  // --------------------------------------------------------------- Q12
+
+  /** TPC-H Q12 shape — shipping-priority breakdown: one fact-to-fact
+    * join (lineitem⋈orders on orderkey) then a CASE-conditional
+    * aggregate splitting line counts by order priority class per
+    * lineitem category (`l_returnflag` stands in for the corpus-absent
+    * `l_shipmode`; the composition — conditional SUM over a join, the
+    * "pivot a flag out of the joined dimension" pattern — is identical).
+    * Counts are exact longs: nothing float anywhere.
+    *
+    * Plan: lineitem is date-filtered in the scan and projected to two
+    * columns; orders projects to (orderkey, priority). At 100 TB both
+    * sides shuffle on orderkey once (no broadcastable side — this is
+    * THE canonical co-partitioned fact join, and bucketing both tables
+    * on orderkey would eliminate even that shuffle); the conditional
+    * agg is map-side partial. */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    li.join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val shipPrioritySql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- Q15
+
+  /** TPC-H Q15 shape — "top revenue supplier": a revenue VIEW (per-
+    * supplier exact-decimal revenue over a 3-month window) joined
+    * against its own scalar MAX — the aggregated-view + scalar-subquery
+    * composition. The max comparison is DECIMAL = DECIMAL (exact), ties
+    * all surface (Q15's documented multi-winner semantics); the DOUBLE
+    * cast happens only at the output boundary.
+    *
+    * Plan: the view is one map-side-combined hash agg over the filtered
+    * fact; its scalar max is a 1-row broadcast cross join (the
+    * `scalar_subquery` discipline), and the supplier name attaches as a
+    * broadcast. The view never materializes twice: memoPersist pins it
+    * across the two reads. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = graft.operators.Dedup.memoPersist(
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).as("total_rev")))
+    val mx = broadcast(rev.agg(max(col("total_rev")).as("max_rev")))
+    rev.crossJoin(mx)
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val topSupplierSql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '2001-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- Q16
+
+  /** TPC-H Q16 shape — supplier counts by part attribute: how many
+    * DISTINCT suppliers offer parts of each (brand, type, size) combo,
+    * for parts NOT of an excluded brand/type and of a size in a fixed
+    * set, excluding suppliers on a complaint list via NOT IN. The
+    * part-supplier relation is the distinct (l_partkey, l_suppkey)
+    * projection of lineitem (the corpus has no partsupp); the complaint
+    * list is the negative-balance suppliers (no s_comment column) —
+    * both substitutions preserve the composition: NOT IN + DISTINCT
+    * projection + count(distinct) grouped by dimension attributes.
+    *
+    * NOT IN discipline: the subquery key (s_suppkey) is non-nullable
+    * here, so left-anti ≡ NOT IN; with a nullable subquery column NOT
+    * IN's three-valued semantics (one NULL empties the result) must be
+    * guarded explicitly — the oracle keeps a literal NOT IN so the
+    * driver gate would catch any divergence.
+    *
+    * Plan: the distinct pair projection is the only fact-sized shuffle
+    * (on the pair key); parts filter-then-broadcast, the complaint list
+    * is a broadcast anti join, and count(distinct) is Spark's two-phase
+    * expand — all map-side-combinable. */
+  def partsuppCount(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val partsuppCountSql =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --------------------------------------------------------------- Q20
+
+  /** TPC-H Q20 shape — nested correlated-threshold semi join: suppliers
+    * of one nation who, for some name-matched part, shipped MORE than
+    * half that part's total shipped quantity in a year (the corpus-free
+    * stand-in for `ps_availqty > 0.5·sum(l_quantity)`: the inner
+    * correlated aggregate compares a per-(supplier, part) measure
+    * against a per-part aggregate threshold, then the surviving pairs
+    * semi-reduce the supplier dimension — two nesting levels, exactly
+    * Q20's). The threshold is cross-multiplied (`2·pair_qty >
+    * part_qty`) so the comparison is exact-decimal in both engines.
+    *
+    * Plan: the name-filtered part set broadcast-semi-reduces lineitem
+    * FIRST; one hash agg per (part, supp) then a per-part agg over its
+    * result (strictly smaller input); the comparison joins the pair agg
+    * to the broadcast per-part totals; the final semi against supplier
+    * is a broadcast. Only the first pair agg touches fact-scale rows. */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val namedParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(namedParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_quantity")).as("qty"))
+    val pairQty = graft.operators.Dedup.memoPersist(
+      li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("pair_qty")))
+    val partQty = pairQty.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("pair_qty")).as("part_qty"))
+    val dominant = pairQty
+      .join(broadcast(partQty), col("l_partkey") === col("pk"))
+      .filter(col("pair_qty") * lit(2) > col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val dominantSuppliersSql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_nationkey < 13
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey
+      |    FROM (SELECT l_partkey, l_suppkey,
+      |            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+      |          FROM lineitem
+      |          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      |            AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |            AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+      |          GROUP BY l_partkey, l_suppkey) pair
+      |    WHERE pair_qty * 2 > (
+      |      SELECT SUM(pq2.pair_qty)
+      |      FROM (SELECT l_partkey, l_suppkey,
+      |              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+      |            FROM lineitem
+      |            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      |              AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |              AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+      |            GROUP BY l_partkey, l_suppkey) pq2
+      |      WHERE pq2.l_partkey = pair.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Seq[Q] = Seq(
@@ -419,5 +621,9 @@ object Tpch {
     Q("small_qty_revenue", smallQtyRevenueSql)(smallQtyRevenue),
     Q("disjunctive_pred", disjunctivePredSql)(disjunctivePred),
     Q("global_customers", globalCustomersSql)(globalCustomers),
-    Q("min_cost_supplier", minCostSupplierSql)(minCostSupplier))
+    Q("min_cost_supplier", minCostSupplierSql)(minCostSupplier),
+    Q("ship_priority", shipPrioritySql)(shipPriority),
+    Q("top_supplier", topSupplierSql)(topSupplier),
+    Q("partsupp_count", partsuppCountSql)(partsuppCount),
+    Q("dominant_suppliers", dominantSuppliersSql)(dominantSuppliers))
 }

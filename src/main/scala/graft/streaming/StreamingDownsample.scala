@@ -558,6 +558,77 @@ object StreamingDownsample {
         })
   }
 
+  final case class SessState(startUs: Seq[Long], endUs: Seq[Long],
+    nEvents: Seq[Long], types: Seq[Seq[String]], nSeen: Long)
+  final case class SessionsOut(user_id: Long, n_seen: Long,
+    session_start: Seq[Timestamp], session_end: Seq[Timestamp],
+    n_events: Seq[Long], n_types: Seq[Long])
+
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** **Custom-state streaming sessionization** — the `mapGroupsWithState`
+    * twin of the batch gaps-and-islands `sessionize` query, correct under
+    * ADVERSARIAL arrival (any order, any batch split — the
+    * [[skylineStream]] discipline), which the watermark-gated
+    * [[sessions]] cannot promise: `session_window` finalizes at the
+    * watermark and silently drops later-arriving bridge events, while
+    * here a late event merges — possibly BRIDGING two existing sessions
+    * into one (the interval-merge insert: an event joins every run whose
+    * truncated-second span it is within the gap of; all joined runs and
+    * the event fold into one run). Gap semantics are the batch query's
+    * exactly: epoch seconds truncate before the `> gap` comparison.
+    *
+    * State per key is the RUN LIST ONLY — (start, end, count, distinct
+    * type set) per session, never the event history: O(sessions/user ×
+    * types), and inserting an event can only merge runs, never split
+    * them, so runs-so-far ≡ batch-sessionize(events-so-far) is an
+    * invariant, making the front-only state lossless. Emits in update
+    * mode the full current run list per touched key, with a monotone
+    * `n_seen` so consumers pick the newest emission without a sink
+    * row-order promise. Production streams with a true arrival bound
+    * should prefer [[sessions]] (watermark eviction bounds state by OPEN
+    * sessions); this operator is the no-arrival-assumptions form, and an
+    * application-frontier sweep (emit-and-drop runs older than the
+    * frontier) is the eviction cadence when one exists. */
+  def sessionizeStream(events: Dataset[Event],
+      gapSeconds: Long = 3600L): Dataset[SessionsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessState]) => {
+          var runs: Seq[(Long, Long, Long, Set[String])] =
+            state.getOption.map(s => s.startUs.indices.map(i =>
+              (s.startUs(i), s.endUs(i), s.nEvents(i), s.types(i).toSet)).toSeq)
+              .getOrElse(Seq.empty)
+          var seen = state.getOption.map(_.nSeen).getOrElse(0L)
+          batch.foreach { e =>
+            seen += 1
+            val us = micros(e.ts)
+            val sec = Math.floorDiv(us, 1000000L)
+            val (joins, rest) = runs.partition { r =>
+              val sSec = Math.floorDiv(r._1, 1000000L)
+              val eSec = Math.floorDiv(r._2, 1000000L)
+              sec >= sSec - gapSeconds && sec <= eSec + gapSeconds
+            }
+            runs = rest :+ ((
+              (us +: joins.map(_._1)).min,
+              (us +: joins.map(_._2)).max,
+              joins.map(_._3).sum + 1L,
+              joins.foldLeft(Set(e.event_type))(_ ++ _._4)))
+          }
+          val sorted = runs.sortBy(r => (r._1, r._2))
+          state.update(SessState(sorted.map(_._1), sorted.map(_._2),
+            sorted.map(_._3), sorted.map(_._4.toSeq.sorted), seen))
+          SessionsOut(userId, seen,
+            sorted.map(r => tsOfMicros(r._1)), sorted.map(r => tsOfMicros(r._2)),
+            sorted.map(_._3), sorted.map(_._4.size.toLong))
+        })
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

@@ -199,6 +199,24 @@ class DataCleaningSpec extends SparkTestBase {
     }
   }
 
+  test("Mv.refresh preserves NULL sums: all-NULL group ⊕ all-NULL delta = NULL, not 0") {
+    import graft.operators.Mv
+    def aggOf(rows: Seq[(String, Option[Long])]) =
+      rows.toDF("k", "v").groupBy(col("k")).agg(sum(col("v")).as("sum_v"))
+    // group "n" has only NULL measure values on both sides: the view sum
+    // is legitimately NULL and must REFRESH to NULL (the full-recompute
+    // oracle's answer); "m" is NULL in the view but valued in the delta;
+    // "p" valued in the view, absent from the delta
+    val base = Seq(("n", None: Option[Long]), ("m", None), ("p", Some(5L)))
+    val delta = Seq(("n", None: Option[Long]), ("m", Some(3L)))
+    val got = Mv.refresh(aggOf(base), aggOf(delta), keys = Seq("k"),
+        sums = Seq("sum_v"))
+      .as[(String, Option[Long])].collect().toSet
+    val want = aggOf(base ++ delta).as[(String, Option[Long])].collect().toSet
+    assert(got == want)
+    assert(got.contains(("n", None)), "all-NULL group refreshed to 0, not NULL")
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)

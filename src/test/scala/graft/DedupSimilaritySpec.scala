@@ -307,6 +307,38 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"index side re-shuffled on cell:\n${plan.take(1500)}")
   }
 
+  test("IVF compact: retrain ≡ fresh rebuild exactly, recall floor holds after drift") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id") % 5 < 3)
+    val delta = e.filter(col("vec_id") % 5 >= 3)
+    val q = e.filter(col("vec_id") < 20)
+    // 40% of the corpus appended against centroids trained on the other
+    // 60% — the drift scenario compaction exists for
+    Similarity.writeIvfIndex(base, "ivf_compact_spec")
+    Similarity.appendToIvfIndex(spark, "ivf_compact_spec", delta)
+    val drifted = recallOf(
+      Similarity.ivfTopKIndexed(q, spark, "ivf_compact_spec", k = 5), annTruth)
+    Similarity.compactIvfIndex(spark, "ivf_compact_spec")
+    val served = Similarity.ivfTopKIndexed(q, spark, "ivf_compact_spec", k = 5)
+    val got = served.select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // the defining property: compaction ≡ training a brand-new index on
+    // the current contents (same seeded sample over identical rows, same
+    // Lloyd, same assignment) — exact row identity, not just recall
+    Similarity.writeIvfIndex(e, "ivf_compact_fresh")
+    val fresh = Similarity.ivfTopKIndexed(q, spark, "ivf_compact_fresh", k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == fresh && got.nonEmpty,
+      "compacted index serves differently from a fresh full rebuild")
+    // and the compacted index holds the data-adaptive recall floor the
+    // inline IVF spec pins (drifted recall is reported for context; on
+    // this near-uniform corpus drift hurts little, on clustered corpora
+    // it is the whole point)
+    val compacted = recallOf(served, annTruth)
+    assert(compacted >= 0.7,
+      s"compacted recall $compacted below 0.7 floor (drifted was $drifted)")
+  }
+
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

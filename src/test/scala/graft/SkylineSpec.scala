@@ -102,6 +102,37 @@ class SkylineSpec extends SparkTestBase {
     assert(err.getMessage.contains("front rows exceed"))
   }
 
+  test("skylineND rejects non-integral dims and null dim values loudly") {
+    // doubles would be silently truncated to long — the operator refuses
+    // and tells the caller to quantize explicitly
+    val dbl = Seq((1.5, 2L), (0.5, 3L)).toDF("x", "y")
+    val terr = intercept[IllegalArgumentException] {
+      Skyline.skylineND(dbl, Seq("x", "y"))
+    }
+    assert(terr.getMessage.contains("must be integral"))
+    // a null dim value fails the job with the contract message, never an
+    // executor NPE or a silently-dropped row
+    val withNull = Seq((Some(1L), 2L), (None, 3L))
+      .toDF("x", "y")
+    val nerr = intercept[org.apache.spark.SparkException] {
+      Skyline.skylineND(withNull, Seq("x", "y")).collect()
+    }
+    assert(nerr.getMessage.contains("undefined on null") ||
+      Option(nerr.getCause).exists(_.getMessage.contains("undefined on null")))
+  }
+
+  test("skylineND front-of-fronts: driver collect is bounded by the true front") {
+    // many partitions of a chain (only the global minimum survives): the
+    // coalesced second fold must hand the driver exactly ONE row even
+    // though every partition contributes a local front
+    val chain = (0L until 2000L).map(i => (i, i, i)).toDF("x", "y", "z")
+      .repartition(16)
+    val got = Skyline.skylineND(chain, Seq("x", "y", "z"), maxFrontRows = 1)
+    // cap=1 passes ⇔ the collect saw the merged front, not the union of
+    // 16 local fronts (which would be ≥ 16 rows and trip the loud cap)
+    assert(got.select("x").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("skyline plans no single-task global window over row-scaled data") {
     // the only empty-partitionSpec Window allowed is the O(P)
     // partition-bases prefix-min — its input must be the __pid-grouped

@@ -235,6 +235,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("mapGroupsWithState sessionization ≡ batch sessionize under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // adversarial order: seeded shuffle, split into 4 uneven batches —
+    // late events must merge into (and sometimes BRIDGE) existing runs,
+    // the case session_window's watermark finalization cannot replay
+    val corpus = new scala.util.Random(7).shuffle(
+      Tables.events(spark, sf0001)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().toSeq)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_mgws_out")
+      .outputMode("update").start()
+    val cuts = Seq(corpus.size / 5, corpus.size / 2, 4 * corpus.size / 5, corpus.size)
+    var off = 0
+    cuts.foreach { c => mem.addData(corpus.slice(off, c)); q.processAllAvailable(); off = c }
+    // newest emission per key = max n_seen (update-mode sinks promise no
+    // row order); session_id = 1-based position in the start-sorted list
+    val got = spark.table("sess_mgws_out")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_seen").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"),
+        posexplode(arrays_zip(col("session_start"), col("session_end"),
+          col("n_events"), col("n_types"))).as(Seq("pos", "s")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("session_id"),
+        col("s.session_start"), col("s.session_end"),
+        col("s.n_events"), col("s.n_types"))
+      .as[(Long, Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    q.stop()
+    val batch = SparkEntry.queries("sessionize")(spark, sf0001)
+      .select("user_id", "session_id", "session_start", "session_end",
+        "n_events", "n_types")
+      .as[(Long, Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("stream-stream interval join converges to the batch attribution join") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)

@@ -8,12 +8,19 @@ noise fields instead of a bare ratio:
   - REGRESSION: wall grew past the threshold (default 1.3x), BOTH runs
     were steady (spread <= 1.5), and process-CPU grew in step — a real
     cost increase, not host load;
+  - grew?: wall grew on steady runs but the OLD artifact predates the
+    cpu field, so neither REGRESSION nor LOAD? can be proven — GATES
+    (exit 1) like a regression, because silently passing a real steady
+    growth is worse than asking for a re-run against a cpu-aware base;
   - LOAD?: wall grew but cpu stayed flat (sustained external load — the
     signature the r7 driver run showed on llm_clean_corpus), or either
     run's own spread already flags noise;
   - IMPROVED / ~same otherwise.
 Queries present in only one artifact are listed separately. Exit code 1
-iff any REGRESSION was found, so a round script can gate on it.
+iff any REGRESSION or grew? was found, so a round script can gate on it.
+If either artifact carries host_load_suspect=true (wall≈cpu parallelism
+collapse on a multi-cpu box), that is printed first — its numbers are
+not trustworthy for gating decisions.
 """
 import json
 import sys
@@ -35,7 +42,12 @@ def main():
     if old.get("cpus") != new.get("cpus") or old.get("sf") != new.get("sf"):
         print(f"WARNING: configs differ — cpus {old.get('cpus')} vs "
               f"{new.get('cpus')}, sf {old.get('sf')} vs {new.get('sf')}")
-    rows, regressions = [], []
+    for name, art in (("old", old), ("new", new)):
+        if art.get("host_load_suspect"):
+            print(f"WARNING: {name} artifact flags host_load_suspect — "
+                  "wall≈cpu on a multi-cpu box; its timings reflect host "
+                  "load, not the engine")
+    rows, regressions, grews = [], [], []
     for k in sorted(set(oq) & set(nq)):
         if oq[k] <= 0:
             continue
@@ -52,7 +64,8 @@ def main():
             cls = "REGRESSION"   # wall AND cpu grew on steady runs
             regressions.append(k)
         elif r >= thr and not noisy and not tiny and cr is None:
-            cls = "grew?"        # no cpu data in the old artifact
+            cls = "grew?"        # no cpu data in the old artifact — gates
+            grews.append(k)
         elif r >= thr and not tiny:
             cls = "LOAD?" if (cr is not None and cr < (1 + (r - 1) / 2)) \
                 else "noisy"
@@ -76,8 +89,8 @@ def main():
         print(f"added:   {', '.join(only_new)}")
     print(f"total {old['value']:.1f}s -> {new['value']:.1f}s  "
           f"({len(oq)} -> {len(nq)} queries); "
-          f"{len(regressions)} regression(s)")
-    sys.exit(1 if regressions else 0)
+          f"{len(regressions)} regression(s), {len(grews)} grew?(s)")
+    sys.exit(1 if (regressions or grews) else 0)
 
 
 if __name__ == "__main__":
