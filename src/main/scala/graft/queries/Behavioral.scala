@@ -59,6 +59,40 @@ object Behavioral {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** **Native `session_window` sessionization** — the same islands as
+    * [[sessionize]] from Spark's built-in session-window grouping (one
+    * hash-agg with merging session state instead of two window passes),
+    * checked against the IDENTICAL gaps-and-islands oracle. The gap
+    * convention differs at the boundary: the batch rule breaks when the
+    * truncated-second diff EXCEEDS 3600 (a tie at exactly 3600 stays
+    * in-session), while `session_window(ts, g)` starts a new session at
+    * diff == g exactly — so the native form feeds second-truncated
+    * timestamps with a 3601 s gap: merge ⇔ truncDiff < 3601 ⇔
+    * truncDiff ≤ 3600, the batch rule exactly, while min/max aggregate
+    * the ORIGINAL timestamps. session_id = rank of the session's start
+    * within its user (sessions are time-disjoint, so this reproduces the
+    * running-sum numbering). At scale this is ONE shuffle on user_id and
+    * no second pass over events — the session merge happens inside the
+    * aggregate — which is why it's the form to prefer when the session
+    * bounds, not per-event session tags, are the output. */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(date_trunc("second", col("ts")), "3601 seconds").as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+    sess
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start")))
+        .cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"), col("n_types"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Per-document n-gram repetition score: the share of the most frequent
     * trigram in all trigram occurrences (with multiplicity), plus the
     * distinct/total trigram ratio — the standard "repetitive text" signal
@@ -227,6 +261,7 @@ object Behavioral {
   val all: Seq[Q] = Seq(
     Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
+    Q("sessionize_native", sessionizeSql)(sessionizeNative),
     Q("retention", retentionSql)(retention),
     Q("latest_snapshot", latestSnapshotSql)(latestSnapshot),
     Q("text_repetition", textRepetitionSql)(textRepetition))

@@ -7,15 +7,15 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Warehouse relational breadth: the remaining classic TPC-H query shapes
-  * not yet covered by [[Relational]] (Q1/Q3/Q5), [[Extras]]
-  * (`corr_subquery` = per-key average decorrelation), [[Misc]]
-  * (`scalar_subquery` = global average), or the round-8 wave
-  * (`multi_exists_join` = Q21, `big_orders_semi` = Q18, `nation_share` =
-  * Q11). Adapted to the driver corpus (FIXTURES.md — no `partsupp`
-  * table, so Q2/Q9-shaped queries substitute lineitem price / part
-  * retail-price for supply cost; semantics of the *composition* — the
-  * part a query engine must plan well — are preserved).
+/** Warehouse relational breadth: with [[Relational]] (Q1/Q3/Q5 +
+  * Q21/Q18/Q11 as `multi_exists_join`/`big_orders_semi`/`nation_share`),
+  * this file completes ALL 22 classic TPC-H query SHAPES —
+  * Q2/4/6/7/8/9/10/12/13/14/15/16/17/19/20/22 here. Adapted to the
+  * driver corpus (FIXTURES.md — no `partsupp` table, so Q2/Q9-shaped
+  * queries substitute lineitem price / part retail-price for supply
+  * cost, and Q4/Q16/Q20 swap corpus-absent columns for same-shaped
+  * predicates; semantics of the *composition* — the part a query engine
+  * must plan well — are preserved).
   *
   * Exactness protocol (the repo rule): every float aggregate is an exact
   * DECIMAL(18,2) sum cast to DOUBLE at the boundary; every threshold
@@ -611,6 +611,167 @@ object Tpch {
       |      WHERE pq2.l_partkey = pair.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q4
+
+  /** TPC-H Q4 shape — order-priority checking: orders of one quarter
+    * having at least one "problem" lineitem (EXISTS semi —
+    * `l_returnflag = 'R'` stands in for the corpus-absent
+    * commitdate<receiptdate lateness predicate), counted per priority.
+    * The semi join is the whole point: each order counts ONCE however
+    * many problem lines it has.
+    *
+    * Plan: both facts filter in their scans first; the semi join
+    * shuffles only (orderkey) projections and stops probing an order at
+    * its first match (LeftSemi). The count is a 5-group map-side agg. */
+  def priorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val problem = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-04-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-07-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(problem, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val priorityCountSql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2001-04-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2001-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+
+  /** TPC-H Q6 shape — forecast revenue change: a pure scan-filter-agg
+    * over lineitem (year of shipdate, discount band, quantity cap) with
+    * `sum(extendedprice · discount)` in exact decimal. The simplest
+    * TPC-H query and the purest pushdown test: every predicate must
+    * reach the parquet scan (timestamp range + two numeric ranges), the
+    * projection must prune to three columns, and the whole thing is one
+    * map-side-combined 1-row aggregate — zero joins, zero wide shuffle.
+    * Discounts are exact hundredths in the corpus, so the
+    * DECIMAL(18,2)·DECIMAL(18,2) product is exact in both engines. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val forecastRevenueSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- Q10
+
+  /** TPC-H Q10 shape — returned-item reporting: the top 20 customers by
+    * revenue lost to returns in a quarter, with nation attached — the
+    * canonical "sort a fact-sized aggregate, keep k" composition.
+    *
+    * Plan: returns-filtered lineitem joins date-filtered orders on
+    * orderkey (the one fact-to-fact shuffle), the per-customer agg is
+    * map-side-combined, and the global top-20 plans as
+    * TakeOrderedAndProject — a bounded per-partition heap + driver
+    * merge of 20-row partials, NEVER a global sort. Customer and nation
+    * attach as broadcasts AFTER the agg (20 rows), not before —
+    * dimension columns ride the smallest possible frame. */
+  def returnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-04-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-07-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenue.as("volume"))
+    val perCust = returned
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("volume")).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(20)
+    perCust
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
+  private val returnedCustomersSql =
+    """SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT o_custkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '2001-04-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '2001-07-01 00:00:00'
+      |  GROUP BY o_custkey
+      |  ORDER BY rev DESC, o_custkey
+      |  LIMIT 20)
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q14
+
+  /** TPC-H Q14 shape — promotion effect: the percentage of one month's
+    * lineitem revenue that came from PROMO-type parts — a conditional
+    * aggregate ratio across a dimension join. Numerator and denominator
+    * ride ONE aggregate (no second pass); both are exact decimals, and
+    * the percentage is a single IEEE `100·num/den` on exactly-equal
+    * operands in both engines.
+    *
+    * Plan: the date filter reaches the lineitem scan; part broadcasts
+    * (only partkey + the type flag); one map-side-combined 1-row agg. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-09-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-10-01 00:00:00").cast("timestamp"))
+      .select(col("l_partkey"), revenue.as("volume"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("volume"))
+          .otherwise(dec2(lit(0)))).as("promo"),
+        sum(col("volume")).as("total"))
+      .select(
+        (lit(100.0) * col("promo").cast("double") / col("total").cast("double"))
+          .as("promo_revenue_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"))
+
+  private val promoRevenueSql =
+    """SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_revenue_pct,
+      |  CAST(promo AS DOUBLE) AS promo_revenue,
+      |  CAST(total AS DOUBLE) AS total_revenue
+      |FROM (
+      |  SELECT
+      |    SUM(CASE WHEN p_type = 'PROMO'
+      |          THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '2001-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '2001-10-01 00:00:00')""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Seq[Q] = Seq(
@@ -625,5 +786,9 @@ object Tpch {
     Q("ship_priority", shipPrioritySql)(shipPriority),
     Q("top_supplier", topSupplierSql)(topSupplier),
     Q("partsupp_count", partsuppCountSql)(partsuppCount),
-    Q("dominant_suppliers", dominantSuppliersSql)(dominantSuppliers))
+    Q("dominant_suppliers", dominantSuppliersSql)(dominantSuppliers),
+    Q("priority_count", priorityCountSql)(priorityCount),
+    Q("forecast_revenue", forecastRevenueSql)(forecastRevenue),
+    Q("returned_customers", returnedCustomersSql)(returnedCustomers),
+    Q("promo_revenue", promoRevenueSql)(promoRevenue))
 }

@@ -86,6 +86,118 @@ class TpchSpec extends SparkTestBase {
     assert(total == expect.length)
   }
 
+  test("ship_priority: high+low partitions the joined window line count") {
+    val rows = Tpch.shipPriority(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val want = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(total == want, "every window line lands in exactly one class")
+  }
+
+  test("top_supplier returns exactly the max-revenue supplier(s) of the view") {
+    import spark.implicits._
+    val out = Tpch.topSupplier(spark, sf0001)
+      .select("s_suppkey", "total_revenue").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    // brute-force the revenue view and its max
+    val view = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("r"))
+      .as[(Long, Double)].collect()
+    val mx = view.map(_._2).max
+    assert(out.map(_._2).forall(_ == mx))
+    assert(out.map(_._1).toSet == view.filter(_._2 == mx).map(_._1).toSet)
+  }
+
+  test("partsupp_count excludes complaint suppliers and bounds by the pair relation") {
+    val excluded = Tables.supplier(spark, sf0001)
+      .filter(col("s_acctbal") < 0).count()
+    val nSupp = Tables.supplier(spark, sf0001).count()
+    val rows = Tpch.partsuppCount(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // no group can count more suppliers than exist minus the excluded
+    assert(rows.map(_.getLong(3)).forall(c => c >= 1 && c <= nSupp - excluded))
+  }
+
+  test("dominant_suppliers members each dominate some widget part's yearly volume") {
+    import spark.implicits._
+    val got = Tpch.dominantSuppliers(spark, sf0001)
+      .select("s_suppkey").as[Long].collect().toSet
+    // brute force: (part, supp) quantities over the window
+    val li = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .as[(Long, Long, Double)].collect()
+    def q2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val pairQty = li.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.map(r => q2(r._3)).sum }
+    val partQty = li.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(r => q2(r._3)).sum }
+    val nat = Tables.supplier(spark, sf0001)
+      .filter(col("s_nationkey") < 13).select("s_suppkey")
+      .as[Long].collect().toSet
+    val want = pairQty.collect {
+      case ((pk, sk), q) if q * 2 > partQty(pk) && nat(sk) => sk
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("priority_count totals the problem orders of the quarter once each") {
+    val rows = Tpch.priorityCount(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val want = Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= lit("2001-04-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-07-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf0001).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == want,
+      "each problem order counts once regardless of its problem-line count")
+  }
+
+  test("forecast_revenue equals the driver-side exact-decimal recompute") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2002-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .select("l_extendedprice", "l_discount").as[(Double, Double)].collect()
+    def q2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val want = li.map { case (ep, d) => q2(ep) * q2(d) }.sum
+    val row = Tpch.forecastRevenue(spark, sf0001).collect().head
+    assert(row.getDouble(0) == want.toDouble && row.getLong(1) == li.length)
+  }
+
+  test("returned_customers is the true top-20 and plans a bounded top-k") {
+    val df = Tpch.returnedCustomers(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))), "sorted by revenue desc")
+    // the per-customer agg's top-k must plan as TakeOrderedAndProject,
+    // never a global sort of the aggregate
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("promo_revenue: share consistent, promo bounded by total") {
+    val r = Tpch.promoRevenue(spark, sf0001).collect().head
+    val (pct, promo, total) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo >= 0 && promo <= total)
+    assert(pct == 100.0 * promo / total)
+  }
+
   test("weighted_sample: priority is hash/weight and inclusion is weight-monotone") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
