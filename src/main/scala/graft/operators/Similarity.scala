@@ -312,13 +312,35 @@ object Similarity {
         .withColumn("cell", nearestCells(col("cv"), 1).getItem(0)),
       table, "cell", buckets)
     import spark.implicits._
-    val centRows = cents.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
+    // base_rows: the corpus size the centroids were trained against,
+    // read back from the just-written table (parquet footer count — a
+    // metadata read, not a second corpus scan). [[ivfDriftFraction]]
+    // compares the live count against it to time compaction.
+    val baseRows = spark.table(table).count()
+    val centRows = cents.toSeq.map { case (c, i) => (i, c.toSeq, baseRows) }
+      .toDF("cell", "centroid", "base_rows")
     // same cross-JVM idempotence dance as the bucketed main table
     Joins.dropTableAndLocation(spark, s"${table}__centroids")
     centRows.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${table}__centroids")
+  }
+
+  /** Fraction of the index appended since its centroids were trained —
+    * the [[compactIvfIndex]] cadence trigger: `(live − base) / base`,
+    * where `base` rides in the centroid side table from the last
+    * [[writeIvfIndex]]/compaction and `live` is a parquet-metadata
+    * count. A maintenance job compacts when this passes its threshold
+    * (0.2–0.5 is the usual band), exactly as [[Upsert.vacuum]] runs on
+    * a version-count cadence. Both counts are footer reads — safe to
+    * poll on every ingest tick. */
+  def ivfDriftFraction(spark: org.apache.spark.sql.SparkSession,
+      table: String): Double = {
+    val base = spark.table(s"${table}__centroids")
+      .agg(max(col("base_rows"))).head.getLong(0)
+    require(base > 0, s"ivfDriftFraction: empty base count for '$table'")
+    val live = spark.table(table).count()
+    (live - base).toDouble / base.toDouble
   }
 
   /** Serve approximate top-k from a [[writeIvfIndex]] table. Routing

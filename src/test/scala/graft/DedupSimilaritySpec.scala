@@ -315,10 +315,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     // 40% of the corpus appended against centroids trained on the other
     // 60% — the drift scenario compaction exists for
     Similarity.writeIvfIndex(base, "ivf_compact_spec")
+    assert(Similarity.ivfDriftFraction(spark, "ivf_compact_spec") == 0.0)
     Similarity.appendToIvfIndex(spark, "ivf_compact_spec", delta)
+    // the cadence trigger reads exactly |delta|/|base|
+    val nBase = base.count().toDouble
+    val nDelta = delta.count().toDouble
+    assert(Similarity.ivfDriftFraction(spark, "ivf_compact_spec")
+      == nDelta / nBase)
     val drifted = recallOf(
       Similarity.ivfTopKIndexed(q, spark, "ivf_compact_spec", k = 5), annTruth)
     Similarity.compactIvfIndex(spark, "ivf_compact_spec")
+    // compaction resets the drift clock
+    assert(Similarity.ivfDriftFraction(spark, "ivf_compact_spec") == 0.0)
     val served = Similarity.ivfTopKIndexed(q, spark, "ivf_compact_spec", k = 5)
     val got = served.select("query_id", "cand_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
