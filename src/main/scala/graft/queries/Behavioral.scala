@@ -62,14 +62,16 @@ object Behavioral {
   /** **Native `session_window` sessionization** — the same islands as
     * [[sessionize]] from Spark's built-in session-window grouping (one
     * hash-agg with merging session state instead of two window passes),
-    * checked against the IDENTICAL gaps-and-islands oracle. The gap
-    * convention differs at the boundary: the batch rule breaks when the
-    * truncated-second diff EXCEEDS 3600 (a tie at exactly 3600 stays
-    * in-session), while `session_window(ts, g)` starts a new session at
-    * diff == g exactly — so the native form feeds second-truncated
-    * timestamps with a 3601 s gap: merge ⇔ truncDiff < 3601 ⇔
+    * checked against the IDENTICAL gaps-and-islands oracle. Boundary
+    * semantics, empirically pinned (SessionWindowSemanticsSpec):
+    * `session_window` windows MERGE when they touch — an event at
+    * exactly `prev + gap` joins the session (merge ⇔ diff ≤ gap), the
+    * same convention as the batch rule's `> 3600` break — so the native
+    * form feeds second-truncated timestamps with a 3600 s gap: merge ⇔
     * truncDiff ≤ 3600, the batch rule exactly, while min/max aggregate
-    * the ORIGINAL timestamps. session_id = rank of the session's start
+    * the ORIGINAL timestamps. (A 3601 s gap is WRONG by one: it also
+    * merges truncDiff == 3601 — two real sf0.1 session pairs caught it.)
+    * session_id = rank of the session's start
     * within its user (sessions are time-disjoint, so this reproduces the
     * running-sum numbering). At scale this is ONE shuffle on user_id and
     * no second pass over events — the session merge happens inside the
@@ -78,7 +80,7 @@ object Behavioral {
   def sessionizeNative(spark: SparkSession, dir: String): DataFrame = {
     val sess = Tables.events(spark, dir)
       .groupBy(col("user_id"),
-        session_window(date_trunc("second", col("ts")), "3601 seconds").as("w"))
+        session_window(date_trunc("second", col("ts")), "3600 seconds").as("w"))
       .agg(
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),

@@ -122,10 +122,16 @@ object StreamingDownsample {
     * session is one window + the aggregates, evicted at finalize — bounded
     * by (active users × open sessions), not history.
     *
-    * Boundary convention: `session_window` starts a new session at
-    * ts − prev == gap exactly, the batch formulation (`> gap` breaks) keeps
-    * it; real event-time ties at exact microsecond gap width are the only
-    * divergence (StreamingSpec's corpus convergence exercises none). */
+    * Boundary convention (empirically pinned —
+    * SessionWindowSemanticsSpec): `session_window` windows MERGE when
+    * they touch, so an event at exactly ts − prev == gap stays
+    * in-session — the SAME convention as the batch formulation's
+    * `> gap` break. The one residual divergence vs the batch
+    * `sessionize` query is precision: this operator compares
+    * full-microsecond timestamps while the batch rule compares
+    * truncated epoch SECONDS, so sub-second tails can flip cases within
+    * one second of the boundary (`sessionize_native` closes even that
+    * by feeding second-truncated timestamps). */
   def sessions(events: DataFrame, gap: String = "1 hour",
       watermark: String = "1 day"): DataFrame =
     events
