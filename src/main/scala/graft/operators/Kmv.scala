@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** **KMV (k-minimum-values) distinct sketches** — Bar-Yossef et al.
+  * 2002 / Beyer et al. SIGMOD 2007 ("Distinct-value synopses"): keep the
+  * k smallest DISTINCT hash values of a set; the k-th smallest value θ
+  * estimates the distinct count as (k−1)·H/θ (H = hash-space size), and
+  * because a union's sketch is just the k smallest of the two sketches'
+  * union, KMV composes across groups/partitions like every mergeable
+  * summary in this repo ([[graft.functions.FrequentItems]],
+  * `hll_sketch_agg`). What HLL cannot do and KMV can: INTERSECTION
+  * estimates — the k smallest of A∪B are a uniform sample of A∪B, so
+  * the fraction of them lying in both sketches estimates the Jaccard
+  * similarity, and est|A∩B| = ρ·est|A∪B| (the minwise coupling that
+  * also underlies [[Dedup]]'s MinHash).
+  *
+  * The repo twist: the hash is the md5-to-60-bit idiom of
+  * [[Sampling.weightedPriorityTopK]] — identical in Spark and DuckDB —
+  * and every estimator step is integer arithmetic plus explicitly
+  * mirrored IEEE ops, so unlike every other sketch in the wild this one
+  * is fully HASH-CHECKABLE against the oracle: sketch contents AND
+  * derived estimates match bitwise. Exactness discipline: when the
+  * merged sketch holds fewer than k values it IS the union, and the
+  * estimates collapse to exact counts (spec-pinned).
+  *
+  * Scale shape: one distinct on (group, hash) — the same shuffle an
+  * exact count(distinct) pays — then a map-side-partial
+  * [[graft.functions.BoundedTopK]] fold to ≤ k rows per task per
+  * group; pairwise overlap joins touch only (groups × k)-sized
+  * sketches, never the corpus. The exact-intersection twin column the
+  * registered query carries for adjudication is the part that does NOT
+  * scale (it joins the distinct pair frame on hash) — at 100 TB you
+  * keep the sketch columns and drop the twin, which is the point. */
+object Kmv {
+
+  /** 60-bit uniform hash from md5 — the engine/oracle-identical idiom:
+    * `conv(substr(md5(salt ‖ key), 1, 15), 16, 10)` as a long. */
+  def hash60(key: Column, salt: String = "graftkmv"): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Hash-space size as an exact double (2⁶⁰ is a power of two, so the
+    * cast is exact and both engines agree bitwise). */
+  val HashSpace: Double = 1152921504606846976L.toDouble
+
+  /** Per-group KMV sketch: `sk` = sorted array of the k smallest
+    * distinct hashes of `key`, `n_exact` = the group's exact distinct
+    * hash count (rides the same aggregate for free). One distinct
+    * shuffle + one map-side-partial BoundedTopK fold. */
+  def sketch(df: DataFrame, group: Column, key: Column, k: Int,
+      salt: String = "graftkmv"): DataFrame = {
+    require(k > 1, s"KMV needs k > 1 (got $k)")
+    df.select(group.as("g"), hash60(key, salt).as("h")).distinct()
+      .groupBy(col("g"))
+      .agg(
+        graft.functions.BoundedTopK(struct(col("h")), k).as("__top"),
+        count(lit(1)).as("n_exact"))
+      .select(col("g"),
+        array_sort(expr("transform(__top, x -> x.h)")).as("sk"),
+        col("n_exact"))
+  }
+
+  /** Pairwise overlap estimates from two sketch columns (`ska`, `skb`,
+    * both sorted ≤ k-long arrays): appends `est_union`, `est_intersect`
+    * and `jaccard_est`. When the merged sketch is smaller than k it is
+    * the whole union and the estimates are exact counts; otherwise the
+    * standard KMV estimators apply. Every op is mirrored 1:1 in the
+    * registered query's DuckDB SQL. */
+  def overlapEstimates(pairs: DataFrame, k: Int): DataFrame = {
+    val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
+    val est = pairs
+      .withColumn("__m", merged)
+      .withColumn("__mk", slice(col("__m"), 1, k))
+      .withColumn("__nm", size(col("__m")).cast("long"))
+      .withColumn("__theta",
+        element_at(col("__mk"), least(col("__nm"), lit(k.toLong)).cast("int")))
+      .withColumn("__rho",
+        size(array_intersect(array_intersect(col("__mk"), col("ska")),
+          col("skb"))).cast("long"))
+      .withColumn("est_union",
+        when(col("__nm") < k, col("__nm").cast("double"))
+          .otherwise(lit(k - 1).cast("double") * lit(HashSpace) /
+            col("__theta").cast("double")))
+      .withColumn("est_intersect",
+        when(col("__nm") < k, col("__rho").cast("double"))
+          .otherwise(col("__rho").cast("double") * col("est_union") /
+            lit(k).cast("double")))
+      .withColumn("jaccard_est", col("est_intersect") / col("est_union"))
+    est.drop("__m", "__mk", "__nm", "__theta", "__rho")
+  }
+}

@@ -958,6 +958,89 @@ object DataCleaning {
       |FROM m
       |ORDER BY lang""".stripMargin
 
+  /** **Segment-overlap analytics via KMV sketches** ([[graft.operators
+    * .Kmv]]): pairwise audience overlap between event-type segments —
+    * est |A∪B|, est |A∩B| and Jaccard from k=128 bottom-hash sketches,
+    * the question HLL rollups ([[hllRollup]]) cannot answer (HLL unions
+    * but never intersects). Unlike every stock sketch, this one is
+    * fully HASH-CHECKED: the md5→60-bit hash and every estimator op are
+    * mirrored 1:1 in DuckDB (list_sort/list_slice/list_intersect ≡
+    * array_sort/slice/array_intersect on identical longs; the only
+    * doubles are an explicitly shared op tree), so the driver gate
+    * verifies sketch AND estimates bitwise. `n_common_exact` rides as
+    * the adjudication twin — the column that does NOT scale (it joins
+    * the distinct pair frame on hash; at 100 TB keep the sketch
+    * columns, drop the twin, which is the point of sketching).
+    * KmvSpec pins the error bound the estimator theory promises and
+    * the below-k collapse to exact counts. */
+  def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Kmv
+    val k = 128
+    val ev = Tables.events(spark, dir)
+    val gh = graft.operators.Dedup.memoPersist(
+      ev.select(col("event_type").as("g"),
+        Kmv.hash60(col("user_id")).as("h")).distinct())
+    val sk = Kmv.sketch(ev, col("event_type"), col("user_id"), k)
+    val exact = gh.as("a").join(gh.as("b"),
+        col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("nc"))
+    val pairs = sk.select(col("g").as("type_a"), col("sk").as("ska"),
+        col("n_exact").as("n_a"))
+      .join(sk.select(col("g").as("type_b"), col("sk").as("skb"),
+        col("n_exact").as("n_b")), col("type_a") < col("type_b"))
+      .join(exact,
+        col("type_a") === col("ga") && col("type_b") === col("gb"), "left")
+      .withColumn("n_common_exact", coalesce(col("nc"), lit(0L)))
+    Kmv.overlapEstimates(pairs, k)
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common_exact"), col("est_union"), col("est_intersect"),
+        col("jaccard_est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val segmentOverlapSql =
+    """WITH gh AS (
+      |  SELECT DISTINCT event_type AS g,
+      |    CAST(concat('0x', substr(md5(concat('graftkmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |sk AS (
+      |  SELECT g, list_slice(list(h ORDER BY h), 1, 128) AS sk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM gh GROUP BY g),
+      |pe AS (
+      |  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM gh a JOIN gh b ON a.h = b.h AND a.g < b.g
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT s1.g AS type_a, s2.g AS type_b, s1.sk AS ska, s2.sk AS skb,
+      |    s1.n_exact AS n_a, s2.n_exact AS n_b,
+      |    COALESCE(pe.nc, CAST(0 AS BIGINT)) AS n_common_exact
+      |  FROM sk s1 JOIN sk s2 ON s1.g < s2.g
+      |  LEFT JOIN pe ON pe.ga = s1.g AND pe.gb = s2.g),
+      |c AS (
+      |  SELECT *, list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 128) AS mk,
+      |    CAST(len(list_distinct(list_concat(ska, skb))) AS BIGINT) AS nm
+      |  FROM p),
+      |d AS (
+      |  SELECT *, mk[CAST(least(nm, 128) AS INTEGER)] AS theta,
+      |    CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS rho
+      |  FROM c),
+      |e AS (
+      |  SELECT *, CASE WHEN nm < 128 THEN CAST(nm AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(theta AS DOUBLE)
+      |    END AS est_union
+      |  FROM d),
+      |f AS (
+      |  SELECT *, CASE WHEN nm < 128 THEN CAST(rho AS DOUBLE)
+      |    ELSE CAST(rho AS DOUBLE) * est_union / CAST(128 AS DOUBLE)
+      |    END AS est_intersect
+      |  FROM e)
+      |SELECT type_a, type_b, n_a, n_b, n_common_exact, est_union,
+      |  est_intersect, est_intersect / est_union AS jaccard_est
+      |FROM f
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** **Fixed-point EWMA** — exponential smoothing (α = 1/2) of each
     * user's value stream, in the [[graphPagerankFp]] integer discipline:
     * values quantize to thousandths via an explicit floor (Spark's
@@ -1299,5 +1382,6 @@ object DataCleaning {
     Q("frequent_tokens", frequentTokensSql)(frequentTokens),
     Q("heavy_hitters_by_type", heavyHittersByTypeSql)(heavyHittersByType),
     Q("value_profile", valueProfileSql)(valueProfile),
-    Q("hard_negatives", hardNegativesSql)(hardNegativesQ))
+    Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
+    Q("segment_overlap", segmentOverlapSql)(segmentOverlap))
 }

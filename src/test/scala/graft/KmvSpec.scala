@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Kmv
+
+/** [[graft.operators.Kmv]] — the hash-checkable KMV distinct/overlap
+  * sketch. The registered `segment_overlap` query proves bitwise oracle
+  * agreement on real data; this spec pins the ESTIMATOR properties the
+  * oracle can't see: exact collapse below k, mergeability (the union
+  * sketch IS the merge of sketches), and the accuracy the (k−1)·H/θ
+  * theory promises on non-degenerate overlaps (the corpus' segments
+  * are fully-overlapping, so the interesting overlap regimes only
+  * appear here). Everything is deterministic (md5, fixed ids), so the
+  * measured errors are pinned, not probabilistic. */
+class KmvSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val K = 128
+
+  private def overlapOf(aIds: Seq[Long], bIds: Seq[Long]) = {
+    val df = (aIds.map(("a", _)) ++ bIds.map(("b", _))).toDF("g", "id")
+    val sk = Kmv.sketch(df, col("g"), col("id"), K)
+    val pairs = sk.filter(col("g") === "a")
+      .select(col("sk").as("ska"), col("n_exact").as("n_a"))
+      .crossJoin(sk.filter(col("g") === "b")
+        .select(col("sk").as("skb"), col("n_exact").as("n_b")))
+    Kmv.overlapEstimates(pairs, K)
+      .select("n_a", "n_b", "est_union", "est_intersect", "jaccard_est")
+      .as[(Long, Long, Double, Double, Double)].head()
+  }
+
+  test("below k the sketch IS the set: estimates collapse to exact counts") {
+    val a = (0L until 60L)
+    val b = (40L until 90L) // |A|=60 |B|=50 |A∩B|=20 |A∪B|=90 < k
+    val (na, nb, estU, estI, j) = overlapOf(a, b)
+    assert(na == 60 && nb == 50)
+    assert(estU == 90.0, s"union $estU")
+    assert(estI == 20.0, s"intersect $estI")
+    assert(j == 20.0 / 90.0)
+  }
+
+  test("estimates track truth within the KMV error regime on large overlaps") {
+    // |A|=3000, |B|=2500, |A∩B|=1000, |A∪B|=4500 — all ≫ k=128, so the
+    // θ estimator is fully engaged. RSE ≈ 1/√(k−2) ≈ 8.9%; the fixed
+    // hash makes these errors deterministic, so pin a 3-RSE envelope.
+    val a = (0L until 3000L)
+    val b = (2000L until 4500L)
+    val (na, nb, estU, estI, j) = overlapOf(a, b)
+    assert(na == 3000 && nb == 2500)
+    assert(math.abs(estU - 4500.0) / 4500.0 < 0.27, s"union est $estU")
+    assert(math.abs(estI - 1000.0) / 1000.0 < 0.40, s"intersect est $estI")
+    assert(math.abs(j - 1000.0 / 4500.0) < 0.10, s"jaccard est $j")
+  }
+
+  test("disjoint sets estimate zero intersection exactly") {
+    val (_, _, estU, estI, j) = overlapOf(0L until 1000L, 5000L until 6000L)
+    assert(estI == 0.0 && j == 0.0)
+    assert(math.abs(estU - 2000.0) / 2000.0 < 0.27, s"union est $estU")
+  }
+
+  test("mergeability: the union's sketch equals the merge of the sketches") {
+    val a = (0L until 700L).map(("a", _))
+    val b = (300L until 1200L).map(("b", _))
+    val both = (a ++ b).map { case (_, id) => ("u", id) }
+    val df = (a ++ b ++ both).toDF("g", "id")
+    val sk = Kmv.sketch(df, col("g"), col("id"), K)
+      .select("g", "sk").as[(String, Seq[Long])].collect().toMap
+    val merged = (sk("a") ++ sk("b")).distinct.sorted.take(K)
+    assert(sk("u") == merged,
+      "sketch(A ∪ B) must equal bottom-k of sketch(A) ∪ sketch(B)")
+  }
+
+  test("segment_overlap at sf0.001 takes the exact path (all segments < k)") {
+    val rows = SparkEntry.queries("segment_overlap")(spark, sf0001)
+      .select("n_a", "n_b", "n_common_exact", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (na, nb, nc, estU, estI) =>
+      assert(na < K && nb < K)
+      assert(estU == (na + nb - nc).toDouble, "exact union below k")
+      assert(estI == nc.toDouble, "exact intersection below k")
+    }
+  }
+}

@@ -54,7 +54,12 @@ class PlanInvariantsSpec extends SparkTestBase {
       // graph_triangles: the output row is three 1-row grouping-free
       // aggregates (edges/wedges/triangles counts) cross-joined — each
       // BNLJ build side provably one row
-      "graph_triangles")
+      "graph_triangles",
+      // segment_overlap: the type_a < type_b pair join runs over the
+      // KMV sketch frame — (#segments × k)-sized by construction (one
+      // row per event_type), never the corpus; small by argument like
+      // vector_topk's query set
+      "segment_overlap")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
@@ -130,7 +135,8 @@ class PlanInvariantsSpec extends SparkTestBase {
         // nested loop's build side must be bounded by a limit (the seeds
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
-        if (!Set("vector_topk", "vector_pca_route", "hard_negatives")(name)) {
+        if (!Set("vector_topk", "vector_pca_route", "hard_negatives",
+            "segment_overlap")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
