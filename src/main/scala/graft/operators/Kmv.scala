@@ -47,20 +47,28 @@ object Kmv {
 
   /** Per-group KMV sketch: `sk` = sorted array of the k smallest
     * distinct hashes of `key`, `n_exact` = the group's exact distinct
-    * hash count (rides the same aggregate for free). One distinct
-    * shuffle + one map-side-partial BoundedTopK fold. */
+    * hash count. ONE grouped aggregate: [[graft.functions
+    * .KmvSketchAgg]] dedups inside its buffer (≤ k distinct values per
+    * task cross the shuffle — no pre-distinct pass), and the exact
+    * count rides the planner's distinct rewrite next to it. */
   def sketch(df: DataFrame, group: Column, key: Column, k: Int,
       salt: String = "graftkmv"): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (got $k)")
-    df.select(group.as("g"), hash60(key, salt).as("h")).distinct()
+    df.select(group.as("g"), hash60(key, salt).as("h"))
       .groupBy(col("g"))
       .agg(
-        graft.functions.BoundedTopK(struct(col("h")), k).as("__top"),
-        count(lit(1)).as("n_exact"))
-      .select(col("g"),
-        array_sort(expr("transform(__top, x -> x.h)")).as("sk"),
-        col("n_exact"))
+        graft.functions.KmvSketchAgg(col("h"), k).as("sk"),
+        countDistinct(col("h")).as("n_exact"))
   }
+
+  /** Distinct-count estimate from a sketch column (sorted ≤ k-long
+    * array): exact size below k, else (k−1)·H/θ with θ = the k-th
+    * smallest. Mirrored 1:1 in oracle SQL by the registered rollup
+    * query. */
+  def estimateDistinct(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit(k - 1).cast("double") * lit(HashSpace) /
+        element_at(sk, k).cast("double"))
 
   /** Pairwise overlap estimates from two sketch columns (`ska`, `skb`,
     * both sorted ≤ k-long arrays): appends `est_union`, `est_intersect`

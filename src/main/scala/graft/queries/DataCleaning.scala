@@ -1041,6 +1041,70 @@ object DataCleaning {
       |FROM f
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** **KMV sketch rollup** — the store-per-partition / merge-at-query
+    * pattern ([[hllRollup]]'s shape) with a sketch the oracle can
+    * hash-check: per-(event_type, month) bottom-k sketches merge into
+    * per-type sketches — mergeability is exact (the global k smallest
+    * are inside the per-month k smallest, so bottom-k of the month
+    * sketches' union IS the full corpus' sketch), and the distinct
+    * estimate derives from the merged sketch next to the exact count.
+    * This is how sketch columns live in a 100 TB warehouse: one sketch
+    * per partition at ingest, query-time merges touch (partitions × k)
+    * rows, the raw corpus never re-scans. Merge work here is an
+    * explode+distinct+re-fold over sketch-sized frames only. */
+  def segmentKmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Kmv
+    val k = 128
+    val gh = graft.operators.Dedup.memoPersist(
+      Tables.events(spark, dir).select(col("event_type"),
+        date_trunc("month", col("ts")).as("m"),
+        Kmv.hash60(col("user_id")).as("h")).distinct())
+    def fold(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(graft.functions.KmvSketchAgg(col("h"), k).as("sk"))
+    val monthly = fold(gh, Seq("event_type", "m"))
+    // merge = explode the month sketches and re-fold: the aggregate
+    // dedups in-buffer, so no distinct pass is needed between levels
+    val merged = fold(
+      monthly.select(col("event_type"), explode(col("sk")).as("h")),
+      Seq("event_type"))
+    val months = monthly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_months"))
+    val exact = gh.select(col("event_type"), col("h")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    merged.join(months, "event_type").join(exact, "event_type")
+      .select(col("event_type"), col("n_months"), col("n_exact"),
+        Kmv.estimateDistinct(col("sk"), k).as("est_distinct"))
+      .orderBy("event_type")
+  }
+
+  private val segmentKmvRollupSql =
+    """WITH gh AS (
+      |  SELECT DISTINCT event_type, date_trunc('month', ts) AS m,
+      |    CAST(concat('0x', substr(md5(concat('graftkmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |monthly AS (
+      |  SELECT event_type, m, list_slice(list(h ORDER BY h), 1, 128) AS sk
+      |  FROM gh GROUP BY event_type, m),
+      |mh AS (
+      |  SELECT DISTINCT event_type, u.h2 AS h
+      |  FROM monthly, unnest(sk) AS u(h2)),
+      |merged AS (
+      |  SELECT event_type, list_slice(list(h ORDER BY h), 1, 128) AS sk
+      |  FROM mh GROUP BY event_type),
+      |months AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_months
+      |  FROM monthly GROUP BY event_type),
+      |exact AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+      |  FROM gh GROUP BY event_type)
+      |SELECT merged.event_type, n_months, n_exact,
+      |  CASE WHEN len(merged.sk) < 128 THEN CAST(len(merged.sk) AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(merged.sk[128] AS DOUBLE)
+      |  END AS est_distinct
+      |FROM merged JOIN months USING (event_type) JOIN exact USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   /** **Fixed-point EWMA** — exponential smoothing (α = 1/2) of each
     * user's value stream, in the [[graphPagerankFp]] integer discipline:
     * values quantize to thousandths via an explicit floor (Spark's
@@ -1383,5 +1447,6 @@ object DataCleaning {
     Q("heavy_hitters_by_type", heavyHittersByTypeSql)(heavyHittersByType),
     Q("value_profile", valueProfileSql)(valueProfile),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
-    Q("segment_overlap", segmentOverlapSql)(segmentOverlap))
+    Q("segment_overlap", segmentOverlapSql)(segmentOverlap),
+    Q("segment_kmv_rollup", segmentKmvRollupSql)(segmentKmvRollup))
 }

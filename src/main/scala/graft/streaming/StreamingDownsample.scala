@@ -115,6 +115,28 @@ object StreamingDownsample {
         qCols: _*)
   }
 
+  /** Streaming **windowed KMV sketches** — per-(event_type, day) distinct
+    * audience sketches maintained continuously, the stream half of the
+    * [[graft.operators.Kmv]] family: state per open window is ONE ≤ k
+    * long set (the [[graft.functions.KmvSketchAgg]] buffer), evicted at
+    * watermark finalization. Because the aggregate dedups in-buffer, the
+    * whole query is a SINGLE stateful operator — no dropDuplicates→agg
+    * stateful chain — and because sketches merge losslessly, the emitted
+    * per-day sketches roll up downstream exactly like the batch
+    * `segment_kmv_rollup` (union of bottom-k sets → bottom-k), enabling
+    * overlap/Jaccard estimates over any day range without re-reading the
+    * stream. Converged ≡ the identical batch aggregate (StreamingSpec). */
+  def kmvStream(events: DataFrame, k: Int = 128,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        graft.operators.Kmv.hash60(col("user_id")).as("h"))
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("win"))
+      .agg(graft.functions.KmvSketchAgg(col("h"), k).as("sk"))
+      .select(col("event_type"), col("win.start").cast("date").as("day"),
+        col("sk"))
+
   /** Streaming sessionization: `session_window` dynamic-gap windows — the
     * unbounded-stream twin of the batch gaps-and-islands `sessionize`
     * query. Sessions merge while events arrive within `gap` of the

@@ -303,6 +303,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("windowed KMV sketches converge to the identical batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = new scala.util.Random(23).shuffle(
+      Tables.events(spark, sf0001)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().toSeq)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.kmvStream(mem.toDF(), k = 16,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("append").start()
+    // one (shuffled) batch: the 0-second watermark advances BETWEEN
+    // batches, so a cross-batch split would legitimately drop late rows
+    // — intra-batch disorder still exercises the in-buffer dedup/merge
+    mem.addData(corpus); q.processAllAvailable()
+    // close every open window
+    mem.addData(Seq(Event(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("kmv_out")
+      .filter(col("event_type") =!= "x")
+      .select("event_type", "day", "sk")
+      .as[(String, java.sql.Date, Seq[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+    // batch twin: the identical aggregate over the same frame
+    val batch = Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"),
+        graft.operators.Kmv.hash60(col("user_id")).as("h"))
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("win"))
+      .agg(graft.functions.KmvSketchAgg(col("h"), 16).as("sk"))
+      .select(col("event_type"), col("win.start").cast("date").as("day"), col("sk"))
+      .as[(String, java.sql.Date, Seq[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("windowed watermark aggregation matches batch after end-of-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
