@@ -50,7 +50,12 @@ object Kmv {
     * hash count. ONE grouped aggregate: [[graft.functions
     * .KmvSketchAgg]] dedups inside its buffer (≤ k distinct values per
     * task cross the shuffle — no pre-distinct pass), and the exact
-    * count rides the planner's distinct rewrite next to it. */
+    * count rides the planner's distinct rewrite next to it. Plan note:
+    * carrying `n_exact` makes the planner key the first aggregate by
+    * (group, hash) — the distinct rewrite's expand shuffle. That column
+    * is the adjudication twin, not the product: at 100 TB drop it and
+    * the sketch folds map-side straight to ≤ k values per group per
+    * task, one group-keyed shuffle total. */
   def sketch(df: DataFrame, group: Column, key: Column, k: Int,
       salt: String = "graftkmv"): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (got $k)")
