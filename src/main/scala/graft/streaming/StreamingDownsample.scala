@@ -657,6 +657,56 @@ object StreamingDownsample {
         })
   }
 
+  final case class FunnelState(views: Seq[Long], clicks: Seq[Long],
+    purchases: Seq[Long], nSeen: Long)
+  final case class FunnelOut(user_id: Long, n_seen: Long,
+    t_view: Option[Timestamp], t_click: Option[Timestamp],
+    t_purchase: Option[Timestamp])
+
+  /** **Streaming funnel tracking** — the conversion chain
+    * (view → click → purchase, each stage strictly after the previous
+    * stage's EARLIEST qualifying time) maintained per user, correct
+    * under adversarial arrival: a late-arriving earlier view LOWERS
+    * `t_view`, which can re-qualify clicks that were previously too
+    * early — so, unlike [[sessionizeStream]]'s merge-only runs, the
+    * greedy chain is NOT monotone under insertion and the state must
+    * keep each stage's event times, not just the current chain
+    * (the bounded-per-key-history contract of the batch `ewma_fixed` /
+    * `sessionize` family: per-user stage events are small; an
+    * arrival-bounded production stream would add a watermark sweep that
+    * freezes and evicts converged users). The chain recomputes per
+    * batch from the three sorted time lists — work ∝ state size, exact
+    * at every point: emitted rows always equal the batch funnel over
+    * events-seen-so-far (StreamingSpec proves convergence under a
+    * seeded shuffle split across batches). Update-mode emission with
+    * the monotone `n_seen` pick-latest discipline. */
+  def funnelStream(events: Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelOut] = {
+    require(stages.size == 3, s"funnelStream tracks a 3-stage chain, got $stages")
+    import events.sparkSession.implicits._
+    val Seq(s0, s1, s2) = stages
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil, 0L))
+          batch.foreach { e =>
+            val us = micros(e.ts)
+            st = e.event_type match {
+              case `s0` => st.copy(views = st.views :+ us, nSeen = st.nSeen + 1)
+              case `s1` => st.copy(clicks = st.clicks :+ us, nSeen = st.nSeen + 1)
+              case `s2` => st.copy(purchases = st.purchases :+ us, nSeen = st.nSeen + 1)
+              case _ => st.copy(nSeen = st.nSeen + 1)
+            }
+          }
+          state.update(st)
+          val tv = st.views.minOption
+          val tc = tv.flatMap(v => st.clicks.filter(_ > v).minOption)
+          val tp = tc.flatMap(c => st.purchases.filter(_ > c).minOption)
+          FunnelOut(userId, st.nSeen, tv.map(tsOfMicros),
+            tc.map(tsOfMicros), tp.map(tsOfMicros))
+        })
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

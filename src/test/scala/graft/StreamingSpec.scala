@@ -303,6 +303,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming funnel converges to the batch chain under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // seeded shuffle split across 3 batches: late views/clicks must
+    // retroactively re-qualify later stages (no watermark — NoTimeout
+    // state, so nothing is ever dropped)
+    val corpus = new scala.util.Random(31).shuffle(
+      Tables.events(spark, sf0001)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().toSeq)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    val cuts = Seq(corpus.size / 4, 2 * corpus.size / 3, corpus.size)
+    var off = 0
+    cuts.foreach { c => mem.addData(corpus.slice(off, c)); q.processAllAvailable(); off = c }
+    val got = spark.table("funnel_out")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_seen").desc)))
+      .filter(col("rk") === 1 && col("t_purchase").isNotNull)
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    q.stop()
+    val batch = SparkEntry.queries("funnel")(spark, sf0001)
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("windowed KMV sketches converge to the identical batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = new scala.util.Random(23).shuffle(
