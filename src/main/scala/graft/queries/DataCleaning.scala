@@ -310,6 +310,41 @@ object DataCleaning {
       |  o_orderdate, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** **Schema-evolution read** (`mergeSchema`): two parquet generations
+    * of the documents table — an early one WITHOUT `n_chars`, a later
+    * one with it (the column-added-mid-stream drift every long-lived
+    * ingest dir accumulates) — read back as ONE frame with the merged
+    * schema, old rows surfacing NULL for the new column, then
+    * aggregated per lang. The oracle reconstructs the same answer from
+    * the source table, so the gate proves the merged read is lossless
+    * and the NULL-fill lands exactly on the old generation. At scale
+    * mergeSchema's footer union is a planning-time cost over file
+    * footers, not data; pinning the column in the table schema (the
+    * `readCsv` explicit-schema discipline) is the steady-state form —
+    * this query is the migration-window behavior. */
+  def parquetEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(spark, "graft_evolve_docs")
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(tmp)
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(tmp)
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val parquetEvolutionSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_with_chars,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** **Small-file compaction report** ([[graft.sources.Sink.compact]]):
     * fragment the documents table into 8 files per lang partition (a
     * simulated append-heavy layout), compact to ≤700 rows per file, and
@@ -1414,6 +1449,7 @@ object DataCleaning {
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
     Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),
+    Q("parquet_evolution", parquetEvolutionSql)(parquetEvolution),
     Q("orc_roundtrip", orcRoundtripSql)(orcRoundtrip),
     Q("mv_refresh", mvRefreshSql)(mvRefresh),
     Q("partition_prune", partitionPruneSql)(partitionPrune),

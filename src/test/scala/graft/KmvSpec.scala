@@ -72,6 +72,38 @@ class KmvSpec extends SparkTestBase {
       "sketch(A ∪ B) must equal bottom-k of sketch(A) ∪ sketch(B)")
   }
 
+  test("KmvSketchAgg ≡ sorted-distinct-take-k regardless of partitioning (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 50L)) // heavy duplication
+      parts <- Gen.choose(1, 13)
+      k <- Gen.choose(2, 40)
+    } yield (vals, parts, k)
+    val prop = Prop.forAll(gen) { case (vals, parts, k) =>
+      val got = vals.toDF("h").repartition(parts)
+        .agg(graft.functions.KmvSketchAgg(col("h"), k).as("sk"))
+        .as[Seq[Long]].head()
+      got == vals.distinct.sorted.take(k)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("the sketch fold is map-side partial: graft_kmv partials precede the exchange") {
+    val plan = Kmv.sketch((0L until 1000L).map(i => (i % 7, i)).toDF("g", "id"),
+        col("g"), col("id"), K)
+      .queryExecution.executedPlan.toString
+    // a partial graft_kmv below an Exchange = each task folds to ≤ k
+    // values per group before any data moves
+    val partialIdx = plan.indexOf("partial_graft_kmv")
+    assert(partialIdx >= 0, plan.take(2000))
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial fold should sit BELOW the exchange in the printed tree:\n${plan.take(2000)}")
+  }
+
   test("segment_overlap at sf0.001 takes the exact path (all segments < k)") {
     val rows = SparkEntry.queries("segment_overlap")(spark, sf0001)
       .select("n_a", "n_b", "n_common_exact", "est_union", "est_intersect")
