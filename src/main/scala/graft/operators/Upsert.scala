@@ -136,6 +136,43 @@ object Upsert {
     }
   }
 
+  /** **Change-data capture between committed versions** — the
+    * time-travel companion of [[readVersion]]: every key whose state
+    * differs between versions `from` and `to`, classified
+    * inserted/deleted/updated, carrying the AFTER image for
+    * inserted/updated rows (what a downstream MERGE needs to catch up
+    * from `from` to `to`) and NULLs for deleted. Content equality is
+    * digest equality computed AT THE SCAN, map-side (the `corpus_diff`
+    * discipline: payload columns never cross the version-compare
+    * shuffle — one full-outer equi-join on (key, digest) projections),
+    * and the after-image attach joins only the DIFF-sized key set back
+    * to `to`'s snapshot. The patch law `apply(readVersion(from), diff)
+    * ≡ readVersion(to)` is spec-pinned (StreamingSpec). */
+  def diffVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+      from: Long, to: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "diffVersions needs at least one key column")
+    val a = readVersion(spark, path, from)
+    val b = readVersion(spark, path, to)
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"schema drift between versions: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val nonKeys = a.columns.filterNot(keys.contains).toSeq
+    def digested(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.select(keys.map(c => col(c).as(s"__${tag}_$c")) :+
+        md5(to_json(struct(nonKeys.map(col): _*))).as(s"__${tag}_sig"): _*)
+    val cond = keys.map(c => col(s"__a_$c") === col(s"__b_$c")).reduce(_ && _)
+    val diff = digested(a, "a").join(digested(b, "b"), cond, "full_outer")
+      .select(keys.map(c =>
+        coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) :+
+        when(col("__a_sig").isNull, "inserted")
+          .when(col("__b_sig").isNull, "deleted")
+          .when(col("__a_sig") =!= col("__b_sig"), "updated")
+          .as("change"): _*)
+      .filter(col("change").isNotNull)
+    diff.join(b, keys, "left")
+      .select(keys.map(col) ++ (col("change") +: nonKeys.map(col)): _*)
+  }
+
   /** Committed (version, batchId) pairs, ascending — the sink's history
     * listing for time-travel discovery. */
   def versions(spark: org.apache.spark.sql.SparkSession,

@@ -210,6 +210,37 @@ class StreamingSpec extends SparkTestBase {
     assert(Upsert.vacuum(spark, dir, keepLast = 1) == Seq.empty)
   }
 
+  test("diffVersions: classified CDC between versions, patch law holds") {
+    import graft.operators.Upsert
+    val dir =
+      java.nio.file.Files.createTempDirectory("graftcdc").toString + "/snap"
+    val sink = Upsert.versionedSink(dir, "k", "seq", "seq",
+      isTombstone = col("v") === "DEAD")
+    sink(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "seq"), 0L)
+    sink(Seq((2L, "b2", 3L), (3L, "c", 4L)).toDF("k", "v", "seq"), 1L)
+    sink(Seq((1L, "DEAD", 5L), (4L, "d", 6L)).toDF("k", "v", "seq"), 2L)
+    // v1 {1:a, 2:b} -> v3 {2:b2, 3:c, 4:d}
+    val diff = Upsert.diffVersions(spark, dir, 1L, 3L, Seq("k"))
+      .as[(Long, String, Option[String], Option[Long])].collect().toSet
+    assert(diff == Set(
+      (1L, "deleted", None, None),
+      (2L, "updated", Some("b2"), Some(3L)),
+      (3L, "inserted", Some("c"), Some(4L)),
+      (4L, "inserted", Some("d"), Some(6L))))
+    // patch law: apply(v1, diff) == v3 — drop deleted/updated keys from
+    // the base, add every carried after-image
+    val v1 = Upsert.readVersion(spark, dir, 1L)
+      .as[(Long, String, Long)].collect().toSet
+    val touched = diff.collect { case (k, c, _, _) if c != "inserted" => k }
+    val patched = v1.filterNot(r => touched(r._1)) ++
+      diff.collect { case (k, c, Some(v), Some(s)) if c != "deleted" => (k, v, s) }
+    val v3 = Upsert.readVersion(spark, dir, 3L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(patched == v3)
+    // identity diff is empty
+    assert(Upsert.diffVersions(spark, dir, 2L, 2L, Seq("k")).isEmpty)
+  }
+
   test("streaming session windows converge to the batch sessionize islands") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)
