@@ -58,6 +58,50 @@ class JoinsSpec extends SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("AQE skew join splits the hot partition natively (the salting alternative)") {
+    // the engine's OTHER answer to the skew saltedJoin solves by hand:
+    // with AQE skew-join enabled and thresholds sized to the fixture,
+    // the runtime re-plan splits the oversized partition — assert the
+    // finalized plan marks the sort-merge join as skew-handled and the
+    // results are identical to the plain join
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~95% of the rows, padded to make its
+      // partition dwarf the threshold
+      val pad = "x" * 64
+      val big = ((0L until 40000L).map(i => (7L, i, pad)) ++
+        (0L until 2000L).map(i => (i % 50 + 100L, i, pad)))
+        .toDF("k", "seq", "pad")
+      val dim = (0L until 200L).map(i => (i, s"d$i")).toDF("k", "name")
+      val joined = big.join(dim, "k")
+      // collect() (not count()) so THIS DataFrame's adaptive plan is the
+      // one that executes and finalizes — count() builds a separate
+      // query execution and the original would print isFinalPlan=false
+      val n = joined.collect().length
+      assert(n == 40000 + 2000, s"join row count $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skew-handled:\n${finalPlan.take(2000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("saltedJoin rejects small-side-driven join types") {
     val big = spark.range(0, 10).toDF("k")
     val small = spark.range(0, 10).toDF("k2")
