@@ -59,7 +59,13 @@ object Kmv {
   def sketch(df: DataFrame, group: Column, key: Column, k: Int,
       salt: String = "graftkmv"): DataFrame = {
     require(k > 1, s"KMV needs k > 1 (got $k)")
+    // NULL keys hash to NULL and are EXCLUDED on both sides of the
+    // contract (the aggregate skips them; the filter keeps n_exact
+    // consistent with the oracle's null-free hash set — without it the
+    // engine's countDistinct and an oracle COUNT(*) over a
+    // DISTINCT-kept (g, NULL) row would differ by one)
     df.select(group.as("g"), hash60(key, salt).as("h"))
+      .filter(col("h").isNotNull)
       .groupBy(col("g"))
       .agg(
         graft.functions.KmvSketchAgg(col("h"), k).as("sk"),
@@ -87,8 +93,13 @@ object Kmv {
       .withColumn("__m", merged)
       .withColumn("__mk", slice(col("__m"), 1, k))
       .withColumn("__nm", size(col("__m")).cast("long"))
+      // try_element_at + greatest(…, 1): an EMPTY merged sketch (both
+      // inputs empty) would otherwise hand element_at an out-of-bounds
+      // index — a hard error in Spark 4 even though the below-k branch
+      // never reads theta; try_element_at yields a legal NULL there
       .withColumn("__theta",
-        element_at(col("__mk"), least(col("__nm"), lit(k.toLong)).cast("int")))
+        try_element_at(col("__mk"),
+          greatest(least(col("__nm"), lit(k.toLong)), lit(1L)).cast("int")))
       .withColumn("__rho",
         size(array_intersect(array_intersect(col("__mk"), col("ska")),
           col("skb"))).cast("long"))
@@ -100,7 +111,11 @@ object Kmv {
         when(col("__nm") < k, col("__rho").cast("double"))
           .otherwise(col("__rho").cast("double") * col("est_union") /
             lit(k).cast("double")))
-      .withColumn("jaccard_est", col("est_intersect") / col("est_union"))
+      // NULL (not 0/0 NaN) when both segments are empty — |A∪B| = 0
+      // leaves Jaccard undefined
+      .withColumn("jaccard_est",
+        when(col("est_union") === 0.0, lit(null))
+          .otherwise(col("est_intersect") / col("est_union")))
     est.drop("__m", "__mk", "__nm", "__theta", "__rho")
   }
 }

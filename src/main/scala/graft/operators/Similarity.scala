@@ -336,8 +336,15 @@ object Similarity {
     * poll on every ingest tick. */
   def ivfDriftFraction(spark: org.apache.spark.sql.SparkSession,
       table: String): Double = {
-    val base = spark.table(s"${table}__centroids")
-      .agg(max(col("base_rows"))).head.getLong(0)
+    val cents = spark.table(s"${table}__centroids")
+    require(cents.columns.contains("base_rows"),
+      s"ivfDriftFraction: '$table' predates drift tracking (no base_rows " +
+        "in its centroid table) — rebuild via writeIvfIndex or " +
+        "compactIvfIndex to stamp it")
+    val row = cents.agg(max(col("base_rows"))).head
+    require(!row.isNullAt(0),
+      s"ivfDriftFraction: empty centroid table for '$table'")
+    val base = row.getLong(0)
     require(base > 0, s"ivfDriftFraction: empty base count for '$table'")
     val live = spark.table(table).count()
     (live - base).toDouble / base.toDouble
@@ -413,9 +420,28 @@ object Similarity {
     * |appended| exceeds a fraction of |base|); SERVE cost is unchanged —
     * [[ivfTopKIndexed]] still reads only probed buckets. Recall of
     * (drifted index) vs (compacted index) vs exact is spec-measured
-    * (DedupSimilaritySpec). */
+    * (DedupSimilaritySpec).
+    *
+    * Geometry is PRESERVED by default: `nCells`/`buckets` default to
+    * the index's own layout (centroid-table row count / catalog
+    * bucketSpec — the [[appendToIvfIndex]] discipline), so compacting
+    * an index built with non-default parameters never silently changes
+    * its cell count or bucket width; pass explicit values only to
+    * deliberately re-shape. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, nCells: Int = 16, buckets: Int = 8): Unit = {
+      table: String, nCells: Option[Int] = None,
+      buckets: Option[Int] = None): Unit = {
+    val cells = nCells.getOrElse {
+      val n = readCentroids(spark, table).size
+      require(n > 0, s"compactIvfIndex: empty centroid table for '$table'")
+      n
+    }
+    val nBuckets = buckets.getOrElse(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(throw new IllegalArgumentException(
+          s"compactIvfIndex: '$table' is not a bucketed IVF index")))
     val stage = s"${table}__compact_stage"
     // stage first: writeIvfIndex drops the target's files before writing,
     // and a lazy read of the table being overwritten would lose the data
@@ -426,7 +452,7 @@ object Similarity {
     writeIvfIndex(
       spark.table(stage).select(col("cand_id").as("vec_id"),
         col("cv").as("embedding")),
-      table, nCells, buckets)
+      table, cells, nBuckets)
     Joins.dropTableAndLocation(spark, stage)
   }
 

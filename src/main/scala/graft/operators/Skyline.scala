@@ -116,11 +116,15 @@ object Skyline {
     }
     // phase 1: distributed local fronts over DISTINCT coords (the final
     // join restores row multiplicity); phase 2: front-of-fronts — ONE
-    // more application of the same fold on a single coalesced partition
-    // (no shuffle; Σ|local fronts| rows flow to one task, not the
-    // driver), so the driver collect below only ever sees the FINAL
-    // front, never a set proportional to partition count; the loud cap
-    // stays as the last-resort bound on that true front
+    // more application of the same fold on a single partition, reached
+    // via coalesce(shuffle = true): the SHUFFLED narrowing is what keeps
+    // phase 1 parallel (a narrow coalesce(1) would pull every upstream
+    // partition into the single task and run the local folds
+    // sequentially) and means only Σ|local fronts| rows — not the
+    // distinct volume — cross the wire to the merge task. The driver
+    // collect below then only ever sees the FINAL front, never a set
+    // proportional to partition count; the loud cap stays as the
+    // last-resort bound on that true front
     val front = df.select(dims.map(c => col(c).cast("long")): _*)
       .distinct()
       .rdd.mapPartitions(rows =>
@@ -132,7 +136,7 @@ object Skyline {
             r.getLong(i)
           }: Seq[Long]
         }))
-      .coalesce(1)
+      .coalesce(1, shuffle = true)
       .mapPartitions(fold)
       .collect().toSeq
     require(front.length <= maxFrontRows,

@@ -160,7 +160,11 @@ object Upsert {
     def digested(df: org.apache.spark.sql.DataFrame, tag: String) =
       df.select(keys.map(c => col(c).as(s"__${tag}_$c")) :+
         md5(to_json(struct(nonKeys.map(col): _*))).as(s"__${tag}_sig"): _*)
-    val cond = keys.map(c => col(s"__a_$c") === col(s"__b_$c")).reduce(_ && _)
+    // null-safe (<=>) key matching throughout: a plain equi-join would
+    // never match NULL keys, misreporting an unchanged null-keyed row
+    // as deleted+inserted (with a NULL after image) and breaking the
+    // patch law
+    val cond = keys.map(c => col(s"__a_$c") <=> col(s"__b_$c")).reduce(_ && _)
     val diff = digested(a, "a").join(digested(b, "b"), cond, "full_outer")
       .select(keys.map(c =>
         coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) :+
@@ -169,8 +173,12 @@ object Upsert {
           .when(col("__a_sig") =!= col("__b_sig"), "updated")
           .as("change"): _*)
       .filter(col("change").isNotNull)
-    diff.join(b, keys, "left")
-      .select(keys.map(col) ++ (col("change") +: nonKeys.map(col)): _*)
+    // explicit aliases: diff derives from b, so an unaliased attach is
+    // an ambiguous self-join
+    val attach = keys.map(c => col(s"__d.$c") <=> col(s"__b2.$c")).reduce(_ && _)
+    diff.as("__d").join(b.as("__b2"), attach, "left")
+      .select(keys.map(c => col(s"__d.$c").as(c)) ++
+        (col("__d.change") +: nonKeys.map(c => col(s"__b2.$c").as(c))): _*)
   }
 
   /** Committed (version, batchId) pairs, ascending — the sink's history

@@ -1014,7 +1014,9 @@ object DataCleaning {
     val ev = Tables.events(spark, dir)
     val gh = graft.operators.Dedup.memoPersist(
       ev.select(col("event_type").as("g"),
-        Kmv.hash60(col("user_id")).as("h")).distinct())
+        Kmv.hash60(col("user_id")).as("h"))
+        .filter(col("h").isNotNull) // the sketch contract: NULL keys excluded
+        .distinct())
     val sk = Kmv.sketch(ev, col("event_type"), col("user_id"), k)
     val exact = gh.as("a").join(gh.as("b"),
         col("a.h") === col("b.h") && col("a.g") < col("b.g"))
@@ -1038,7 +1040,8 @@ object DataCleaning {
     """WITH gh AS (
       |  SELECT DISTINCT event_type AS g,
       |    CAST(concat('0x', substr(md5(concat('graftkmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events
+      |  WHERE user_id IS NOT NULL),
       |sk AS (
       |  SELECT g, list_slice(list(h ORDER BY h), 1, 128) AS sk,
       |    CAST(COUNT(*) AS BIGINT) AS n_exact
@@ -1072,7 +1075,9 @@ object DataCleaning {
       |    END AS est_intersect
       |  FROM e)
       |SELECT type_a, type_b, n_a, n_b, n_common_exact, est_union,
-      |  est_intersect, est_intersect / est_union AS jaccard_est
+      |  est_intersect,
+      |  CASE WHEN est_union = 0 THEN NULL
+      |       ELSE est_intersect / est_union END AS jaccard_est
       |FROM f
       |ORDER BY type_a, type_b""".stripMargin
 
@@ -1093,7 +1098,9 @@ object DataCleaning {
     val gh = graft.operators.Dedup.memoPersist(
       Tables.events(spark, dir).select(col("event_type"),
         date_trunc("month", col("ts")).as("m"),
-        Kmv.hash60(col("user_id")).as("h")).distinct())
+        Kmv.hash60(col("user_id")).as("h"))
+        .filter(col("h").isNotNull) // the sketch contract: NULL keys excluded
+        .distinct())
     def fold(df: DataFrame, keys: Seq[String]): DataFrame =
       df.groupBy(keys.map(col): _*)
         .agg(graft.functions.KmvSketchAgg(col("h"), k).as("sk"))
@@ -1117,7 +1124,8 @@ object DataCleaning {
     """WITH gh AS (
       |  SELECT DISTINCT event_type, date_trunc('month', ts) AS m,
       |    CAST(concat('0x', substr(md5(concat('graftkmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events
+      |  WHERE user_id IS NOT NULL),
       |monthly AS (
       |  SELECT event_type, m, list_slice(list(h ORDER BY h), 1, 128) AS sk
       |  FROM gh GROUP BY event_type, m),

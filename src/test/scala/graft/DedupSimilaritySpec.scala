@@ -347,6 +347,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"compacted recall $compacted below 0.7 floor (drifted was $drifted)")
   }
 
+  test("compactIvfIndex preserves non-default index geometry by default") {
+    val e = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvfIndex(e, "ivf_geom_spec", nCells = 8, buckets = 4)
+    Similarity.appendToIvfIndex(spark, "ivf_geom_spec",
+      e.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 10000))
+    Similarity.compactIvfIndex(spark, "ivf_geom_spec")
+    // geometry read from the index itself, not defaulted to 16/8
+    assert(Similarity.readCentroids(spark, "ivf_geom_spec").size == 8)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("ivf_geom_spec"))
+      .bucketSpec.map(_.numBuckets)
+    assert(buckets.contains(4))
+    assert(Similarity.ivfDriftFraction(spark, "ivf_geom_spec") == 0.0)
+  }
+
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

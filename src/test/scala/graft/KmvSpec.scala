@@ -60,6 +60,23 @@ class KmvSpec extends SparkTestBase {
     assert(math.abs(estU - 2000.0) / 2000.0 < 0.27, s"union est $estU")
   }
 
+  test("NULL keys are excluded on both sketch and count; empty sketches never crash") {
+    val df = Seq(("a", Option(1L)), ("a", Option(2L)), ("a", Option.empty[Long]),
+      ("b", Option.empty[Long])).toDF("g", "id")
+    val sk = Kmv.sketch(df, col("g"), col("id"), K)
+      .select("g", "sk", "n_exact").as[(String, Seq[Long], Long)]
+      .collect().map(r => r._1 -> (r._2.size, r._3)).toMap
+    assert(sk("a") == (2, 2L), "null key must not count or sketch")
+    assert(!sk.contains("b") || sk("b") == (0, 0L),
+      "an all-null group is empty, never a null-bearing sketch")
+    // empty-vs-empty pair: no element_at(0) crash, exact zeros, NULL jaccard
+    val pairs = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("ska", "skb")
+    val row = Kmv.overlapEstimates(pairs, K)
+      .select("est_union", "est_intersect", "jaccard_est")
+      .as[(Double, Double, Option[Double])].head()
+    assert(row == ((0.0, 0.0, None)))
+  }
+
   test("mergeability: the union's sketch equals the merge of the sketches") {
     val a = (0L until 700L).map(("a", _))
     val b = (300L until 1200L).map(("b", _))

@@ -241,6 +241,28 @@ class StreamingSpec extends SparkTestBase {
     assert(Upsert.diffVersions(spark, dir, 2L, 2L, Seq("k")).isEmpty)
   }
 
+  test("diffVersions is null-safe on key columns") {
+    import graft.operators.Upsert
+    // hand-written version layout (the sink's own dirs carry _SUCCESS
+    // from the parquet commit): an UNCHANGED null-keyed row must not
+    // surface as deleted+inserted-with-null-payload
+    val dir =
+      java.nio.file.Files.createTempDirectory("graftcdcnull").toString + "/snap"
+    Seq((Option(1L), "a"), (Option.empty[Long], "n"))
+      .toDF("k", "v").write.parquet(s"$dir/v=1_b=0")
+    Seq((Option(1L), "a2"), (Option.empty[Long], "n"))
+      .toDF("k", "v").write.parquet(s"$dir/v=2_b=1")
+    val diff = Upsert.diffVersions(spark, dir, 1L, 2L, Seq("k"))
+      .as[(Option[Long], String, Option[String])].collect().toSet
+    assert(diff == Set((Some(1L), "updated", Some("a2"))))
+    // and a CHANGED null-keyed row classifies as updated with its image
+    Seq((Option(1L), "a2"), (Option.empty[Long], "n2"))
+      .toDF("k", "v").write.parquet(s"$dir/v=3_b=2")
+    val diff2 = Upsert.diffVersions(spark, dir, 2L, 3L, Seq("k"))
+      .as[(Option[Long], String, Option[String])].collect().toSet
+    assert(diff2 == Set((None, "updated", Some("n2"))))
+  }
+
   test("streaming session windows converge to the batch sessionize islands") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)

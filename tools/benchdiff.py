@@ -55,7 +55,10 @@ def main():
         noisy = max(osp.get(k, 1.0), nsp.get(k, 1.0)) > 1.5
         co = min(ocpu.get(k, [0.0]) or [0.0])
         cn = min(ncpu.get(k, [0.0]) or [0.0])
-        cr = (cn / co) if co > 0 else None
+        # cpu == 0.0 is the documented "no JMX bean" fallback, not a
+        # measurement: either side missing means NO cpu evidence (grew?
+        # gating), never proof of external load
+        cr = (cn / co) if co > 0 and cn > 0 else None
         # sub-half-second queries are dominated by job-scheduling jitter;
         # a 1.3x swing there is not signal at any confidence
         tiny = max(oq[k], nq[k]) < 0.5
