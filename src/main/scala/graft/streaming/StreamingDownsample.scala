@@ -707,6 +707,45 @@ object StreamingDownsample {
         })
   }
 
+  final case class RetState(days: Seq[Long], nSeen: Long)
+  final case class RetentionOut(user_id: Long, n_seen: Long,
+    cohort_day: Long, weeks: Seq[Long])
+
+  /** **Streaming cohort retention** — per-user converged
+    * (cohort, active weeks) state, correct under adversarial arrival:
+    * a late-arriving EARLIER event moves the user's cohort day, which
+    * re-buckets every week offset they have (week = (day − cohort)/7) —
+    * so, exactly like [[funnelStream]]'s chain, the derived values are
+    * not monotone under insertion and the state keeps the DISTINCT
+    * ACTIVE DAY SET (bounded by the corpus' day span per user, the
+    * bounded-per-key-history contract), re-deriving cohort and weeks
+    * per batch. Emits each touched user's current snapshot in update
+    * mode (`n_seen` pick-latest); the retention MATRIX is a plain
+    * aggregation over the latest snapshots — each user carries exactly
+    * one cohort, so cell counts are exploded-row counts, no distinct
+    * needed downstream (StreamingSpec proves cells ≡ the batch
+    * `retention` query). `cohort_day` rides as an epoch-day long:
+    * exact, timezone-free, and trivially comparable to the batch
+    * query's UTC `to_date`. */
+  def retentionStream(events: Dataset[Event]): Dataset[RetentionOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[RetState]) => {
+          var days = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Long])
+          var seen = state.getOption.map(_.nSeen).getOrElse(0L)
+          batch.foreach { e =>
+            seen += 1
+            days += Math.floorDiv(micros(e.ts), dayUs)
+          }
+          state.update(RetState(days.toSeq.sorted, seen))
+          val cohort = days.min
+          RetentionOut(userId, seen, cohort,
+            days.map(d => (d - cohort) / 7).toSeq.distinct.sorted)
+        })
+  }
+
   /** Stateful: the reference's greedy threshold as GroupState. State per
     * key is a single long (the next-emittable instant) — O(1) per key,
     * which is what makes this viable with hundreds of millions of keys:

@@ -387,6 +387,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming retention snapshots aggregate to the batch cohort matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    // adversarial order across batches: late earlier events must MOVE
+    // cohorts and re-bucket week offsets
+    val corpus = new scala.util.Random(41).shuffle(
+      Tables.events(spark, sf0001)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().toSeq)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.retentionStream(mem.toDS())
+      .writeStream.format("memory").queryName("retention_out")
+      .outputMode("update").start()
+    val (a, b) = corpus.splitAt(corpus.size / 3)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    val latest = spark.table("retention_out")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_seen").desc)))
+      .filter(col("rk") === 1)
+    // one cohort per user ⇒ cell counts are plain exploded-row counts;
+    // folded driver-side (50 users) to keep the check independent of
+    // the engine under test
+    val snaps = latest.select("user_id", "cohort_day", "weeks")
+      .as[(Long, Long, Seq[Long])].collect()
+    val cells = snaps.groupBy(_._2).flatMap { case (cd, users) =>
+      val nCohort = users.size.toLong
+      users.flatMap(u => u._3.map(w => (cd, w)))
+        .groupBy(identity).map { case ((c, w), hits) =>
+          (c, w, hits.size.toLong, nCohort)
+        }
+    }.toSet
+    q.stop()
+    val batch = SparkEntry.queries("retention")(spark, sf0001)
+      .select(datediff(col("cohort_day"), lit("1970-01-01").cast("date"))
+        .cast("long").as("cd"), col("week_no"), col("n_active"), col("n_cohort"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(cells == batch)
+  }
+
   test("windowed KMV sketches converge to the identical batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = new scala.util.Random(23).shuffle(
