@@ -385,15 +385,22 @@ object Similarity {
     * construction (spec-proven), and a periodic [[writeIvfIndex]]
     * retrain is the compaction step, exactly as the dedup signature
     * index re-buckets on its own cadence. */
+  /** The catalog bucket count of an IVF index table — the shared
+    * layout lookup of [[appendToIvfIndex]] and [[compactIvfIndex]];
+    * refuses loudly on a non-bucketed table. */
+  private def bucketCountOf(spark: org.apache.spark.sql.SparkSession,
+      table: String, caller: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$caller: '$table' is not a bucketed IVF index"))
+
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, delta: DataFrame): Unit = {
     val cents = readCentroids(spark, table)
     require(cents.nonEmpty, s"appendToIvfIndex: empty centroid table for '$table'")
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(throw new IllegalArgumentException(
-        s"appendToIvfIndex: '$table' is not a bucketed IVF index"))
+    val buckets = bucketCountOf(spark, table, "appendToIvfIndex")
     val nearestCells = nearestCellsOf(cents) _
     delta.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
@@ -437,11 +444,7 @@ object Similarity {
       n
     }
     val nBuckets = buckets.getOrElse(
-      spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .bucketSpec.map(_.numBuckets)
-        .getOrElse(throw new IllegalArgumentException(
-          s"compactIvfIndex: '$table' is not a bucketed IVF index")))
+      bucketCountOf(spark, table, "compactIvfIndex"))
     val stage = s"${table}__compact_stage"
     // stage first: writeIvfIndex drops the target's files before writing,
     // and a lazy read of the table being overwritten would lose the data

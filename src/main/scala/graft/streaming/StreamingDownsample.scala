@@ -724,12 +724,19 @@ object StreamingDownsample {
     * aggregation over the latest snapshots — each user carries exactly
     * one cohort, so cell counts are exploded-row counts, no distinct
     * needed downstream (StreamingSpec proves cells ≡ the batch
-    * `retention` query). `cohort_day` rides as an epoch-day long:
-    * exact, timezone-free, and trivially comparable to the batch
-    * query's UTC `to_date`. */
+    * `retention` query). `cohort_day` rides as an epoch-day long —
+    * exact integers — bucketed in the SESSION time zone captured at
+    * construction, matching the batch query's `to_date(ts)` semantics
+    * in any session configuration, not just the repo's pinned UTC. */
   def retentionStream(events: Dataset[Event]): Dataset[RetentionOut] = {
     import events.sparkSession.implicits._
-    val dayUs = 86400000000L
+    val zone = java.time.ZoneId.of(
+      events.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    def epochDay(us: Long): Long =
+      java.time.Instant
+        .ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+        .atZone(zone).toLocalDate.toEpochDay
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[RetState]) => {
@@ -737,12 +744,12 @@ object StreamingDownsample {
           var seen = state.getOption.map(_.nSeen).getOrElse(0L)
           batch.foreach { e =>
             seen += 1
-            days += Math.floorDiv(micros(e.ts), dayUs)
+            days += epochDay(micros(e.ts))
           }
           state.update(RetState(days.toSeq.sorted, seen))
           val cohort = days.min
           RetentionOut(userId, seen, cohort,
-            days.map(d => (d - cohort) / 7).toSeq.distinct.sorted)
+            days.map(d => (d - cohort) / 7).toSeq.sorted)
         })
   }
 

@@ -8,10 +8,12 @@ noise fields instead of a bare ratio:
   - REGRESSION: wall grew past the threshold (default 1.3x), BOTH runs
     were steady (spread <= 1.5), and process-CPU grew in step — a real
     cost increase, not host load;
-  - grew?: wall grew on steady runs but the OLD artifact predates the
-    cpu field, so neither REGRESSION nor LOAD? can be proven — GATES
-    (exit 1) like a regression, because silently passing a real steady
-    growth is worse than asking for a re-run against a cpu-aware base;
+  - grew?: wall grew on steady runs but EITHER side lacks cpu evidence
+    (the old artifact predates the cpu field, or either run recorded
+    the documented no-JMX 0.0 fallback), so neither REGRESSION nor
+    LOAD? can be proven — GATES (exit 1) like a regression, because
+    silently passing a real steady growth is worse than asking for a
+    re-run of whichever side is missing cpu data;
   - LOAD?: wall grew but cpu stayed flat (sustained external load — the
     signature the r7 driver run showed on llm_clean_corpus), or either
     run's own spread already flags noise;
