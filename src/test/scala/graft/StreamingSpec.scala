@@ -327,6 +327,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("sessionizeStream merges exact-gap ties and bridges runs on late arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, sec: Long) =
+      Event(id, new Timestamp(sec * 1000L), 1L, "x", 0.0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_tie_out")
+      .outputMode("update").start()
+    // worst order: the chain endpoints first (two separate runs), then
+    // the late middle event that BRIDGES them at exact-gap ties on both
+    // sides; a second run opens past the boundary (diff 3601 > 3600)
+    mem.addData(Seq(ev(1, 0L), ev(2, 7200L))); q.processAllAvailable()
+    mem.addData(Seq(ev(4, 7200L + 3601L))); q.processAllAvailable()
+    mem.addData(Seq(ev(3, 3600L))); q.processAllAvailable()
+    val last = spark.table("sess_tie_out")
+      .orderBy(col("n_seen").desc).limit(1)
+      .select("n_seen", "session_start", "session_end", "n_events")
+      .as[(Long, Seq[Timestamp], Seq[Timestamp], Seq[Long])].head()
+    q.stop()
+    assert(last._1 == 4L)
+    assert(last._2.map(_.getTime / 1000L) == Seq(0L, 10801L))
+    assert(last._3.map(_.getTime / 1000L) == Seq(7200L, 10801L))
+    assert(last._4 == Seq(3L, 1L),
+      "exact-gap ties chain 0-3600-7200 into one run; 10801 breaks")
+  }
+
   test("stream-stream interval join converges to the batch attribution join") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)
