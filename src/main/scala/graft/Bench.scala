@@ -133,15 +133,19 @@ object Bench {
     // registry measure n_starved 0-1 against the >=3 trip wire, and a
     // flagged artifact should be adjudicated per query via its cpu
     // samples, exactly as benchdiff does.
-    val par = results.map { case (k, _, walls, _, cpuS) =>
+    val par = results.map { case (k, _, walls, err, cpuS) =>
       val i = walls.indexOf(walls.min)
       val p = if (walls(i) > 0 && cpuS(i) > 0) cpuS(i) / walls(i) else 0.0
-      (k, walls(i), p)
+      (k, walls(i), p, err.isDefined)
     }
-    val parJson = par.map { case (k, _, p) => "\"" + k + "\":" + r3(p) }
+    val parJson = par.map { case (k, _, p, _) => "\"" + k + "\":" + r3(p) }
       .mkString("{", ",", "}")
     val nCpusInt = cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors)
-    val nStarved = par.count { case (_, w, p) => w >= 2.0 && p > 0 && p <= 1.3 }
+    // Errored runs are excluded: a query that spins >=2 s serially before
+    // throwing says nothing about host load, and repeated slow failures
+    // must not mislabel a quiet-host artifact as load-suspect.
+    val nStarved = par.count { case (_, w, p, erred) =>
+      !erred && w >= 2.0 && p > 0 && p <= 1.3 }
     val hostLoadSuspect = nCpusInt >= 8 && nStarved >= 3
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"cpu":$cpuJson,"parallelism":$parJson,"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpusJson,"sf":"$sfDir"}"""

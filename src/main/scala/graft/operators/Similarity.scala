@@ -434,10 +434,41 @@ object Similarity {
     * bucketSpec — the [[appendToIvfIndex]] discipline), so compacting
     * an index built with non-default parameters never silently changes
     * its cell count or bucket width; pass explicit values only to
-    * deliberately re-shape. */
+    * deliberately re-shape.
+    *
+    * **Crash-safe by generation swap**: the new index (bucketed main
+    * table + centroid side table) is built in full under the
+    * `<table>__compact_next` name while the LIVE index stays intact and
+    * servable — [[trainSample]] orders by xxhash64(id), so training from
+    * the live table reads the same sample a staged copy would — and only
+    * metadata-level renames touch the live name at the very end. The
+    * `__compact_next__centroids` table is written last by
+    * [[writeIvfIndex]], so its existence is the rebuild-complete marker:
+    * a re-run after a crash mid-swap FINISHES the swap instead of
+    * rebuilding, and a crash mid-rebuild leaves the live index untouched
+    * (the partial `__compact_next` is dropped by the next run's
+    * writeBucketed). No window exists where the data survives only in a
+    * stage table. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, nCells: Option[Int] = None,
       buckets: Option[Int] = None): Unit = {
+    val next = s"${table}__compact_next"
+    def finishSwap(): Unit = {
+      if (spark.catalog.tableExists(next)) {
+        Joins.dropTableAndLocation(spark, table)
+        spark.sql(s"ALTER TABLE `$next` RENAME TO `$table`")
+      }
+      Joins.dropTableAndLocation(spark, s"${table}__centroids")
+      spark.sql(
+        s"ALTER TABLE `${next}__centroids` RENAME TO `${table}__centroids`")
+    }
+    // Crash recovery: a previous compaction finished its rebuild (the
+    // centroids marker exists) but died before or mid-swap — complete
+    // the swap; the finished generation IS the compacted index.
+    if (spark.catalog.tableExists(s"${next}__centroids")) {
+      finishSwap()
+      return
+    }
     val cells = nCells.getOrElse {
       val n = readCentroids(spark, table).size
       require(n > 0, s"compactIvfIndex: empty centroid table for '$table'")
@@ -445,18 +476,11 @@ object Similarity {
     }
     val nBuckets = buckets.getOrElse(
       bucketCountOf(spark, table, "compactIvfIndex"))
-    val stage = s"${table}__compact_stage"
-    // stage first: writeIvfIndex drops the target's files before writing,
-    // and a lazy read of the table being overwritten would lose the data
-    Joins.dropTableAndLocation(spark, stage)
-    spark.table(table).select(col("cand_id"), col("cv"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd").saveAsTable(stage)
     writeIvfIndex(
-      spark.table(stage).select(col("cand_id").as("vec_id"),
+      spark.table(table).select(col("cand_id").as("vec_id"),
         col("cv").as("embedding")),
-      table, cells, nBuckets)
-    Joins.dropTableAndLocation(spark, stage)
+      next, cells, nBuckets)
+    finishSwap()
   }
 
   def ivfTopKIndexed(queries: DataFrame,

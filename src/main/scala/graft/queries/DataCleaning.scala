@@ -924,24 +924,23 @@ object DataCleaning {
       |FROM reach GROUP BY node
       |ORDER BY node""".stripMargin
 
-  /** **Exact-moment correlation** — Pearson corr / sample covariance of
-    * (n_chars, n_tokens) per language WITHOUT the float-merge
-    * nondeterminism of the built-in `corr`/`covar_samp` (whose partial
-    * merges sum doubles in partition order, engine-specific): both
-    * variables are integers, so the five sufficient statistics
-    * Σx, Σy, Σxy, Σx², Σy² are EXACT DECIMAL(38,0) sums, and corr/cov
-    * derive from them by an identical short float expression in both
-    * engines (each step single-rounded on identical inputs). Crucially
-    * the exact DECIMAL sums are cast to DOUBLE FIRST and every derived
-    * op is IEEE double on those casts: a DECIMAL(38,0)×DECIMAL(38,0)
-    * product would exceed the 38-digit type cap and each engine applies
-    * its own (version-specific) precision-loss rule — the round-8 hash
-    * failure. All sufficient statistics are < 2⁵³ at any plausible SF,
-    * so the DOUBLE casts themselves are exact and the identical op tree
-    * is engine-version-proof. The
+  /** **Exact second moments** — the sufficient statistics for Pearson
+    * corr / sample covariance of (n_chars, n_tokens) per language,
+    * WITHOUT the float-merge nondeterminism of the built-in
+    * `corr`/`covar_samp` (whose partial merges sum doubles in partition
+    * order, engine-specific): both variables are integers, so n and the
+    * five sums Σx, Σy, Σxy, Σx², Σy² are EXACT — BIGINT count plus
+    * DECIMAL(38,0) sums, representable identically in every engine and
+    * hash-stable under any DuckDB/pandas version. The oracle-gated
+    * query emits ONLY these exact integers (rounds 8/9 showed that even
+    * a shared IEEE op tree for the derived doubles diverges across
+    * DuckDB builds); the derived cov/corr doubles live in the rows-only
+    * twin [[statsMomentsDerived]], whose values StatsMomentsSpec pins
+    * against Spark's own `covar_samp`/`corr` at spec tolerance. The
     * sketch-vs-exact split of `hll_rollup` applied to second moments:
     * the mergeable exact form IS the scale path — one map-side-combined
-    * aggregate, five numbers per group. */
+    * aggregate, six numbers per group; deriving a double from them is a
+    * constant-time epilogue any consumer can run. */
   def statsMoments(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -949,49 +948,51 @@ object DataCleaning {
     val docs = Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars").as("x"),
         size(split(col("text"), " ")).cast("long").as("y"))
-    val m = docs.groupBy(col("lang")).agg(
-      count(lit(1)).as("n"),
-      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
-      sum(d(col("x") * col("y"))).as("sxy"),
-      sum(d(col("x") * col("x"))).as("sxx"),
-      sum(d(col("y") * col("y"))).as("syy"))
+    docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x") * col("y"))).as("sxy"),
+        sum(d(col("x") * col("x"))).as("sxx"),
+        sum(d(col("y") * col("y"))).as("syy"))
+      .orderBy("lang")
+  }
+
+  private val statsMomentsSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |  CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |  CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |  CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |FROM (SELECT lang, n_chars AS x,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |      FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** **Derived moments twin** of [[statsMoments]] — sample covariance
+    * and Pearson correlation computed from the exact sufficient
+    * statistics by a short IEEE-double epilogue (exact DECIMAL sums
+    * cast to DOUBLE first — all < 2⁵³ so the casts are exact — then a
+    * single-rounded op per step). Registered rows-only BY DESIGN: the
+    * r8/r9 driver runs proved that bit-identical doubles across
+    * DuckDB/pandas versions are not a portable contract even with a
+    * mirrored op tree, so the hash gate covers the integers upstream
+    * and StatsMomentsSpec pins these doubles against Spark's own
+    * `covar_samp`/`corr` (1e-9 relative) plus a hand-computed fixture. */
+  def statsMomentsDerived(spark: SparkSession, dir: String): DataFrame = {
+    val m = statsMoments(spark, dir)
     val nd = col("n").cast("double")
     val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
     val sxyd = col("sxy").cast("double")
     val sxxd = col("sxx").cast("double"); val syyd = col("syy").cast("double")
-    m.select(col("lang"), col("n"), col("sx"), col("sy"), col("sxy"),
-        col("sxx"), col("syy"),
+    m.select(col("lang"), col("n"),
         ((nd * sxyd - sxd * syd) / (nd * (nd - lit(1.0d)))).as("cov_samp"),
         ((nd * sxyd - sxd * syd) /
           (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))
           .as("corr"))
       .orderBy("lang")
   }
-
-  private val statsMomentsSql =
-    """WITH m AS (
-      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-      |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-      |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-      |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
-      |  FROM (SELECT lang, n_chars AS x,
-      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
-      |        FROM documents)
-      |  GROUP BY lang)
-      |SELECT lang, n, sx, sy, sxy, sxx, syy,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
-      |FROM m
-      |ORDER BY lang""".stripMargin
 
   /** **Segment-overlap analytics via KMV sketches** ([[graft.operators
     * .Kmv]]): pairwise audience overlap between event-type segments —
@@ -1465,6 +1466,9 @@ object DataCleaning {
     Q("robust_outliers", robustOutliersSql)(robustOutliers),
     Q("ewma_fixed", ewmaFixedSql)(ewmaFixed),
     Q("stats_moments", statsMomentsSql)(statsMoments),
+    // rows-only by design: cross-engine bit-identical doubles proved
+    // non-portable (r8/r9); StatsMomentsSpec pins the values instead.
+    Q.noOracle("stats_moments_derived")(statsMomentsDerived),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("winsorize", winsorizeSql)(winsorize),

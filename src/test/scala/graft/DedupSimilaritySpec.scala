@@ -362,6 +362,41 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Similarity.ivfDriftFraction(spark, "ivf_geom_spec") == 0.0)
   }
 
+  test("compactIvfIndex survives a crash mid-swap: re-run finishes the swap") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    Similarity.writeIvfIndex(e, "ivf_crash_spec")
+    val before = Similarity.ivfTopKIndexed(q, spark, "ivf_crash_spec", k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // Simulate the worst crash window: the rebuild generation completed
+    // in full under __compact_next (its centroids marker written last),
+    // then the driver died after dropping BOTH live tables — the state
+    // the r9 stage-copy design could not recover from automatically.
+    Similarity.writeIvfIndex(e, "ivf_crash_spec__compact_next")
+    graft.operators.Joins.dropTableAndLocation(spark, "ivf_crash_spec")
+    graft.operators.Joins.dropTableAndLocation(spark, "ivf_crash_spec__centroids")
+    assert(!spark.catalog.tableExists("ivf_crash_spec"))
+    Similarity.compactIvfIndex(spark, "ivf_crash_spec")
+    // the finished generation was promoted, not rebuilt-from-nothing
+    val after = Similarity.ivfTopKIndexed(q, spark, "ivf_crash_spec", k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(after == before && after.nonEmpty)
+    assert(!spark.catalog.tableExists("ivf_crash_spec__compact_next"))
+    assert(!spark.catalog.tableExists("ivf_crash_spec__compact_next__centroids"))
+    assert(Similarity.ivfDriftFraction(spark, "ivf_crash_spec") == 0.0)
+    // And the mid-REBUILD crash (partial main table, no centroids
+    // marker): the live index must stay authoritative — a normal
+    // compaction runs, replacing the orphan.
+    e.limit(3).select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("ivf_crash_spec__compact_next")
+    Similarity.compactIvfIndex(spark, "ivf_crash_spec")
+    val rebuilt = Similarity.ivfTopKIndexed(q, spark, "ivf_crash_spec", k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rebuilt == before, "orphan partial rebuild leaked into the index")
+    assert(!spark.catalog.tableExists("ivf_crash_spec__compact_next"))
+  }
+
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

@@ -69,7 +69,7 @@ def main():
             cls = "REGRESSION"   # wall AND cpu grew on steady runs
             regressions.append(k)
         elif r >= thr and not noisy and not tiny and cr is None:
-            cls = "grew?"        # no cpu data in the old artifact — gates
+            cls = "grew?"        # either side lacks cpu evidence — gates
             grews.append(k)
         elif r >= thr and not tiny:
             cls = "LOAD?" if (cr is not None and cr < (1 + (r - 1) / 2)) \
