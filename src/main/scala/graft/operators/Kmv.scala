@@ -82,11 +82,19 @@ object Kmv {
         element_at(sk, k).cast("double"))
 
   /** Pairwise overlap estimates from two sketch columns (`ska`, `skb`,
-    * both sorted ≤ k-long arrays): appends `est_union`, `est_intersect`
-    * and `jaccard_est`. When the merged sketch is smaller than k it is
-    * the whole union and the estimates are exact counts; otherwise the
-    * standard KMV estimators apply. Every op is mirrored 1:1 in the
-    * registered query's DuckDB SQL. */
+    * both sorted ≤ k-long arrays): appends `est_union`, `est_intersect`,
+    * `jaccard_est`, and the set-DIFFERENCE estimates `est_a_only` /
+    * `est_b_only` (est|A∖B|, est|B∖A| — the audience-exclusive-reach
+    * question the intersection form begs). All four share ONE minwise
+    * sample: for h in the merged bottom-k, h ∈ A ⟺ h ∈ ska (h is among
+    * the k smallest of A∪B ⊇ A, so if it is in A it is in A's bottom-k),
+    * hence ρ_intersect = |mk ∩ ska ∩ skb| and ρ_a_only = |mk ∩ ska| −
+    * ρ_intersect partition the sample EXACTLY: ρ_int + ρ_a + ρ_b = k,
+    * so the three estimates sum to est_union by construction (spec-
+    * pinned) — difference estimates from separate sketch θs would not.
+    * When the merged sketch is smaller than k it is the whole union and
+    * every estimate collapses to an exact count. Every op is mirrored
+    * 1:1 in the registered query's DuckDB SQL. */
   def overlapEstimates(pairs: DataFrame, k: Int): DataFrame = {
     val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
     val est = pairs
@@ -103,6 +111,15 @@ object Kmv {
       .withColumn("__rho",
         size(array_intersect(array_intersect(col("__mk"), col("ska")),
           col("skb"))).cast("long"))
+      // sample counts in A-only / B-only: |mk ∩ ska| − ρ reuses ρ, so
+      // the partition ρ_int + ρ_a + ρ_b = |mk| holds by arithmetic, not
+      // by three independent membership scans
+      .withColumn("__ra",
+        size(array_intersect(col("__mk"), col("ska"))).cast("long")
+          - col("__rho"))
+      .withColumn("__rb",
+        size(array_intersect(col("__mk"), col("skb"))).cast("long")
+          - col("__rho"))
       .withColumn("est_union",
         when(col("__nm") < k, col("__nm").cast("double"))
           .otherwise(lit(k - 1).cast("double") * lit(HashSpace) /
@@ -111,11 +128,19 @@ object Kmv {
         when(col("__nm") < k, col("__rho").cast("double"))
           .otherwise(col("__rho").cast("double") * col("est_union") /
             lit(k).cast("double")))
+      .withColumn("est_a_only",
+        when(col("__nm") < k, col("__ra").cast("double"))
+          .otherwise(col("__ra").cast("double") * col("est_union") /
+            lit(k).cast("double")))
+      .withColumn("est_b_only",
+        when(col("__nm") < k, col("__rb").cast("double"))
+          .otherwise(col("__rb").cast("double") * col("est_union") /
+            lit(k).cast("double")))
       // NULL (not 0/0 NaN) when both segments are empty — |A∪B| = 0
       // leaves Jaccard undefined
       .withColumn("jaccard_est",
         when(col("est_union") === 0.0, lit(null))
           .otherwise(col("est_intersect") / col("est_union")))
-    est.drop("__m", "__mk", "__nm", "__theta", "__rho")
+    est.drop("__m", "__mk", "__nm", "__theta", "__rho", "__ra", "__rb")
   }
 }

@@ -1033,6 +1033,11 @@ object DataCleaning {
     Kmv.overlapEstimates(pairs, k)
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("n_common_exact"), col("est_union"), col("est_intersect"),
+        // set-difference estimates with their exact adjudication twins
+        // (|A∖B| = |A| − |A∩B|, both columns already exact)
+        col("est_a_only"), col("est_b_only"),
+        (col("n_a") - col("n_common_exact")).as("n_a_only_exact"),
+        (col("n_b") - col("n_common_exact")).as("n_b_only_exact"),
         col("jaccard_est"))
       .orderBy("type_a", "type_b")
   }
@@ -1063,7 +1068,11 @@ object DataCleaning {
       |  FROM p),
       |d AS (
       |  SELECT *, mk[CAST(least(nm, 128) AS INTEGER)] AS theta,
-      |    CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS rho
+      |    CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS rho,
+      |    CAST(len(list_intersect(mk, ska)) AS BIGINT)
+      |      - CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS ra,
+      |    CAST(len(list_intersect(mk, skb)) AS BIGINT)
+      |      - CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS rb
       |  FROM c),
       |e AS (
       |  SELECT *, CASE WHEN nm < 128 THEN CAST(nm AS DOUBLE)
@@ -1073,10 +1082,18 @@ object DataCleaning {
       |f AS (
       |  SELECT *, CASE WHEN nm < 128 THEN CAST(rho AS DOUBLE)
       |    ELSE CAST(rho AS DOUBLE) * est_union / CAST(128 AS DOUBLE)
-      |    END AS est_intersect
+      |    END AS est_intersect,
+      |  CASE WHEN nm < 128 THEN CAST(ra AS DOUBLE)
+      |    ELSE CAST(ra AS DOUBLE) * est_union / CAST(128 AS DOUBLE)
+      |    END AS est_a_only,
+      |  CASE WHEN nm < 128 THEN CAST(rb AS DOUBLE)
+      |    ELSE CAST(rb AS DOUBLE) * est_union / CAST(128 AS DOUBLE)
+      |    END AS est_b_only
       |  FROM e)
       |SELECT type_a, type_b, n_a, n_b, n_common_exact, est_union,
-      |  est_intersect,
+      |  est_intersect, est_a_only, est_b_only,
+      |  n_a - n_common_exact AS n_a_only_exact,
+      |  n_b - n_common_exact AS n_b_only_exact,
       |  CASE WHEN est_union = 0 THEN NULL
       |       ELSE est_intersect / est_union END AS jaccard_est
       |FROM f
@@ -1147,6 +1164,118 @@ object DataCleaning {
       |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(merged.sk[128] AS DOUBLE)
       |  END AS est_distinct
       |FROM merged JOIN months USING (event_type) JOIN exact USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** **Exclusive-reach estimates** — the multi-way question the
+    * pairwise [[segmentOverlap]] begs: for each event-type segment, how
+    * many users does ONLY that segment reach (est |A_g ∖ ∪_{g'≠g}
+    * A_{g'}|)? One minwise sample answers all segments at once: the
+    * union sketch `skt` (bottom-k re-fold of the per-type sketches —
+    * KMV mergeability) is a uniform sample of the total audience, and
+    * for h ∈ skt, h ∈ A_g ⟺ h ∈ sk_g (h is among the k smallest of the
+    * total union ⊇ A_g), so counting sample hashes touched by exactly
+    * one segment's sketch gives ρ_excl(g) and est_exclusive =
+    * ρ_excl·est_total/k. The per-h membership census runs over
+    * (types × k) sketch rows only; the exact twin (`n_excl_exact`, a
+    * per-user distinct-type census over the full hash set) is the
+    * documented non-scaling adjudicator, dropped at 100 TB. Estimator
+    * ops mirror 1:1 in DuckDB, so like the rest of the KMV family the
+    * estimates are hash-checked, not just eyeballed. */
+  def segmentExclusiveReach(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Kmv
+    val k = 128
+    val ev = Tables.events(spark, dir)
+    val gh = graft.operators.Dedup.memoPersist(
+      ev.select(col("event_type").as("g"), Kmv.hash60(col("user_id")).as("h"))
+        .filter(col("h").isNotNull) // the sketch contract: NULL keys excluded
+        .distinct())
+    val sk = graft.operators.Dedup.memoPersist(
+      Kmv.sketch(ev, col("event_type"), col("user_id"), k))
+    // sketch-frame world from here: ≤ types × k rows
+    val se = graft.operators.Dedup.memoPersist(
+      sk.select(col("g"), explode(col("sk")).as("h")))
+    val tot = se.select(col("h")).distinct()
+      .agg(graft.functions.KmvSketchAgg(col("h"), k).as("skt"),
+        count(lit(1)).as("nmt"))
+    val memb = tot.select(explode(col("skt")).as("ht"))
+      .join(se, col("ht") === col("h"))
+      .groupBy(col("ht"))
+      .agg(count(lit(1)).as("ntypes"), min(col("g")).as("g1"))
+    val rho = memb.filter(col("ntypes") === 1)
+      .groupBy(col("g1")).agg(count(lit(1)).as("rho_excl"))
+      .withColumnRenamed("g1", "g")
+    // exact adjudication twin: users reached by exactly one type
+    val excl = gh.groupBy(col("h"))
+      .agg(count(lit(1)).as("nt"), min(col("g")).as("g1"))
+      .filter(col("nt") === 1)
+      .groupBy(col("g1")).agg(count(lit(1)).as("n_excl_exact"))
+      .withColumnRenamed("g1", "g")
+    sk.crossJoin(broadcast(tot))
+      .join(rho, Seq("g"), "left")
+      .join(excl, Seq("g"), "left")
+      .withColumn("__re", coalesce(col("rho_excl"), lit(0L)))
+      .withColumn("__theta", try_element_at(col("skt"),
+        greatest(least(col("nmt"), lit(k.toLong)), lit(1L)).cast("int")))
+      .withColumn("est_total",
+        when(col("nmt") < k, col("nmt").cast("double"))
+          .otherwise(lit(k - 1).cast("double") * lit(Kmv.HashSpace) /
+            col("__theta").cast("double")))
+      .select(col("g").as("event_type"),
+        col("n_exact").as("n_reach_exact"),
+        coalesce(col("n_excl_exact"), lit(0L)).as("n_excl_exact"),
+        Kmv.estimateDistinct(col("sk"), k).as("est_reach"),
+        when(col("nmt") < k, col("__re").cast("double"))
+          .otherwise(col("__re").cast("double") * col("est_total") /
+            lit(k).cast("double")).as("est_exclusive"))
+      .orderBy("event_type")
+  }
+
+  private val segmentExclusiveReachSql =
+    """WITH gh AS (
+      |  SELECT DISTINCT event_type AS g,
+      |    CAST(concat('0x', substr(md5(concat('graftkmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM events
+      |  WHERE user_id IS NOT NULL),
+      |sk AS (
+      |  SELECT g, list_slice(list(h ORDER BY h), 1, 128) AS sk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM gh GROUP BY g),
+      |se AS (SELECT g, u.h2 AS h FROM sk, unnest(sk.sk) AS u(h2)),
+      |th AS (SELECT DISTINCT h FROM se),
+      |tot AS (
+      |  SELECT list_slice(list(h ORDER BY h), 1, 128) AS skt,
+      |    CAST(COUNT(*) AS BIGINT) AS nmt
+      |  FROM th),
+      |memb AS (
+      |  SELECT ht, COUNT(*) AS ntypes, MIN(g) AS g1
+      |  FROM (SELECT u.ht FROM tot, unnest(skt) AS u(ht)) mh
+      |  JOIN se ON se.h = mh.ht
+      |  GROUP BY ht),
+      |rho AS (
+      |  SELECT g1 AS g, CAST(COUNT(*) AS BIGINT) AS rho_excl
+      |  FROM memb WHERE ntypes = 1 GROUP BY g1),
+      |excl AS (
+      |  SELECT g1 AS g, CAST(COUNT(*) AS BIGINT) AS n_excl_exact
+      |  FROM (SELECT h, COUNT(*) AS nt, MIN(g) AS g1 FROM gh GROUP BY h) x
+      |  WHERE nt = 1 GROUP BY g1),
+      |est AS (
+      |  SELECT *, CASE WHEN nmt < 128 THEN CAST(nmt AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |      / CAST(skt[CAST(least(nmt, 128) AS INTEGER)] AS DOUBLE)
+      |    END AS est_total
+      |  FROM tot)
+      |SELECT sk.g AS event_type, sk.n_exact AS n_reach_exact,
+      |  COALESCE(excl.n_excl_exact, CAST(0 AS BIGINT)) AS n_excl_exact,
+      |  CASE WHEN len(sk.sk) < 128 THEN CAST(len(sk.sk) AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(sk.sk[128] AS DOUBLE)
+      |  END AS est_reach,
+      |  CASE WHEN est.nmt < 128
+      |    THEN CAST(COALESCE(rho.rho_excl, CAST(0 AS BIGINT)) AS DOUBLE)
+      |    ELSE CAST(COALESCE(rho.rho_excl, CAST(0 AS BIGINT)) AS DOUBLE) * est.est_total / CAST(128 AS DOUBLE)
+      |  END AS est_exclusive
+      |FROM sk CROSS JOIN est
+      |LEFT JOIN rho ON rho.g = sk.g
+      |LEFT JOIN excl ON excl.g = sk.g
       |ORDER BY event_type""".stripMargin
 
   /** **Fixed-point EWMA** — exponential smoothing (α = 1/2) of each
@@ -1496,5 +1625,6 @@ object DataCleaning {
     Q("value_profile", valueProfileSql)(valueProfile),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
     Q("segment_overlap", segmentOverlapSql)(segmentOverlap),
-    Q("segment_kmv_rollup", segmentKmvRollupSql)(segmentKmvRollup))
+    Q("segment_kmv_rollup", segmentKmvRollupSql)(segmentKmvRollup),
+    Q("segment_exclusive_reach", segmentExclusiveReachSql)(segmentExclusiveReach))
 }

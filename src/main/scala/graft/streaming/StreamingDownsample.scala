@@ -617,48 +617,88 @@ object StreamingDownsample {
     * invariant, making the front-only state lossless. Emits in update
     * mode the full current run list per touched key, with a monotone
     * `n_seen` so consumers pick the newest emission without a sink
-    * row-order promise. Production streams with a true arrival bound
-    * should prefer [[sessions]] (watermark eviction bounds state by OPEN
-    * sessions); this operator is the no-arrival-assumptions form, and an
-    * application-frontier sweep (emit-and-drop runs older than the
-    * frontier) is the eviction cadence when one exists. */
+    * row-order promise.
+    *
+    * **Bounded state** (`evictAfterSeconds = Some(b)`): the
+    * application-frontier sweep made concrete. The caller supplies a
+    * watermarked input (`events.withWatermark("ts", …)` — Spark refuses
+    * an event-time timeout without one, loudly); each key's timeout is
+    * pinned to (its latest event time + b), so when the watermark — the
+    * stream's application frontier — passes that deadline the key is
+    * emitted one final time and EVICTED: state size tracks OPEN keys
+    * only, never total users. Eviction is output-lossless for b ≥ gap:
+    * any event that could still merge into or bridge an evicted key's
+    * runs has ts ≤ lastEnd + gap ≤ deadline < watermark, i.e. the
+    * watermark filter would drop it BEFORE the state op whether or not
+    * the key was evicted (StreamingSpec pins both halves: eviction
+    * changes nothing for arrival within the bound, and evicted keys
+    * leave the state store). An event past the bound starts a fresh era
+    * for that key — by the gap rule it is a new session anyway, and the
+    * evicted emission is final for its era. With `None` (default) the
+    * operator keeps the no-arrival-assumptions contract: NoTimeout,
+    * state grows with total keys. */
   def sessionizeStream(events: Dataset[Event],
-      gapSeconds: Long = 3600L): Dataset[SessionsOut] = {
+      gapSeconds: Long = 3600L,
+      evictAfterSeconds: Option[Long] = None): Dataset[SessionsOut] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfterSeconds.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def outOf(userId: Long, s: SessState): SessionsOut =
+      SessionsOut(userId, s.nSeen,
+        s.startUs.map(tsOfMicros), s.endUs.map(tsOfMicros),
+        s.nEvents, s.types.map(_.size.toLong))
     events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessState]) => {
-          var runs: Seq[(Long, Long, Long, Set[String])] =
-            state.getOption.map(s => s.startUs.indices.map(i =>
-              (s.startUs(i), s.endUs(i), s.nEvents(i), s.types(i).toSet)).toSeq)
-              .getOrElse(Seq.empty)
-          var seen = state.getOption.map(_.nSeen).getOrElse(0L)
-          batch.foreach { e =>
-            seen += 1
-            val us = micros(e.ts)
-            val sec = Math.floorDiv(us, 1000000L)
-            val (joins, rest) = runs.partition { r =>
-              val sSec = Math.floorDiv(r._1, 1000000L)
-              val eSec = Math.floorDiv(r._2, 1000000L)
-              sec >= sSec - gapSeconds && sec <= eSec + gapSeconds
+          if (state.hasTimedOut) {
+            // frontier passed this key's deadline: final emission, evict
+            val out = outOf(userId, state.get)
+            state.remove()
+            out
+          } else {
+            var runs: Seq[(Long, Long, Long, Set[String])] =
+              state.getOption.map(s => s.startUs.indices.map(i =>
+                (s.startUs(i), s.endUs(i), s.nEvents(i), s.types(i).toSet)).toSeq)
+                .getOrElse(Seq.empty)
+            var seen = state.getOption.map(_.nSeen).getOrElse(0L)
+            batch.foreach { e =>
+              seen += 1
+              val us = micros(e.ts)
+              val sec = Math.floorDiv(us, 1000000L)
+              val (joins, rest) = runs.partition { r =>
+                val sSec = Math.floorDiv(r._1, 1000000L)
+                val eSec = Math.floorDiv(r._2, 1000000L)
+                sec >= sSec - gapSeconds && sec <= eSec + gapSeconds
+              }
+              runs = rest :+ ((
+                (us +: joins.map(_._1)).min,
+                (us +: joins.map(_._2)).max,
+                joins.map(_._3).sum + 1L,
+                joins.foldLeft(Set(e.event_type))(_ ++ _._4)))
             }
-            runs = rest :+ ((
-              (us +: joins.map(_._1)).min,
-              (us +: joins.map(_._2)).max,
-              joins.map(_._3).sum + 1L,
-              joins.foldLeft(Set(e.event_type))(_ ++ _._4)))
+            val sorted = runs.sortBy(r => (r._1, r._2))
+            state.update(SessState(sorted.map(_._1), sorted.map(_._2),
+              sorted.map(_._3), sorted.map(_._4.toSeq.sorted), seen))
+            evictAfterSeconds.foreach { b =>
+              // deadline = latest event absorbed by this key + bound; the
+              // run ends ARE event times, so no extra state field. Clamped
+              // past the current watermark (Spark refuses a deadline the
+              // frontier already passed).
+              val lastUs = sorted.map(_._2).max
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(lastUs, 1000L) + b * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            SessionsOut(userId, seen,
+              sorted.map(r => tsOfMicros(r._1)), sorted.map(r => tsOfMicros(r._2)),
+              sorted.map(_._3), sorted.map(_._4.size.toLong))
           }
-          val sorted = runs.sortBy(r => (r._1, r._2))
-          state.update(SessState(sorted.map(_._1), sorted.map(_._2),
-            sorted.map(_._3), sorted.map(_._4.toSeq.sorted), seen))
-          SessionsOut(userId, seen,
-            sorted.map(r => tsOfMicros(r._1)), sorted.map(r => tsOfMicros(r._2)),
-            sorted.map(_._3), sorted.map(_._4.size.toLong))
         })
   }
 
   final case class FunnelState(views: Seq[Long], clicks: Seq[Long],
-    purchases: Seq[Long], nSeen: Long)
+    purchases: Seq[Long], nSeen: Long, lastUs: Long)
   final case class FunnelOut(user_id: Long, n_seen: Long,
     t_view: Option[Timestamp], t_click: Option[Timestamp],
     t_purchase: Option[Timestamp])
@@ -679,35 +719,65 @@ object StreamingDownsample {
     * at every point: emitted rows always equal the batch funnel over
     * events-seen-so-far (StreamingSpec proves convergence under a
     * seeded shuffle split across batches). Update-mode emission with
-    * the monotone `n_seen` pick-latest discipline. */
+    * the monotone `n_seen` pick-latest discipline.
+    *
+    * **Bounded state** (`evictAfterSeconds = Some(b)`, watermarked
+    * input required): b is the ATTRIBUTION WINDOW — a user inactive for
+    * b of event time past their last event (any type; `lastUs` tracks
+    * it in state) is emitted finally and evicted, so state holds OPEN
+    * funnels only. Unlike [[sessionizeStream]] no bound makes eviction
+    * fully lossless (a purchase at ANY later time could extend an open
+    * chain) — freezing the funnel at the window edge IS the product
+    * semantics, the same contract every attribution system ships. For
+    * arrival within the bound, outputs are identical to the unbounded
+    * form (spec-pinned). */
   def funnelStream(events: Dataset[Event],
-      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelOut] = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      evictAfterSeconds: Option[Long] = None): Dataset[FunnelOut] = {
     require(stages.size == 3, s"funnelStream tracks a 3-stage chain, got $stages")
     import events.sparkSession.implicits._
     val Seq(s0, s1, s2) = stages
+    val timeoutConf =
+      if (evictAfterSeconds.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def outOf(userId: Long, st: FunnelState): FunnelOut = {
+      val tv = st.views.minOption
+      val tc = tv.flatMap(v => st.clicks.filter(_ > v).minOption)
+      val tp = tc.flatMap(c => st.purchases.filter(_ > c).minOption)
+      FunnelOut(userId, st.nSeen, tv.map(tsOfMicros),
+        tc.map(tsOfMicros), tp.map(tsOfMicros))
+    }
     events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
-          var st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil, 0L))
-          batch.foreach { e =>
-            val us = micros(e.ts)
-            st = e.event_type match {
-              case `s0` => st.copy(views = st.views :+ us, nSeen = st.nSeen + 1)
-              case `s1` => st.copy(clicks = st.clicks :+ us, nSeen = st.nSeen + 1)
-              case `s2` => st.copy(purchases = st.purchases :+ us, nSeen = st.nSeen + 1)
-              case _ => st.copy(nSeen = st.nSeen + 1)
+          if (state.hasTimedOut) {
+            val out = outOf(userId, state.get)
+            state.remove()
+            out
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil, 0L, 0L))
+            batch.foreach { e =>
+              val us = micros(e.ts)
+              st = e.event_type match {
+                case `s0` => st.copy(views = st.views :+ us, nSeen = st.nSeen + 1)
+                case `s1` => st.copy(clicks = st.clicks :+ us, nSeen = st.nSeen + 1)
+                case `s2` => st.copy(purchases = st.purchases :+ us, nSeen = st.nSeen + 1)
+                case _ => st.copy(nSeen = st.nSeen + 1)
+              }
+              st = st.copy(lastUs = math.max(st.lastUs, us))
             }
+            state.update(st)
+            evictAfterSeconds.foreach { b =>
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(st.lastUs, 1000L) + b * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            outOf(userId, st)
           }
-          state.update(st)
-          val tv = st.views.minOption
-          val tc = tv.flatMap(v => st.clicks.filter(_ > v).minOption)
-          val tp = tc.flatMap(c => st.purchases.filter(_ > c).minOption)
-          FunnelOut(userId, st.nSeen, tv.map(tsOfMicros),
-            tc.map(tsOfMicros), tp.map(tsOfMicros))
         })
   }
 
-  final case class RetState(days: Seq[Long], nSeen: Long)
+  final case class RetState(days: Seq[Long], nSeen: Long, lastUs: Long)
   final case class RetentionOut(user_id: Long, n_seen: Long,
     cohort_day: Long, weeks: Seq[Long])
 
@@ -727,8 +797,19 @@ object StreamingDownsample {
     * `retention` query). `cohort_day` rides as an epoch-day long —
     * exact integers — bucketed in the SESSION time zone captured at
     * construction, matching the batch query's `to_date(ts)` semantics
-    * in any session configuration, not just the repo's pinned UTC. */
-  def retentionStream(events: Dataset[Event]): Dataset[RetentionOut] = {
+    * in any session configuration, not just the repo's pinned UTC.
+    *
+    * **Bounded state** (`evictAfterSeconds = Some(b)`, watermarked
+    * input required): a user inactive for b of event time is emitted
+    * finally and evicted — state tracks OPEN (recently active) users
+    * only. The retention caveat mirrors [[funnelStream]]'s: a
+    * past-the-bound return visit would have extended the user's week
+    * set, so b is the OBSERVATION WINDOW (choose it ≥ the matrix's
+    * maximum week offset and eviction is lossless for the cells the
+    * matrix reports; arrival within the bound is output-identical to
+    * the unbounded form — spec-pinned). */
+  def retentionStream(events: Dataset[Event],
+      evictAfterSeconds: Option[Long] = None): Dataset[RetentionOut] = {
     import events.sparkSession.implicits._
     val zone = java.time.ZoneId.of(
       events.sparkSession.sessionState.conf.sessionLocalTimeZone)
@@ -737,19 +818,41 @@ object StreamingDownsample {
         .ofEpochSecond(Math.floorDiv(us, 1000000L),
           Math.floorMod(us, 1000000L) * 1000L)
         .atZone(zone).toLocalDate.toEpochDay
+    val timeoutConf =
+      if (evictAfterSeconds.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def outOf(userId: Long, s: RetState): RetentionOut = {
+      val cohort = s.days.min
+      RetentionOut(userId, s.nSeen, cohort,
+        s.days.map(d => (d - cohort) / 7).distinct.sorted)
+    }
     events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (userId: Long, batch: Iterator[Event], state: GroupState[RetState]) => {
-          var days = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Long])
-          var seen = state.getOption.map(_.nSeen).getOrElse(0L)
-          batch.foreach { e =>
-            seen += 1
-            days += epochDay(micros(e.ts))
+          if (state.hasTimedOut) {
+            val out = outOf(userId, state.get)
+            state.remove()
+            out
+          } else {
+            var days = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Long])
+            var seen = state.getOption.map(_.nSeen).getOrElse(0L)
+            var lastUs = state.getOption.map(_.lastUs).getOrElse(0L)
+            batch.foreach { e =>
+              seen += 1
+              val us = micros(e.ts)
+              lastUs = math.max(lastUs, us)
+              days += epochDay(us)
+            }
+            state.update(RetState(days.toSeq.sorted, seen, lastUs))
+            evictAfterSeconds.foreach { b =>
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(lastUs, 1000L) + b * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            val cohort = days.min
+            RetentionOut(userId, seen, cohort,
+              days.map(d => (d - cohort) / 7).toSeq.sorted)
           }
-          state.update(RetState(days.toSeq.sorted, seen))
-          val cohort = days.min
-          RetentionOut(userId, seen, cohort,
-            days.map(d => (d - cohort) / 7).toSeq.sorted)
         })
   }
 

@@ -19,7 +19,7 @@ class KmvSpec extends SparkTestBase {
 
   private val K = 128
 
-  private def overlapOf(aIds: Seq[Long], bIds: Seq[Long]) = {
+  private def overlapRowOf(aIds: Seq[Long], bIds: Seq[Long]) = {
     val df = (aIds.map(("a", _)) ++ bIds.map(("b", _))).toDF("g", "id")
     val sk = Kmv.sketch(df, col("g"), col("id"), K)
     val pairs = sk.filter(col("g") === "a")
@@ -27,8 +27,14 @@ class KmvSpec extends SparkTestBase {
       .crossJoin(sk.filter(col("g") === "b")
         .select(col("sk").as("skb"), col("n_exact").as("n_b")))
     Kmv.overlapEstimates(pairs, K)
-      .select("n_a", "n_b", "est_union", "est_intersect", "jaccard_est")
-      .as[(Long, Long, Double, Double, Double)].head()
+      .select("n_a", "n_b", "est_union", "est_intersect", "jaccard_est",
+        "est_a_only", "est_b_only")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+  }
+
+  private def overlapOf(aIds: Seq[Long], bIds: Seq[Long]) = {
+    val r = overlapRowOf(aIds, bIds)
+    (r._1, r._2, r._3, r._4, r._5)
   }
 
   test("below k the sketch IS the set: estimates collapse to exact counts") {
@@ -119,6 +125,77 @@ class KmvSpec extends SparkTestBase {
     val exchangeIdx = plan.indexOf("Exchange")
     assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
       s"partial fold should sit BELOW the exchange in the printed tree:\n${plan.take(2000)}")
+  }
+
+  test("difference estimates collapse exactly below k and partition the union") {
+    // |A∖B|=40, |B∖A|=30, below k: every estimate is the exact count
+    val (_, _, _, _, _, ea, eb) = overlapRowOf(0L until 60L, 40L until 90L)
+    assert(ea == 40.0, s"est_a_only $ea")
+    assert(eb == 30.0, s"est_b_only $eb")
+  }
+
+  test("difference estimates: ρ-partition makes int+aOnly+bOnly ≡ union, and 3-RSE accuracy holds") {
+    // |A∖B|=2000, |B∖A|=1500, |A∩B|=1000 — θ estimator fully engaged
+    val (_, _, estU, estI, _, ea, eb) = overlapRowOf(0L until 3000L, 2000L until 4500L)
+    // the three sample counts partition the k-sample EXACTLY, so the
+    // estimates sum to est_union up to three IEEE roundings
+    assert(math.abs((estI + ea + eb) - estU) <= 1e-9 * estU,
+      s"partition law: $estI + $ea + $eb != $estU")
+    assert(math.abs(ea - 2000.0) / 2000.0 < 0.27, s"a-only est $ea")
+    assert(math.abs(eb - 1500.0) / 1500.0 < 0.40, s"b-only est $eb")
+  }
+
+  test("exclusive reach at sf0.001: below-k total collapses estimates to exact counts") {
+    val rows = SparkEntry.queries("segment_exclusive_reach")(spark, sf0001)
+      .select("event_type", "n_reach_exact", "n_excl_exact", "est_reach",
+        "est_exclusive")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val totalDistinct = rows.map(_._2).max // <= true total; enough to know < K
+    rows.foreach { case (g, nr, ne, estR, estE) =>
+      assert(ne <= nr, s"$g exclusive > reach")
+      if (nr < K) assert(estR == nr.toDouble, s"$g est_reach $estR != $nr")
+    }
+    // sf0.001 has ~64 users total, far below k: the union sketch is the
+    // whole audience and exclusive estimates are exact
+    if (totalDistinct < K)
+      rows.foreach { case (g, _, ne, _, estE) =>
+        assert(estE == ne.toDouble, s"$g est_exclusive $estE != exact $ne")
+      }
+  }
+
+  test("exclusive reach: multi-way estimator tracks truth in the θ regime") {
+    // three segments over a 6000-user universe with planted exclusives:
+    // A = [0,3000), B = [2000,4500), C = [4000,6000)
+    // exclusive: A-only [0,2000)=2000, B-only ∅ overlapped... compute:
+    // A∖(B∪C) = [0,2000) = 2000; B∖(A∪C) = [3000,4000) = 1000;
+    // C∖(A∪B) = [4500,6000) = 1500
+    val df = ((0L until 3000L).map(("A", _)) ++
+      (2000L until 4500L).map(("B", _)) ++
+      (4000L until 6000L).map(("C", _))).toDF("event_type", "user_id")
+    val sk = Kmv.sketch(df, col("event_type"), col("user_id"), K)
+    val se = sk.select(col("g"), explode(col("sk")).as("h"))
+    val tot = se.select(col("h")).distinct()
+      .agg(graft.functions.KmvSketchAgg(col("h"), K).as("skt"),
+        count(lit(1)).as("nmt"))
+    val Seq((skt, nmt)) = tot.as[(Seq[Long], Long)].collect().toSeq
+    assert(nmt >= K, "θ regime requires the union past k")
+    val theta = skt(K - 1)
+    val estTotal = (K - 1).toDouble * Kmv.HashSpace / theta.toDouble
+    val memb = tot.select(explode(col("skt")).as("ht"))
+      .join(se, col("ht") === col("h"))
+      .groupBy(col("ht"))
+      .agg(count(lit(1)).as("ntypes"), min(col("g")).as("g1"))
+    val rho = memb.filter(col("ntypes") === 1)
+      .groupBy(col("g1")).agg(count(lit(1)).as("re"))
+      .as[(String, Long)].collect().toMap
+    val want = Map("A" -> 2000.0, "B" -> 1000.0, "C" -> 1500.0)
+    want.foreach { case (g, truth) =>
+      val est = rho.getOrElse(g, 0L).toDouble * estTotal / K.toDouble
+      assert(math.abs(est - truth) / truth < 0.45,
+        s"$g exclusive est $est vs truth $truth (3-RSE envelope on a " +
+          s"~k/4 subsample)")
+    }
   }
 
   test("segment_overlap at sf0.001 takes the exact path (all segments < k)") {

@@ -353,6 +353,100 @@ class StreamingSpec extends SparkTestBase {
       "exact-gap ties chain 0-3600-7200 into one run; 10801 breaks")
   }
 
+  test("sessionizeStream bounded: frontier eviction keeps OPEN keys only, output unchanged within bound") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, sec: Long) =
+      Event(id, new Timestamp(sec * 1000L), user, "x", 0.0)
+    // watermark delay 3000 s admits in-bound late arrivals; eviction
+    // bound 7200 s >= gap 3600 s = the lossless regime the scaladoc pins
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.sessionizeStream(
+        mem.toDS().withWatermark("ts", "3000 seconds"),
+        evictAfterSeconds = Some(7200L))
+      .writeStream.format("memory").queryName("sess_evict_out")
+      .outputMode("update").start()
+    mem.addData(Seq(ev(1, 1L, 0L), ev(2, 1L, 1000L), ev(3, 2L, 500L)))
+    q.processAllAvailable()
+    // late arrival WITHIN the bound (ts 800 >= watermark 0) still merges
+    mem.addData(Seq(ev(4, 1L, 800L))); q.processAllAvailable()
+    // user 2 leaps ahead: end-of-batch watermark 97000 s passes user 1's
+    // deadline (1000 + 7200); the NEXT batch's timeout sweep evicts
+    mem.addData(Seq(ev(5, 2L, 100000L))); q.processAllAvailable()
+    mem.addData(Seq(ev(6, 2L, 100001L))); q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    val got = spark.table("sess_evict_out")
+      .filter(col("user_id") === 1L)
+      .orderBy(col("n_seen").desc).limit(1)
+      .select("n_seen", "session_start", "session_end", "n_events")
+      .as[(Long, Seq[Timestamp], Seq[Timestamp], Seq[Long])].head()
+    q.stop()
+    assert(stateRows.contains(1L),
+      s"state must hold only the OPEN key (user 2), got $stateRows rows")
+    // the evicted key's final snapshot: one run [0, 1000] with all 3
+    // events (the in-bound late 800 merged) — identical to what the
+    // unbounded operator would hold for the same post-watermark stream
+    assert(got._1 == 3L)
+    assert(got._2.map(_.getTime / 1000L) == Seq(0L))
+    assert(got._3.map(_.getTime / 1000L) == Seq(1000L))
+    assert(got._4 == Seq(3L))
+  }
+
+  test("funnelStream/retentionStream bounded: inactive users evicted, eras split loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, sec: Long, typ: String) =
+      Event(id, new Timestamp(sec * 1000L), user, typ, 0.0)
+    val memF = MemoryStream[Event]
+    val qf = StreamingDownsample.funnelStream(
+        memF.toDS().withWatermark("ts", "0 seconds"),
+        evictAfterSeconds = Some(7200L))
+      .writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode("update").start()
+    memF.addData(Seq(ev(1, 1L, 0L, "view"), ev(2, 1L, 1000L, "click"),
+      ev(3, 2L, 500L, "view")))
+    qf.processAllAvailable()
+    memF.addData(Seq(ev(4, 2L, 100000L, "view"))); qf.processAllAvailable()
+    memF.addData(Seq(ev(5, 2L, 100001L, "view"))); qf.processAllAvailable()
+    // attribution window closed: user 1's chain froze at (view, click, -)
+    // and a post-eviction purchase starts a FRESH era (n_seen restarts)
+    memF.addData(Seq(ev(6, 1L, 100002L, "purchase"))); qf.processAllAvailable()
+    val fRows = spark.table("funnel_evict_out")
+      .filter(col("user_id") === 1L)
+      .select("n_seen", "t_view", "t_click", "t_purchase")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect()
+    val fState = qf.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    qf.stop()
+    val frozen = fRows.filter(_._1 == 2L).last
+    assert(frozen._2.map(_.getTime / 1000L).contains(0L) &&
+      frozen._3.map(_.getTime / 1000L).contains(1000L) && frozen._4.isEmpty,
+      s"frozen chain wrong: $frozen")
+    assert(fRows.exists(r => r._1 == 1L && r._2.isEmpty && r._4.nonEmpty),
+      "post-eviction purchase must open a fresh era, not resurrect the chain")
+    assert(fState.contains(2L), s"open funnels only (users 1-era2, 2): $fState")
+
+    val memR = MemoryStream[Event]
+    val qr = StreamingDownsample.retentionStream(
+        memR.toDS().withWatermark("ts", "0 seconds"),
+        evictAfterSeconds = Some(7200L))
+      .writeStream.format("memory").queryName("ret_evict_out")
+      .outputMode("update").start()
+    memR.addData(Seq(ev(1, 1L, 0L, "x"), ev(2, 2L, 500L, "x")))
+    qr.processAllAvailable()
+    memR.addData(Seq(ev(3, 2L, 1000000L, "x"))); qr.processAllAvailable()
+    memR.addData(Seq(ev(4, 2L, 1000001L, "x"))); qr.processAllAvailable()
+    val rState = qr.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    val rGot = spark.table("ret_evict_out")
+      .filter(col("user_id") === 1L)
+      .orderBy(col("n_seen").desc).limit(1)
+      .select("cohort_day", "weeks").as[(Long, Seq[Long])].head()
+    qr.stop()
+    assert(rState.contains(1L), s"retention state must track open users: $rState")
+    assert(rGot == ((0L, Seq(0L))), s"evicted snapshot wrong: $rGot")
+  }
+
   test("stream-stream interval join converges to the batch attribution join") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.events(spark, sf0001)
