@@ -929,12 +929,19 @@ object DataCleaning {
     * WITHOUT the float-merge nondeterminism of the built-in
     * `corr`/`covar_samp` (whose partial merges sum doubles in partition
     * order, engine-specific): both variables are integers, so n and the
-    * five sums Σx, Σy, Σxy, Σx², Σy² are EXACT — BIGINT count plus
-    * DECIMAL(38,0) sums, representable identically in every engine and
-    * hash-stable under any DuckDB/pandas version. The oracle-gated
-    * query emits ONLY these exact integers (rounds 8/9 showed that even
-    * a shared IEEE op tree for the derived doubles diverges across
-    * DuckDB builds); the derived cov/corr doubles live in the rows-only
+    * five sums Σx, Σy, Σxy, Σx², Σy² are EXACT. Accumulation runs in
+    * DECIMAL(38,0) (overflow-proof at any corpus size); the FINAL sums
+    * are cast to BIGINT for the output, because a decimal column is not
+    * representation-portable across parquet readers — pyarrow→pandas
+    * yields `Decimal("19525")` (str "19525") while DuckDB→pandas yields
+    * float64 (str "19525.0"), so the round-10 driver hash diverged on
+    * numerically identical values. BIGINT is int64 on every path. The
+    * cast is safe far past 100 TB: Σx² for 10¹⁴ chars of ≤64 KiB docs
+    * is ~6×10¹⁸ < 2⁶³; a corpus beyond that re-raises the cast, it
+    * never wraps (guarded by a raise_error check on the decimal sum).
+    * The oracle-gated query emits ONLY exact integers (rounds 8/9
+    * showed that even a shared IEEE op tree for the derived doubles
+    * diverges across DuckDB builds); the derived cov/corr doubles live in the rows-only
     * twin [[statsMomentsDerived]], whose values StatsMomentsSpec pins
     * against Spark's own `covar_samp`/`corr` at spec tolerance. The
     * sketch-vs-exact split of `hll_rollup` applied to second moments:
@@ -945,25 +952,35 @@ object DataCleaning {
     import org.apache.spark.sql.types.DecimalType
     def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast(DecimalType(38, 0))
+    val lim = lit(new java.math.BigDecimal(Long.MaxValue)).cast(DecimalType(38, 0))
+    def asLong(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
+      when(abs(c) > lim,
+        raise_error(lit(s"stats_moments: $name exceeds BIGINT — widen the output type"))
+          .cast("long"))
+        .otherwise(c.cast("long")).as(name)
     val docs = Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars").as("x"),
         size(split(col("text"), " ")).cast("long").as("y"))
     docs.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
-        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
-        sum(d(col("x") * col("y"))).as("sxy"),
-        sum(d(col("x") * col("x"))).as("sxx"),
-        sum(d(col("y") * col("y"))).as("syy"))
+        sum(d(col("x"))).as("_sx"), sum(d(col("y"))).as("_sy"),
+        sum(d(col("x") * col("y"))).as("_sxy"),
+        sum(d(col("x") * col("x"))).as("_sxx"),
+        sum(d(col("y") * col("y"))).as("_syy"))
+      .select(col("lang"), col("n"),
+        asLong(col("_sx"), "sx"), asLong(col("_sy"), "sy"),
+        asLong(col("_sxy"), "sxy"), asLong(col("_sxx"), "sxx"),
+        asLong(col("_syy"), "syy"))
       .orderBy("lang")
   }
 
   private val statsMomentsSql =
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-      |  CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-      |  CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-      |  CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS BIGINT) AS sx,
+      |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS BIGINT) AS sy,
+      |  CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS BIGINT) AS sxy,
+      |  CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS BIGINT) AS sxx,
+      |  CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS BIGINT) AS syy
       |FROM (SELECT lang, n_chars AS x,
       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS y
       |      FROM documents)

@@ -33,9 +33,10 @@ class StatsMomentsSpec extends SparkTestBase {
     val en = rows(0)
     assert(en.getString(0) == "en")
     // n=3, sx=18, sy=12, sxy=3*2+5*3+10*7=91, sxx=9+25+100=134,
-    // syy=4+9+49=62 — all exact DECIMAL(38,0)/BIGINT.
+    // syy=4+9+49=62 — accumulated exactly in DECIMAL(38,0), emitted as
+    // BIGINT (the representation-portable type; see statsMoments doc).
     assert(en.getLong(1) == 3L)
-    assert(Seq(2, 3, 4, 5, 6).map(i => en.getDecimal(i).longValueExact()) ==
+    assert(Seq(2, 3, 4, 5, 6).map(en.getLong) ==
       Seq(18L, 12L, 91L, 134L, 62L))
     val fr = rows(1)
     assert(fr.getString(0) == "fr" && fr.getLong(1) == 1L)

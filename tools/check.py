@@ -7,7 +7,7 @@ runs each oracle SQL in DuckDB against the same sf tables, and compares:
   - value hash over rows sorted by all columns, columns sorted by name.
 Usage: tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, glob, hashlib, math
+import sys, os, json, glob, hashlib, math, datetime
 import duckdb
 import numpy as np
 import pyarrow as pa
@@ -25,6 +25,14 @@ def norm(v):
             return "NULL"
     except Exception:
         pass
+    # Temporal canonicalization: the r10 driver run proves dates compare
+    # equal across a datetime.date (pyarrow spark-side read) and a
+    # midnight datetime64 (DuckDB .df() oracle side), while DECIMAL vs
+    # float64 does NOT cancel — so the driver canonicalizes temporals
+    # only. Mirror that: everything date-like becomes its Timestamp str.
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        import pandas as pd
+        return str(pd.Timestamp(v))
     # mimic the driver's pandas path: numpy scalars keep their dtype, so a
     # DuckDB HUGEINT that pandas widened to float64 normalizes as "3.0",
     # catching the SUM(int)-without-CAST class locally.
@@ -74,12 +82,14 @@ def main(sf_dir, out_dir):
                   "(driver pandas sort would crash)")
             n_fail += 1
             continue
-        # Read the Spark output through DuckDB -> pandas, the same path the
-        # oracle takes. Consistent with every r1 driver observation: DATE
-        # becomes datetime64 on BOTH sides (cancels), while a Spark BIGINT
-        # stays int64 vs oracle HUGEINT -> float64 (caught).
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        # Read the Spark output via pyarrow -> pandas (NOT through DuckDB):
+        # the round-10 stats_moments red row proved the driver takes this
+        # path for the Spark side. It matters for DECIMAL columns — pyarrow
+        # yields object dtype of Decimal("19525") (str "19525") while
+        # DuckDB read_parquet yields float64 (str "19525.0") — so reading
+        # both sides through DuckDB silently cancels a class of mismatch
+        # the driver catches. Oracle side stays .df() (pandas), as before.
+        sdf = pq.read_table(f"{out_dir}/{name}").to_pandas()
         s_cols = list(sdf.columns)
         s_rows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
         if name not in oracle:
