@@ -260,11 +260,155 @@ object Behavioral {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** **First-order event-type transition matrix** (Markov edge counts):
+    * per user, order events by (ts, event_id) and count each adjacent
+    * (prev_type → type) pair globally. The classic clickstream "where
+    * do users go next" question; also the input to Markov-chain
+    * attribution. One shuffle on user_id for the lag window, then a
+    * map-side-combinable count over at most |types|² groups — the
+    * second aggregation is effectively free at any scale, and the
+    * output is O(|types|²) regardless of corpus size. All-integer
+    * output, hash-stable. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("prev_type"), col("next_type"),
+        col("n_transitions"), col("n_users"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val eventTransitionsSql =
+    """SELECT prev_type, event_type AS next_type,
+      |  COUNT(*) AS n_transitions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  /** **Top entry paths** — the most common first-three-event-type
+    * sequences across users (shorter for users with fewer events),
+    * ranked by user count. Per user the prefix is assembled from the
+    * row_number()-limited head, so the shuffle carries ≤ 3 rows per
+    * user no matter how long the history is; the path strings then
+    * aggregate into at most |types|³ groups. `sort_array` over
+    * (rn, type) structs makes the collect_list order deterministic —
+    * collect_list alone is arrival-ordered and NOT reproducible across
+    * partitionings. Ties broken by path text; all-integer counts. */
+  def pathTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prefixes = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type")),
+        ">").as("path"))
+    prefixes.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+      .select(col("path"), col("n_users"))
+  }
+
+  private val pathTopkSql =
+    """SELECT path, n_users FROM (
+      |  SELECT path, COUNT(*) AS n_users FROM (
+      |    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |    FROM (
+      |      SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |      FROM events)
+      |    WHERE rn <= 3
+      |    GROUP BY user_id)
+      |  GROUP BY path)
+      |ORDER BY n_users DESC, path
+      |LIMIT 20""".stripMargin
+
+  /** **Integer-exact rolling anomaly flags** over the daily event-count
+    * series per type: a day is anomalous when its count deviates from
+    * the trailing 7-day window (excluding the current day) by more than
+    * 3 sample standard deviations. The 3σ test is evaluated WITHOUT any
+    * floating point: with n, s = Σcnt, ss = Σcnt² over the window,
+    *   |x − s/n| > 3·σ  ⇔  (n·x − s)²·(n−1) > 9·n·(n·ss − s²),
+    * and both sides are computed in DECIMAL(38,0) — exact at any count
+    * magnitude (a BIGINT formulation would overflow (n·x−s)² once daily
+    * counts pass ~10⁹) — while only BIGINTs and the 0/1 flag are
+    * emitted, keeping the hash contract. Needs ≥ 4 prior days to judge.
+    * One shuffle on event_type (tiny), window frame ROWS 7 PRECEDING
+    * TO 1 PRECEDING; the daily pre-aggregation is map-side combined, so
+    * the shuffled relation is |types|×|days| rows, not events. */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("is_anomaly",
+        when(col("n") >= 4 &&
+          pow2(d(col("n")) * d(col("cnt")) - d(col("s"))) * d(col("n") - 1) >
+            d(lit(9)) * d(col("n")) *
+              (d(col("n")) * d(col("ss")) - pow2(d(col("s")))), 1L)
+          .otherwise(0L))
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("n"), col("s"), col("ss"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * c
+
+  private val tsAnomalySql =
+    """SELECT event_type, day, cnt, n, s, ss,
+      |  CASE WHEN n >= 4
+      |    AND (CAST(n AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+      |         - CAST(s AS DECIMAL(38,0)))
+      |        * (CAST(n AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+      |           - CAST(s AS DECIMAL(38,0)))
+      |        * CAST(n - 1 AS DECIMAL(38,0))
+      |      > CAST(9 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+      |        * (CAST(n AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))
+      |           - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+      |    THEN 1 ELSE 0 END AS is_anomaly
+      |FROM (
+      |  SELECT event_type, day, cnt,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+      |    CAST(SUM(cnt) OVER w AS BIGINT) AS s,
+      |    CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS ss
+      |  FROM (
+      |    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |      COUNT(*) AS cnt
+      |    FROM events GROUP BY event_type, day)
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
     Q("sessionize_native", sessionizeSql)(sessionizeNative),
     Q("retention", retentionSql)(retention),
     Q("latest_snapshot", latestSnapshotSql)(latestSnapshot),
-    Q("text_repetition", textRepetitionSql)(textRepetition))
+    Q("text_repetition", textRepetitionSql)(textRepetition),
+    Q("event_transitions", eventTransitionsSql)(eventTransitions),
+    Q("path_topk", pathTopkSql)(pathTopk(_, _)),
+    Q("ts_anomaly", tsAnomalySql)(tsAnomaly))
 }

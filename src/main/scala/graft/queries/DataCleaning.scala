@@ -1599,8 +1599,54 @@ object DataCleaning {
       |FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
       |ORDER BY o_orderkey""".stripMargin
 
+  /** **Functional-dependency audit** ([[graft.operators.DataQuality
+    * .fdDiscover]]) over six candidate dependencies across orders,
+    * lineitem and nation — two that genuinely hold (the primary keys
+    * `o_orderkey → o_custkey`, `(l_orderkey, l_linenumber) →
+    * l_partkey`, plus the dimension FD `n_nationkey → n_regionkey`)
+    * and three that don't. Complements [[dqAudit]]: those checks
+    * validate DECLARED constraints, this one DISCOVERS structure —
+    * the profiling step schema-inference and normalization tools run
+    * first. */
+  def fdDiscoverQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    val onOrders = DataQuality.fdDiscover(Tables.orders(spark, dir), Seq(
+      Seq("o_orderkey") -> "o_custkey",
+      Seq("o_custkey") -> "o_orderpriority",
+      Seq("o_orderstatus") -> "o_orderpriority"))
+    val onLineitem = DataQuality.fdDiscover(Tables.lineitem(spark, dir), Seq(
+      Seq("l_orderkey", "l_linenumber") -> "l_partkey",
+      Seq("l_orderkey") -> "l_suppkey"))
+    val onNation = DataQuality.fdDiscover(Tables.nation(spark, dir), Seq(
+      Seq("n_nationkey") -> "n_regionkey"))
+    onOrders.unionByName(onLineitem).unionByName(onNation)
+      .orderBy("lhs", "rhs")
+  }
+
+  private def fdSql(table: String, lhs: Seq[String], rhs: String): String = {
+    val lhsList = lhs.mkString(", ")
+    s"""SELECT '${lhs.mkString("+")}' AS lhs, '$rhs' AS rhs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lhs_distinct,
+       |  CAST(SUM(n_rhs) AS BIGINT) AS n_pair_distinct,
+       |  CAST(COUNT(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating_lhs,
+       |  COUNT(*) FILTER (n_rhs > 1) = 0 AS holds
+       |FROM (SELECT $lhsList, COUNT(*) AS n_rhs
+       |      FROM (SELECT DISTINCT $lhsList, $rhs FROM $table)
+       |      GROUP BY $lhsList)""".stripMargin
+  }
+
+  private val fdDiscoverSql = Seq(
+      fdSql("orders", Seq("o_orderkey"), "o_custkey"),
+      fdSql("orders", Seq("o_custkey"), "o_orderpriority"),
+      fdSql("orders", Seq("o_orderstatus"), "o_orderpriority"),
+      fdSql("lineitem", Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+      fdSql("lineitem", Seq("l_orderkey"), "l_suppkey"),
+      fdSql("nation", Seq("n_nationkey"), "n_regionkey"))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+
   val all: Seq[Q] = Seq(
     Q("dq_audit", dqAuditSql)(dqAudit),
+    Q("fd_discover", fdDiscoverSql)(fdDiscoverQ),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
     Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),

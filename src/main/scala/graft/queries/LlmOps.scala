@@ -2366,7 +2366,114 @@ object LlmOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** **BM25 keyword search** — top-50 documents for the fixed query
+    * {dup, hash, join, scan} under Okapi BM25 (k1 = 1.2, b = 0.75) with
+    * the RATIONAL odds-ratio idf (N − df + 0.5)/(df + 0.5), i.e. the
+    * classic formula minus its ln(): the log is monotone per term but
+    * not over the SUM, so this is a deliberate scoring variant chosen —
+    * like [[tfidfTerms]] — so every arithmetic step is a correctly
+    * rounded IEEE op both engines reproduce bit-identically (ln is
+    * libm-dependent). Per-term contributions are pivoted into fixed
+    * columns and added in one explicit order (dup + hash + join +
+    * scan); a GROUP-BY SUM of doubles would be partition-order-
+    * dependent. Emitted columns are integers (per-term tf, dl, rank);
+    * the double score only orders. Shape at scale: tf rows are
+    * pre-filtered to query terms before the doc-side aggregation, so
+    * the shuffle carries ≤ |Q| rows per doc; df and avgdl are two tiny
+    * broadcast scalars; the final top-k is TakeOrdered (no global
+    * sort). */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val terms = Seq("dup", "hash", "join", "scan")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("contrib",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))) *
+          col("idf"))
+    val pivoted = scored.groupBy(col("doc_id"), col("dl"))
+      .agg(
+        coalesce(max(when(col("term") === "dup", col("contrib"))), lit(0.0)).as("c_dup"),
+        coalesce(max(when(col("term") === "hash", col("contrib"))), lit(0.0)).as("c_hash"),
+        coalesce(max(when(col("term") === "join", col("contrib"))), lit(0.0)).as("c_join"),
+        coalesce(max(when(col("term") === "scan", col("contrib"))), lit(0.0)).as("c_scan"),
+        coalesce(max(when(col("term") === "dup", col("tf"))), lit(0L)).as("tf_dup"),
+        coalesce(max(when(col("term") === "hash", col("tf"))), lit(0L)).as("tf_hash"),
+        coalesce(max(when(col("term") === "join", col("tf"))), lit(0L)).as("tf_join"),
+        coalesce(max(when(col("term") === "scan", col("tf"))), lit(0L)).as("tf_scan"))
+      .withColumn("score",
+        col("c_dup") + col("c_hash") + col("c_join") + col("c_scan"))
+    pivoted
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("dl"),
+        col("tf_dup"), col("tf_hash"), col("tf_join"), col("tf_scan"))
+      .orderBy("rank")
+  }
+
+  private val bm25SearchSql =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, u.term AS term, COUNT(*) AS tf
+      |  FROM docs, UNNEST(toks) AS u(term)
+      |  WHERE u.term IN ('dup', 'hash', 'join', 'scan')
+      |  GROUP BY doc_id, dl, u.term),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+      |          FROM docs),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf,
+      |    CAST(tf.tf AS DOUBLE) * 2.2 /
+      |      (CAST(tf.tf AS DOUBLE) +
+      |        1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+      |               / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) *
+      |      ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      |      AS contrib
+      |  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s),
+      |pivoted AS (
+      |  SELECT doc_id, dl,
+      |    COALESCE(MAX(CASE WHEN term = 'dup' THEN contrib END), 0.0) AS c_dup,
+      |    COALESCE(MAX(CASE WHEN term = 'hash' THEN contrib END), 0.0) AS c_hash,
+      |    COALESCE(MAX(CASE WHEN term = 'join' THEN contrib END), 0.0) AS c_join,
+      |    COALESCE(MAX(CASE WHEN term = 'scan' THEN contrib END), 0.0) AS c_scan,
+      |    COALESCE(MAX(CASE WHEN term = 'dup' THEN tf END), 0) AS tf_dup,
+      |    COALESCE(MAX(CASE WHEN term = 'hash' THEN tf END), 0) AS tf_hash,
+      |    COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf_join,
+      |    COALESCE(MAX(CASE WHEN term = 'scan' THEN tf END), 0) AS tf_scan
+      |  FROM scored GROUP BY doc_id, dl)
+      |SELECT rank, doc_id, dl, tf_dup, tf_hash, tf_join, tf_scan FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |      ORDER BY c_dup + c_hash + c_join + c_scan DESC, doc_id) AS BIGINT)
+      |    AS rank
+      |  FROM pivoted)
+      |WHERE rank <= 50
+      |ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("bm25_search", bm25SearchSql)(bm25Search(_, _)),
     Q("dedup_exact", dedupExactSql)(dedupExact),
     Q("dedup_ngram", jaccardOracle("0.5"))(dedupNgram),
     Q("dedup_ngram_prefix", jaccardOracle("0.5"))(dedupNgramPrefix),

@@ -186,11 +186,87 @@ object Misc {
       |FROM pts p JOIN front USING (x, y, z)
       |ORDER BY p.o_orderkey""".stripMargin
 
+  /** **RFM customer segmentation** — the classic marketing-analytics
+    * triple: Recency (days since the customer's last order, measured
+    * from the corpus-wide latest order date), Frequency (order count),
+    * Monetary (lifetime spend). Each metric is ranked into quintiles
+    * with `ntile(5)`, 5 = best, and the three scores label a segment.
+    * Money is carried as exact CENTS (`round(price·100)` → BIGINT): a
+    * double SUM is partition-order-dependent and not reproducible, the
+    * integer sum is. Recency anchors on `max(o_orderdate)` via a
+    * scalar subquery — Catalyst runs it once and broadcasts the
+    * constant into the projection, no join. The ntile ties are broken
+    * by custkey so the quintile assignment is a total order, identical
+    * in any engine. Scale note: ntile needs a global sort of the
+    * customer aggregate — range-partitioned in Spark, |customers|
+    * rows, which is the small output relation of the orders
+    * aggregation, not the fact table; for truly unbounded key sets,
+    * swap ntile for approx-quantile bucket edges. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(cents).as("monetary_cents"))
+    val maxDate = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("global_max"))
+    val recency = perCust.crossJoin(broadcast(maxDate))
+      .withColumn("recency_days",
+        datediff(col("global_max"), col("last_order")).cast("long"))
+    def score(c: org.apache.spark.sql.Column, asc: Boolean) = {
+      val ord = if (asc) Seq(c.asc, col("o_custkey").asc)
+                else Seq(c.desc, col("o_custkey").asc)
+      ntile(5).over(Window.orderBy(ord: _*)).cast("long")
+    }
+    recency
+      .withColumn("r_score", score(col("recency_days"), asc = true))
+      .withColumn("f_score", score(col("frequency"), asc = false))
+      .withColumn("m_score", score(col("monetary_cents"), asc = false))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "loyal_at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select(col("o_custkey").as("custkey"), col("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy("custkey")
+  }
+
+  private val rfmSegmentsSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+      |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT)
+      |      AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT *,
+      |    CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS BIGINT) AS m_score
+      |  FROM per_cust)
+      |SELECT custkey, recency_days, frequency, monetary_cents,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |       WHEN r_score >= 4 THEN 'recent'
+      |       WHEN f_score >= 4 THEN 'loyal_at_risk'
+      |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |       ELSE 'regular' END AS segment
+      |FROM scored
+      |ORDER BY custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("window_navigation", windowNavigationSql)(windowNavigation),
     Q("bag_ops", bagOpsSql)(bagOps),
     Q("scalar_subquery", scalarSubquerySql)(scalarSubquery),
     Q("null_fns", nullFnsSql)(nullFns),
     Q("skyline", skylineSql)(skylineQ),
-    Q("skyline_3d", skyline3dSql)(skyline3dQ))
+    Q("skyline_3d", skyline3dSql)(skyline3dQ),
+    Q("rfm_segments", rfmSegmentsSql)(rfmSegments))
 }
