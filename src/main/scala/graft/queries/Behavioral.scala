@@ -401,6 +401,125 @@ object Behavioral {
       |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |ORDER BY event_type, day""".stripMargin
 
+  /** **Interval union length** (coverage): give every event a 900-second
+    * activity window and report, per user, the total seconds covered by
+    * the UNION of those overlapping intervals, the number of merged
+    * blocks, and the span endpoints. The merge is the gaps-and-islands
+    * fold in its general form: a block starts where the interval's
+    * start exceeds the running max of previous ends (an interval can be
+    * swallowed by an earlier, longer one — plain lag(end) would split
+    * such blocks; the PREFIX MAX is what makes the fold correct). All
+    * arithmetic is epoch-second integers. Same one-shuffle shape as
+    * `sessionize`: the two chained windows and the aggregates reuse a
+    * single user_id exchange. */
+  def intervalUnion(spark: SparkSession, dir: String,
+      windowSeconds: Long = 900L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("s"))
+      .withColumn("e", col("s") + windowSeconds)
+      .withColumn("prev_max_e", max(col("e")).over(prior))
+      .withColumn("is_new",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("block", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("block"))
+      .agg(min(col("s")).as("bs"), max(col("e")).as("be"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("be") - col("bs")).as("covered_seconds"),
+        min(col("bs")).as("first_start"), max(col("be")).as("last_end"))
+      .orderBy("user_id")
+  }
+
+  private val intervalUnionSql =
+    """SELECT user_id, COUNT(*) AS n_blocks,
+      |  CAST(SUM(be - bs) AS BIGINT) AS covered_seconds,
+      |  MIN(bs) AS first_start, MAX(be) AS last_end
+      |FROM (
+      |  SELECT user_id, block, MIN(s) AS bs, MAX(e) AS be
+      |  FROM (
+      |    SELECT user_id, s, e,
+      |      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS block
+      |    FROM (
+      |      SELECT user_id, event_id, s, e,
+      |        CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |             OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM (
+      |        SELECT user_id, event_id,
+      |          CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+      |          CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 900 AS e
+      |        FROM events)))
+      |  GROUP BY user_id, block)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** **Session co-occurrence pairs** (market-basket lite): which event
+    * types appear together in the same session, counted over sessions —
+    * the UNORDERED complement of [[eventTransitions]]' ordered
+    * adjacency. Sessions come from the same gaps-and-islands fold as
+    * [[sessionize]]; each session reduces to its distinct type set
+    * before the pair expansion, so the self-join input is ≤
+    * sessions×|types| rows and the pair space ≤ |types|² groups —
+    * at 100 TB the expansion is bounded by the tiny type vocabulary,
+    * never by event volume. Pairs are canonically ordered (a < b). */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessTypes = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 3600L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val memo = graft.operators.Dedup.memoPersist(sessTypes)
+    val a = memo.as("a")
+    val b = memo.as("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("a.user_id")).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val basketPairsSql =
+    """WITH sess AS (
+      |  SELECT DISTINCT user_id, session_id, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, ts, event_type,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |               OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |                  - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))))
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM sess a JOIN sess b
+      |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |  AND a.event_type < b.event_type
+      |GROUP BY type_a, type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
@@ -410,5 +529,7 @@ object Behavioral {
     Q("text_repetition", textRepetitionSql)(textRepetition),
     Q("event_transitions", eventTransitionsSql)(eventTransitions),
     Q("path_topk", pathTopkSql)(pathTopk(_, _)),
-    Q("ts_anomaly", tsAnomalySql)(tsAnomaly))
+    Q("ts_anomaly", tsAnomalySql)(tsAnomaly),
+    Q("interval_union", intervalUnionSql)(intervalUnion(_, _)),
+    Q("basket_pairs", basketPairsSql)(basketPairs))
 }

@@ -887,4 +887,89 @@ object StreamingDownsample {
           out.iterator
         })
   }
+
+  final case class TransState(tsUs: Seq[Long], ids: Seq[Long],
+    types: Seq[String])
+  final case class TransitionOut(user_id: Long, prev_type: String,
+    next_type: String, at: Timestamp)
+
+  /** **Streaming transition finalizer** — the append-mode twin of the
+    * batch [[graft.queries.Behavioral.eventTransitions]] lag-window:
+    * emits each adjacent (prev_type → next_type) pair of a user's
+    * event-time-ordered history EXACTLY ONCE, correct under adversarial
+    * arrival. The finalization law comes straight from the watermark
+    * contract: a pair (e, e′) is immutable once the watermark passes
+    * e′.ts, because any event that could still insert between them
+    * would carry ts ≤ e′.ts < watermark and be dropped before the
+    * state operator. So the state keeps only the NON-FINAL suffix of
+    * each user's history — the events with ts ≥ the finalization
+    * frontier, plus one anchor (the last finalized event, predecessor
+    * of the next pair) — and `EventTimeTimeout` wakes the key when the
+    * frontier passes its earliest pending successor, draining pairs
+    * without requiring fresh data for that user. The input MUST be
+    * watermarked (Spark enforces this for event-time timeouts — loud,
+    * not silent). Ordering ties break on event_id, matching the batch
+    * window's (ts, event_id) sort.
+    *
+    * State is O(late-horizon events per user), not history: every
+    * watermark advance finalizes the prefix irrevocably. With
+    * `evictAfterSeconds = Some(b)`, a key whose anchor has been idle
+    * past b is removed entirely (its next event starts a fresh era and
+    * the cross-era pair is forgone — same era semantics as
+    * [[sessionizeStream]]'s bound, here trading one edge per evicted
+    * key for state ∝ open keys). Downstream, `groupBy(prev_type,
+    * next_type).count()` over the emitted pairs IS the batch
+    * transition matrix — StreamingSpec asserts multiset equality under
+    * seeded-shuffle replay. */
+  def transitionsStream(events: Dataset[Event],
+      evictAfterSeconds: Option[Long] = None): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) => {
+          val prior = state.getOption
+          // (tsUs, event_id, type), event-time-ordered; after any pair has
+          // been emitted, index 0 is the anchor (predecessor of the next
+          // unemitted pair)
+          var seq: Vector[(Long, Long, String)] =
+            prior.map(s => s.tsUs.indices.map(i =>
+              (s.tsUs(i), s.ids(i), s.types(i))).toVector).getOrElse(Vector.empty)
+          val fresh = batch.toVector.map(e => (micros(e.ts), e.event_id, e.event_type))
+          if (fresh.nonEmpty)
+            seq = (seq ++ fresh).sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // finalize every pair whose successor is behind the frontier
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+          var i = 0
+          while (i + 1 < seq.length && seq(i + 1)._1 < wmUs) {
+            out += TransitionOut(userId, seq(i)._3, seq(i + 1)._3,
+              tsOfMicros(seq(i + 1)._1))
+            i += 1
+          }
+          if (i > 0) seq = seq.drop(i)
+          if (seq.isEmpty) {
+            state.remove()
+          } else if (seq.length == 1 &&
+              evictAfterSeconds.exists(b => seq(0)._1 + b * 1000000L < wmUs)) {
+            // idle key past the bound: evict; its era is complete
+            state.remove()
+          } else {
+            state.update(TransState(seq.map(_._1), seq.map(_._2),
+              seq.map(_._3)))
+            // wake when the frontier passes the earliest pending successor
+            // (so its pair finalizes), else — bounded mode — at the idle
+            // deadline; clamped past the current watermark, which Spark
+            // rejects as already-fired.
+            val nextUs: Option[Long] =
+              if (seq.length >= 2) Some(seq(1)._1)
+              else evictAfterSeconds.map(b => seq(0)._1 + b * 1000000L)
+            nextUs.foreach { us =>
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(us, 1000L) + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+        })
+  }
 }

@@ -59,7 +59,21 @@ class PlanInvariantsSpec extends SparkTestBase {
       // KMV sketch frame — (#segments × k)-sized by construction (one
       // row per event_type), never the corpus; small by argument like
       // vector_topk's query set
-      "segment_overlap")
+      "segment_overlap",
+      // segment_exclusive_reach: the all-types union sketch (a
+      // grouping-free aggregate, provably 1 row) broadcasts into the
+      // per-segment exclusive-reach projection — the scalar_subquery
+      // shape over KMV frames
+      "segment_exclusive_reach",
+      // bm25_search: the (N, total_dl) corpus-stats frame (a
+      // grouping-free aggregate, provably 1 row) broadcasts into the
+      // per-(doc, term) contribution projection — the scalar_subquery
+      // shape
+      "bm25_search",
+      // rfm_segments: the global max(o_orderdate) anchor (a
+      // grouping-free aggregate, provably 1 row) broadcasts into the
+      // per-customer recency projection — the scalar_subquery shape
+      "rfm_segments")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 

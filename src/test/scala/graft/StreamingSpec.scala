@@ -355,8 +355,11 @@ class StreamingSpec extends SparkTestBase {
 
   test("sessionizeStream bounded: frontier eviction keeps OPEN keys only, output unchanged within bound") {
     implicit val sqlCtx = spark.sqlContext
+    // base offset: the event-time-timeout late-row filter drops a row AT
+    // the initial watermark (0), so fixtures must sit strictly above it
+    val B = 604800L
     def ev(id: Long, user: Long, sec: Long) =
-      Event(id, new Timestamp(sec * 1000L), user, "x", 0.0)
+      Event(id, new Timestamp((B + sec) * 1000L), user, "x", 0.0)
     // watermark delay 3000 s admits in-bound late arrivals; eviction
     // bound 7200 s >= gap 3600 s = the lossless regime the scaladoc pins
     val mem = MemoryStream[Event]
@@ -387,15 +390,16 @@ class StreamingSpec extends SparkTestBase {
     // events (the in-bound late 800 merged) — identical to what the
     // unbounded operator would hold for the same post-watermark stream
     assert(got._1 == 3L)
-    assert(got._2.map(_.getTime / 1000L) == Seq(0L))
-    assert(got._3.map(_.getTime / 1000L) == Seq(1000L))
+    assert(got._2.map(_.getTime / 1000L) == Seq(B))
+    assert(got._3.map(_.getTime / 1000L) == Seq(B + 1000L))
     assert(got._4 == Seq(3L))
   }
 
   test("funnelStream/retentionStream bounded: inactive users evicted, eras split loudly") {
     implicit val sqlCtx = spark.sqlContext
+    val B = 604800L // epoch day 7; clear of the initial watermark (see above)
     def ev(id: Long, user: Long, sec: Long, typ: String) =
-      Event(id, new Timestamp(sec * 1000L), user, typ, 0.0)
+      Event(id, new Timestamp((B + sec) * 1000L), user, typ, 0.0)
     val memF = MemoryStream[Event]
     val qf = StreamingDownsample.funnelStream(
         memF.toDS().withWatermark("ts", "0 seconds"),
@@ -408,8 +412,9 @@ class StreamingSpec extends SparkTestBase {
     memF.addData(Seq(ev(4, 2L, 100000L, "view"))); qf.processAllAvailable()
     memF.addData(Seq(ev(5, 2L, 100001L, "view"))); qf.processAllAvailable()
     // attribution window closed: user 1's chain froze at (view, click, -)
-    // and a post-eviction purchase starts a FRESH era (n_seen restarts)
-    memF.addData(Seq(ev(6, 1L, 100002L, "purchase"))); qf.processAllAvailable()
+    // and a post-eviction event starts a FRESH era (n_seen restarts; a
+    // resurrected chain would emit n_seen=3 with the OLD t_view)
+    memF.addData(Seq(ev(6, 1L, 100002L, "view"))); qf.processAllAvailable()
     val fRows = spark.table("funnel_evict_out")
       .filter(col("user_id") === 1L)
       .select("n_seen", "t_view", "t_click", "t_purchase")
@@ -419,11 +424,12 @@ class StreamingSpec extends SparkTestBase {
       .lastOption.map(_.numRowsTotal)
     qf.stop()
     val frozen = fRows.filter(_._1 == 2L).last
-    assert(frozen._2.map(_.getTime / 1000L).contains(0L) &&
-      frozen._3.map(_.getTime / 1000L).contains(1000L) && frozen._4.isEmpty,
+    assert(frozen._2.map(_.getTime / 1000L).contains(B) &&
+      frozen._3.map(_.getTime / 1000L).contains(B + 1000L) && frozen._4.isEmpty,
       s"frozen chain wrong: $frozen")
-    assert(fRows.exists(r => r._1 == 1L && r._2.isEmpty && r._4.nonEmpty),
-      "post-eviction purchase must open a fresh era, not resurrect the chain")
+    assert(fRows.exists(r => r._1 == 1L &&
+        r._2.map(_.getTime / 1000L).contains(B + 100002L) && r._3.isEmpty),
+      "post-eviction view must open a fresh era, not resurrect the chain")
     assert(fState.contains(2L), s"open funnels only (users 1-era2, 2): $fState")
 
     val memR = MemoryStream[Event]
@@ -444,7 +450,7 @@ class StreamingSpec extends SparkTestBase {
       .select("cohort_day", "weeks").as[(Long, Seq[Long])].head()
     qr.stop()
     assert(rState.contains(1L), s"retention state must track open users: $rState")
-    assert(rGot == ((0L, Seq(0L))), s"evicted snapshot wrong: $rGot")
+    assert(rGot == ((7L, Seq(0L))), s"evicted snapshot wrong: $rGot")
   }
 
   test("stream-stream interval join converges to the batch attribution join") {
@@ -1011,5 +1017,99 @@ class StreamingSpec extends SparkTestBase {
     // (8x8 grid, 60 draws — duplicates all but certain), matching batch
     assert(want.values.exists(f => f.distinct.size < f.size)
       || want.values.forall(_.nonEmpty))
+  }
+
+  test("transitionsStream: converged pairs ≡ batch transition matrix under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus0 = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val minTs = corpus0.map(_.ts.getTime).min
+    val maxTs = corpus0.map(_.ts.getTime).max
+    val delaySec = (maxTs - minTs) / 1000L + 3600L // > corpus span: no drops
+    // sentinel: an unused key far in the future drives the watermark past
+    // every real successor so all pairs finalize; it emits no pair itself
+    val sentinel = Event(Long.MaxValue,
+      new Timestamp(maxTs + (delaySec + 3600L) * 1000L), -1L, "zz", 0.0)
+    val corpus = new scala.util.Random(11).shuffle(corpus0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.transitionsStream(
+        mem.toDS().withWatermark("ts", s"$delaySec seconds"))
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    val cuts = Seq(corpus.size / 5, corpus.size / 2, 4 * corpus.size / 5, corpus.size)
+    var off = 0
+    cuts.foreach { c => mem.addData(corpus.slice(off, c)); q.processAllAvailable(); off = c }
+    mem.addData(Seq(sentinel)); q.processAllAvailable()
+    // one extra empty pass: timeouts fire against the sentinel watermark
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("trans_out")
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .as[(String, String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.queries.Behavioral.eventTransitions(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
+  test("transitionsStream: a late event inserts into an unfinalized pair exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    // times sit well above the initial watermark (0): the event-time
+    // timeout op's late-row filter drops a row AT the watermark, so a
+    // fixture event at t=0 would vanish in batch 0
+    val B = 100000L
+    def ev(id: Long, sec: Long, t: String) =
+      Event(id, new Timestamp((B + sec) * 1000L), 1L, t, 0.0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.transitionsStream(
+        mem.toDS().withWatermark("ts", "3000 seconds"))
+      .writeStream.format("memory").queryName("trans_late_out")
+      .outputMode("append").start()
+    // endpoints first; the pair (a → c) must NOT be emitted before the
+    // watermark allows it — and the late b splits it into a → b → c
+    mem.addData(Seq(ev(1, 0L, "a"), ev(3, 2000L, "c"))); q.processAllAvailable()
+    assert(spark.table("trans_late_out").isEmpty, "nothing finalizes before the frontier")
+    mem.addData(Seq(ev(2, 1000L, "b"))); q.processAllAvailable()
+    mem.addData(Seq(Event(99L, new Timestamp((B + 100000L) * 1000L), 9L, "zz", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("trans_late_out")
+      .select("prev_type", "next_type").as[(String, String)].collect().toSeq
+    q.stop()
+    assert(got.sorted == Seq(("a", "b"), ("b", "c")),
+      s"late b must bridge a->c into a->b->c, exactly once; got $got")
+  }
+
+  test("transitionsStream bounded: idle keys evict, eras split, in-bound output unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 100000L // clear of the initial watermark (see late-insert test)
+    def ev(id: Long, user: Long, sec: Long, t: String) =
+      Event(id, new Timestamp((B + sec) * 1000L), user, t, 0.0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.transitionsStream(
+        mem.toDS().withWatermark("ts", "10 seconds"),
+        evictAfterSeconds = Some(1000L))
+      .writeStream.format("memory").queryName("trans_evict_out")
+      .outputMode("append").start()
+    // user 1: a pair inside the bound (must emit); then long idle; then a
+    // fresh-era event — the cross-era pair is forgone by contract
+    mem.addData(Seq(ev(1, 1L, 0L, "a"), ev(2, 1L, 100L, "b"))); q.processAllAvailable()
+    mem.addData(Seq(ev(3, 2L, 5000L, "x"))); q.processAllAvailable() // wm -> B+4990, evicts user 1
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    mem.addData(Seq(ev(4, 1L, 6000L, "c"), ev(5, 2L, 20000L, "y"))); q.processAllAvailable()
+    // a far future key pushes the frontier past y so (x -> y) finalizes
+    mem.addData(Seq(ev(99, 9L, 50000L, "zz"))); q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("trans_evict_out")
+      .select("user_id", "prev_type", "next_type")
+      .as[(Long, String, String)].collect().toSet
+    q.stop()
+    assert(got.contains((1L, "a", "b")), "the in-bound pair must finalize and emit")
+    assert(!got.exists(p => p._1 == 1L && p._3 == "c"),
+      s"the cross-era b->c edge is forgone after eviction; got $got")
+    assert(got.contains((2L, "x", "y")), "a surviving key keeps pairing across batches")
   }
 }
