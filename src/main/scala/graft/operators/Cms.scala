@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min frequency sketches over keyed streams — the frequency
+  * companion to the [[Kmv]] distinct-count family, and like it fully
+  * HASH-CHECKABLE: the d row-hashes are the md5→60-bit idiom
+  * ([[Kmv.hash60]] with per-row salts), so the sketch counters and
+  * every point estimate mirror 1:1 in DuckDB group-by arithmetic — no
+  * engine-specific hashing anywhere.
+  *
+  * Scale shape: the [[graft.functions.CmsSketchAgg]] buffer makes the
+  * sketch ONE map-side-combinable aggregate — each task folds its
+  * partition into a d·w counter array before the shuffle, so the
+  * exchange carries d·w longs per group, never rows. Estimates are
+  * an O(d) epilogue per queried key (min over the key's d cells) —
+  * always ≥ the true count, over by ≤ εn w.p. 1−δ at
+  * (d, w) = (⌈ln 1/δ⌉, ⌈e/ε⌉). Sketches of disjoint corpora SUM to
+  * the corpus sketch (counter merge = elementwise add), which is what
+  * makes the same aggregate the single stateful operator of the
+  * streaming twin ([[graft.streaming.StreamingDownsample.cmsStream]])
+  * and lets per-partition sketches roll up at query time.
+  *
+  * Contrast inside the sketch family: KMV answers "how many distinct /
+  * how much overlap", Misra–Gries ([[Frequent]]) answers "which keys
+  * are hot" with candidate identity, CMS answers "how often is THIS
+  * key" for any key without storing identities at all. */
+object Cms {
+
+  /** Default geometry: d = 4 rows × w = 256 buckets — ε ≈ e/256 ≈ 1%,
+    * δ ≈ e⁻⁴ < 2%. */
+  val D = 4
+  val W = 256
+
+  /** Flat cell positions (j·w + bucket_j) for a key, one per row-hash —
+    * the pre-hashed input [[graft.functions.CmsSketchAgg]] increments.
+    * Null keys yield null (ignored by the aggregate), matching a COUNT
+    * over non-null keys. */
+  def positions(key: Column, d: Int = D, w: Int = W): Column =
+    // a null key must yield a NULL ARRAY (ignored by the aggregate) —
+    // array(null, …) would read as position 0 and pollute cell 0
+    when(key.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(array((0 until d).map { j =>
+        lit(j.toLong * w) + pmod(Kmv.hash60(key, s"graftcms$j"), lit(w.toLong))
+      }: _*))
+
+  /** The same bucket arithmetic in DuckDB SQL, for oracle mirrors:
+    * row-j bucket of `keyExpr`. */
+  def bucketSql(keyExpr: String, j: Int, w: Int = W): String =
+    s"CAST(concat('0x', substr(md5(concat('graftcms$j', " +
+      s"CAST($keyExpr AS VARCHAR))), 1, 15)) AS BIGINT) % $w"
+
+  /** One-row frame holding the corpus sketch of `key`. */
+  def sketch(df: DataFrame, key: Column, d: Int = D, w: Int = W): DataFrame =
+    df.agg(graft.functions.CmsSketchAgg(positions(key, d, w), d * w).as("cms"))
+
+  /** Point estimates for the keys of `keys` (a small frame with a
+    * `key`-named column): min over the key's d cells — the 1-row sketch
+    * broadcasts, the scalar_subquery shape. */
+  def estimates(sketchRow: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int = D, w: Int = W): DataFrame = {
+    val cells = (0 until d).map { j =>
+      // element_at is 1-based; positions are 0-based flat indexes
+      element_at(col("cms"),
+        (lit(j.toLong * w) +
+          pmod(Kmv.hash60(col(keyCol), s"graftcms$j"), lit(w.toLong)) + 1L)
+          .cast("int"))
+    }
+    keys.crossJoin(broadcast(sketchRow))
+      .withColumn("est_cnt", least(cells: _*))
+      .drop("cms")
+  }
+}

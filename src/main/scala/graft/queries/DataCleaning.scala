@@ -1026,6 +1026,54 @@ object DataCleaning {
     * columns, drop the twin, which is the point of sketching).
     * KmvSpec pins the error bound the estimator theory promises and
     * the below-k collapse to exact counts. */
+  /** **Count-Min point-frequency estimates** ([[graft.operators.Cms]])
+    * for the 20 hottest users — the frequency member of the sketch
+    * family (KMV = distincts/overlap, Misra–Gries = hot-key identity,
+    * CMS = "how often is THIS key" with no identities stored), and like
+    * KMV fully HASH-CHECKED: the d = 4 row-hashes are the shared
+    * md5→60-bit idiom, so DuckDB reproduces every counter by plain
+    * (j, bucket) GROUP BY arithmetic and every estimate by a min over
+    * the key's 4 cells. Emits the estimate next to the exact count and
+    * the (always ≥ 0) overcount — the exact column is the documented
+    * non-scaling adjudication twin, dropped at 100 TB where the d·w-long
+    * sketch (one map-side-combined aggregate, d·w longs per group
+    * crossing the shuffle) replaces the per-key count entirely.
+    * CmsSpec pins est ≥ true, the εn error bound, and the
+    * sum-of-sketches rollup law. */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cms
+    val ev = Tables.events(spark, dir)
+    val sk = Cms.sketch(ev, col("user_id"))
+    val keys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(20)
+    Cms.estimates(sk, keys, "user_id")
+      .select(col("user_id"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  private val cmsEstimateSql =
+    """WITH keys AS (
+      |  SELECT user_id, COUNT(*) AS true_cnt FROM events
+      |  GROUP BY user_id ORDER BY true_cnt DESC, user_id LIMIT 20),
+      |b AS (
+      |  SELECT j,
+      |    CAST(concat('0x', substr(md5(concat('graftcms', CAST(j AS VARCHAR),
+      |      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+      |  GROUP BY j, bucket),
+      |kb AS (
+      |  SELECT user_id, true_cnt, j,
+      |    CAST(concat('0x', substr(md5(concat('graftcms', CAST(j AS VARCHAR),
+      |      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS bucket
+      |  FROM keys, UNNEST([0, 1, 2, 3]) AS t(j))
+      |SELECT user_id, true_cnt, MIN(c) AS est_cnt,
+      |  CAST(MIN(c) - true_cnt AS BIGINT) AS overcount
+      |FROM kb JOIN b USING (j, bucket)
+      |GROUP BY user_id, true_cnt
+      |ORDER BY user_id""".stripMargin
+
   def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Kmv
     val k = 128
@@ -1688,6 +1736,7 @@ object DataCleaning {
     Q("value_profile", valueProfileSql)(valueProfile),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
     Q("segment_overlap", segmentOverlapSql)(segmentOverlap),
+    Q("cms_estimate", cmsEstimateSql)(cmsEstimate),
     Q("segment_kmv_rollup", segmentKmvRollupSql)(segmentKmvRollup),
     Q("segment_exclusive_reach", segmentExclusiveReachSql)(segmentExclusiveReach))
 }

@@ -137,6 +137,27 @@ object StreamingDownsample {
       .select(col("event_type"), col("win.start").cast("date").as("day"),
         col("sk"))
 
+  /** Streaming **windowed Count-Min sketches** — per-day frequency
+    * sketches of the user-id stream maintained continuously, the stream
+    * half of the [[graft.operators.Cms]] family exactly as [[kmvStream]]
+    * is KMV's: the counter array is ONE partial-mergeable aggregate
+    * (elementwise-add merges), so the whole query is a single stateful
+    * operator with O(d·w) state per open window, watermark-evicted.
+    * Emitted per-day sketches SUM downstream into any date-range sketch
+    * (the rollup law), answering point-frequency queries over arbitrary
+    * windows without re-reading the stream. Converged ≡ the identical
+    * batch aggregate (CmsSpec). */
+  def cmsStream(events: DataFrame, d: Int = graft.operators.Cms.D,
+      w: Int = graft.operators.Cms.W,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.operators.Cms.positions(col("user_id"), d, w).as("pos"))
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(graft.functions.CmsSketchAgg(col("pos"), d * w).as("cms"))
+      .select(col("win.start").cast("date").as("day"), col("cms"))
+
   /** Streaming sessionization: `session_window` dynamic-gap windows — the
     * unbounded-stream twin of the batch gaps-and-islands `sessionize`
     * query. Sessions merge while events arrive within `gap` of the

@@ -73,7 +73,11 @@ class PlanInvariantsSpec extends SparkTestBase {
       // rfm_segments: the global max(o_orderdate) anchor (a
       // grouping-free aggregate, provably 1 row) broadcasts into the
       // per-customer recency projection — the scalar_subquery shape
-      "rfm_segments")
+      "rfm_segments",
+      // cms_estimate: the 1-row corpus CMS sketch (a grouping-free
+      // aggregate) broadcasts into the per-key min-of-cells estimate
+      // projection — the scalar_subquery shape
+      "cms_estimate")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
