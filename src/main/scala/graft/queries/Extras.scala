@@ -317,7 +317,8 @@ object Extras {
     Q("salted_join", saltedJoinSql)(saltedJoinQ),
     Q("salted_join_auto", saltedJoinAutoSql)(saltedJoinAutoQ),
     Q("bucketed_join", bucketedJoinSql)(bucketedJoinQ),
-    Q("zorder_layout", zorderLayoutSql)(zorderLayout))
+    Q("zorder_layout", zorderLayoutSql)(zorderLayout),
+    Q("hilbert_layout", hilbertLayoutSql)(hilbertLayout))
 
   /** **Z-order layout key** over events ([[graft.operators.Zorder]]):
     * the (user_id, day) Morton interleave a writer would
@@ -344,5 +345,33 @@ object Extras {
        |          AS BIGINT) AS day
        |      FROM events)
        |ORDER BY z, event_id""".stripMargin
+  }
+
+  /** [[zorderLayout]]'s Hilbert twin ([[graft.operators.Hilbert]]):
+    * the same (user, day) layout keyed by the Hilbert index — strictly
+    * better locality (unit-step curve, no quadrant jumps; HilbertSpec
+    * quantifies the block-touch win over the Morton key on the same box
+    * workload). Same hash-check discipline: Spark's runtime fold and
+    * DuckDB's recursive-CTE loop run the identical integer iteration. */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .withColumn("h",
+        graft.operators.Hilbert.index(col("user_id"), col("day"), 16))
+      .orderBy("h", "event_id")
+
+  private lazy val hilbertLayoutSql = {
+    val base =
+      """SELECT event_id, user_id, day,
+        |       user_id & 65535 AS x, day & 65535 AS y
+        |FROM (SELECT event_id, user_id,
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS BIGINT) AS day
+        |      FROM events)""".stripMargin
+    graft.operators.Hilbert.indexSqlCte(
+      base, Seq("event_id", "user_id", "day"), 16) +
+      "\nORDER BY h, event_id"
   }
 }
