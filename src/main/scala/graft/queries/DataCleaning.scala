@@ -1074,6 +1074,140 @@ object DataCleaning {
       |GROUP BY user_id, true_cnt
       |ORDER BY user_id""".stripMargin
 
+  /** **Benford first-digit audit** — the classic fraud/forensics screen:
+    * the leading significant digit of naturally occurring amounts
+    * follows log10(1 + 1/d), and fabricated data rarely does. Counts
+    * are exact integers (leading digit of the exact cents value via
+    * string math — no float log anywhere); the observed share and its
+    * deviation from the Benford expectation use one division and one
+    * subtraction against shared literal constants, the identical-IEEE-
+    * op-tree discipline. The share denominator rides a 9-row window
+    * SUM, not a broadcast join. One map-side-combined aggregate over a
+    * 1-column scan — the cheapest query in the audit family. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val expected = Map(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val exp = expected.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d.toLong, lit(p)).otherwise(acc)
+    }
+    Tables.orders(spark, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double"))
+      .withColumn("benford", exp)
+      .withColumn("deviation", col("share") - col("benford"))
+      .select(col("digit"), col("n"), col("share"), col("benford"),
+        col("deviation"))
+      .orderBy("digit")
+  }
+
+  private val benfordAuditSql =
+    """SELECT digit, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+      |  benford,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) - benford
+      |    AS deviation
+      |FROM (
+      |  SELECT digit, COUNT(*) AS n,
+      |    -- CAST each literal: DuckDB parses bare decimals as DECIMAL,
+      |    -- whose double conversion can differ in the last ulp
+      |    CASE digit WHEN 1 THEN CAST('0.3010299956639812' AS DOUBLE)
+      |               WHEN 2 THEN CAST('0.17609125905568124' AS DOUBLE)
+      |               WHEN 3 THEN CAST('0.12493873660829993' AS DOUBLE)
+      |               WHEN 4 THEN CAST('0.09691001300805642' AS DOUBLE)
+      |               WHEN 5 THEN CAST('0.07918124604762482' AS DOUBLE)
+      |               WHEN 6 THEN CAST('0.06694678963061322' AS DOUBLE)
+      |               WHEN 7 THEN CAST('0.05799194697768673' AS DOUBLE)
+      |               WHEN 8 THEN CAST('0.05115252244738129' AS DOUBLE)
+      |               WHEN 9 THEN CAST('0.04575749056067514' AS DOUBLE)
+      |               ELSE CAST(0 AS DOUBLE) END AS benford
+      |  FROM (
+      |    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |    FROM orders)
+      |  GROUP BY digit)
+      |ORDER BY digit""".stripMargin
+
+  /** **Poisson bootstrap** — the bootstrap that actually scales: instead
+    * of materializing B resamples, every row draws B independent
+    * Poisson(1) weights (the large-n limit of multinomial resampling)
+    * and contributes to all B resample sums in ONE pass — map-side
+    * combinable, shuffle carries B rows total. The draws are the
+    * md5→60-bit hash of (replicate, orderkey) quantile-inverted through
+    * Poisson(1) CDF thresholds precomputed as integer literals, so
+    * every weight — and therefore every resample sum — is deterministic
+    * and engine-identical: a fully HASH-CHECKED bootstrap. Money rides
+    * as exact cents; the per-replicate mean is one shared division.
+    * BootstrapSpec pins the statistics: the 95% percentile interval
+    * over the replicate means covers the corpus mean, and the weights
+    * are Poisson(1)-distributed in aggregate. */
+  def bootstrapCi(spark: SparkSession, dir: String, b: Int = 100): DataFrame = {
+    import graft.operators.Kmv
+    // floor(CDF_Poisson(1)(k) * 2^60), k = 0..9 — shared with the oracle
+    val thresholds = Seq(
+      424136118829305344L, 848272237658610688L, 1060340297073263360L,
+      1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+      1152825534095764608L, 1152909688087595776L, 1152920207336574720L,
+      1152921376142016768L)
+    val h = Kmv.hash60(
+      concat(col("b").cast("string"), lit("_"), col("o_orderkey").cast("string")),
+      salt = "graftboot")
+    val w = thresholds.zipWithIndex.foldRight(lit(10L)) {
+      case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
+    }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(1), lit(b))))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("resample_n"),
+        sum(col("w") * col("cents")).as("resample_cents"))
+      .withColumn("mean_cents",
+        col("resample_cents").cast("double") / col("resample_n").cast("double"))
+      .select(col("b").cast("long").as("b"), col("resample_n"),
+        col("resample_cents"), col("mean_cents"))
+      .orderBy("b")
+  }
+
+  private val bootstrapCiSql =
+    """SELECT CAST(b AS BIGINT) AS b,
+      |  CAST(SUM(w) AS BIGINT) AS resample_n,
+      |  CAST(SUM(w * cents) AS BIGINT) AS resample_cents,
+      |  CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+      |FROM (
+      |  SELECT b, cents,
+      |    CASE WHEN h < 424136118829305344 THEN 0
+      |         WHEN h < 848272237658610688 THEN 1
+      |         WHEN h < 1060340297073263360 THEN 2
+      |         WHEN h < 1131029650211480960 THEN 3
+      |         WHEN h < 1148701988496035328 THEN 4
+      |         WHEN h < 1152236456152946176 THEN 5
+      |         WHEN h < 1152825534095764608 THEN 6
+      |         WHEN h < 1152909688087595776 THEN 7
+      |         WHEN h < 1152920207336574720 THEN 8
+      |         WHEN h < 1152921376142016768 THEN 9
+      |         ELSE 10 END AS w
+      |  FROM (
+      |    SELECT b, cents,
+      |      CAST(concat('0x', substr(md5(concat('graftboot',
+      |        CAST(b AS VARCHAR), '_', CAST(o_orderkey AS VARCHAR))), 1, 15))
+      |        AS BIGINT) AS h
+      |    FROM (SELECT o_orderkey,
+      |            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |          FROM orders),
+      |         UNNEST(range(1, 101)) AS t(b)))
+      |GROUP BY b
+      |ORDER BY b""".stripMargin
+
   def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Kmv
     val k = 128
@@ -1737,6 +1871,8 @@ object DataCleaning {
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
     Q("segment_overlap", segmentOverlapSql)(segmentOverlap),
     Q("cms_estimate", cmsEstimateSql)(cmsEstimate),
+    Q("benford_audit", benfordAuditSql)(benfordAudit),
+    Q("bootstrap_ci", bootstrapCiSql)(bootstrapCi(_, _)),
     Q("segment_kmv_rollup", segmentKmvRollupSql)(segmentKmvRollup),
     Q("segment_exclusive_reach", segmentExclusiveReachSql)(segmentExclusiveReach))
 }
