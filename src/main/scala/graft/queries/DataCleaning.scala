@@ -1150,27 +1150,40 @@ object DataCleaning {
     * over the replicate means covers the corpus mean, and the weights
     * are Poisson(1)-distributed in aggregate. */
   def bootstrapCi(spark: SparkSession, dir: String, b: Int = 100): DataFrame = {
-    import graft.operators.Kmv
+    require(b % 2 == 0, s"b must be even (two weights per md5), got $b")
     // floor(CDF_Poisson(1)(k) * 2^60), k = 0..9 — shared with the oracle
     val thresholds = Seq(
       424136118829305344L, 848272237658610688L, 1060340297073263360L,
       1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
       1152825534095764608L, 1152909688087595776L, 1152920207336574720L,
       1152921376142016768L)
-    val h = Kmv.hash60(
-      concat(col("b").cast("string"), lit("_"), col("o_orderkey").cast("string")),
-      salt = "graftboot")
-    val w = thresholds.zipWithIndex.foldRight(lit(10L)) {
-      case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
-    }
+    def weight(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      thresholds.zipWithIndex.foldRight(lit(10L)) {
+        case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
+      }
+    // one md5 per (row, replicate PAIR): a 128-bit digest carries two
+    // independent 60-bit draws (hex chars 1-15 and 17-31) — replicates
+    // 2g-1 and 2g — halving the dominant hashing cost
+    val digest = md5(concat(lit("graftboot"), col("g").cast("string"),
+      lit("_"), col("o_orderkey").cast("string")))
+    def h60(from: Int) =
+      conv(substring(col("hx"), from, 15), 16, 10).cast("long")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("b", explode(sequence(lit(1), lit(b))))
-      .withColumn("w", w)
-      .groupBy(col("b"))
-      .agg(sum(col("w")).as("resample_n"),
-        sum(col("w") * col("cents")).as("resample_cents"))
+      // the md5 projection is COMPUTE-bound (B/2 digests per row), so
+      // parallelism must come from the cluster, not the input's file
+      // split count — a single-file scan would run the whole hash mass
+      // on one core (measured at sf0.1: 17.7 s single-task vs 1.6 s spread)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("g", explode(sequence(lit(1), lit(b / 2))))
+      .withColumn("hx", digest)
+      .select(col("cents"), explode(array(
+        struct((col("g") * 2 - 1).as("b"), weight(h60(1)).as("w")),
+        struct((col("g") * 2).as("b"), weight(h60(17)).as("w")))).as("bw"))
+      .groupBy(col("bw.b").as("b"))
+      .agg(sum(col("bw.w")).as("resample_n"),
+        sum(col("bw.w") * col("cents")).as("resample_cents"))
       .withColumn("mean_cents",
         col("resample_cents").cast("double") / col("resample_n").cast("double"))
       .select(col("b").cast("long").as("b"), col("resample_n"),
@@ -1179,12 +1192,20 @@ object DataCleaning {
   }
 
   private val bootstrapCiSql =
-    """SELECT CAST(b AS BIGINT) AS b,
+    """WITH mh AS (
+      |  SELECT g, cents,
+      |    md5(concat('graftboot', CAST(g AS VARCHAR), '_',
+      |      CAST(o_orderkey AS VARCHAR))) AS hx
+      |  FROM (SELECT o_orderkey,
+      |          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |        FROM orders),
+      |       UNNEST(range(1, 51)) AS t(g))
+      |SELECT CAST(b AS BIGINT) AS b,
       |  CAST(SUM(w) AS BIGINT) AS resample_n,
       |  CAST(SUM(w * cents) AS BIGINT) AS resample_cents,
       |  CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
       |FROM (
-      |  SELECT b, cents,
+  SELECT b, cents,
       |    CASE WHEN h < 424136118829305344 THEN 0
       |         WHEN h < 848272237658610688 THEN 1
       |         WHEN h < 1060340297073263360 THEN 2
@@ -1197,14 +1218,11 @@ object DataCleaning {
       |         WHEN h < 1152921376142016768 THEN 9
       |         ELSE 10 END AS w
       |  FROM (
-      |    SELECT b, cents,
-      |      CAST(concat('0x', substr(md5(concat('graftboot',
-      |        CAST(b AS VARCHAR), '_', CAST(o_orderkey AS VARCHAR))), 1, 15))
-      |        AS BIGINT) AS h
-      |    FROM (SELECT o_orderkey,
-      |            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-      |          FROM orders),
-      |         UNNEST(range(1, 101)) AS t(b)))
+      |    SELECT 2 * g - 1 AS b, cents,
+      |      CAST(concat('0x', substr(hx, 1, 15)) AS BIGINT) AS h FROM mh
+      |    UNION ALL
+      |    SELECT 2 * g AS b, cents,
+      |      CAST(concat('0x', substr(hx, 17, 15)) AS BIGINT) AS h FROM mh))
       |GROUP BY b
       |ORDER BY b""".stripMargin
 

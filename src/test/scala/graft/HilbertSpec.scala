@@ -35,7 +35,11 @@ class HilbertSpec extends SparkTestBase {
       .select(col("x"), col("y"), Hilbert.index(col("x"), col("y"), 4).as("h"))
       .as[(Long, Long, Long)].collect()
     assert(got.forall { case (x, y, h) => h == ref(x, y, 4) },
-      "engine fold must equal the driver reference")
+      "native expression must equal the driver reference")
+    val viaFold = grid.toDF("x", "y")
+      .select(Hilbert.indexFold(col("x"), col("y"), 4)).as[Long].collect()
+    assert(viaFold.toSeq == got.map(_._3).toSeq,
+      "the declarative fold twin must agree with the native expression")
     val byH = got.map(t => t._3 -> ((t._1, t._2))).toMap
     assert(byH.keySet == (0L until 256L).toSet, "not a bijection onto the grid")
     val jumps = (0L until 255L).map { h =>
