@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     GraftExtensions.tableFunctions.foreach(e.injectTableFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // operator-optimization-batch rules: Catalyst's pushdown/pruning
+    // don't understand the custom as-of node, these teach it
+    e.injectOptimizerRule(_ => graft.plans.AsOfPushdownRule)
+    e.injectOptimizerRule(_ => graft.plans.AsOfColumnPruningRule)
   }
 }
 

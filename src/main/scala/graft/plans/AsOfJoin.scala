@@ -277,6 +277,13 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    // live-session twin of GraftExtensions.injectOptimizerRule: without
+    // these, a Filter/Project above the node blocks pushdown and pruning
+    if (!spark.experimental.extraOptimizations.contains(AsOfPushdownRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++
+          Seq(AsOfPushdownRule, AsOfColumnPruningRule)
+    }
     val lPlan = ColumnBridge.logicalPlan(left)
     // Re-alias every right column (same names, fresh exprIds): both sides
     // often derive from the same base relation, and duplicate exprIds in

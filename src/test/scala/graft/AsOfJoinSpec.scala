@@ -146,4 +146,57 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(composed.nonEmpty)
     assert(native == composed)
   }
+
+  test("pushdown rule: left/key predicates reach both parquet scans, right predicates stay put") {
+    val dir = sf0001
+    val ev = Tables.events(spark, dir)
+    val l = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val r = ev.select(col("event_id").as("rid"), col("user_id"), col("ts"),
+      col("event_type"), col("props"))
+    val j = AsOfJoin(spark, l, r, Seq("user_id"), Seq("ts"), Seq("ts"))
+    val f = j.filter(col("user_id") < 5 && col("event_type") === "view")
+    val pushed = f.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    // the KEY predicate prunes BOTH sides (equality transfers it);
+    // the right-attribute predicate must NOT move (it would change
+    // WHICH right row is the as-of match, not just drop outputs)
+    assert("LessThan\\(user_id,5\\)".r.findAllIn(pushed).size == 2,
+      s"key predicate should reach both scans:\n$pushed")
+    assert(!pushed.contains("event_type,view"),
+      s"right-side predicate must stay above the join:\n$pushed")
+    val opt = f.queryExecution.optimizedPlan.toString
+    assert(opt.indexOf("event_type") < opt.indexOf("AsOfJoinPlan"),
+      s"residual right filter must sit ABOVE the node:\n${opt.take(800)}")
+    // semantics: rule-pushed == hand-pushed == filter-above on a cold plan
+    val handPushed = AsOfJoin(spark, l.filter(col("user_id") < 5), r,
+        Seq("user_id"), Seq("ts"), Seq("ts"))
+      .filter(col("event_type") === "view")
+    assert(f.collect().toSet == handPushed.collect().toSet)
+  }
+
+  test("pushdown rule: non-deterministic predicates never move") {
+    val ev = Tables.events(spark, sf0001)
+    val l = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.select(col("event_id").as("rid"), col("user_id"), col("ts"))
+    val j = AsOfJoin(spark, l, r, Seq("user_id"), Seq("ts"), Seq("ts"))
+      .filter(rand(7) >= 0.0)
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.indexOf("rand(") < opt.indexOf("AsOfJoinPlan"),
+      s"rand() must stay above the node:\n${opt.take(600)}")
+  }
+
+  test("pruning rule: unused payload columns never leave the parquet footer") {
+    val ev = Tables.events(spark, sf0001)
+    val l = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val r = ev.select(col("event_id").as("rid"), col("user_id"), col("ts"),
+      col("event_type"), col("props"))
+    val p = AsOfJoin(spark, l, r, Seq("user_id"), Seq("ts"), Seq("ts"))
+      .select(col("event_id"), col("event_type"))
+    val schemas = p.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!schemas.contains("props") && !schemas.contains("value"),
+      s"unused payload must be pruned out of ReadSchema:\n$schemas")
+    assert(schemas.contains("user_id") && schemas.contains("ts"),
+      "keys and order columns must survive pruning")
+  }
 }
