@@ -520,6 +520,47 @@ object Behavioral {
       |GROUP BY type_a, type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** **Strict-sequence pattern match** (CEP-lite): occurrences of the
+    * event pattern view → view → purchase as three STRICTLY CONSECUTIVE
+    * events in a user's event-time order, with the whole run inside a
+    * 2-hour window — MATCH_RECOGNIZE's `PATTERN (A A B)` on the
+    * all-rows stream, expressed as two lag() taps over one user_id
+    * shuffle (contiguity is what separates this from [[funnel]], which
+    * allows gaps). Every detection carries the full triple's
+    * timestamps; all comparisons are integer epoch seconds. At scale
+    * this is the one-pass shape: no self-joins, no per-user
+    * sequence materialization, window state = 2 rows. */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("t1", lag(col("ts"), 2).over(byUser))
+      .withColumn("t2", lag(col("ts"), 1).over(byUser))
+      .withColumn("e1", lag(col("event_type"), 2).over(byUser))
+      .withColumn("e2", lag(col("event_type"), 1).over(byUser))
+      .filter(col("e1") === "view" && col("e2") === "view" &&
+        col("event_type") === "purchase" &&
+        col("ts").cast("long") - col("t1").cast("long") <= 7200L)
+      .select(col("user_id"), col("event_id").as("end_event_id"),
+        col("t1"), col("t2"), col("ts").as("t3"),
+        (col("ts").cast("long") - col("t1").cast("long")).as("span_seconds"))
+      .orderBy("user_id", "end_event_id")
+  }
+
+  private val patternMatchSql =
+    """SELECT user_id, event_id AS end_event_id, t1, t2, ts AS t3,
+      |  CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |    - CAST(FLOOR(epoch(CAST(t1 AS TIMESTAMP))) AS BIGINT) AS span_seconds
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(ts, 2) OVER w AS t1, lag(ts, 1) OVER w AS t2,
+      |    lag(event_type, 2) OVER w AS e1, lag(event_type, 1) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |WHERE e1 = 'view' AND e2 = 'view' AND event_type = 'purchase'
+      |  AND CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |      - CAST(FLOOR(epoch(CAST(t1 AS TIMESTAMP))) AS BIGINT) <= 7200
+      |ORDER BY user_id, end_event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
@@ -531,5 +572,6 @@ object Behavioral {
     Q("path_topk", pathTopkSql)(pathTopk(_, _)),
     Q("ts_anomaly", tsAnomalySql)(tsAnomaly),
     Q("interval_union", intervalUnionSql)(intervalUnion(_, _)),
-    Q("basket_pairs", basketPairsSql)(basketPairs))
+    Q("basket_pairs", basketPairsSql)(basketPairs),
+    Q("pattern_match", patternMatchSql)(patternMatch))
 }

@@ -213,6 +213,37 @@ object StreamingDownsample {
         col("click_id"), col("c_ts"))
   }
 
+  /** **Left-outer stream–stream attribution join** — [[purchaseClickJoin]]
+    * with the unattributed purchases KEPT: a purchase with no click in
+    * its lookback emits exactly once with null click columns, but only
+    * after the watermark proves no matching click can still arrive
+    * (Spark holds outer results until the join state for that event-time
+    * range expires — the outer-null decision is a frontier decision,
+    * same law as [[transitionsStream]]'s pair finalization). Matched
+    * pairs emit as they meet, exactly like the inner form; the
+    * interval condition + both-side watermarks keep the join state
+    * O(rate × lookback), evicted, never history. Converged output ≡ the
+    * batch left join (StreamingSpec), making this the form a marketing
+    * pipeline actually runs: attribution AND the unattributed remainder
+    * from one operator, no anti-join second pass. */
+  def purchaseClickJoinOuter(events: DataFrame, lookback: String = "1 hour",
+      watermark: String = "1 day"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Stateless **text-cleaning stage** for ingest streams: NFC
     * normalization → Gopher quality gate ON THE NORMALIZED TEXT →
     * intra-document repetition scrub → PII scrub, emitting (doc_id,

@@ -1112,4 +1112,48 @@ class StreamingSpec extends SparkTestBase {
       s"the cross-era b->c edge is forgone after eviction; got $got")
     assert(got.contains((2L, "x", "y")), "a surviving key keeps pairing across batches")
   }
+
+  test("left-outer stream-stream attribution join converges to the batch left join") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val maxTs = corpus.map(_.ts.getTime).max
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.purchaseClickJoinOuter(mem.toDF(), lookback = "1 hour")
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode("append").start()
+    val (a, b) = corpus.splitAt(corpus.size / 2)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    // outer-null results wait for the frontier: sentinels on BOTH input
+    // legs (a far-future click and purchase for an unused user) push the
+    // min-watermark past every real purchase's state expiry
+    val far = maxTs + 40L * 24 * 3600 * 1000
+    mem.addData(Seq(
+      Event(Long.MaxValue - 1, new Timestamp(far), -1L, "click", 0.0),
+      Event(Long.MaxValue, new Timestamp(far), -1L, "purchase", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("ssjoin_outer_out")
+      .filter(col("user_id") =!= -1L)
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect()
+    q.stop()
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts")),
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect()
+    assert(batch.exists(_._2.isEmpty), "fixture sanity: some purchases are unattributed")
+    assert(got.sorted.toSeq == batch.sorted.toSeq,
+      s"stream rows=${got.length} batch rows=${batch.length}")
+  }
 }
