@@ -45,12 +45,6 @@ object Cms {
         lit(j.toLong * w) + pmod(Kmv.hash60(key, s"graftcms$j"), lit(w.toLong))
       }: _*))
 
-  /** The same bucket arithmetic in DuckDB SQL, for oracle mirrors:
-    * row-j bucket of `keyExpr`. */
-  def bucketSql(keyExpr: String, j: Int, w: Int = W): String =
-    s"CAST(concat('0x', substr(md5(concat('graftcms$j', " +
-      s"CAST($keyExpr AS VARCHAR))), 1, 15)) AS BIGINT) % $w"
-
   /** One-row frame holding the corpus sketch of `key`. */
   def sketch(df: DataFrame, key: Column, d: Int = D, w: Int = W): DataFrame =
     df.agg(graft.functions.CmsSketchAgg(positions(key, d, w), d * w).as("cms"))

@@ -1044,7 +1044,11 @@ object DataCleaning {
     import graft.operators.Cms
     val ev = Tables.events(spark, dir)
     val sk = Cms.sketch(ev, col("user_id"))
-    val keys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+    // NULL keys are excluded on BOTH sides: the sketch ignores them by
+    // contract, and DuckDB's concat() would skip a NULL argument and
+    // hash the bare salt into a real bucket — an asymmetric count
+    val keys = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("user_id")).limit(20)
     Cms.estimates(sk, keys, "user_id")
       .select(col("user_id"), col("true_cnt"), col("est_cnt"),
@@ -1055,6 +1059,7 @@ object DataCleaning {
   private val cmsEstimateSql =
     """WITH keys AS (
       |  SELECT user_id, COUNT(*) AS true_cnt FROM events
+      |  WHERE user_id IS NOT NULL
       |  GROUP BY user_id ORDER BY true_cnt DESC, user_id LIMIT 20),
       |b AS (
       |  SELECT j,
@@ -1062,6 +1067,7 @@ object DataCleaning {
       |      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS bucket,
       |    COUNT(*) AS c
       |  FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+      |  WHERE user_id IS NOT NULL
       |  GROUP BY j, bucket),
       |kb AS (
       |  SELECT user_id, true_cnt, j,
@@ -1205,7 +1211,7 @@ object DataCleaning {
       |  CAST(SUM(w * cents) AS BIGINT) AS resample_cents,
       |  CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
       |FROM (
-  SELECT b, cents,
+      |  SELECT b, cents,
       |    CASE WHEN h < 424136118829305344 THEN 0
       |         WHEN h < 848272237658610688 THEN 1
       |         WHEN h < 1060340297073263360 THEN 2
@@ -1827,7 +1833,7 @@ object DataCleaning {
     val lhsList = lhs.mkString(", ")
     s"""SELECT '${lhs.mkString("+")}' AS lhs, '$rhs' AS rhs,
        |  CAST(COUNT(*) AS BIGINT) AS n_lhs_distinct,
-       |  CAST(SUM(n_rhs) AS BIGINT) AS n_pair_distinct,
+       |  COALESCE(CAST(SUM(n_rhs) AS BIGINT), 0) AS n_pair_distinct,
        |  CAST(COUNT(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating_lhs,
        |  COUNT(*) FILTER (n_rhs > 1) = 0 AS holds
        |FROM (SELECT $lhsList, COUNT(*) AS n_rhs

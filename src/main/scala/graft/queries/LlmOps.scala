@@ -2384,10 +2384,13 @@ object LlmOps {
     * sort). */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val terms = Seq("dup", "hash", "join", "scan")
-    val docs = Tables.documents(spark, dir)
+    // memoized: the tokenized frame feeds both the tf pipeline and the
+    // 1-row (N, total_dl) stats aggregate — without the memo Spark scans
+    // and re-tokenizes the text corpus twice for one query
+    val docs = graft.operators.Dedup.memoPersist(Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        col("toks"))
+        col("toks")))
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
