@@ -521,9 +521,9 @@ object Behavioral {
       |ORDER BY type_a, type_b""".stripMargin
 
   /** **Strict-sequence pattern match** (CEP-lite): occurrences of the
-    * event pattern view → view → purchase as three STRICTLY CONSECUTIVE
+    * event pattern view → click → purchase as three STRICTLY CONSECUTIVE
     * events in a user's event-time order, with the whole run inside a
-    * 2-hour window — MATCH_RECOGNIZE's `PATTERN (A A B)` on the
+    * 24-hour window — MATCH_RECOGNIZE's `PATTERN (A B C)` on the
     * all-rows stream, expressed as two lag() taps over one user_id
     * shuffle (contiguity is what separates this from [[funnel]], which
     * allows gaps). Every detection carries the full triple's
@@ -537,9 +537,9 @@ object Behavioral {
       .withColumn("t2", lag(col("ts"), 1).over(byUser))
       .withColumn("e1", lag(col("event_type"), 2).over(byUser))
       .withColumn("e2", lag(col("event_type"), 1).over(byUser))
-      .filter(col("e1") === "view" && col("e2") === "view" &&
+      .filter(col("e1") === "view" && col("e2") === "click" &&
         col("event_type") === "purchase" &&
-        col("ts").cast("long") - col("t1").cast("long") <= 7200L)
+        col("ts").cast("long") - col("t1").cast("long") <= 86400L)
       .select(col("user_id"), col("event_id").as("end_event_id"),
         col("t1"), col("t2"), col("ts").as("t3"),
         (col("ts").cast("long") - col("t1").cast("long")).as("span_seconds"))
@@ -556,9 +556,9 @@ object Behavioral {
       |    lag(event_type, 2) OVER w AS e1, lag(event_type, 1) OVER w AS e2
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
-      |WHERE e1 = 'view' AND e2 = 'view' AND event_type = 'purchase'
+      |WHERE e1 = 'view' AND e2 = 'click' AND event_type = 'purchase'
       |  AND CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-      |      - CAST(FLOOR(epoch(CAST(t1 AS TIMESTAMP))) AS BIGINT) <= 7200
+      |      - CAST(FLOOR(epoch(CAST(t1 AS TIMESTAMP))) AS BIGINT) <= 86400
       |ORDER BY user_id, end_event_id""".stripMargin
 
   val all: Seq[Q] = Seq(
