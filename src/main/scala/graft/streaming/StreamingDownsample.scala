@@ -1024,4 +1024,76 @@ object StreamingDownsample {
           out.iterator
         })
   }
+
+  final case class PatternOut(user_id: Long, end_event_id: Long,
+    t1: Timestamp, t2: Timestamp, t3: Timestamp)
+
+  /** **Streaming strict-sequence pattern matcher** — the exactly-once
+    * twin of the batch [[graft.queries.Behavioral.patternMatch]]
+    * (MATCH_RECOGNIZE `PATTERN (A B C)` with contiguity and a span
+    * bound), completing the behavioral family's batch↔stream pairing.
+    * [[transitionsStream]]'s frontier law generalized from pairs to
+    * windows of three: a candidate triple ending at event e is
+    * immutable once the watermark passes e.ts — any event that could
+    * still INSERT inside the triple (and break its contiguity) would
+    * carry a smaller timestamp and be dropped before the operator — so
+    * matches emit in append mode exactly once, late events can both
+    * COMPLETE a pending match and DESTROY a would-be one right up to
+    * finalization (spec pins both), and state keeps only the non-final
+    * suffix plus TWO anchors (a pattern ending at the first pending
+    * event reaches two events back). Span compares floor-second epochs,
+    * matching the batch query's `cast(ts as long)` arithmetic. */
+  def patternStream(events: Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      withinSeconds: Long = 86400L,
+      evictAfterSeconds: Option[Long] = None): Dataset[PatternOut] = {
+    require(stages.size == 3, s"patternStream matches a 3-stage pattern, got $stages")
+    import events.sparkSession.implicits._
+    val Seq(s0, s1, s2) = stages
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) => {
+          val prior = state.getOption
+          var seq: Vector[(Long, Long, String)] =
+            prior.map(s => s.tsUs.indices.map(i =>
+              (s.tsUs(i), s.ids(i), s.types(i))).toVector).getOrElse(Vector.empty)
+          val fresh = batch.toVector.map(e => (micros(e.ts), e.event_id, e.event_type))
+          if (fresh.nonEmpty)
+            seq = (seq ++ fresh).sortBy(t => (t._1, t._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatternOut]
+          // a triple ending at index j finalizes when the frontier passes
+          // its END event — contiguity below the frontier is immutable
+          var j = 2
+          while (j < seq.length && seq(j)._1 < wmUs) {
+            val (a, b, c) = (seq(j - 2), seq(j - 1), seq(j))
+            if (a._3 == s0 && b._3 == s1 && c._3 == s2 &&
+                Math.floorDiv(c._1, 1000000L) - Math.floorDiv(a._1, 1000000L)
+                  <= withinSeconds)
+              out += PatternOut(userId, c._2,
+                tsOfMicros(a._1), tsOfMicros(b._1), tsOfMicros(c._1))
+            j += 1
+          }
+          if (j > 2) seq = seq.drop(j - 2) // keep two anchors
+          if (seq.isEmpty) {
+            state.remove()
+          } else if (seq.length <= 2 &&
+              evictAfterSeconds.exists(b => seq.last._1 + b * 1000000L < wmUs)) {
+            state.remove()
+          } else {
+            state.update(TransState(seq.map(_._1), seq.map(_._2),
+              seq.map(_._3)))
+            // wake when the frontier passes the earliest pending END event
+            val nextUs: Option[Long] =
+              if (seq.length >= 3) Some(seq(2)._1)
+              else evictAfterSeconds.map(b => seq.last._1 + b * 1000000L)
+            nextUs.foreach { us =>
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(us, 1000L) + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+        })
+  }
 }

@@ -1156,4 +1156,66 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sorted.toSeq == batch.sorted.toSeq,
       s"stream rows=${got.length} batch rows=${batch.length}")
   }
+
+  test("patternStream: converged matches ≡ batch pattern_match under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus0 = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val minTs = corpus0.map(_.ts.getTime).min
+    val maxTs = corpus0.map(_.ts.getTime).max
+    val delaySec = (maxTs - minTs) / 1000L + 3600L
+    val sentinel = Event(Long.MaxValue,
+      new Timestamp(maxTs + (delaySec + 3600L) * 1000L), -1L, "zz", 0.0)
+    val corpus = new scala.util.Random(13).shuffle(corpus0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.patternStream(
+        mem.toDS().withWatermark("ts", s"$delaySec seconds"))
+      .writeStream.format("memory").queryName("pattern_out")
+      .outputMode("append").start()
+    val cuts = Seq(corpus.size / 5, corpus.size / 2, 4 * corpus.size / 5, corpus.size)
+    var off = 0
+    cuts.foreach { c => mem.addData(corpus.slice(off, c)); q.processAllAvailable(); off = c }
+    mem.addData(Seq(sentinel)); q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("pattern_out")
+      .select("user_id", "end_event_id", "t1", "t2", "t3")
+      .as[(Long, Long, Timestamp, Timestamp, Timestamp)].collect().toSeq.sorted
+    q.stop()
+    val batch = graft.queries.Behavioral.patternMatch(spark, sf0001)
+      .select("user_id", "end_event_id", "t1", "t2", "t3")
+      .as[(Long, Long, Timestamp, Timestamp, Timestamp)].collect().toSeq.sorted
+    assert(batch.nonEmpty, "fixture sanity: the corpus contains matches")
+    assert(got == batch)
+    assert(got.distinct == got, "exactly-once: no duplicate emissions")
+  }
+
+  test("patternStream: a late event can complete OR destroy a pending match, never after finalization") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 604800L
+    def ev(id: Long, user: Long, sec: Long, t: String) =
+      Event(id, new Timestamp((B + sec) * 1000L), user, t, 0.0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.patternStream(
+        mem.toDS().withWatermark("ts", "5000 seconds"))
+      .writeStream.format("memory").queryName("pattern_late_out")
+      .outputMode("append").start()
+    // user 1: view and purchase arrive first; the LATE click between them
+    // COMPLETES the match. user 2: view, click, purchase arrive; a LATE
+    // error between click and purchase DESTROYS contiguity.
+    mem.addData(Seq(ev(1, 1L, 0L, "view"), ev(3, 1L, 2000L, "purchase"),
+      ev(4, 2L, 0L, "view"), ev(5, 2L, 1000L, "click"),
+      ev(6, 2L, 2000L, "purchase")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(2, 1L, 1000L, "click"), ev(7, 2L, 1500L, "error")))
+    q.processAllAvailable()
+    // frontier passes everything
+    mem.addData(Seq(ev(99, 9L, 100000L, "zz"))); q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("pattern_late_out")
+      .select("user_id", "end_event_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 3L)),
+      s"late click completes user 1; late error destroys user 2's triple: $got")
+  }
 }
