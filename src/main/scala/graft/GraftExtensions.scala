@@ -85,7 +85,50 @@ object GraftExtensions {
     (FunctionIdentifier("graft_asof"),
       info("graft_asof",
         "graft_asof(left, right, on, order[, direction[, tolerance]]) - native as-of join of two tables"),
-      (exprs: Seq[Expression]) => asofPlan(exprs)))
+      (exprs: Seq[Expression]) => asofPlan(exprs)),
+    (FunctionIdentifier("graft_version"),
+      info("graft_version",
+        "graft_version(path[, version]) - time-travel read of a graft versioned sink (latest when version omitted)"),
+      (exprs: Seq[Expression]) => versionPlan(exprs)))
+
+  private def strLit(exprs: Seq[Expression], i: Int, what: String): String =
+    exprs(i) match {
+      case Literal(v, t) if t.isInstanceOf[org.apache.spark.sql.types.StringType]
+          && v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+
+  /** SQL surface for [[graft.operators.Upsert.readVersion]] /
+    * `readLatest` — the AS OF time-travel form: SQL users pin a query to
+    * a committed snapshot version of a [[graft.operators.Upsert.versionedSink]]
+    * directory while the sink keeps appending, without touching the
+    * Scala API:
+    * {{{
+    *   SELECT * FROM graft_version('/sinks/orders_state', 2)  -- pinned
+    *   SELECT * FROM graft_version('/sinks/orders_state')     -- latest
+    * }}}
+    * Version resolution happens at plan time through the sink's own
+    * committed-version listing (`_SUCCESS`-gated, Hadoop-FS-portable),
+    * so a missing version fails loudly at analysis rather than reading
+    * a half-written directory. */
+  private def versionPlan(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length >= 1 && exprs.length <= 2,
+      "usage: graft_version(path[, version])")
+    val spark = SparkSession.active
+    val path = strLit(exprs, 0, "graft_version: path")
+    val df = if (exprs.length == 1) graft.operators.Upsert.readLatest(spark, path)
+    else exprs(1) match {
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) =>
+        graft.operators.Upsert.readVersion(spark, path, v)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        graft.operators.Upsert.readVersion(spark, path, v.toLong)
+      case other => throw new IllegalArgumentException(
+        s"graft_version: version must be an integer literal, got $other")
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(df)
+  }
 
   private def asofPlan(exprs: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {

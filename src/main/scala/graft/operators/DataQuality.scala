@@ -119,4 +119,69 @@ object DataQuality {
     }
     reports.reduce(_ unionByName _).orderBy("lhs", "rhs")
   }
+
+  /** One inclusion-dependency candidate: does every non-NULL value of
+    * `childCol` in `child` appear in `parentCol` of `parent`? The
+    * foreign-key-discovery primitive (Metanome/Binder's unary IND).
+    * Labels name the endpoints in the report. */
+  final case class IndCandidate(childLabel: String, child: DataFrame,
+      childCol: String, parentLabel: String, parent: DataFrame,
+      parentCol: String)
+
+  /** **Inclusion-dependency (foreign-key) discovery** — the
+    * cross-table companion of [[fdDiscover]] (which profiles WITHIN a
+    * table): per candidate, the count of distinct non-NULL child values
+    * and how many are missing from the parent's distinct values; the
+    * IND holds iff none is missing. NULLs are ignored on both sides
+    * (SQL FK semantics: a NULL FK is unconstrained).
+    *
+    * Work per candidate is two column-pruned DISTINCT projections —
+    * shuffle ∝ distinct values, never rows; the parquet scan reads one
+    * column per table — and one left join of the distinct sets, on
+    * which AQE broadcasts the (usually dimension-sized) parent side.
+    * Scale path when a child's distinct set rivals the fact table: a
+    * Bloom filter of the parent key set (the `decontaminate_bloom`
+    * machinery) turns the join into a map-side membership probe with a
+    * bounded false-containment rate. Values compare as BIGINT —
+    * candidates are integer key columns by construction. */
+  def indDiscover(candidates: Seq[IndCandidate]): DataFrame = {
+    val reports = candidates.map { c =>
+      val childD = c.child
+        .select(col(c.childCol).cast("long").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val parentD = c.parent
+        .select(col(c.parentCol).cast("long").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .withColumn("__hit", lit(1))
+      childD.join(parentD, Seq("v"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          count(when(col("__hit").isNull, 1)).as("n_missing"))
+        .select(
+          lit(c.childLabel).as("child"), lit(c.parentLabel).as("parent"),
+          col("n_child_distinct"), col("n_missing"),
+          (col("n_missing") === 0L).as("holds"))
+    }
+    reports.reduce(_ unionByName _).orderBy("child", "parent")
+  }
+
+  /** **Candidate-key (uniqueness) discovery**: for each column set,
+    * does it identify rows uniquely? Reports row count, distinct count
+    * of the column-set struct, and `is_key`. The struct comparison
+    * groups NULLs as equal (both engines' DISTINCT-row convention), so
+    * a nullable non-key column can't masquerade as a key through
+    * NULL-skipping `countDistinct` semantics. Each candidate is a
+    * column-pruned distinct aggregate — one shuffle over the candidate
+    * columns only; the approximate path at 100 TB is HLL
+    * (`approx_count_distinct`) with an exact confirm pass on survivors. */
+  def keyDiscover(table: String, df: DataFrame,
+      candidates: Seq[Seq[String]]): DataFrame = {
+    val reports = candidates.map { cols =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(struct(cols.map(col): _*)).as("n_distinct"))
+        .select(lit(table).as("tbl"), lit(cols.mkString("+")).as("cols"),
+          col("n_rows"), col("n_distinct"),
+          (col("n_rows") === col("n_distinct")).as("is_key"))
+    }
+    reports.reduce(_ unionByName _)
+  }
 }

@@ -520,6 +520,78 @@ object Behavioral {
       |GROUP BY type_a, type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** **Item-item collaborative-filtering recommendations** (the
+    * market-basket step BEYOND [[basketPairs]]' co-occurrence counts):
+    * for each part, the top-5 most-similar parts by cosine over
+    * order-baskets — cos(a,b) = cooc/√(n_a·n_b), ranked through the
+    * EXACT integer key floor(cooc²·10⁶/(n_a·n_b)) so no square root or
+    * float division ever runs (cosine is monotone in its square, and
+    * integral floor-division is deterministic in both engines); ties
+    * break (cooc DESC, rec id). Pair generation is a self-equi-join on
+    * l_orderkey — co-partitioned, pairs bounded by Σ basket_size² with
+    * TPC-H's ≤7-line baskets, never |parts|² — and the part-frequency
+    * attach broadcasts (dimension-sized). Top-5 is a per-item rank
+    * window; at web scale swap in the map-side `BoundedTopK` aggregate
+    * (the `fuzzy_match_k2_topk` move). */
+  def recommendTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val li = graft.operators.Dedup.memoPersist(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+    val freq = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cooc"))
+    val sym = pairs.select(col("pa"), col("pb"), col("cooc"))
+      .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("cooc")))
+    val scored = sym
+      .join(broadcast(freq.select(col("p").as("pa"), col("n").as("n_item"))), "pa")
+      .join(broadcast(freq.select(col("p").as("pb"), col("n").as("n_rec"))), "pb")
+      .withColumn("__num", d(col("cooc")) * d(col("cooc")) * lit(1000000))
+      .withColumn("__den", d(col("n_item")) * d(col("n_rec")))
+      // `div` = integral division (exact on DECIMAL operands) — the
+      // only arithmetic both engines floor identically; mirrors
+      // DuckDB's `//` on HUGEINT
+      .withColumn("score_scaled", expr("CAST(__num div __den AS BIGINT)"))
+      .drop("__num", "__den")
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("pa"))
+          .orderBy(col("score_scaled").desc, col("cooc").desc, col("pb"))))
+      .filter(col("rk") <= 5)
+      .select(col("pa").as("item"), col("pb").as("rec"), col("cooc"),
+        col("n_item"), col("n_rec"), col("score_scaled"), col("rk"))
+      .orderBy("item", "rk")
+  }
+
+  private val recommendTopkSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |freq AS (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cooc
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT pa, pb, cooc FROM pairs
+      |        UNION ALL SELECT pb, pa, cooc FROM pairs),
+      |scored AS (
+      |  SELECT sym.pa AS item, sym.pb AS rec, cooc,
+      |    u1.n AS n_item, u2.n AS n_rec,
+      |    CAST((CAST(cooc AS HUGEINT) * cooc * 1000000)
+      |         // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS score_scaled
+      |  FROM sym JOIN freq u1 ON u1.p = sym.pa JOIN freq u2 ON u2.p = sym.pb)
+      |SELECT item, rec, CAST(cooc AS BIGINT) AS cooc,
+      |  CAST(n_item AS BIGINT) AS n_item, CAST(n_rec AS BIGINT) AS n_rec,
+      |  score_scaled, rk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+      |        ORDER BY score_scaled DESC, cooc DESC, rec) AS rk
+      |      FROM scored)
+      |WHERE rk <= 5
+      |ORDER BY item, rk""".stripMargin
+
   /** **Strict-sequence pattern match** (CEP-lite): occurrences of the
     * event pattern view → click → purchase as three STRICTLY CONSECUTIVE
     * events in a user's event-time order, with the whole run inside a
@@ -561,6 +633,108 @@ object Behavioral {
       |      - CAST(FLOOR(epoch(CAST(t1 AS TIMESTAMP))) AS BIGINT) <= 86400
       |ORDER BY user_id, end_event_id""".stripMargin
 
+  /** **CUSUM changepoint detection, integer-exact** (the `ts_anomaly`
+    * discipline applied to level shifts): per event type, the day
+    * maximizing |n·S_i − i·T| — the classic CUSUM statistic
+    * Σ_{j≤i}(x_j − x̄) scaled by n so the mean never divides and every
+    * step stays in DECIMAL(38,0); the argmax day is where the series'
+    * level most plausibly shifted. One (type, day) aggregate, then two
+    * window passes over the SAME event_type partitioning (prefix sums +
+    * whole-partition totals + argmax rank — one exchange); emitted
+    * finals are BIGINT (the stats_moments portability rule). Ties break
+    * to the earliest day. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val byTypeDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val run = byTypeDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("i", row_number().over(byTypeDay))
+      .withColumn("s", sum(col("cnt")).over(run))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("t", sum(col("cnt")).over(whole))
+      .withColumn("c", d(col("n")) * d(col("s")) - d(col("i")) * d(col("t")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(abs(col("c")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("c").cast("long").as("cusum_scaled"),
+        col("n").cast("long").as("n_days"))
+      .orderBy("event_type")
+  }
+
+  private val cusumChangepointSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS t
+      |  FROM daily)
+      |SELECT event_type, day AS change_day,
+      |  CAST(n * s - i * t AS BIGINT) AS cusum_scaled,
+      |  CAST(n AS BIGINT) AS n_days
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY ABS(n * s - i * t) DESC, day) AS rk
+      |      FROM scored)
+      |WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** **Autocorrelation sufficient statistics** at lags 1..7 over the
+    * per-type daily count series — the diagnostics behind an ACF plot
+    * / seasonality test, emitted as EXACT integers (n_pairs, Σx, Σy,
+    * Σx·y per lag; the consumer derives r_k in whatever float it
+    * likes — the stats_moments structural lesson). One lag-explode +
+    * one equi-join on (type, day-index), instead of 7 window passes:
+    * the lagged pairing is a join on a derived key, so it shuffles the
+    * DAILY aggregate (≤ types × days rows), never events. */
+  def acfStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byTypeDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = graft.operators.Dedup.memoPersist(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("i", row_number().over(byTypeDay)))
+    val l = idx.select(col("event_type"), col("i"), col("cnt").as("x"))
+    val r = idx.select(col("event_type"), col("i").as("j"), col("cnt").as("y"))
+    l.withColumn("k", explode(sequence(lit(1L), lit(7L))))
+      .withColumn("j", col("i") + col("k"))
+      .join(r, Seq("event_type", "j"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y").cast(DecimalType(38, 0)))
+          .cast("long").as("sxy"))
+      .orderBy("event_type", "k")
+  }
+
+  private val acfStatsSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i, cnt
+      |  FROM daily),
+      |ks AS (SELECT range AS k FROM range(1, 8))
+      |SELECT l.event_type, ks.k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(l.cnt) AS BIGINT) AS sx,
+      |  CAST(SUM(r.cnt) AS BIGINT) AS sy,
+      |  CAST(SUM(l.cnt * r.cnt) AS BIGINT) AS sxy
+      |FROM idx l CROSS JOIN ks
+      |JOIN idx r ON r.event_type = l.event_type AND r.i = l.i + ks.k
+      |GROUP BY l.event_type, ks.k
+      |ORDER BY l.event_type, ks.k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("funnel", funnelSql)(funnel(_, _)),
     Q("sessionize", sessionizeSql)(sessionize),
@@ -573,5 +747,8 @@ object Behavioral {
     Q("ts_anomaly", tsAnomalySql)(tsAnomaly),
     Q("interval_union", intervalUnionSql)(intervalUnion(_, _)),
     Q("basket_pairs", basketPairsSql)(basketPairs),
-    Q("pattern_match", patternMatchSql)(patternMatch))
+    Q("pattern_match", patternMatchSql)(patternMatch),
+    Q("cusum_changepoint", cusumChangepointSql)(cusumChangepoint),
+    Q("acf_stats", acfStatsSql)(acfStats),
+    Q("recommend_topk", recommendTopkSql)(recommendTopk))
 }

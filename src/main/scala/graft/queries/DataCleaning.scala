@@ -222,6 +222,50 @@ object DataCleaning {
       .orderBy("o_orderkey")
   }
 
+  /** **SQL time travel over a versioned sink** (`graft_version` TVF +
+    * [[graft.operators.Upsert.readVersion]]): three order batches commit
+    * through [[graft.operators.Upsert.versionedSink]] — inserts (v1),
+    * inserts + price-bump updates + 'F'-status tombstones (v2), more
+    * inserts (v3) — and the query then reads **version 2 from SQL**
+    * (`FROM graft_version(path, 2)`) while the sink's latest is v3. The
+    * oracle replays batches 0 and 1 declaratively (latest-wins upsert +
+    * tombstone semantics), so the gate proves the SQL surface pins the
+    * exact committed snapshot, not the moving head. Re-running the query
+    * in one session replays batch ids through the sink's append-only
+    * replay protocol — v2 is never rewritten, so the read is stable. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(spark, "graft_timetravel_orders")
+    val ord = Tables.orders(spark, dir)
+    val sink = graft.operators.Upsert.versionedSink(tmp, "o_orderkey",
+      "o_orderdate", "o_orderkey", col("o_orderstatus") === "F")
+    sink(ord.filter(col("o_orderkey") % 3 === 0), 0L)
+    sink(ord.filter(col("o_orderkey") % 3 === 1)
+      .unionByName(ord.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)), 1L)
+    sink(ord.filter(col("o_orderkey") % 3 === 2), 2L)
+    graft.GraftExtensions.register(spark)
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+         |FROM graft_version('$tmp', 2)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val timeTravelSql =
+    """WITH b0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |            FROM orders WHERE o_orderkey % 3 = 0),
+      |b1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |       FROM orders WHERE o_orderkey % 3 = 1
+      |       UNION ALL
+      |       SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0
+      |       FROM orders WHERE o_orderkey % 6 = 0),
+      |v1 AS (SELECT * FROM b0 WHERE o_orderstatus <> 'F'),
+      |v2 AS (SELECT * FROM v1
+      |       WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.o_orderkey = v1.o_orderkey)
+      |       UNION ALL
+      |       SELECT * FROM b1 WHERE o_orderstatus <> 'F')
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM v2
+      |ORDER BY o_orderkey""".stripMargin
+
   private val upsertSnapshotSql =
     """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
       |delta AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1
@@ -1850,10 +1894,124 @@ object DataCleaning {
       fdSql("nation", Seq("n_nationkey"), "n_regionkey"))
     .mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
 
+  /** **Inclusion-dependency (FK) discovery**
+    * ([[graft.operators.DataQuality.indDiscover]]): the full TPC-H-style
+    * FK skeleton as candidates — the seven true edges (nation→region,
+    * customer/supplier→nation, orders→customer, lineitem→orders/part/
+    * supplier) plus two REVERSED candidates that genuinely fail
+    * (customer keys without orders, parts never ordered), so the gate
+    * checks both verdicts, not just the happy path. */
+  def indDiscoverQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.{IndCandidate, indDiscover}
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val part = Tables.part(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    indDiscover(Seq(
+      IndCandidate("nation.n_regionkey", nation, "n_regionkey",
+        "region.r_regionkey", region, "r_regionkey"),
+      IndCandidate("customer.c_nationkey", customer, "c_nationkey",
+        "nation.n_nationkey", nation, "n_nationkey"),
+      IndCandidate("supplier.s_nationkey", supplier, "s_nationkey",
+        "nation.n_nationkey", nation, "n_nationkey"),
+      IndCandidate("orders.o_custkey", orders, "o_custkey",
+        "customer.c_custkey", customer, "c_custkey"),
+      IndCandidate("lineitem.l_orderkey", lineitem, "l_orderkey",
+        "orders.o_orderkey", orders, "o_orderkey"),
+      IndCandidate("lineitem.l_partkey", lineitem, "l_partkey",
+        "part.p_partkey", part, "p_partkey"),
+      IndCandidate("lineitem.l_suppkey", lineitem, "l_suppkey",
+        "supplier.s_suppkey", supplier, "s_suppkey"),
+      IndCandidate("customer.c_custkey", customer, "c_custkey",
+        "orders.o_custkey", orders, "o_custkey"),
+      IndCandidate("part.p_partkey", part, "p_partkey",
+        "lineitem.l_partkey", lineitem, "l_partkey")))
+  }
+
+  private def indSql(childLabel: String, childTable: String,
+      childCol: String, parentLabel: String, parentTable: String,
+      parentCol: String): String =
+    s"""SELECT '$childLabel' AS child, '$parentLabel' AS parent,
+       |  CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+       |  CAST(COUNT(CASE WHEN p.v IS NULL THEN 1 END) AS BIGINT) AS n_missing,
+       |  COUNT(CASE WHEN p.v IS NULL THEN 1 END) = 0 AS holds
+       |FROM (SELECT DISTINCT CAST($childCol AS BIGINT) AS v
+       |      FROM $childTable WHERE $childCol IS NOT NULL) c
+       |LEFT JOIN (SELECT DISTINCT CAST($parentCol AS BIGINT) AS v
+       |           FROM $parentTable WHERE $parentCol IS NOT NULL) p USING (v)""".stripMargin
+
+  private val indDiscoverSql = Seq(
+      indSql("nation.n_regionkey", "nation", "n_regionkey",
+        "region.r_regionkey", "region", "r_regionkey"),
+      indSql("customer.c_nationkey", "customer", "c_nationkey",
+        "nation.n_nationkey", "nation", "n_nationkey"),
+      indSql("supplier.s_nationkey", "supplier", "s_nationkey",
+        "nation.n_nationkey", "nation", "n_nationkey"),
+      indSql("orders.o_custkey", "orders", "o_custkey",
+        "customer.c_custkey", "customer", "c_custkey"),
+      indSql("lineitem.l_orderkey", "lineitem", "l_orderkey",
+        "orders.o_orderkey", "orders", "o_orderkey"),
+      indSql("lineitem.l_partkey", "lineitem", "l_partkey",
+        "part.p_partkey", "part", "p_partkey"),
+      indSql("lineitem.l_suppkey", "lineitem", "l_suppkey",
+        "supplier.s_suppkey", "supplier", "s_suppkey"),
+      indSql("customer.c_custkey", "customer", "c_custkey",
+        "orders.o_custkey", "orders", "o_custkey"),
+      indSql("part.p_partkey", "part", "p_partkey",
+        "lineitem.l_partkey", "lineitem", "l_partkey"))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY child, parent")
+
+  /** **Candidate-key discovery**
+    * ([[graft.operators.DataQuality.keyDiscover]]): uniqueness profiled
+    * over true keys (o_orderkey, the lineitem composite, c_custkey,
+    * doc_id, event_id), true non-keys (o_custkey, l_orderkey alone,
+    * user_id), and the composite whose single columns fail — both
+    * verdicts gated. */
+  def keyDiscoverQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.keyDiscover
+    keyDiscover("orders", Tables.orders(spark, dir),
+        Seq(Seq("o_orderkey"), Seq("o_custkey")))
+      .unionByName(keyDiscover("lineitem", Tables.lineitem(spark, dir),
+        Seq(Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"))))
+      .unionByName(keyDiscover("customer", Tables.customer(spark, dir),
+        Seq(Seq("c_custkey"))))
+      .unionByName(keyDiscover("documents", Tables.documents(spark, dir),
+        Seq(Seq("doc_id"))))
+      .unionByName(keyDiscover("events", Tables.events(spark, dir),
+        Seq(Seq("event_id"), Seq("user_id"))))
+      .orderBy("tbl", "cols")
+  }
+
+  private def keySql(table: String, cols: Seq[String]): String = {
+    val list = cols.mkString(", ")
+    s"""SELECT '$table' AS tbl, '${cols.mkString("+")}' AS cols,
+       |  CAST((SELECT COUNT(*) FROM $table) AS BIGINT) AS n_rows,
+       |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT $list FROM $table)) AS BIGINT) AS n_distinct,
+       |  (SELECT COUNT(*) FROM $table)
+       |    = (SELECT COUNT(*) FROM (SELECT DISTINCT $list FROM $table)) AS is_key""".stripMargin
+  }
+
+  private val keyDiscoverSql = Seq(
+      keySql("orders", Seq("o_orderkey")),
+      keySql("orders", Seq("o_custkey")),
+      keySql("lineitem", Seq("l_orderkey")),
+      keySql("lineitem", Seq("l_orderkey", "l_linenumber")),
+      keySql("customer", Seq("c_custkey")),
+      keySql("documents", Seq("doc_id")),
+      keySql("events", Seq("event_id")),
+      keySql("events", Seq("user_id")))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, cols")
+
   val all: Seq[Q] = Seq(
     Q("dq_audit", dqAuditSql)(dqAudit),
     Q("fd_discover", fdDiscoverSql)(fdDiscoverQ),
+    Q("ind_discover", indDiscoverSql)(indDiscoverQ),
+    Q("key_discover", keyDiscoverSql)(keyDiscoverQ),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
+    Q("time_travel", timeTravelSql)(timeTravel),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
     Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),
     Q("parquet_evolution", parquetEvolutionSql)(parquetEvolution),

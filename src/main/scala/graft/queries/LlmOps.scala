@@ -982,6 +982,70 @@ object LlmOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** **PMI collocation extraction**: the corpus' top-100 word bigrams
+    * by pointwise mutual information — the classic collocation measure
+    * (Church & Hanks 1990) behind phrase mining and tokenizer-merge
+    * candidates. PMI = log(n₁₂·N/(n₁·n₂)); the log is monotone, so the
+    * ranking key is the EXACT integral floor(n₁₂·N·10⁶/(n₁·n₂)) — every
+    * step integer arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    * oracle), no libm anywhere, ties broken by the words. Bigram and
+    * unigram counts are two aggregates over one tokenization
+    * (memoized); frequency attaches broadcast (vocabulary-sized);
+    * support ≥ 5 prunes the hapax noise PMI is notorious for. Scale
+    * shape = `lm_bigram`'s: shuffles carry (term, count) frames bounded
+    * by vocabulary, never corpus tokens. */
+  def collocationsPmi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val toks = graft.operators.Dedup.memoPersist(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val bg = graft.operators.Dedup.memoPersist(
+      toks.where(size(col("w")) >= 2)
+        .select(col("w"), explode(expr("sequence(1, size(w) - 1)")).as("pos"))
+        .select(element_at(col("w"), col("pos")).as("w1"),
+          element_at(col("w"), col("pos") + 1).as("w2")))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= 5)
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    big
+      .join(broadcast(uni.select(col("t").as("w1"), col("n").as("n1"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("n").as("n2"))), "w2")
+      .crossJoin(broadcast(nb))
+      .withColumn("__num", d(col("n12")) * d(col("nb")) * lit(1000000))
+      .withColumn("__den", d(col("n1")) * d(col("n2")))
+      .withColumn("pmi_scaled", expr("CAST(__num div __den AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val collocationsPmiSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (
+      |  SELECT t, COUNT(*) AS n
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY t),
+      |bg AS (
+      |  SELECT w[pos+1] AS w1, w[pos+2] AS w2
+      |  FROM toks, UNNEST(range(0, len(w) - 1)) AS t(pos)),
+      |big AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY 1, 2
+      |        HAVING COUNT(*) >= 5),
+      |nb AS (SELECT COUNT(*) AS nb FROM bg)
+      |SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+      |  CAST(u1.n AS BIGINT) AS n1, CAST(u2.n AS BIGINT) AS n2,
+      |  CAST((CAST(n12 AS HUGEINT) * nb.nb * 1000000)
+      |       // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS pmi_scaled
+      |FROM big JOIN uni u1 ON u1.t = big.w1
+      |         JOIN uni u2 ON u2.t = big.w2
+      |         CROSS JOIN nb
+      |ORDER BY pmi_scaled DESC, w1, w2
+      |LIMIT 100""".stripMargin
+
   /** **CCNet head/middle/tail bucketing** (Wenzek et al. 2020): split
     * each SOURCE's documents into perplexity tertiles so a training mix
     * can keep heads, sample middles, and drop tails per domain — graded
@@ -2547,6 +2611,7 @@ object LlmOps {
     Q("llm_prepare_corpus", llmPrepareCorpusSql)(llmPrepareCorpus),
     Q("corpus_shuffle", corpusShuffleSql)(corpusShuffle),
     Q("lm_bigram", lmBigramSql)(lmBigram),
+    Q("collocations_pmi", collocationsPmiSql)(collocationsPmi),
     Q("embedding_stats", embeddingStatsSql)(embeddingStats),
     Q("embedding_gram", embeddingGramSql)(embeddingGram),
     Q.noOracle("embedding_pca")(embeddingPca),

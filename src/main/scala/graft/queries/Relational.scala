@@ -377,6 +377,44 @@ object Relational {
       |WHERE a.event_id < b.event_id AND a.user_id <> b.user_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** **Interval overlap join** ([[graft.operators.Joins.intervalOverlapJoin]]):
+    * concurrency analysis over user activity spans. Each (user, day)
+    * gets its closed activity interval [first ts, last ts]; the operator
+    * then counts, per span, how many OTHER users' spans intersect it —
+    * the "who was on at the same time" question, whose naive form is an
+    * O(n²) θ-join. The engine side goes through hour-bin replication +
+    * equi-join + first-common-bin dedup (no distinct pass, no
+    * cartesian); the oracle IS the naive θ-join, so the gate proves the
+    * bin decomposition reproduces the exact pair set. Spans come from
+    * one events shuffle, memoized across the self-join's two sides. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.Dedup.memoPersist(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1")))
+    val l = spans.select(col("user_id").as("l_user"), col("day").as("l_day"),
+      col("t0").as("l_t0"), col("t1").as("l_t1"))
+    val r = spans.select(col("user_id").as("r_user"),
+      col("t0").as("r_t0"), col("t1").as("r_t1"))
+    graft.operators.Joins.intervalOverlapJoin(l, r,
+        col("l_t0"), col("l_t1"), col("r_t0"), col("r_t1"),
+        binMicros = 3600L * 1000000L)
+      .filter(col("l_user") =!= col("r_user"))
+      .groupBy(col("l_user").as("user_id"), col("l_day").as("day"))
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("user_id", "day")
+  }
+
+  private val intervalJoinSql =
+    """WITH spans AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS t0, MAX(ts) AS t1
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT l.user_id, l.day, COUNT(*) AS n_concurrent
+      |FROM spans l JOIN spans r
+      |  ON l.t0 <= r.t1 AND r.t0 <= l.t1 AND l.user_id <> r.user_id
+      |GROUP BY l.user_id, l.day
+      |ORDER BY l.user_id, l.day""".stripMargin
+
   /** The same as-of semantics through the engine's NATIVE operator
     * ([[graft.plans.AsOfJoin]] — custom LogicalPlan/Strategy/SparkPlan):
     * purchases as-of-joined to the clicks table on user_id with the
@@ -685,6 +723,7 @@ object Relational {
     Q("nation_share", nationShareSql)(nationShare),
     Q("range_join", rangeJoinSql)(rangeJoin),
     Q("band_join", bandJoinSql)(bandJoin),
+    Q("interval_join", intervalJoinSql)(intervalJoin),
     Q("asof_join", asofJoinSql)(asofJoin),
     Q("asof_join_native", asofJoinSql)(asofJoinNative),
     Q("asof_join_sql", asofJoinSql)(asofJoinSqlQ),

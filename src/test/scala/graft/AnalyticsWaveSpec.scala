@@ -82,6 +82,126 @@ class AnalyticsWaveSpec extends SparkTestBase {
     assert(kv.getLong(2) == 2 && kv.getLong(3) == 3)
   }
 
+  test("indDiscover: containment verdicts, NULL FKs unconstrained") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
+    val parentFull = Seq(1L, 2L, 3L, 9L).toDF("pk")
+    val parentGap = Seq(1L, 2L).toDF("pk")
+    val rep = DataQuality.indDiscover(Seq(
+        DataQuality.IndCandidate("c.fk", child, "fk", "pFull.pk", parentFull, "pk"),
+        DataQuality.IndCandidate("c.fk", child, "fk", "pGap.pk", parentGap, "pk")))
+      .collect().map(r => r.getString(1) -> r).toMap
+    val full = rep("pFull.pk")
+    // the NULL child value is ignored: 3 distinct non-NULL values, all contained
+    assert(full.getLong(2) == 3 && full.getLong(3) == 0 && full.getBoolean(4))
+    val gap = rep("pGap.pk")
+    assert(gap.getLong(2) == 3 && gap.getLong(3) == 1 && !gap.getBoolean(4))
+  }
+
+  test("keyDiscover: uniqueness verdicts; struct distinct groups NULLs equal") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None))
+      .toDF("id", "v")
+    val rep = DataQuality.keyDiscover("t", df, Seq(Seq("id"), Seq("v")))
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(rep("id").getBoolean(4), "id is a key")
+    val v = rep("v")
+    // NULLs group equal inside the struct: distinct {a, NULL} = 2, so a
+    // NULL-skipping countDistinct (which would report 1 of 4) can't
+    // inflate nor a NULL-distinct convention deflate the verdict
+    assert(v.getLong(3) == 2 && !v.getBoolean(4), s"v distinct must be 2, got $v")
+  }
+
+  test("cusum_changepoint: argmax |n*S_i - i*T| recomputed exactly per type") {
+    val out = Behavioral.cusumChangepoint(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDate(1).toString, r.getLong(2))).toMap
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val series = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val n = series.length.toLong
+      val total = series.map(_._2).sum
+      var s = 0L
+      val cs = series.zipWithIndex.map { case ((day, cnt), i0) =>
+        s += cnt; (day, n * s - (i0 + 1) * total)
+      }
+      val best = cs.minBy { case (day, c) => (-math.abs(c), day) }
+      assert(out(tpe) == best, s"$tpe: got ${out(tpe)}, want $best")
+    }
+  }
+
+  test("acf_stats: pair counts and sums match the shifted-series recompute") {
+    val out = Behavioral.acfStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val xs = rows.map(t => (t._2, t._3)).sortBy(_._1).map(_._2)
+      (1 to 7).foreach { k =>
+        if (xs.length > k) {
+          val pairs = xs.dropRight(k).zip(xs.drop(k))
+          val want = (pairs.length.toLong, pairs.map(_._1).sum,
+            pairs.map(_._2).sum, pairs.map(p => p._1 * p._2).sum)
+          assert(out((tpe, k.toLong)) == want, s"$tpe lag $k")
+        } else assert(!out.contains((tpe, k.toLong)), s"$tpe lag $k should be absent")
+      }
+    }
+  }
+
+  test("recommend_topk equals the brute-force cosine ranking at sf0.001") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val cooc = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sym = cooc.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val want = sym.groupBy(_._1).flatMap { case (item, recs) =>
+      recs.map { case (_, rec, c) =>
+        val score = (BigInt(c) * c * 1000000 / (BigInt(n(item)) * n(rec))).toLong
+        (item, rec, c, score)
+      }.sortBy { case (_, rec, c, score) => (-score, -c, rec) }
+        .take(5).zipWithIndex
+        .map { case ((i, r, c, s), rk) => (i, r, c, s, rk + 1L) }
+    }.toSet
+    val got = Behavioral.recommendTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getInt(6).toLong)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("collocations_pmi: emitted scores are self-consistent and support-pruned") {
+    val rows = LlmOps.collocationsPmi(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // total bigram positions from the corpus (the N in the PMI)
+    val nb = Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " ")).as("l"))
+      .agg(sum(when(col("l") >= 2, col("l") - 1)).cast("long")).head.getLong(0)
+    rows.foreach { r =>
+      val (n12, n1, n2, score) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n12 >= 5, "support floor")
+      assert(n12 <= n1 && n12 <= n2, "bigram count bounded by unigram counts")
+      val want = (BigInt(n12) * nb * 1000000 / (BigInt(n1) * n2)).toLong
+      assert(score == want, s"score mismatch for ${r.getString(0)} ${r.getString(1)}")
+    }
+    // descending by (score, w1, w2): the emitted order is the total order
+    val keys = rows.map(r => (-r.getLong(5), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "output must be sorted by the rank key")
+  }
+
   test("bm25_search: ranking rewards the rare term and respects length norm") {
     val out = LlmOps.bm25Search(spark, sf0001, k = 500).cache()
     val top = out.filter(col("rank") <= 25)

@@ -75,6 +75,35 @@ class ExtensionsSpec extends SparkTestBase {
     assert(api == rows.sorted)
   }
 
+  test("graft_version table function time-travels a versioned sink from SQL") {
+    GraftExtensions.register(spark)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_version_tvf_${spark.sparkContext.applicationId}").getAbsolutePath
+    val sink = graft.operators.Upsert.versionedSink(
+      tmp, "k", "ord", "k", col("tomb"))
+    sink(Seq((1L, 1L, "a", false), (2L, 1L, "b", false))
+      .toDF("k", "ord", "v", "tomb"), 0L)                    // v1: {1->a, 2->b}
+    sink(Seq((2L, 2L, "b2", false), (3L, 2L, "c", false))
+      .toDF("k", "ord", "v", "tomb"), 1L)                    // v2: update 2, insert 3
+    sink(Seq((1L, 3L, "x", true)).toDF("k", "ord", "v", "tomb"), 2L) // v3: delete 1
+
+    // pinned read: v2 while latest is v3
+    val v2 = spark.sql(s"SELECT k, v FROM graft_version('$tmp', 2) ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(v2 == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // 1-arg form reads the moving head
+    val latest = spark.sql(s"SELECT k, v FROM graft_version('$tmp') ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(latest == Seq((2L, "b2"), (3L, "c")))
+
+    // a missing version fails at analysis, loudly, with the history
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_version('$tmp', 99)").collect()
+    }
+    assert(err.getMessage.contains("99"), err.getMessage)
+  }
+
   test("BoundedTopK plans as a partial-mergeable aggregate (map-side top-k)") {
     val df = Tables.orders(spark, sf0001)
       .groupBy(col("o_custkey"))

@@ -181,4 +181,62 @@ class JoinsSpec extends SparkTestBase {
     assert(got == expect)
     assert(expect.nonEmpty)
   }
+
+  test("intervalOverlapJoin equals the brute-force theta join, exactly once per pair") {
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(29)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // random closed intervals: lengths from zero-width points to spans
+    // covering many hour bins, so multi-bin pairs exercise the
+    // first-common-bin dedup
+    val rows = (1 to 300).map { i =>
+      val s = base + rng.nextInt(48 * 3600) * 1000L
+      val len = rng.nextInt(4 * 3600) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + len))
+    }
+    val df = rows.toDF("id", "t0", "t1")
+    val a = df.select(col("id").as("id_a"), col("t0").as("a0"), col("t1").as("a1"))
+      .repartition(5)
+    val b = df.select(col("id").as("id_b"), col("t0").as("b0"), col("t1").as("b1"))
+      .repartition(3)
+    val expect = (for {
+      (i, s1, e1) <- rows; (j, s2, e2) <- rows
+      if i < j && s1.getTime <= e2.getTime && s2.getTime <= e1.getTime
+    } yield (i, j)).toSet
+    for (binSec <- Seq(600L, 3600L, 86400L)) {
+      // collect as a LIST: a duplicate pair (double emission at two
+      // shared bins) must fail the exactly-once contract, not vanish
+      // into a set
+      val got = graft.operators.Joins.intervalOverlapJoin(a, b,
+          col("a0"), col("a1"), col("b0"), col("b1"), binSec * 1000000L)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"duplicate pairs at bin=$binSec s")
+      assert(got.toSet == expect, s"pair set diverges at bin=$binSec s")
+    }
+    assert(expect.nonEmpty)
+  }
+
+  test("intervalOverlapJoin: touching endpoints join; disjoint same-bin pairs don't; end<start fails loudly") {
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    val h = 3600000L
+    val a = Seq((1L, t(0L), t(h))).toDF("id_a", "a0", "a1")
+    // touching at exactly a1 == b0 (closed intervals) + a same-bin
+    // disjoint interval that a bin-only join would falsely match
+    val b = Seq((10L, t(h), t(2 * h)), (11L, t(h + 60000L), t(h + 120000L)))
+      .toDF("id_b", "b0", "b1")
+    val got = graft.operators.Joins.intervalOverlapJoin(a, b,
+        col("a0"), col("a1"), col("b0"), col("b1"), h * 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+
+    val bad = Seq((2L, t(h), t(0L))).toDF("id_a", "a0", "a1")
+    val err = intercept[Exception] {
+      graft.operators.Joins.intervalOverlapJoin(bad, b,
+          col("a0"), col("a1"), col("b0"), col("b1"), h * 1000L)
+        .collect()
+    }
+    assert(err.getMessage.contains("end < start"), err.getMessage)
+  }
 }
