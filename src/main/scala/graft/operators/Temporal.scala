@@ -203,4 +203,50 @@ object Temporal {
       col("tb").cast("long"))))
     untouched.unionByName(closed).unionByName(recomputed)
   }
+
+  /** **Interval overlap COUNTS by rank sweep — no pair enumeration.**
+    * For each closed interval `[start, end]`, the number of OTHER
+    * intervals in the same frame that intersect it:
+    * `count = A − B − 1`, where A = #{r : r.start ≤ s.end} and
+    * B = #{r : r.end < s.start} (every interval is left-disjoint,
+    * overlapping, or right-disjoint; the −1 removes s itself). A and B
+    * are order statistics, so the whole computation is two
+    * [[PrefixSum.runningSums]] sweeps over (marker ∪ probe) point
+    * lists — range-partitioned, parallel, O(n log n) — plus one
+    * interval-keyed join. Tie discipline: A's markers sort BEFORE
+    * probes at equal value (≤ is inclusive), B's AFTER (< is strict).
+    *
+    * This is the scale twin of [[Joins.intervalOverlapJoin]]: when the
+    * question is "how many overlap", enumeration pays Θ(matched pairs)
+    * — quadratic on a densifying time axis — while the sweep pays
+    * Θ(n log n) regardless of how dense the overlaps get. Use the join
+    * when the pairs themselves are the output; use this when a count
+    * per interval is.
+    *
+    * `idCols` must uniquely identify intervals. The count includes
+    * overlapping intervals sharing id prefixes (no per-key exclusion);
+    * when same-key intervals cannot overlap by construction — e.g.
+    * per-(user, day) spans, which day boundaries keep disjoint — the
+    * result equals the different-key overlap count exactly. */
+  def overlapCounts(spans: DataFrame, idCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    require(idCols.nonEmpty, "overlapCounts needs id columns")
+    val ids = idCols.map(col)
+    def sweep(markerCol: String, probeCol: String,
+        markersFirstAtTies: Boolean, outName: String): DataFrame = {
+      val (mKind, pKind) = if (markersFirstAtTies) (0, 1) else (1, 0)
+      val mk = spans.select((col(markerCol).as("val") +: lit(mKind).as("kind")
+        +: ids) ++ Seq(lit(1L).as("m"), lit(false).as("probe")): _*)
+      val pr = spans.select((col(probeCol).as("val") +: lit(pKind).as("kind")
+        +: ids) ++ Seq(lit(0L).as("m"), lit(true).as("probe")): _*)
+      PrefixSum.runningSums(mk.unionByName(pr),
+          col("val") +: col("kind") +: ids, Seq("m"))
+        .filter(col("probe"))
+        .select(ids :+ col("m_cum").as(outName): _*)
+    }
+    val a = sweep(startCol, endCol, markersFirstAtTies = true, "__a")
+    val b = sweep(endCol, startCol, markersFirstAtTies = false, "__b")
+    a.join(b, idCols)
+      .select(ids :+ (col("__a") - col("__b") - 1L).as("n_overlap"): _*)
+  }
 }

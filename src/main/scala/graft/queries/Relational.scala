@@ -405,6 +405,34 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** **Overlap counts by rank sweep**
+    * ([[graft.operators.Temporal.overlapCounts]]): the SAME answer as
+    * [[intervalJoin]] — per user-day activity span, how many other
+    * users' spans intersect it — WITHOUT enumerating a single pair:
+    * two prefix-sum order-statistic sweeps (A = spans starting ≤ my
+    * end, B = spans ending < my start; count = A − B − 1) instead of
+    * the bin equi-join. Same oracle SQL as `interval_join`, so the
+    * driver hash-pins the equivalence. This is the 100 TB form when
+    * only counts are needed: pair enumeration pays Θ(matched pairs) —
+    * measured 44× wall for 10× data on the densifying weak-scaling
+    * axis, because the PAIR MASS is quadratic — while the sweep stays
+    * Θ(n log n) (SCALING.md round-11 rows). Per-(user, day) spans are
+    * day-disjoint within a user, so all-other-span counts equal the
+    * different-user counts the oracle joins on. */
+  def intervalCountSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.Dedup.memoPersist(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(unix_micros(min(col("ts"))).as("t0"),
+          unix_micros(max(col("ts"))).as("t1")))
+    graft.operators.Temporal.overlapCounts(
+        spans, Seq("user_id", "day"), "t0", "t1")
+      .filter(col("n_overlap") > 0)
+      .select(col("user_id"), col("day"),
+        col("n_overlap").as("n_concurrent"))
+      .orderBy("user_id", "day")
+  }
+
   private val intervalJoinSql =
     """WITH spans AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS t0, MAX(ts) AS t1
@@ -724,6 +752,8 @@ object Relational {
     Q("range_join", rangeJoinSql)(rangeJoin),
     Q("band_join", bandJoinSql)(bandJoin),
     Q("interval_join", intervalJoinSql)(intervalJoin),
+    // sweep ≡ enumeration: the counting twin answers the same oracle
+    Q("interval_count_sweep", intervalJoinSql)(intervalCountSweep),
     Q("asof_join", asofJoinSql)(asofJoin),
     Q("asof_join_native", asofJoinSql)(asofJoinNative),
     Q("asof_join_sql", asofJoinSql)(asofJoinSqlQ),

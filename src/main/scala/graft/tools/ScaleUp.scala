@@ -115,11 +115,12 @@ object ScaleUp {
       else df.select((col("vec_id") + off(c)).as("vec_id"),
         col("embedding"), col("label"))
     }
-    // the 25-row nation dim is fixed by protocol (see scaladoc): one copy
-    if (only.forall(_.contains("nation"))) {
-      spark.read.parquet(s"$src/nation.parquet")
-        .write.mode("overwrite").parquet(s"$out/nation.parquet")
-      println("nation: 1x written (fixed dim)")
+    // the 25-row nation and 5-row region dims are fixed by protocol
+    // (see scaladoc): one copy each
+    for (dim <- Seq("nation", "region") if only.forall(_.contains(dim))) {
+      spark.read.parquet(s"$src/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$out/$dim.parquet")
+      println(s"$dim: 1x written (fixed dim)")
     }
     spark.stop()
   }

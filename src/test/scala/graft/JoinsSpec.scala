@@ -217,6 +217,30 @@ class JoinsSpec extends SparkTestBase {
     assert(expect.nonEmpty)
   }
 
+  test("Temporal.overlapCounts (rank sweep) equals brute-force overlap counting") {
+    val rng = new scala.util.Random(31)
+    val base = 1700000000000000L // µs
+    val rows = (1 to 500).map { i =>
+      val s = base + rng.nextInt(48 * 3600).toLong * 1000000L
+      (i.toLong, s, s + rng.nextInt(4 * 3600).toLong * 1000000L)
+    }
+    val df = rows.toDF("id", "t0", "t1").repartition(7)
+    val got = graft.operators.Temporal.overlapCounts(df, Seq("id"), "t0", "t1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, s1, e1) =>
+      val want = rows.count { case (j, s2, e2) =>
+        j != i && s1 <= e2 && s2 <= e1
+      }.toLong
+      assert(got(i) == want, s"interval $i")
+    }
+    // ties at exact endpoint equality: touching counts (closed intervals)
+    val touch = Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 201L, 300L))
+      .toDF("id", "t0", "t1")
+    val tg = graft.operators.Temporal.overlapCounts(touch, Seq("id"), "t0", "t1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tg == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("intervalOverlapJoin: touching endpoints join; disjoint same-bin pairs don't; end<start fails loudly") {
     import java.sql.Timestamp
     def t(ms: Long) = new Timestamp(ms)
