@@ -929,6 +929,47 @@ object DataCleaning {
       |       w.n_wedges, t.n_triangles
       |FROM w CROSS JOIN t""".stripMargin
 
+  /** **Connected components, hash-checked** — upgrades the CC family
+    * from rows-only (`corpus_clusters`, whose edge set depends on
+    * engine hashing) to a full oracle gate: components of the sparse
+    * part co-occurrence graph, labeled min-node-id per component
+    * ([[graft.operators.Dedup.connectedComponentsAuto]] — bounded
+    * driver union-find under the gate, distributed min-label
+    * hash-min iteration above it, IDENTICAL output either way). The
+    * DuckDB oracle is min-label propagation as a recursive CTE with
+    * the `label < node` prune (the component minimum m satisfies
+    * m < every other member, so pruned propagation still delivers it
+    * everywhere; non-minimal labels only add rows the final MIN
+    * discards). */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("doc_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("doc_b")),
+        "l_orderkey")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    graft.operators.Dedup.connectedComponentsAuto(pairs)
+      .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
+      .orderBy("node")
+  }
+
+  private val graphComponentsSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0),
+      |lp AS (
+      |  SELECT x AS node, x AS label FROM e
+      |  UNION
+      |  SELECT e.y, lp.label FROM lp JOIN e ON e.x = lp.node
+      |  WHERE lp.label < e.y)
+      |SELECT node, CAST(MIN(label) AS BIGINT) AS component
+      |FROM lp GROUP BY node
+      |ORDER BY node""".stripMargin
+
   /** **Multi-source BFS hop distance** ([[graft.operators.Graph
     * .bfsHops]]) over the same sparse part co-occurrence graph, from
     * the every-500th-part seed set: exact minimum hops per reachable
@@ -2042,6 +2083,7 @@ object DataCleaning {
     Q("graph_pagerank_fp", graphPagerankFpSql)(graphPagerankFp),
     Q("graph_triangles", graphTrianglesSql)(graphTriangles),
     Q("graph_bfs", graphBfsSql)(graphBfs),
+    Q("graph_components", graphComponentsSql)(graphComponents),
     Q("graph_sssp", graphSsspSql)(graphSssp),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),

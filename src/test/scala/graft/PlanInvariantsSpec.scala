@@ -77,7 +77,11 @@ class PlanInvariantsSpec extends SparkTestBase {
       // cms_estimate: the 1-row corpus CMS sketch (a grouping-free
       // aggregate) broadcasts into the per-key min-of-cells estimate
       // projection — the scalar_subquery shape
-      "cms_estimate")
+      "cms_estimate",
+      // collocations_pmi: the 1-row total-bigram-positions frame N (a
+      // grouping-free aggregate) broadcasts into the per-bigram PMI
+      // projection — the scalar_subquery shape
+      "collocations_pmi")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
