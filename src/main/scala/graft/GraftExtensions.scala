@@ -21,6 +21,12 @@ import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, Winn
   *  - `graft_topk(sortStruct, k)` — bounded top-k aggregate
   *  - `graft_winnow(text, k, w)` — winnowing fingerprint set
   *  - `graft_sorted_intersect(a, b)` — |A∩B| of two sorted bigint arrays
+  *  - `graft_nfc(text)` — Unicode NFC normalization
+  *  - `graft_shingles(text, n)` — word n-gram shingles
+  *  - `graft_hilbert(x, y, bits)` — Hilbert-curve cell index
+  *  - `graft_kmv(hash, k)` / `graft_cms(pos, cells)` /
+  *    `graft_frequent(key, k)` — the mergeable sketch aggregates
+  *  - table functions: `graft_asof(...)`, `graft_version(path[, v])`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -61,7 +67,42 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect",
         "graft_sorted_intersect(a, b) - intersection size of two ascending-sorted bigint arrays"),
-      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(text) - Unicode NFC normalization"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs(0))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(text, n) - space-joined word n-gram shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WordShingles(exprs(0), intLit(exprs, 1, "graft_shingles n"))),
+    (FunctionIdentifier("graft_hilbert"),
+      info("graft_hilbert",
+        "graft_hilbert(x, y, bits) - Hilbert curve index of a 2-D cell (unit-step locality)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HilbertIndex(exprs(0), exprs(1), intLit(exprs, 2, "graft_hilbert bits"))),
+    (FunctionIdentifier("graft_kmv"),
+      info("graft_kmv",
+        "graft_kmv(hash, k) - mergeable KMV distinct sketch (k smallest distinct hashes, ascending)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KmvSketchAgg(exprs(0), intLit(exprs, 1, "graft_kmv k"))),
+    (FunctionIdentifier("graft_cms"),
+      info("graft_cms",
+        "graft_cms(positions, cells) - mergeable Count-Min counter array over per-row cell positions"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CmsSketchAgg(exprs(0), intLit(exprs, 1, "graft_cms cells"))),
+    (FunctionIdentifier("graft_frequent"),
+      info("graft_frequent",
+        "graft_frequent(key, k) - Misra-Gries heavy-hitter candidates (complete above n/(k+1))"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FrequentItems(exprs(0), intLit(exprs, 1, "graft_frequent k"))))
+
+  private def intLit(exprs: Seq[Expression], i: Int, what: String): Int =
+    exprs(i) match {
+      case Literal(k: Int, _) => k
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
 
   /** SQL surface for the native as-of join ([[graft.plans.AsOfJoinPlan]]):
     * a table-valued function, so SQL users reach `AsOfJoinExec` without

@@ -75,6 +75,56 @@ class ExtensionsSpec extends SparkTestBase {
     assert(api == rows.sorted)
   }
 
+  test("sketch aggregates and kernel expressions are callable from SQL, ≡ the Scala API") {
+    GraftExtensions.register(spark)
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("key", col("id") % 37)
+      .withColumn("g", col("id") % 3)
+    df.createOrReplaceTempView("sketch_in")
+
+    // KMV: SQL form ≡ Scala aggregate, per group
+    val sqlKmv = spark.sql(
+      """SELECT g, graft_kmv(xxhash64(key), 16) AS s
+        |FROM sketch_in GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Seq[Long])].collect().toSeq
+    val apiKmv = df.groupBy(col("g"))
+      .agg(graft.functions.KmvSketchAgg(xxhash64(col("key")), 16).as("s"))
+      .orderBy("g").as[(Long, Seq[Long])].collect().toSeq
+    assert(sqlKmv == apiKmv && sqlKmv.forall(_._2.nonEmpty))
+
+    // Misra–Gries: completeness holds only ABOVE n/(k+1), so the
+    // fixture needs a genuinely heavy key — every id%3==0 row maps to
+    // key 0 (~1667 of 5000 > 5000/9 ≈ 556); the uniform residue keys
+    // may legitimately vanish from the summary
+    val freq = spark.sql(
+      """SELECT graft_frequent(CASE WHEN id % 3 = 0 THEN 0 ELSE key END, 8) AS c
+        |FROM sketch_in""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(freq.contains(0L) && freq.size <= 8)
+
+    // CMS over single-cell positions ≡ exact counts folded to an array
+    val cms = spark.sql(
+      """SELECT graft_cms(array(CAST(key % 32 AS BIGINT)), 32) AS c
+        |FROM sketch_in""".stripMargin).as[Seq[Long]].head()
+    assert(cms.sum == 5000L && cms.length == 32)
+
+    // Hilbert index from SQL ≡ the Scala expression
+    val hSql = spark.sql(
+      "SELECT graft_hilbert(CAST(id % 16 AS BIGINT), CAST(id % 13 AS BIGINT), 4) AS h FROM sketch_in ORDER BY id")
+      .as[Long].collect().toSeq
+    val hApi = df.orderBy("id")
+      .select(graft.functions.HilbertIndex(col("id") % 16, col("id") % 13, 4))
+      .as[Long].collect().toSeq
+    assert(hSql == hApi)
+
+    // NFC + shingles kernels
+    val nfc = spark.sql("SELECT graft_nfc('éclair') AS t").as[String].head()
+    assert(nfc == "éclair")
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
   test("graft_version table function time-travels a versioned sink from SQL") {
     GraftExtensions.register(spark)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
