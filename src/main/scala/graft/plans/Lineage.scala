@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** **Column-level lineage extraction** — the data-governance question
+  * ("which source columns feed this output column?") answered from the
+  * ANALYZED logical plan, so it is exact by construction: the walk uses
+  * Catalyst's own `ExprId` identity, the same mechanism the analyzer
+  * uses to bind references, not name matching (aliases, self-joins and
+  * re-used names cannot confuse it).
+  *
+  * The traversal folds bottom-up: leaves seed each output attribute
+  * with its own (table, column) pair — file relations are named by
+  * their root path's basename, local/in-memory relations by a marker —
+  * and every operator above extends the map: a [[Project]]/[[Aggregate]]
+  * /[[Window]] alias maps its fresh `ExprId` to the union of the
+  * lineages of the attributes it references; [[Union]] merges children
+  * POSITIONALLY (output column i descends from column i of every
+  * branch); [[Generate]] (explode & co.) maps generator outputs to the
+  * generator's references; everything else passes its children's map
+  * through. Lineage follows *data* columns — predicate/join-key
+  * provenance (control lineage) is deliberately out of scope, matching
+  * the OpenLineage column-lineage facet's default.
+  *
+  * Cost model: this is a driver-side plan walk — zero jobs, zero scans;
+  * it can run against a 100 TB table's query plan in milliseconds,
+  * which is what makes it deployable as an always-on audit hook. */
+object Lineage {
+
+  /** (table, column) source pair. */
+  final case class Src(table: String, column: String)
+
+  private def leafName(p: LogicalPlan): String = p match {
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val base = fs.location.rootPaths.headOption
+            .map(_.getName).getOrElse("file_relation")
+          base.replaceAll("\\.parquet$|\\.orc$|\\.csv$|\\.json$", "")
+        case other => other.getClass.getSimpleName
+      }
+    case _: LocalRelation => "__local"
+    case r: Range => "__range"
+    case other => "__" + other.getClass.getSimpleName.stripSuffix("$")
+  }
+
+  /** Lineage map of every attribute produced anywhere in `plan`. */
+  private def walk(plan: LogicalPlan): Map[ExprId, Set[Src]] = {
+    def named(exprs: Seq[NamedExpression],
+        env: Map[ExprId, Set[Src]]): Map[ExprId, Set[Src]] =
+      exprs.foldLeft(env) {
+        case (m, a: Alias) =>
+          m.updated(a.exprId,
+            a.child.references.toSeq
+              .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src])).toSet)
+        case (m, _) => m
+      }
+    plan match {
+      case leaf: LeafNode =>
+        val t = leafName(leaf)
+        // caches keep their upstream plan around: walk through it so
+        // memoPersist'd stages don't erase provenance
+        val fromCache = leaf match {
+          case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            scala.util.Try(walk(im.cachedPlan.logicalLink.get)).toOption
+          case _ => None
+        }
+        fromCache.getOrElse(
+          leaf.output.map(a => a.exprId -> Set(Src(t, a.name))).toMap)
+      case u: Union =>
+        val childMaps = u.children.map(c => (c, walk(c)))
+        val merged = childMaps.map(_._2).reduce(_ ++ _)
+        // positional merge: output col i ← col i of every branch
+        u.output.zipWithIndex.foldLeft(merged) { case (m, (out, i)) =>
+          val srcs = childMaps.flatMap { case (c, cm) =>
+            cm.getOrElse(c.output(i).exprId, Set.empty[Src])
+          }.toSet
+          m.updated(out.exprId, srcs)
+        }
+      case g: Generate =>
+        val env = walk(g.child)
+        val srcs = g.generator.references.toSeq
+          .flatMap(r => env.getOrElse(r.exprId, Set.empty[Src])).toSet
+        g.generatorOutput.foldLeft(env)((m, a) => m.updated(a.exprId, srcs))
+      case p: Project => named(p.projectList, walk(p.child))
+      case a: Aggregate => named(a.aggregateExpressions, walk(a.child))
+      case w: Window => named(w.windowExpressions, walk(w.child))
+      case e: Expand =>
+        // grouping-set expansion: output col i ← the union over
+        // projections of what position i references
+        val env = walk(e.child)
+        e.output.zipWithIndex.foldLeft(env) { case (m, (out, i)) =>
+          val srcs = e.projections.flatMap(row =>
+            row(i).references.toSeq
+              .flatMap(r => env.getOrElse(r.exprId, Set.empty[Src]))).toSet
+          m.updated(out.exprId, srcs)
+        }
+      case other =>
+        val env = other.children.map(walk)
+          .foldLeft(Map.empty[ExprId, Set[Src]])(_ ++ _)
+        // generic named-expression producers (e.g. future operators)
+        other.expressions.foldLeft(env) {
+          case (m, a: Alias) if !m.contains(a.exprId) =>
+            m.updated(a.exprId,
+              a.child.references.toSeq
+                .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src])).toSet)
+          case (m, _) => m
+        }
+    }
+  }
+
+  /** Per-output-column source sets of `df`, in output order. */
+  def columns(df: DataFrame): Seq[(String, Set[Src])] = {
+    val plan = df.queryExecution.analyzed
+    val env = walk(plan)
+    plan.output.map(a => a.name -> env.getOrElse(a.exprId, Set.empty[Src]))
+  }
+
+  /** Lineage as a small DataFrame: one row per (output column, source
+    * table, source column) edge, deterministically ordered — the
+    * OpenLineage-style audit artifact a governance sink ingests. */
+  def report(df: DataFrame, queryName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    columns(df).flatMap { case (out, srcs) =>
+      if (srcs.isEmpty) Seq((queryName, out, "__literal", "__none"))
+      else srcs.toSeq.sortBy(s => (s.table, s.column))
+        .map(s => (queryName, out, s.table, s.column))
+    }.toDF("query", "out_col", "src_table", "src_col")
+  }
+}

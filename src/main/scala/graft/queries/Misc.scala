@@ -261,6 +261,65 @@ object Misc {
       |FROM scored
       |ORDER BY custkey""".stripMargin
 
+  /** **Column-level lineage report** ([[graft.plans.Lineage]]): the
+    * (output column → source table.column) edge set of three
+    * representative pipelines — the 6-table TPC-H Q5 join, the
+    * gaps-and-islands sessionization, and the flagship diachronic
+    * downsample — extracted from the ANALYZED plans by ExprId
+    * reachability (never name matching). A driver-side plan walk: zero
+    * jobs, zero scans, so the report costs the same against a 100 TB
+    * table. The oracle is the hand-audited edge list as literal VALUES
+    * — a plan refactor that silently changes provenance breaks the
+    * hash, which is the point of a governance pin. */
+  def lineageReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Lineage
+    Lineage.report(Relational.q5Join(spark, dir), "q5_join")
+      .unionByName(Lineage.report(Behavioral.sessionize(spark, dir), "sessionize"))
+      .unionByName(Lineage.report(Relational.diachronicDaily(spark, dir), "diachronic_daily"))
+      .orderBy("query", "out_col", "src_table", "src_col")
+  }
+
+  // hand-audited: revenue ← extendedprice·(1−discount); the min_by
+  // struct in the downsample makes every carried field derive from the
+  // full comparator struct; count(1) references nothing (__literal)
+  private val lineageReportSql = {
+    val rows = Seq(
+      ("diachronic_daily", "day", "events", "ts"),
+      ("diachronic_daily", "event_id", "events", "event_id"),
+      ("diachronic_daily", "event_id", "events", "event_type"),
+      ("diachronic_daily", "event_id", "events", "ts"),
+      ("diachronic_daily", "event_id", "events", "value"),
+      ("diachronic_daily", "event_type", "events", "event_id"),
+      ("diachronic_daily", "event_type", "events", "event_type"),
+      ("diachronic_daily", "event_type", "events", "ts"),
+      ("diachronic_daily", "event_type", "events", "value"),
+      ("diachronic_daily", "first_ts", "events", "event_id"),
+      ("diachronic_daily", "first_ts", "events", "event_type"),
+      ("diachronic_daily", "first_ts", "events", "ts"),
+      ("diachronic_daily", "first_ts", "events", "value"),
+      ("diachronic_daily", "user_id", "events", "user_id"),
+      ("diachronic_daily", "value", "events", "event_id"),
+      ("diachronic_daily", "value", "events", "event_type"),
+      ("diachronic_daily", "value", "events", "ts"),
+      ("diachronic_daily", "value", "events", "value"),
+      ("q5_join", "n_name", "nation", "n_name"),
+      ("q5_join", "revenue", "lineitem", "l_discount"),
+      ("q5_join", "revenue", "lineitem", "l_extendedprice"),
+      ("sessionize", "n_events", "__literal", "__none"),
+      ("sessionize", "n_types", "events", "event_type"),
+      ("sessionize", "session_end", "events", "ts"),
+      ("sessionize", "session_id", "events", "event_id"),
+      ("sessionize", "session_id", "events", "ts"),
+      ("sessionize", "session_id", "events", "user_id"),
+      ("sessionize", "session_start", "events", "ts"),
+      ("sessionize", "user_id", "events", "user_id"))
+    rows.map { case (q, o, t, c) => s"('$q', '$o', '$t', '$c')" }
+      .mkString(
+        "SELECT * FROM (VALUES\n  ",
+        ",\n  ",
+        ") AS t(query, out_col, src_table, src_col)\nORDER BY query, out_col, src_table, src_col")
+  }
+
   val all: Seq[Q] = Seq(
     Q("window_navigation", windowNavigationSql)(windowNavigation),
     Q("bag_ops", bagOpsSql)(bagOps),
@@ -268,5 +327,6 @@ object Misc {
     Q("null_fns", nullFnsSql)(nullFns),
     Q("skyline", skylineSql)(skylineQ),
     Q("skyline_3d", skyline3dSql)(skyline3dQ),
-    Q("rfm_segments", rfmSegmentsSql)(rfmSegments))
+    Q("rfm_segments", rfmSegmentsSql)(rfmSegments),
+    Q("lineage_report", lineageReportSql)(lineageReport))
 }
