@@ -92,4 +92,31 @@ object Mv {
         .parquet(s"$path/v=${myVersion}_b=$batchId")
     }
   }
+
+  /** **Incremental maintenance of a JOIN view** under insert-only
+    * deltas — the delta-join identity:
+    * `(A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`, with the first
+    * term being the EXISTING view. The four terms partition the output
+    * exactly (every pair draws its left row from A xor ΔA and its
+    * right from B xor ΔB), so no dedup pass exists anywhere — the
+    * result is bitwise the full recompute, which the registered
+    * query's oracle pins.
+    *
+    * Work shape: the deltas broadcast (ingest-batch-sized against a
+    * 100 TB base), so the base tables are never SHUFFLED — each delta
+    * term is one broadcast probe over the opposing base scan, and that
+    * scan prunes to matching partitions when the base is
+    * partitioned/bucketed on the join key (the `bucketed_join` /
+    * `partition_prune_dynamic` layouts this library already
+    * maintains). Deletes/updates are the [[Upsert.diffVersions]]
+    * composition: anti-join the view on deleted keys, then re-insert
+    * the updated rows' delta terms. */
+  def refreshJoin(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
+      deltaA: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "join-view refresh needs join keys")
+    view
+      .unionByName(broadcast(deltaA).join(bOld, keys))
+      .unionByName(aOld.join(broadcast(deltaB), keys))
+      .unionByName(broadcast(deltaA).join(deltaB, keys))
+  }
 }

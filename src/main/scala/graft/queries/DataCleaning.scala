@@ -1651,6 +1651,36 @@ object DataCleaning {
       .orderBy("user_id", "event_type")
   }
 
+  /** **Join-view incremental maintenance**
+    * ([[graft.operators.Mv.refreshJoin]]): the orders⋈customer view
+    * maintained under insert-only deltas on BOTH sides (¼ of orders, ⅕
+    * of customers arrive as deltas), via the exact four-term delta-join
+    * identity — old view ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, no dedup pass because
+    * the terms partition the output. The oracle is the plain full join,
+    * so the gate proves refresh ≡ recompute row-for-row. */
+  def mvJoinRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_mktsegment"))
+    val (aOld, dA) = (ord.filter(col("o_orderkey") % 4 =!= 0),
+      ord.filter(col("o_orderkey") % 4 === 0))
+    val (bOld, dB) = (cust.filter(col("o_custkey") % 5 =!= 0),
+      cust.filter(col("o_custkey") % 5 === 0))
+    val view = aOld.join(bOld, Seq("o_custkey"))
+    graft.operators.Mv.refreshJoin(view, aOld, bOld, dA, dB,
+        keys = Seq("o_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name",
+        "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
+  private val mvJoinRefreshSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   private val mvRefreshSql =
     """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
@@ -2058,6 +2088,7 @@ object DataCleaning {
     Q("parquet_evolution", parquetEvolutionSql)(parquetEvolution),
     Q("orc_roundtrip", orcRoundtripSql)(orcRoundtrip),
     Q("mv_refresh", mvRefreshSql)(mvRefresh),
+    Q("mv_join_refresh", mvJoinRefreshSql)(mvJoinRefresh),
     Q("partition_prune", partitionPruneSql)(partitionPrune),
     Q("partition_prune_dynamic", partitionPruneDynamicSql)(partitionPruneDynamic),
     Q("robust_outliers", robustOutliersSql)(robustOutliers),
