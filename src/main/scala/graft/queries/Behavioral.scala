@@ -592,6 +592,71 @@ object Behavioral {
       |WHERE rk <= 5
       |ORDER BY item, rk""".stripMargin
 
+  /** **Association rules** (Apriori level 2, exact): directed rules
+    * a→b over order baskets with the three classic measures — support
+    * (co-basket count), confidence = supp/n_a, lift = supp·N/(n_a·n_b)
+    * — the latter two as EXACT scaled integers (floor(x·10⁶), integral
+    * division both engines share), so the ranking never touches float.
+    * Same co-partitioned pair machinery as [[recommendTopk]] (mass ∝
+    * Σ basket², never |parts|²); the basket-count scalar N broadcasts;
+    * top-200 by (lift desc, rule) is a TakeOrdered. Rules read both
+    * directions (confidence is asymmetric; lift is shared). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val li = graft.operators.Dedup.memoPersist(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+    val freq = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val nBaskets = li.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 3)
+    val sym = pairs.select(col("pa"), col("pb"), col("supp"))
+      .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("supp")))
+    sym
+      .join(broadcast(freq.select(col("p").as("pa"), col("n").as("n_a"))), "pa")
+      .join(broadcast(freq.select(col("p").as("pb"), col("n").as("n_b"))), "pb")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("__cn", d(col("supp")) * lit(1000000))
+      .withColumn("conf_scaled", expr("CAST(__cn div n_a AS BIGINT)"))
+      .withColumn("__ln", d(col("supp")) * d(col("n_baskets")) * lit(1000000))
+      .withColumn("__ld", d(col("n_a")) * d(col("n_b")))
+      .withColumn("lift_scaled", expr("CAST(__ln div __ld AS BIGINT)"))
+      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+        col("supp"), col("n_a"), col("n_b"), col("conf_scaled"),
+        col("lift_scaled"))
+      .orderBy(col("lift_scaled").desc, col("antecedent"), col("consequent"))
+      .limit(200)
+  }
+
+  private val assocRulesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |freq AS (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
+      |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM li),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS supp
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |sym AS (SELECT pa, pb, supp FROM pairs
+      |        UNION ALL SELECT pb, pa, supp FROM pairs)
+      |SELECT sym.pa AS antecedent, sym.pb AS consequent,
+      |  CAST(supp AS BIGINT) AS supp,
+      |  CAST(u1.n AS BIGINT) AS n_a, CAST(u2.n AS BIGINT) AS n_b,
+      |  CAST((CAST(supp AS HUGEINT) * 1000000) // u1.n AS BIGINT) AS conf_scaled,
+      |  CAST((CAST(supp AS HUGEINT) * nb.n_baskets * 1000000)
+      |       // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS lift_scaled
+      |FROM sym JOIN freq u1 ON u1.p = sym.pa
+      |         JOIN freq u2 ON u2.p = sym.pb
+      |         CROSS JOIN nb
+      |ORDER BY lift_scaled DESC, antecedent, consequent
+      |LIMIT 200""".stripMargin
+
   /** **Strict-sequence pattern match** (CEP-lite): occurrences of the
     * event pattern view → click → purchase as three STRICTLY CONSECUTIVE
     * events in a user's event-time order, with the whole run inside a
@@ -750,5 +815,6 @@ object Behavioral {
     Q("pattern_match", patternMatchSql)(patternMatch),
     Q("cusum_changepoint", cusumChangepointSql)(cusumChangepoint),
     Q("acf_stats", acfStatsSql)(acfStats),
-    Q("recommend_topk", recommendTopkSql)(recommendTopk))
+    Q("recommend_topk", recommendTopkSql)(recommendTopk),
+    Q("assoc_rules", assocRulesSql)(assocRules))
 }

@@ -1859,6 +1859,40 @@ object DataCleaning {
     * pass-through doubles (SURVEY §7 rule 2); the boundaries themselves
     * stay internal (interpolated doubles — only comparisons cross
     * engines, and `exact_pct` pins the interpolation equal). */
+  /** **Equi-width histogram, integer-exact** — the fixed-bin
+    * complement of [[histogramEquidepth]] (equal-POPULATION bins
+    * there, equal-VALUE-RANGE bins here — the ANALYZE-stats shape).
+    * Prices become exact cents; width = ⌈span/20⌉ and bin =
+    * (c − min) div width are integral operations both engines floor
+    * identically, so bin ids hash-match — the float formulation
+    * ((x−min)/width in DOUBLE) misbins boundary values by an ulp and
+    * cannot be oracle-pinned. One 1-row (min, max) broadcast + one
+    * map-side-combined aggregate over the scan. */
+  def histogramEquiwidth(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val ord = Tables.orders(spark, dir).select(cents.as("c"))
+    val mm = ord.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    ord.crossJoin(broadcast(mm))
+      // ceil-division keeps bin ∈ [0, 19] including the max value;
+      // div (not /) — Spark's / on longs returns DOUBLE
+      .withColumn("w", expr("(hi - lo + 20) div 20"))
+      .withColumn("bucket", expr("CAST((c - lo) div w AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  private val histogramEquiwidthSql =
+    """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |mm AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c)
+      |SELECT (c - lo) // ((hi - lo + 20) // 20) AS bucket,
+      |  COUNT(*) AS n,
+      |  MIN(c) AS lo_cents, MAX(c) AS hi_cents
+      |FROM c CROSS JOIN mm
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val qs = (1 to 9).map(_ / 10.0)
@@ -2099,6 +2133,7 @@ object DataCleaning {
     Q.noOracle("stats_moments_derived")(statsMomentsDerived),
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
+    Q("histogram_equiwidth", histogramEquiwidthSql)(histogramEquiwidth),
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("fuzzy_match_k2", fuzzyMatchK2Sql)(fuzzyMatchK2),
