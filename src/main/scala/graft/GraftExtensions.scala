@@ -71,6 +71,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(text) - Unicode NFC normalization"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs(0))),
+    (FunctionIdentifier("graft_deflate_len"),
+      info("graft_deflate_len",
+        "graft_deflate_len(text) - deflate-compressed byte length (compression-ratio quality signal)"),
+      (exprs: Seq[Expression]) => graft.functions.DeflateLength(exprs(0))),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text, n) - space-joined word n-gram shingles"),

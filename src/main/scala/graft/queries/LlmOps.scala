@@ -1046,6 +1046,27 @@ object LlmOps {
       |ORDER BY pmi_scaled DESC, w1, w2
       |LIMIT 100""".stripMargin
 
+  /** **Compression-ratio quality signal**
+    * ([[graft.functions.DeflateLength]]): deflate length per document
+    * and the exact scaled ratio len·10⁶ div n_bytes — the
+    * RedPajama/CCNet-family filter that catches templated boilerplate
+    * (ratio ≪ typical prose) and binary junk (ratio ≈ 10⁶) with one
+    * codegen'd per-row pass, zero shuffles beyond presentation order.
+    * Rows-only by contract: zlib output bytes are not something DuckDB
+    * can reproduce; the LAWS (repetitive < prose < shuffled-unique,
+    * determinism, empty-string constant) are QualityCompressionSpec's
+    * job, and the flag thresholds stay consumer-side. */
+  def qualityCompression(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.DeflateLength(col("text")).as("deflate_len"))
+      .withColumn("ratio_scaled",
+        when(col("n_bytes") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST((deflate_len * 1000000) div n_bytes AS BIGINT)")))
+      .orderBy("doc_id")
+  }
+
   /** **CCNet head/middle/tail bucketing** (Wenzek et al. 2020): split
     * each SOURCE's documents into perplexity tertiles so a training mix
     * can keep heads, sample middles, and drop tails per domain — graded
@@ -2612,6 +2633,7 @@ object LlmOps {
     Q("corpus_shuffle", corpusShuffleSql)(corpusShuffle),
     Q("lm_bigram", lmBigramSql)(lmBigram),
     Q("collocations_pmi", collocationsPmiSql)(collocationsPmi),
+    Q.noOracle("quality_compression")(qualityCompression),
     Q("embedding_stats", embeddingStatsSql)(embeddingStats),
     Q("embedding_gram", embeddingGramSql)(embeddingGram),
     Q.noOracle("embedding_pca")(embeddingPca),
