@@ -119,4 +119,32 @@ object Mv {
       .unionByName(aOld.join(broadcast(deltaB), keys))
       .unionByName(broadcast(deltaA).join(deltaB, keys))
   }
+
+  /** The **streaming half of [[refreshJoin]]** for the common
+    * fact-stream ⋈ static-dimension shape: a `foreachBatch` body
+    * maintaining a versioned JOIN-view snapshot under
+    * `path/v=<n>_b=<batchId>`. Insert-only fact deltas reduce the
+    * four-term identity to `view ∪ Δ⋈dim` (the dimension has no
+    * delta), so each micro-batch costs ONE broadcast probe of the
+    * batch against the dim — never a view rescan beyond the append.
+    * Same strictly-append version chain, `_SUCCESS` gating and replay
+    * protocol as [[Upsert.versionedSink]]/[[versionedViewSink]]
+    * (shared [[Upsert.versionPlan]], so the three sinks cannot drift
+    * on replay semantics): a redelivered batch id bases on the state
+    * before its first application, giving bitwise-idempotent
+    * snapshots under at-least-once delivery. */
+  def versionedJoinViewSink(path: String, dim: DataFrame,
+      keys: Seq[String]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val (myVersion, baseDir) = Upsert.versionPlan(spark, path, batchId)
+      val appended = broadcast(batch).join(dim, keys)
+      val merged = baseDir match {
+        case Some(d) => spark.read.parquet(d.toString).unionByName(appended)
+        case None => appended
+      }
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/v=${myVersion}_b=$batchId")
+    }
+  }
 }

@@ -592,6 +592,65 @@ object Behavioral {
       |WHERE rk <= 5
       |ORDER BY item, rk""".stripMargin
 
+  /** **Seasonal decomposition, STL-lite and integer-exact**: the
+    * classic trend / weekday-seasonal / remainder split of the global
+    * daily event-count series, every component a scaled integer —
+    * trend = centered 7-day moving sum ×10⁶ div 7 (emitted only where
+    * the window is FULL, the standard convention), detrended =
+    * x·10⁶ − trend, seasonal = the day-of-week mean of detrended
+    * (sum div count, integral), remainder = detrended − seasonal. No
+    * float division anywhere, so every component hash-pins. Shapes:
+    * one map-side daily aggregate (window input = |days| rows), one
+    * ordered window, one 7-group weekday aggregate broadcast back. */
+  def tsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.operators.Dedup.memoPersist(
+      Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sum7", sum(col("cnt")).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("trend_scaled", expr("CAST((sum7 * 1000000) div 7 AS BIGINT)"))
+      .withColumn("detrended", col("cnt") * lit(1000000L) - col("trend_scaled"))
+      // ISO weekday 1..7: both engines share isodow semantics
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(sum(col("detrended")).as("sd"), count(lit(1)).as("nd"))
+      .withColumn("seasonal", expr("CAST(sd div nd AS BIGINT)"))
+      .select(col("dow"), col("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("cnt"), col("trend_scaled"),
+        col("seasonal").as("seasonal_scaled"),
+        (col("detrended") - col("seasonal")).as("remainder_scaled"))
+      .orderBy("day")
+  }
+
+  private val tsDecomposeSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |trended AS (
+      |  SELECT day, cnt,
+      |    CAST((sum7 * 1000000) // 7 AS BIGINT) AS trend_scaled,
+      |    cnt * 1000000 - CAST((sum7 * 1000000) // 7 AS BIGINT) AS detrended,
+      |    dayofweek(day) + 1 AS dow
+      |  FROM (
+      |    SELECT day, cnt,
+      |      COUNT(*) OVER w AS n7, SUM(cnt) OVER w AS sum7
+      |    FROM daily
+      |    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      |  WHERE n7 = 7),
+      |seasonal AS (
+      |  SELECT dow, CAST(SUM(detrended) // COUNT(*) AS BIGINT) AS seasonal
+      |  FROM trended GROUP BY dow)
+      |SELECT day, CAST(cnt AS BIGINT) AS cnt, trend_scaled,
+      |  seasonal AS seasonal_scaled,
+      |  CAST(detrended - seasonal AS BIGINT) AS remainder_scaled
+      |FROM trended JOIN seasonal USING (dow)
+      |ORDER BY day""".stripMargin
+
   /** **Association rules** (Apriori level 2, exact): directed rules
     * a→b over order baskets with the three classic measures — support
     * (co-basket count), confidence = supp/n_a, lift = supp·N/(n_a·n_b)
@@ -816,5 +875,6 @@ object Behavioral {
     Q("cusum_changepoint", cusumChangepointSql)(cusumChangepoint),
     Q("acf_stats", acfStatsSql)(acfStats),
     Q("recommend_topk", recommendTopkSql)(recommendTopk),
-    Q("assoc_rules", assocRulesSql)(assocRules))
+    Q("assoc_rules", assocRulesSql)(assocRules),
+    Q("ts_decompose", tsDecomposeSql)(tsDecompose))
 }

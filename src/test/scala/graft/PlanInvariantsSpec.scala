@@ -81,7 +81,13 @@ class PlanInvariantsSpec extends SparkTestBase {
       // collocations_pmi: the 1-row total-bigram-positions frame N (a
       // grouping-free aggregate) broadcasts into the per-bigram PMI
       // projection — the scalar_subquery shape
-      "collocations_pmi")
+      "collocations_pmi",
+      // assoc_rules: the 1-row basket-count frame N (a grouping-free
+      // aggregate) broadcasts into the per-rule lift projection
+      "assoc_rules",
+      // histogram_equiwidth: the 1-row (min, max) frame (a grouping-free
+      // aggregate) broadcasts into the per-row bin projection
+      "histogram_equiwidth")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
