@@ -306,4 +306,47 @@ object Graph {
     }
     visited
   }
+
+  /** **k-core decomposition** (the peel): the maximal subgraph in which
+    * every node has degree ≥ k, found by repeatedly deleting
+    * under-degree nodes until a fixpoint — the standard density/
+    * influence filter (Seidman 1983) and the cheap upper bound for
+    * clique hunting (a k-clique lives inside the (k−1)-core). Each
+    * round is one degree aggregate + one semi-join edge narrowing over
+    * the CURRENT edge set — work shrinks monotonically, and rounds are
+    * bounded by the degeneracy ordering's longest chain (maxIter is
+    * the loud backstop, not a silent truncation: hitting it raises).
+    * `localCheckpoint` cuts the per-round lineage like the other
+    * iterative operators ([[bfsHops]], [[ssspFixed]]). Returns the
+    * surviving nodes with their degree INSIDE the core (≥ k by the
+    * fixpoint property). Dirty edges (nulls, self-loops) are dropped
+    * from both orientations up front, the [[bfsHops]] guard. */
+  def kCore(edges: DataFrame, a: Column, b: Column, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    var e = edges.select(a.as("x"), b.as("y"))
+      .unionByName(edges.select(b.as("x"), a.as("y")))
+      .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val keep = e.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("x").as("node"))
+        .localCheckpoint()
+      val narrowed = e
+        .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
+        .localCheckpoint()
+      converged = narrowed.count() == e.count()
+      e = narrowed
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter rounds — raise maxIter")
+    e.groupBy(col("x").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -970,6 +970,25 @@ object DataCleaning {
       |FROM lp GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** **k-core decomposition** ([[graft.operators.Graph.kCore]]) of the
+    * sparse part co-occurrence graph: the parts surviving the k=12
+    * peel with their in-core degrees. Rows-only by contract — the peel
+    * is a fixpoint with per-round aggregates, which recursive CTEs
+    * cannot express (no aggregation in the recursive term) — the value
+    * gate is GraphSpec's in-memory reference peel on the same sf0.001
+    * graph plus hand-graph cores. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "l_orderkey")
+      .filter(col("pa") < col("pb")).select("pa", "pb").distinct()
+    graft.operators.Graph.kCore(edges, col("pa"), col("pb"), k = 12)
+      .orderBy("node")
+  }
+
   /** **Multi-source BFS hop distance** ([[graft.operators.Graph
     * .bfsHops]]) over the same sparse part co-occurrence graph, from
     * the every-500th-part seed set: exact minimum hops per reachable
@@ -2150,6 +2169,7 @@ object DataCleaning {
     Q("graph_triangles", graphTrianglesSql)(graphTriangles),
     Q("graph_bfs", graphBfsSql)(graphBfs),
     Q("graph_components", graphComponentsSql)(graphComponents),
+    Q.noOracle("graph_kcore")(graphKcore),
     Q("graph_sssp", graphSsspSql)(graphSssp),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),

@@ -443,6 +443,66 @@ object Relational {
       |GROUP BY l.user_id, l.day
       |ORDER BY l.user_id, l.day""".stripMargin
 
+  /** **Point-in-interval attribution through the native as-of exec**:
+    * which session does each purchase belong to? The general form is a
+    * range join (`ts BETWEEN session_start AND session_end` — a θ-join
+    * Spark plans as BNLJ), but when the intervals PARTITION each key's
+    * timeline — sessions do: every event lies in exactly one of its
+    * user's sessions — the containing interval is simply the last one
+    * STARTING at or before the point, i.e. a backward as-of join on
+    * (user_id, session_start): one co-partition + sort + merge walk,
+    * no θ-join anywhere. The `ts <= session_end` filter is a belt-and-
+    * braces no-op under the partition property; the oracle IS the
+    * BETWEEN containment join, so the gate pins as-of ≡ range join on
+    * real data. */
+  def sessionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 3600L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin(spark, purchases, sessions,
+        on = Seq("user_id"),
+        leftOrder = Seq("ts"), rightOrder = Seq("session_start"))
+      .filter(col("ts") <= col("session_end"))
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        col("session_start"))
+      .orderBy("event_id")
+  }
+
+  private val sessionAttributionSql =
+    """WITH sess AS (
+      |  SELECT user_id, session_id,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |               OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |                  - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |  GROUP BY user_id, session_id)
+      |SELECT e.event_id, e.user_id, s.session_id, s.session_start
+      |FROM events e JOIN sess s
+      |  ON s.user_id = e.user_id
+      |  AND e.ts BETWEEN s.session_start AND s.session_end
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   /** The same as-of semantics through the engine's NATIVE operator
     * ([[graft.plans.AsOfJoin]] — custom LogicalPlan/Strategy/SparkPlan):
     * purchases as-of-joined to the clicks table on user_id with the
@@ -756,6 +816,7 @@ object Relational {
     Q("interval_count_sweep", intervalJoinSql)(intervalCountSweep),
     Q("asof_join", asofJoinSql)(asofJoin),
     Q("asof_join_native", asofJoinSql)(asofJoinNative),
+    Q("session_attribution", sessionAttributionSql)(sessionAttribution),
     Q("asof_join_sql", asofJoinSql)(asofJoinSqlQ),
     Q("asof_join_nearest", asofJoinNearestSql)(asofJoinNearest),
     Q("window_rank", windowRankSql)(windowRank),

@@ -317,4 +317,56 @@ class GraphSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
     Dedup.releaseCaches()
   }
+
+  /** Reference peel: repeatedly delete nodes with degree < k. */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .filter(p => p._1 != p._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(p => keep(p._1) && keep(p._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kCore: hand graph (clique survives, tail peels in a cascade) + loud non-convergence") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a path 4-5-6: the 3-core is exactly the K4;
+    // node 5 only falls below degree 3 AFTER 6 is deleted — the cascade
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = graft.operators.Graph.kCore(
+        edges.toDF("a", "b"), col("a"), col("b"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max core: empty, converged, no crash
+    assert(graft.operators.Graph.kCore(
+      edges.toDF("a", "b"), col("a"), col("b"), k = 4).isEmpty)
+    // maxIter too small for the cascade raises, never truncates silently
+    val err = intercept[IllegalStateException] {
+      graft.operators.Graph.kCore(
+        edges.toDF("a", "b"), col("a"), col("b"), k = 3, maxIter = 1)
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+
+  test("kCore ≡ the reference peel on the sf0.001 co-purchase graph") {
+    val li = Tables.lineitem(spark, sf0001)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "l_orderkey")
+      .filter(col("pa") < col("pb")).select("pa", "pb").distinct()
+    val es = edges.as[(Long, Long)].collect().toSeq
+    for (k <- Seq(2, 4, 6)) {
+      val got = graft.operators.Graph.kCore(edges, col("pa"), col("pb"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refKcore(es, k), s"k=$k")
+    }
+  }
 }
