@@ -65,4 +65,30 @@ object Cms {
       .withColumn("est_cnt", least(cells: _*))
       .drop("cms")
   }
+
+  /** **Equi-join size estimation by sketch inner product** (the
+    * AMS/CMS classic): |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k), estimated as
+    * min over rows j of ⟨cmsA[j,·], cmsB[j,·]⟩ — always ≥ the true
+    * size, over by ≤ ε·|A|·|B| w.p. 1−δ. This is the planner's
+    * question ("should this join broadcast? salt? pre-filter?")
+    * answered from two O(d·w)-byte summaries WITHOUT running the
+    * join: each side is one map-side-combinable aggregate over its
+    * own scan, the dot products are an O(d·w) epilogue on one row.
+    * Sketches are [[Kmv.hash60]]-based, so the whole estimator
+    * mirrors 1:1 in DuckDB arithmetic and is hash-checkable like
+    * [[estimates]]. */
+  def innerProductEstimate(a: DataFrame, aKey: Column,
+      b: DataFrame, bKey: Column, d: Int = D, w: Int = W): DataFrame = {
+    val sa = sketch(a, aKey, d, w).withColumnRenamed("cms", "cms_a")
+    val sb = sketch(b, bKey, d, w).withColumnRenamed("cms", "cms_b")
+    val dots = (0 until d).map { j =>
+      aggregate(sequence(lit(j * w + 1), lit((j + 1) * w)), lit(0L),
+        (acc, i) => acc +
+          element_at(col("cms_a"), i.cast("int")) *
+          element_at(col("cms_b"), i.cast("int")))
+    }
+    sa.crossJoin(sb)
+      .withColumn("est_join_size", least(dots: _*))
+      .select("est_join_size")
+  }
 }

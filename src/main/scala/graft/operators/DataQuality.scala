@@ -164,6 +164,28 @@ object DataQuality {
     reports.reduce(_ unionByName _).orderBy("child", "parent")
   }
 
+  /** **k-anonymity / l-diversity audit** (Sweeney 2002; Machanavajjhala
+    * et al. 2007): group the table by its quasi-identifier columns and
+    * report, per equivalence class, the class size (re-identification
+    * risk when < k) and the number of distinct sensitive values
+    * (attribute-disclosure risk when < l — a class can be large yet
+    * reveal everyone's value if it is constant). One aggregate over the
+    * QI projection — column-pruned, map-side-combined; the release
+    * decision (suppress / generalize the risky classes) stays with the
+    * caller, which is what keeps the audit idempotent. The privacy
+    * sibling of the governance pair `pii_scrub` (content) and
+    * `Lineage` (provenance). */
+  def kAnonymity(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Int, l: Int): DataFrame = {
+    require(qi.nonEmpty && k >= 1 && l >= 1, "kAnonymity needs QI cols, k>=1, l>=1")
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("l_distinct"))
+      .select(qi.map(col) ++ Seq(col("n"), col("l_distinct"),
+        (col("n") < k.toLong).as("k_risky"),
+        (col("l_distinct") < l.toLong).as("l_risky")): _*)
+  }
+
   /** **Candidate-key (uniqueness) discovery**: for each column set,
     * does it identify rows uniquely? Reports row count, distinct count
     * of the column-set struct, and `is_key`. The struct comparison

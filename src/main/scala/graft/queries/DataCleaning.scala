@@ -1160,6 +1160,63 @@ object DataCleaning {
       .orderBy("user_id")
   }
 
+  /** **Join-size estimation without running the join**
+    * ([[graft.operators.Cms.innerProductEstimate]]): how many rows
+    * would events ⋈ orders ON user_id = o_custkey produce? The AMS/CMS
+    * inner-product estimate (min over rows of the sketch dot product)
+    * against the exact Σₖ f_A(k)·f_B(k) twin — the broadcast/salt/
+    * pre-filter planning question answered from two d·w-byte summaries.
+    * The estimator is one-sided (est ≥ true, CmsSpec-pinned); both the
+    * estimate and the twin mirror 1:1 in DuckDB so the row hash-pins
+    * the whole pipeline. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cms
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val ord = Tables.orders(spark, dir).filter(col("o_custkey").isNotNull)
+    val est = Cms.innerProductEstimate(ev, col("user_id"), ord, col("o_custkey"))
+    val fa = ev.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ca"))
+    val fb = ord.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cb"))
+    val truth = fa.join(fb, "k")
+      .agg(sum(col("ca").cast(DecimalType(38, 0)) * col("cb").cast(DecimalType(38, 0)))
+        .cast("long").as("true_size"))
+    truth.crossJoin(broadcast(est))
+      .select(col("true_size"), col("est_join_size"),
+        (col("est_join_size") - col("true_size")).as("overcount"))
+  }
+
+  private val joinSizeEstimateSql =
+    """WITH ba AS (
+      |  SELECT j,
+      |    CAST(concat('0x', substr(md5(concat('graftcms', CAST(j AS VARCHAR),
+      |      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+      |  WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |bb AS (
+      |  SELECT j,
+      |    CAST(concat('0x', substr(md5(concat('graftcms', CAST(j AS VARCHAR),
+      |      CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM orders, UNNEST([0, 1, 2, 3]) AS t(j)
+      |  WHERE o_custkey IS NOT NULL
+      |  GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT ba.j, CAST(SUM(CAST(ba.c AS HUGEINT) * bb.c) AS BIGINT) AS dot
+      |  FROM ba JOIN bb USING (j, bucket)
+      |  GROUP BY ba.j),
+      |tj AS (
+      |  SELECT CAST(SUM(CAST(fa.c AS HUGEINT) * fb.c) AS BIGINT) AS true_size
+      |  FROM (SELECT user_id AS k, COUNT(*) AS c FROM events
+      |        WHERE user_id IS NOT NULL GROUP BY 1) fa
+      |  JOIN (SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+      |        WHERE o_custkey IS NOT NULL GROUP BY 1) fb USING (k))
+      |SELECT true_size,
+      |  (SELECT MIN(dot) FROM dots) AS est_join_size,
+      |  (SELECT MIN(dot) FROM dots) - true_size AS overcount
+      |FROM tj""".stripMargin
+
   private val cmsEstimateSql =
     """WITH keys AS (
       |  SELECT user_id, COUNT(*) AS true_cnt FROM events
@@ -2109,6 +2166,34 @@ object DataCleaning {
       .orderBy("tbl", "cols")
   }
 
+  /** **k-anonymity / l-diversity audit**
+    * ([[graft.operators.DataQuality.kAnonymity]]): customers
+    * quasi-identified by (nation, market segment), with the account
+    * balance's sign as the sensitive attribute — per equivalence
+    * class: size, distinct sensitive values, and both risk verdicts
+    * (k = 5, l = 2). */
+  def kAnonymityQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("balance_sign",
+        when(col("c_acctbal") < 0.0, lit("neg")).otherwise(lit("nonneg")))
+    graft.operators.DataQuality.kAnonymity(cust,
+        qi = Seq("c_nationkey", "c_mktsegment"),
+        sensitive = "balance_sign", k = 5, l = 2)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val kAnonymitySql =
+    """SELECT c_nationkey, c_mktsegment,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+      |                           ELSE 'nonneg' END) AS BIGINT) AS l_distinct,
+      |  COUNT(*) < 5 AS k_risky,
+      |  COUNT(DISTINCT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+      |                      ELSE 'nonneg' END) < 2 AS l_risky
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   private def keySql(table: String, cols: Seq[String]): String = {
     val list = cols.mkString(", ")
     s"""SELECT '$table' AS tbl, '${cols.mkString("+")}' AS cols,
@@ -2134,6 +2219,7 @@ object DataCleaning {
     Q("fd_discover", fdDiscoverSql)(fdDiscoverQ),
     Q("ind_discover", indDiscoverSql)(indDiscoverQ),
     Q("key_discover", keyDiscoverSql)(keyDiscoverQ),
+    Q("k_anonymity", kAnonymitySql)(kAnonymityQ),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("time_travel", timeTravelSql)(timeTravel),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
@@ -2181,6 +2267,7 @@ object DataCleaning {
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
     Q("segment_overlap", segmentOverlapSql)(segmentOverlap),
     Q("cms_estimate", cmsEstimateSql)(cmsEstimate),
+    Q("join_size_estimate", joinSizeEstimateSql)(joinSizeEstimate),
     Q("benford_audit", benfordAuditSql)(benfordAudit),
     Q("bootstrap_ci", bootstrapCiSql)(bootstrapCi(_, _)),
     Q("segment_kmv_rollup", segmentKmvRollupSql)(segmentKmvRollup),
