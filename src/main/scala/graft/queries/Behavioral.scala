@@ -651,6 +651,65 @@ object Behavioral {
       |FROM trended JOIN seasonal USING (dow)
       |ORDER BY day""".stripMargin
 
+  /** **Survival-curve sufficient statistics** (Kaplan–Meier, exact):
+    * time-to-reorder analysis over customer order gaps. Each
+    * consecutive-order pair contributes an EVENT observation (gap in
+    * days); each customer's last order contributes a CENSORED
+    * observation (gap to the corpus horizon — still alive at that
+    * duration). Per observed duration t the curve needs d_t (events at
+    * exactly t) and n_t (observations still at risk: duration ≥ t) —
+    * both exact integers here; S(t) = Π(1 − d/n) is the consumer's
+    * one float fold (the stats_moments sufficient-statistics
+    * discipline). n_t is a suffix sum over the duration histogram —
+    * a window over |distinct durations| rows, never observations;
+    * gaps come from one lag window on the customer shuffle. */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+    val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    val horizon = ord.agg(max(col("d")).as("h"))
+    val obs = ord
+      .withColumn("next_d", lead(col("d"), 1).over(byCust))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("next_d").isNotNull, datediff(col("next_d"), col("d")))
+          .otherwise(datediff(col("h"), col("d"))).cast("long").as("t"),
+        col("next_d").isNotNull.as("event"))
+    val hist = obs.groupBy(col("t"))
+      .agg(count(when(col("event"), 1)).as("d_t"),
+        count(lit(1)).as("all_t"))
+    hist
+      .withColumn("n_t", sum(col("all_t")).over(
+        Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("d_t") > 0)
+      .select(col("t"), col("d_t"), col("n_t"))
+      .orderBy("t")
+  }
+
+  private val survivalCurveSql =
+    """WITH ord AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+      |h AS (SELECT MAX(d) AS h FROM ord),
+      |obs AS (
+      |  SELECT
+      |    CASE WHEN next_d IS NOT NULL THEN datediff('day', d, next_d)
+      |         ELSE datediff('day', d, h.h) END AS t,
+      |    next_d IS NOT NULL AS event
+      |  FROM (SELECT o_custkey, d,
+      |          lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS next_d
+      |        FROM ord) CROSS JOIN h),
+      |hist AS (
+      |  SELECT t, CAST(COUNT(*) FILTER (event) AS BIGINT) AS d_t,
+      |    COUNT(*) AS all_t
+      |  FROM obs GROUP BY t)
+      |SELECT t, d_t,
+      |  CAST(SUM(all_t) OVER (ORDER BY t DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_t
+      |FROM hist
+      |QUALIFY d_t > 0
+      |ORDER BY t""".stripMargin
+
   /** **Association rules** (Apriori level 2, exact): directed rules
     * a→b over order baskets with the three classic measures — support
     * (co-basket count), confidence = supp/n_a, lift = supp·N/(n_a·n_b)
@@ -876,5 +935,6 @@ object Behavioral {
     Q("acf_stats", acfStatsSql)(acfStats),
     Q("recommend_topk", recommendTopkSql)(recommendTopk),
     Q("assoc_rules", assocRulesSql)(assocRules),
-    Q("ts_decompose", tsDecomposeSql)(tsDecompose))
+    Q("ts_decompose", tsDecomposeSql)(tsDecompose),
+    Q("survival_curve", survivalCurveSql)(survivalCurve))
 }
