@@ -280,4 +280,67 @@ object Sampling {
       .orderBy(col("priority"), col("key"))
       .limit(k)
   }
+
+  /** **Exact discrete quantiles WITHOUT a sort — distributed
+    * binary-search selection.** The rank-window form
+    * (`exact_pct`-style) shuffles and sorts every row per group; this
+    * finds the same rank-⌈q·n⌉ order statistic by bracketing it in the
+    * integral VALUE domain: each round asks one aggregate —
+    * per (group, q), how many values ≤ mid — and halves the bracket,
+    * so the whole computation is O(log range) column-pruned scans with
+    * ZERO data shuffles (counts are the only thing that moves, and the
+    * `v ≤ mid` predicate lets parquet min/max skip whole row groups in
+    * later rounds). The classic selection-vs-sort trade: scan-heavy,
+    * shuffle-free — at 100 TB the sort's exchange is the bottleneck,
+    * 40 cheap scans are not. All active (group, q) brackets advance in
+    * the SAME round-trip (one broadcast of the mids frame), so rounds
+    * — not groups×quantiles — bound the job count.
+    *
+    * Contract: `base` has a string `g` column and an integral-domain
+    * `v` (LongType — map doubles through an order-preserving integer
+    * encoding, e.g. exact cents); the driver holds groups×qs bracket
+    * rows (bounded by group cardinality — use [[sampleQuantiles]] when
+    * groups are unbounded). Returns (g, q, v): the smallest v in the
+    * group with at least ⌈q·n⌉ values ≤ it — `percentile_disc`
+    * semantics, always an existing value. */
+  def quantilesBySearch(base0: DataFrame, qs: Seq[Double],
+      maxIter: Int = 64): DataFrame = {
+    require(qs.nonEmpty, "quantilesBySearch needs at least one quantile")
+    val spark = base0.sparkSession
+    import spark.implicits._
+    val base = Dedup.memoPersist(
+      base0.select(col("g").cast("string").as("g"),
+        col("v").cast("long").as("v")).filter(col("v").isNotNull))
+    final case class Bracket(g: String, q: Double, rank: Long,
+        var lo: Long, var hi: Long)
+    val brackets = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+      .flatMap { r =>
+        qs.map(q => Bracket(r.getString(0), q,
+          math.max(1L, math.ceil(q * r.getLong(1)).toLong),
+          r.getLong(2), r.getLong(3)))
+      }
+    var iter = 0
+    while (brackets.exists(t => t.lo < t.hi)) {
+      iter += 1
+      if (iter > maxIter) throw new IllegalStateException(
+        s"quantilesBySearch exceeded $maxIter rounds — non-integral domain?")
+      val active = brackets.filter(t => t.lo < t.hi)
+      val mids = active.toSeq.map(t => (t.g, t.q, t.lo + (t.hi - t.lo) / 2))
+        .toDF("g", "q", "mid")
+      val counts = base.join(broadcast(mids), "g")
+        .groupBy(col("g"), col("q"))
+        .agg(max(col("mid")).as("mid"),
+          count(when(col("v") <= col("mid"), 1)).as("cle"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      active.foreach { t =>
+        val (mid, cle) = counts((t.g, t.q))
+        if (cle >= t.rank) t.hi = mid else t.lo = mid + 1
+      }
+    }
+    brackets.toSeq.map(t => (t.g, t.q, t.lo)).toDF("g", "q", "v")
+  }
 }

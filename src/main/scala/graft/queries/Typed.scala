@@ -108,6 +108,31 @@ object Typed {
       .orderBy("l_returnflag")
   }
 
+  /** **The same order statistics WITHOUT a sort**
+    * ([[graft.operators.Sampling.quantilesBySearch]]): the rank-⌈q·n⌉
+    * values of [[exactPct]] found by distributed binary-search
+    * selection over the exact-cents domain — O(log range) shuffle-free
+    * counting scans instead of the per-group rank-window sort. Same
+    * oracle SQL, so the driver hash-pins selection ≡ sort. The final
+    * join-back fetches the ORIGINAL double for the selected cents (the
+    * cents encoding is order-preserving but reconstruction by division
+    * is not guaranteed bitwise). */
+  def exactPctSearch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val sel = graft.operators.Sampling.quantilesBySearch(
+      li.select(col("l_returnflag").as("g"), cents.as("v")),
+      qs = Seq(0.5, 0.95))
+    val back = sel
+      .join(li.select(col("l_returnflag").as("g"), cents.as("v"),
+        col("l_extendedprice").as("orig")), Seq("g", "v"))
+      .groupBy(col("g"), col("q")).agg(min(col("orig")).as("value"))
+    back.groupBy(col("g").as("l_returnflag"))
+      .agg(max(when(col("q") === 0.5, col("value"))).as("p50"),
+        max(when(col("q") === 0.95, col("value"))).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   private val exactPctSql =
     """SELECT l_returnflag,
       |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
@@ -155,6 +180,8 @@ object Typed {
     Q("typed_agg", typedAggSql)(typedAgg),
     Q("window_range", windowRangeSql)(windowRange),
     Q("exact_pct", exactPctSql)(exactPct),
+    // selection ≡ sort: the search twin answers the same oracle
+    Q("exact_pct_search", exactPctSql)(exactPctSearch),
     Q("quantile_sample", quantileSampleSql)(quantileSample),
     Q.noOracle("approx_pct")(approxPct))
 }

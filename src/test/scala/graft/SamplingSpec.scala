@@ -283,4 +283,26 @@ class SamplingSpec extends SparkTestBase {
     assert(diff.count() == 0,
       "a doc outside every cluster hashes under its own id — identical to corpus_split")
   }
+
+  test("quantilesBySearch ≡ sorted rank selection: random groups, ties, singletons") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (if (g == "c") 1 else 400) // c is a singleton group
+    } yield (g, if (g == "b") rng.nextInt(5).toLong // b is tie-heavy
+             else rng.nextInt(1000000).toLong)).toSeq
+    val qs = Seq(0.01, 0.5, 0.95, 1.0)
+    val got = graft.operators.Sampling
+      .quantilesBySearch(rows.toDF("g", "v").repartition(7), qs)
+      .as[(String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      qs.foreach { q =>
+        val rank = math.max(1L, math.ceil(q * sorted.length).toLong).toInt
+        assert(got((g, q)) == sorted(rank - 1), s"group $g q=$q")
+      }
+    }
+  }
 }
