@@ -321,24 +321,44 @@ object Sampling {
           math.max(1L, math.ceil(q * r.getLong(1)).toLong),
           r.getLong(2), r.getLong(3)))
       }
+    // 16-way bracket narrowing: each round tests 15 equally-spaced
+    // thresholds per bracket in ONE aggregate, so rounds (= driver
+    // round trips = sequential scans) drop from log₂(range) ≈ 40 to
+    // log₁₆(range) ≈ 8 — the knob that matters, because per-round
+    // compute is trivial next to job latency at small scale and scan
+    // cost at large
+    val fanout = 16
     var iter = 0
     while (brackets.exists(t => t.lo < t.hi)) {
       iter += 1
       if (iter > maxIter) throw new IllegalStateException(
         s"quantilesBySearch exceeded $maxIter rounds — non-integral domain?")
       val active = brackets.filter(t => t.lo < t.hi)
-      val mids = active.toSeq.map(t => (t.g, t.q, t.lo + (t.hi - t.lo) / 2))
-        .toDF("g", "q", "mid")
-      val counts = base.join(broadcast(mids), "g")
-        .groupBy(col("g"), col("q"))
-        .agg(max(col("mid")).as("mid"),
-          count(when(col("v") <= col("mid"), 1)).as("cle"))
-        .collect()
-        .map(r => (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      active.foreach { t =>
-        val (mid, cle) = counts((t.g, t.q))
-        if (cle >= t.rank) t.hi = mid else t.lo = mid + 1
+      // cuts are driver-known literals, so each round is ONE
+      // conditional aggregate over the cached base — no mids join (a
+      // join would replicate every row once per threshold, turning the
+      // scan into rows × cuts work)
+      val cutsOf = active.toSeq.map { t =>
+        val span = t.hi - t.lo
+        val interior = (1 until fanout).map(k => t.lo + span / fanout * k)
+          .distinct.filter(c => c >= t.lo && c < t.hi)
+        // a tiny bracket can produce no interior cuts — fall back to lo
+        t -> (if (interior.nonEmpty) interior else Seq(t.lo))
+      }
+      val aggs = cutsOf.zipWithIndex.flatMap { case ((t, cuts), ti) =>
+        cuts.zipWithIndex.map { case (c, ci) =>
+          count(when(col("g") === t.g && col("v") <= c, 1)).as(s"c_${ti}_$ci")
+        }
+      }
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      cutsOf.zipWithIndex.foreach { case ((t, cuts), ti) =>
+        val cs = cuts.zipWithIndex
+          .map { case (c, ci) => (c, row.getAs[Long](s"c_${ti}_$ci")) }
+        // answer = min v with cle(v) >= rank: the smallest tested
+        // threshold reaching the rank bounds hi; the largest one below
+        // it bounds lo
+        cs.filter(_._2 >= t.rank).map(_._1).minOption.foreach(m => t.hi = math.min(t.hi, m))
+        cs.filter(_._2 < t.rank).map(_._1).maxOption.foreach(m => t.lo = math.max(t.lo, m + 1))
       }
     }
     brackets.toSeq.map(t => (t.g, t.q, t.lo)).toDF("g", "q", "v")
