@@ -971,7 +971,7 @@ object DataCleaning {
       |ORDER BY node""".stripMargin
 
   /** **k-core decomposition** ([[graft.operators.Graph.kCore]]) of the
-    * sparse part co-occurrence graph: the parts surviving the k=12
+    * sparse part co-occurrence graph: the parts surviving the k=8
     * peel with their in-core degrees. Rows-only by contract — the peel
     * is a fixpoint with per-round aggregates, which recursive CTEs
     * cannot express (no aggregation in the recursive term) — the value
@@ -985,7 +985,11 @@ object DataCleaning {
     val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
     val edges = a.join(b, "l_orderkey")
       .filter(col("pa") < col("pb")).select("pa", "pb").distinct()
-    graft.operators.Graph.kCore(edges, col("pa"), col("pb"), k = 12)
+    // k = 8: a REAL peel at every SF — nonempty core (122 nodes at
+    // sf0.001, 1135 at sf0.01) that still deletes most of the graph;
+    // k ≥ 10 empties the sf0.001 graph and fails the driver's rows>0
+    // smoke gate
+    graft.operators.Graph.kCore(edges, col("pa"), col("pb"), k = 8)
       .orderBy("node")
   }
 

@@ -85,6 +85,13 @@ class PlanInvariantsSpec extends SparkTestBase {
       // assoc_rules: the 1-row basket-count frame N (a grouping-free
       // aggregate) broadcasts into the per-rule lift projection
       "assoc_rules",
+      // join_size_estimate: two 1-row sketch frames (grouping-free
+      // aggregates) cross-combine, and the exact twin attaches the
+      // 1-row estimate — every BNLJ build side provably one row
+      "join_size_estimate",
+      // survival_curve: the 1-row corpus-horizon max (a grouping-free
+      // aggregate) broadcasts into the censoring projection
+      "survival_curve",
       // histogram_equiwidth: the 1-row (min, max) frame (a grouping-free
       // aggregate) broadcasts into the per-row bin projection
       "histogram_equiwidth")
