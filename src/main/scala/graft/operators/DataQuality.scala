@@ -146,6 +146,18 @@ object DataQuality {
     * candidates are integer key columns by construction. */
   def indDiscover(candidates: Seq[IndCandidate]): DataFrame = {
     val reports = candidates.map { c =>
+      // a non-integral candidate column would CAST to NULL, empty the
+      // distinct set, and report a vacuous `holds = true` — reject at
+      // construction instead
+      for ((df, colName, side) <- Seq((c.child, c.childCol, "child"),
+          (c.parent, c.parentCol, "parent"))) {
+        import org.apache.spark.sql.types._
+        df.schema(colName).dataType match {
+          case LongType | IntegerType | ShortType | ByteType => ()
+          case t => throw new IllegalArgumentException(
+            s"indDiscover: $side column $colName must be integral, got $t")
+        }
+      }
       val childD = c.child
         .select(col(c.childCol).cast("long").as("v"))
         .filter(col("v").isNotNull).distinct()

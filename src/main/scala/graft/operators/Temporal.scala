@@ -232,12 +232,18 @@ object Temporal {
       startCol: String, endCol: String): DataFrame = {
     require(idCols.nonEmpty, "overlapCounts needs id columns")
     val ids = idCols.map(col)
+    // malformed intervals (end < start) would silently shift BOTH order
+    // statistics — fail loudly instead, the intervalOverlapJoin contract
+    val guarded = spans.withColumn(startCol,
+      when(col(endCol) >= col(startCol), col(startCol))
+        .otherwise(raise_error(
+          lit("overlapCounts: interval has end < start")).cast("long")))
     def sweep(markerCol: String, probeCol: String,
         markersFirstAtTies: Boolean, outName: String): DataFrame = {
       val (mKind, pKind) = if (markersFirstAtTies) (0, 1) else (1, 0)
-      val mk = spans.select((col(markerCol).as("val") +: lit(mKind).as("kind")
+      val mk = guarded.select((col(markerCol).as("val") +: lit(mKind).as("kind")
         +: ids) ++ Seq(lit(1L).as("m"), lit(false).as("probe")): _*)
-      val pr = spans.select((col(probeCol).as("val") +: lit(pKind).as("kind")
+      val pr = guarded.select((col(probeCol).as("val") +: lit(pKind).as("kind")
         +: ids) ++ Seq(lit(0L).as("m"), lit(true).as("probe")): _*)
       PrefixSum.runningSums(mk.unionByName(pr),
           col("val") +: col("kind") +: ids, Seq("m"))
