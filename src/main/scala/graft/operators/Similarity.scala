@@ -602,4 +602,64 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** **Maximal-marginal-relevance selection** (Carbonell & Goldstein
+    * 1998) — the diversity-aware coreset picker a training-mix /
+    * few-shot pipeline needs where plain top-k-by-quality returns
+    * near-duplicates: greedily select k items maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected set`,
+    * relevance min-max-normalized over the candidate pool so the two
+    * terms are commensurable. Ties break (score, then id) so the
+    * selection is deterministic.
+    *
+    * Scale shape = `semantic_dedup`'s broadcast-seeds discipline: the
+    * cluster-scale work is the distributed top-`poolSize` relevance cut
+    * (map-side `TakeOrdered`); the greedy loop — inherently sequential,
+    * k·pool similarity evaluations — runs on the DRIVER over the
+    * collected pool (a bounded poolSize×dim float block, the documented
+    * collect), which beats k distributed argmax jobs by orders of
+    * magnitude for any pool that fits a driver heap. Cosine floats are
+    * driver-deterministic; emitted output is (rank, id) only — the
+    * similarity-value discipline. */
+  def mmrSelect(candidates: DataFrame, id: Column, vec: Column,
+      relevance: Column, k: Int, poolSize: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need k >= 1 and poolSize >= k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    val pool = candidates
+      .select(id.as("id"), vec.as("v"), relevance.cast("double").as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Float](1).toArray
+        val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+        (r.getLong(0), raw.map(x => if (n == 0) 0.0 else x / n), r.getDouble(2))
+      }
+    require(pool.nonEmpty, "mmrSelect: empty candidate pool")
+    val (relLo, relHi) = (pool.map(_._3).min, pool.map(_._3).max)
+    def relNorm(x: Double) = if (relHi == relLo) 1.0 else (x - relLo) / (relHi - relLo)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    while (selected.length < math.min(k, pool.length)) {
+      val best = remaining.values.maxBy { case (pid, pv, prel) =>
+        val maxSim = if (selVecs.isEmpty) 0.0 else selVecs.map(cos(_, pv)).max
+        (lambda * relNorm(prel) - (1 - lambda) * maxSim, -pid)
+      }
+      selected += best._1
+      selVecs += best._2
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (pid, i) => (i + 1L, pid) }.toDF("rank", "id")
+  }
 }

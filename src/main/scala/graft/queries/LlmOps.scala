@@ -482,6 +482,26 @@ object LlmOps {
     * the brute-force ground truth holds spec'd floors (multi-probe LSH
     * ≥ 0.5, IVF ≥ 0.7, PQ ≥ 0.9·IVF — DedupSimilaritySpec's recall
     * tests). */
+  /** **MMR diversity selection** ([[Similarity.mmrSelect]]): a
+    * 50-item diverse coreset from the embeddings table, relevance =
+    * the paired document's length (vec_id aligns with doc_id in the
+    * corpus) — plain top-50-by-length would hand back near-duplicate
+    * long docs; MMR trades λ=0.7 relevance against max-cosine to the
+    * already-picked set. Rows-only by contract (cosine floats rank the
+    * greedy argmax); SimilaritySpec pins the greedy law, determinism
+    * across partitionings, and the diversity win over the relevance
+    * baseline. */
+  def mmrSelectQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val rel = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("n_chars"))
+    Similarity.mmrSelect(e.join(rel, "vec_id"),
+        id = col("vec_id"), vec = col("embedding"),
+        relevance = col("n_chars"), k = 50, poolSize = 200)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("rank")
+  }
+
   def vectorAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.annTopK(e.filter(col("vec_id") < 20), e, k = 5)
@@ -2598,6 +2618,7 @@ object LlmOps {
     Q("semantic_dedup", semanticDedupSql)(semanticDedupQ),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q.noOracle("vector_ann")(vectorAnn),
+    Q.noOracle("mmr_select")(mmrSelectQ),
     Q.noOracle("vector_pca_route")(vectorPcaRoute),
     Q.noOracle("vector_ivf")(vectorIvf),
     Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),

@@ -908,4 +908,52 @@ class DedupSimilaritySpec extends SparkTestBase {
         s"row $r carries wrong split labels") }
     graft.operators.Dedup.releaseCaches()
   }
+
+  test("mmrSelect: diversity beats pure relevance; deterministic across partitionings") {
+    import graft.operators.Similarity
+    // two near-identical high-relevance vectors + an orthogonal
+    // mid-relevance one: top-2-by-relevance takes both twins, MMR must
+    // take one twin then the orthogonal vector
+    val fixture = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.01f), 100L),
+      (2L, Seq(1.0f, 0.0f, 0.0f), 99L),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 50L),
+      (4L, Seq(0.9f, 0.1f, 0.0f), 10L))
+      .toDF("id", "v", "rel")
+    val picked = Similarity.mmrSelect(fixture, col("id"), col("v"),
+        col("rel"), k = 2, poolSize = 4, lambda = 0.5)
+      .orderBy("rank").as[(Long, Long)].collect().map(_._2).toSeq
+    assert(picked == Seq(1L, 3L), s"got $picked")
+
+    // real corpus: MMR's average pairwise cosine must undercut the
+    // top-k-by-relevance baseline's, and the selection must not depend
+    // on physical partitioning
+    val e = Tables.embeddings(spark, sf0001)
+    val rel = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("vec_id"), col("n_chars"))
+    val cands = e.join(rel, "vec_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrSelect(df, col("vec_id"), col("embedding"),
+        col("n_chars"), k = 20, poolSize = 100)
+        .orderBy("rank").as[(Long, Long)].collect().toSeq
+    val a = run(cands.repartition(13))
+    val b = run(cands.coalesce(1))
+    assert(a == b, "selection depends on partitioning")
+
+    val vecs = cands.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (i, v) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        i -> v.map(_ / n).toArray
+      }.toMap
+    def avgPairCos(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield vecs(ids(i)).zip(vecs(ids(j))).map(p => p._1 * p._2).sum
+      ps.sum / ps.length
+    }
+    val baseline = cands.orderBy(col("n_chars").desc, col("vec_id"))
+      .limit(20).select("vec_id").as[Long].collect().toSeq
+    assert(avgPairCos(a.map(_._2)) < avgPairCos(baseline),
+      "MMR should be more diverse than top-k by relevance")
+  }
 }
