@@ -2198,6 +2198,56 @@ object DataCleaning {
       |GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** **k-anonymity repair by hierarchy generalization**: the classes
+    * [[kAnonymityQ]] flags as k-risky generalize one level up the QI
+    * hierarchy (nation → region) and the audit re-runs — the actual
+    * anonymization loop, including its honest residual: a generalized
+    * class can STILL be risky (it is re-flagged, not hidden). Work =
+    * the level-1 audit (class-sized) broadcast back onto the rows +
+    * one more audit aggregate; the row table never shuffles for the
+    * repair decision. */
+  def kAnonymityRepair(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("balance_sign",
+        when(col("c_acctbal") < 0.0, lit("neg")).otherwise(lit("nonneg")))
+    val level1 = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (col("n") < 5L).as("risky"))
+    val generalized = cust
+      .join(broadcast(level1), Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("qi_geo",
+        when(col("risky"), concat(lit("region:"), col("n_regionkey")))
+          .otherwise(concat(lit("nation:"), col("c_nationkey"))))
+    graft.operators.DataQuality.kAnonymity(generalized,
+        qi = Seq("qi_geo", "c_mktsegment"),
+        sensitive = "balance_sign", k = 5, l = 2)
+      .orderBy("qi_geo", "c_mktsegment")
+  }
+
+  private val kAnonymityRepairSql =
+    """WITH cust AS (
+      |  SELECT c.*, n_regionkey,
+      |    CASE WHEN c_acctbal < 0.0 THEN 'neg' ELSE 'nonneg' END AS balance_sign
+      |  FROM customer c JOIN nation ON n_nationkey = c_nationkey),
+      |l1 AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) < 5 AS risky
+      |  FROM cust GROUP BY c_nationkey, c_mktsegment),
+      |gen AS (
+      |  SELECT CASE WHEN risky THEN 'region:' || CAST(n_regionkey AS VARCHAR)
+      |              ELSE 'nation:' || CAST(c_nationkey AS VARCHAR) END AS qi_geo,
+      |    c_mktsegment, balance_sign
+      |  FROM cust JOIN l1 USING (c_nationkey, c_mktsegment))
+      |SELECT qi_geo, c_mktsegment, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT balance_sign) AS BIGINT) AS l_distinct,
+      |  COUNT(*) < 5 AS k_risky,
+      |  COUNT(DISTINCT balance_sign) < 2 AS l_risky
+      |FROM gen
+      |GROUP BY qi_geo, c_mktsegment
+      |ORDER BY qi_geo, c_mktsegment""".stripMargin
+
   private def keySql(table: String, cols: Seq[String]): String = {
     val list = cols.mkString(", ")
     s"""SELECT '$table' AS tbl, '${cols.mkString("+")}' AS cols,
@@ -2224,6 +2274,7 @@ object DataCleaning {
     Q("ind_discover", indDiscoverSql)(indDiscoverQ),
     Q("key_discover", keyDiscoverSql)(keyDiscoverQ),
     Q("k_anonymity", kAnonymitySql)(kAnonymityQ),
+    Q("k_anonymity_repair", kAnonymityRepairSql)(kAnonymityRepair),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("time_travel", timeTravelSql)(timeTravel),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
