@@ -1973,6 +1973,70 @@ object DataCleaning {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** **Distribution-drift report** (the PSI/χ² monitoring shape): two
+    * snapshots of the order stream (even/odd keys — a stand-in for
+    * yesterday/today) binned on the SAME equi-width cents grid
+    * (computed over the union, so bins are comparable), then a
+    * per-bin drift contribution: the χ² term
+    * (cur·N_b − base·N_c)² / (base·N_c·N_b), emitted as the exact
+    * scaled integer floor(·10⁶) — integral arithmetic end to end
+    * (PSI's log is dropped; the χ² form is the log-free member of the
+    * same family, and the per-bin sufficient counts ride along so a
+    * consumer can compute ANY divergence). Empty-base bins emit NULL
+    * contribution (division by zero is a monitoring alert, not a
+    * number). One scan + one 1-row (min, max, totals) broadcast + one
+    * 20-group aggregate. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+        (col("o_orderkey") % 2 === 0).as("is_base"))
+    val mm = ord.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+      count(when(col("is_base"), 1)).as("nb"),
+      count(when(!col("is_base"), 1)).as("nc"))
+    ord.crossJoin(broadcast(mm))
+      .withColumn("w", expr("(hi - lo + 20) div 20"))
+      .withColumn("bucket", expr("CAST((c - lo) div w AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("is_base"), 1)).as("base_n"),
+        count(when(!col("is_base"), 1)).as("cur_n"),
+        max(col("nb")).as("nb"), max(col("nc")).as("nc"))
+      .withColumn("__num",
+        expr("""CAST((cur_n * nb - base_n * nc) AS DECIMAL(38,0))
+                * (cur_n * nb - base_n * nc) * 1000000"""))
+      .withColumn("chi2_scaled",
+        when(col("base_n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(__num div (CAST(base_n AS DECIMAL(38,0)) * nc * nb) AS BIGINT)")))
+      .select(col("bucket"), col("base_n"), col("cur_n"), col("chi2_scaled"))
+      .orderBy("bucket")
+  }
+
+  private val driftReportSql =
+    """WITH c AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+      |    o_orderkey % 2 = 0 AS is_base
+      |  FROM orders),
+      |mm AS (
+      |  SELECT MIN(c) AS lo, MAX(c) AS hi,
+      |    COUNT(*) FILTER (is_base) AS nb,
+      |    COUNT(*) FILTER (NOT is_base) AS nc
+      |  FROM c),
+      |b AS (
+      |  SELECT (c - lo) // ((hi - lo + 20) // 20) AS bucket,
+      |    CAST(COUNT(*) FILTER (is_base) AS BIGINT) AS base_n,
+      |    CAST(COUNT(*) FILTER (NOT is_base) AS BIGINT) AS cur_n,
+      |    MAX(nb) AS nb, MAX(nc) AS nc
+      |  FROM c CROSS JOIN mm
+      |  GROUP BY 1)
+      |SELECT bucket, base_n, cur_n,
+      |  CASE WHEN base_n = 0 THEN NULL
+      |       ELSE CAST((CAST(cur_n * nb - base_n * nc AS HUGEINT)
+      |                  * (cur_n * nb - base_n * nc) * 1000000)
+      |                 // (CAST(base_n AS HUGEINT) * nc * nb) AS BIGINT)
+      |  END AS chi2_scaled
+      |FROM b
+      |ORDER BY bucket""".stripMargin
+
   def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val qs = (1 to 9).map(_ / 10.0)
@@ -2294,6 +2358,7 @@ object DataCleaning {
     Q("compact_report", compactReportSql)(compactReport),
     Q("histogram_equidepth", histogramEquidepthSql)(histogramEquidepth),
     Q("histogram_equiwidth", histogramEquiwidthSql)(histogramEquiwidth),
+    Q("drift_report", driftReportSql)(driftReport),
     Q("winsorize", winsorizeSql)(winsorize),
     Q("fuzzy_match", fuzzyMatchSql)(fuzzyMatch),
     Q("fuzzy_match_k2", fuzzyMatchK2Sql)(fuzzyMatchK2),
