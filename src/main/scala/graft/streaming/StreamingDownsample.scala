@@ -1025,6 +1025,74 @@ object StreamingDownsample {
         })
   }
 
+  final case class AnomState(doneDays: Seq[Long], doneCnts: Seq[Long],
+    openDays: Seq[Long], openCnts: Seq[Long])
+  final case class AnomalyOut(event_type: String, day_epoch: Long,
+    cnt: Long, n: Long, s: Long, ss: Long, is_anomaly: Long)
+
+  /** **Streaming rolling-3σ anomaly flags** — the monitoring twin of
+    * the batch `ts_anomaly` query: per event type, each COMPLETED day's
+    * count is tested against the trailing ≤7 finalized days'
+    * integer-exact 3σ rule ((n·x − s)²·(n−1) > 9·n·(n·ss − s²), BigInt
+    * here ≡ the batch DECIMAL(38,0) tree), emitting exactly one append
+    * row per (type, day). The [[transitionsStream]] frontier law
+    * applied to calendar days: a day is immutable once the watermark
+    * passes its END (any later-arriving event of that day would be
+    * dropped first), so flags finalize in day order and late events
+    * keep updating an OPEN day right up to its finalization. State per
+    * type = trailing 7 finalized (day, count) pairs + the open-day
+    * partial counts — O(7 + late-horizon days), never history; keys
+    * are event types (a bounded vocabulary), so state is bounded
+    * without any eviction cadence. `EventTimeTimeout` wakes a type
+    * when the frontier passes its earliest open day, so quiet types
+    * still drain. Days are epoch-day longs (the `retentionStream`
+    * timezone-free discipline). */
+  def anomalyStream(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (tpe: String, batch: Iterator[Event], state: GroupState[AnomState]) => {
+          val prior = state.getOption.getOrElse(AnomState(Nil, Nil, Nil, Nil))
+          val open = scala.collection.mutable.SortedMap.empty[Long, Long]
+          prior.openDays.zip(prior.openCnts).foreach { case (d, c) => open(d) = c }
+          batch.foreach { e =>
+            val d = Math.floorDiv(micros(e.ts), dayUs)
+            open(d) = open.getOrElse(d, 0L) + 1L
+          }
+          var doneD = prior.doneDays
+          var doneC = prior.doneCnts
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyOut]
+          open.toSeq.takeWhile { case (d, _) => (d + 1) * dayUs <= wmUs }
+            .foreach { case (d, cnt) =>
+              val trail = doneC.takeRight(7)
+              val n = trail.length.toLong
+              val s = trail.sum
+              val ss = trail.map(c => c * c).sum
+              val flag = if (n >= 4 && {
+                val lhs = (BigInt(n) * cnt - s).pow(2) * (n - 1)
+                val rhs = BigInt(9) * n * (BigInt(n) * ss - BigInt(s).pow(2))
+                lhs > rhs
+              }) 1L else 0L
+              out += AnomalyOut(tpe, d, cnt, n, s, ss, flag)
+              doneD = (doneD :+ d).takeRight(7)
+              doneC = (doneC :+ cnt).takeRight(7)
+              open.remove(d)
+            }
+          // the finalized tail must survive quiet periods (future days
+          // test against it), so the state never self-removes; it is
+          // bounded by the type vocabulary
+          state.update(AnomState(doneD, doneC,
+            open.keys.toSeq, open.values.toSeq))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv((open.firstKey + 1) * dayUs, 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+        })
+  }
+
   final case class PatternOut(user_id: Long, end_event_id: Long,
     t1: Timestamp, t2: Timestamp, t3: Timestamp)
 

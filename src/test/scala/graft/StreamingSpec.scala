@@ -1080,6 +1080,53 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("anomalyStream: converged day flags ≡ batch ts_anomaly under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus0 = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val minTs = corpus0.map(_.ts.getTime).min
+    val maxTs = corpus0.map(_.ts.getTime).max
+    val delaySec = (maxTs - minTs) / 1000L + 3600L
+    // sentinel two days past the horizon: every real day's END passes
+    // the frontier, so all flags finalize; the sentinel's own day stays
+    // open and never emits
+    val sentinel = Event(Long.MaxValue,
+      new Timestamp(maxTs + (delaySec + 3L * 86400L) * 1000L), -1L, "zz", 0.0)
+    val corpus = new scala.util.Random(23).shuffle(corpus0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.anomalyStream(
+        mem.toDS().withWatermark("ts", s"$delaySec seconds"))
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    val cuts = Seq(corpus.size / 4, corpus.size / 2, corpus.size)
+    var off = 0
+    cuts.foreach { c => mem.addData(corpus.slice(off, c)); q.processAllAvailable(); off = c }
+    mem.addData(Seq(sentinel)); q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val got = spark.table("anom_out")
+      .filter(col("event_type") =!= "zz")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    // batch day → epoch day computed INSIDE Spark (timezone-free)
+    // the batch window SUM over an empty trailing frame is NULL where
+    // the stream's fold is the additive identity 0 — same statistic
+    // (n = 0 gates the test either way), normalized here
+    val batch = graft.queries.Behavioral.tsAnomaly(spark, sf0001)
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"),
+        col("cnt"), col("n"),
+        coalesce(col("s"), lit(0L)), coalesce(col("ss"), lit(0L)),
+        col("is_anomaly"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+    // exactly-once: no (type, day) appears twice
+    val keys = spark.table("anom_out")
+      .select("event_type", "day_epoch").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.length == keys.distinct.length)
+  }
+
   test("transitionsStream: a late event inserts into an unfinalized pair exactly once") {
     implicit val sqlCtx = spark.sqlContext
     // times sit well above the initial watermark (0): the event-time
