@@ -94,7 +94,10 @@ class PlanInvariantsSpec extends SparkTestBase {
       "survival_curve",
       // histogram_equiwidth: the 1-row (min, max) frame (a grouping-free
       // aggregate) broadcasts into the per-row bin projection
-      "histogram_equiwidth")
+      "histogram_equiwidth",
+      // drift_report: the 1-row (min, max, totals) frame (a
+      // grouping-free aggregate) broadcasts into the shared-grid binning
+      "drift_report")
 
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
