@@ -1025,6 +1025,49 @@ object StreamingDownsample {
         })
   }
 
+  /** **Streaming distribution-drift monitor** — the stream half of the
+    * batch `drift_report`: a BASELINE histogram (fitted batch-side:
+    * grid origin `lo`, width `w`, per-bucket counts, total `nb`) is
+    * served against each COMPLETED day's event-value histogram, one
+    * χ²-contribution row per (day, bucket), the same exact scaled
+    * integer arithmetic as the batch query. The per-day histogram is a
+    * single watermarked windowed aggregate whose 20 bucket counts are
+    * CONDITIONAL COUNTS in one agg (the bucket grid is fixed, so no
+    * second stateful operator is ever needed), exploded to rows in
+    * append mode; the baseline travels as literals — the
+    * train-batch/serve-stream split of [[dsirScoreStream]] /
+    * [[pcaProjectStream]], applied to monitoring. Values outside the
+    * baseline grid clamp into the edge buckets (a drifted tail SHOULD
+    * land somewhere visible, not vanish). State = open windows only. */
+  def driftStream(events: Dataset[Event], lo: Long, w: Long,
+      baseCounts: Seq[Long], watermark: String = "2 hours"): DataFrame = {
+    require(w > 0 && baseCounts.nonEmpty, "driftStream needs a positive-width baseline grid")
+    val nBuckets = baseCounts.length
+    val nb = baseCounts.sum
+    val bucket = least(greatest(expr(s"(CAST(ROUND(value * 100) AS BIGINT) - ${lo}L) div ${w}L"),
+      lit(0L)), lit(nBuckets - 1L))
+    val perBucket = (0 until nBuckets).map(k =>
+      count(when(bucket === k.toLong, 1)).as(s"b_$k"))
+    val daily = events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(perBucket.head, perBucket.tail :+ count(lit(1)).as("nc"): _*)
+    val rows = daily.select(
+      expr("CAST(FLOOR(unix_micros(win.start) / 86400000000) AS BIGINT)").as("day_epoch"),
+      col("nc"),
+      explode(array((0 until nBuckets).map(k =>
+        struct(lit(k.toLong).as("bucket"), col(s"b_$k").as("cur_n"),
+          lit(baseCounts(k)).as("base_n"))): _*)).as("e"))
+    rows.select(col("day_epoch"), col("e.bucket").as("bucket"),
+        col("e.cur_n").as("cur_n"), col("e.base_n").as("base_n"),
+        when(col("e.base_n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST((CAST((e.cur_n * ${nb}L - e.base_n * nc) AS DECIMAL(38,0))
+                * (e.cur_n * ${nb}L - e.base_n * nc) * 1000000)
+                div (CAST(e.base_n AS DECIMAL(38,0)) * nc * ${nb}L) AS BIGINT)"""))
+          .as("chi2_scaled"))
+  }
+
   final case class AnomState(doneDays: Seq[Long], doneCnts: Seq[Long],
     openDays: Seq[Long], openCnts: Seq[Long])
   final case class AnomalyOut(event_type: String, day_epoch: Long,

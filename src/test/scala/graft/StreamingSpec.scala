@@ -1127,6 +1127,61 @@ class StreamingSpec extends SparkTestBase {
     assert(keys.length == keys.distinct.length)
   }
 
+  test("driftStream: per-day chi2 vs a batch-fitted baseline ≡ the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus0 = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    // baseline: the corpus' own global 20-bucket value histogram,
+    // fitted batch-side (self-drift: real per-day chi2 against the
+    // whole-corpus shape)
+    val cents = corpus0.map(e => math.round(e.value * 100))
+    val (lo, hi) = (cents.min, cents.max)
+    val w = (hi - lo + 20) / 20
+    val baseCounts = (0 until 20).map(k =>
+      cents.count(c => math.min(math.max((c - lo) / w, 0), 19) == k).toLong)
+    val minTs = corpus0.map(_.ts.getTime).min
+    val maxTs = corpus0.map(_.ts.getTime).max
+    val delaySec = (maxTs - minTs) / 1000L + 3600L
+    val sentinel = Event(Long.MaxValue,
+      new Timestamp(maxTs + (delaySec + 3L * 86400L) * 1000L), -1L, "zz", 0.0)
+    val corpus = new scala.util.Random(41).shuffle(corpus0)
+    val mem = MemoryStream[Event]
+    val q = StreamingDownsample.driftStream(mem.toDS(), lo, w, baseCounts,
+        watermark = s"$delaySec seconds")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    mem.addData(corpus.take(corpus.size / 2)); q.processAllAvailable()
+    mem.addData(corpus.drop(corpus.size / 2)); q.processAllAvailable()
+    mem.addData(Seq(sentinel)); q.processAllAvailable()
+    mem.addData(Seq.empty[Event]); q.processAllAvailable()
+    val sentinelDay = sentinel.ts.getTime / 86400000L
+    val got = spark.table("drift_out")
+      .filter(col("day_epoch") < sentinelDay)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+
+    // batch recompute of the identical statistic
+    val nb = baseCounts.sum
+    val want = corpus0.groupBy(e => Math.floorDiv(e.ts.getTime, 86400000L))
+      .flatMap { case (day, evs) =>
+        val nc = evs.size.toLong
+        val counts = (0 until 20).map(k => evs.count { e =>
+          val c = math.round(e.value * 100)
+          math.min(math.max((c - lo) / w, 0), 19) == k
+        }.toLong)
+        (0 until 20).map { k =>
+          val (cur, base) = (counts(k), baseCounts(k))
+          val chi2 = if (base == 0L) None else Some(
+            ((BigInt(cur) * nb - BigInt(base) * nc).pow(2) * 1000000 /
+              (BigInt(base) * nc * nb)).toLong)
+          (day, k.toLong, cur, base, chi2)
+        }
+      }.toSet
+    q.stop()
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("transitionsStream: a late event inserts into an unfinalized pair exactly once") {
     implicit val sqlCtx = spark.sqlContext
     // times sit well above the initial watermark (0): the event-time
