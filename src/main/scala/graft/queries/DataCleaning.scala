@@ -1703,6 +1703,77 @@ object DataCleaning {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** **Holt linear-trend forecast, fixed-point exact** — [[ewmaFixed]]'s
+    * recursion discipline upgraded from a level to a (level, trend)
+    * STATE STRUCT: per event type over the day-ordered count series
+    * (milli-count units so the halvings keep precision),
+    * l_t = (l+b+x) div 2 and b_t = (b + Δl) div 2 — Holt's equations at
+    * α = β = ½, every step a truncating integral division both engines
+    * share (negative trends included — div and `//` both truncate
+    * toward zero, verified). The fold's FIRST struct element seeds the
+    * state (l₁ = x₁, b₁ = 0) — DuckDB's `list_reduce` has no initial-
+    * value form, so both engines fold the identical element list.
+    * Emits level/trend and the h = 1 and h = 7 projections. Per-key
+    * history is bounded (days), the ewma contract; the fold itself is
+    * one ordered-list aggregate per type. */
+  // (level, trend) packed into ONE BIGINT accumulator: acc = l·M + (b + K).
+  // A struct accumulator is the natural spelling, but DuckDB 1.0's
+  // list_reduce mutates the struct IN PLACE field by field — the b
+  // expression then reads the already-overwritten acc.l (probed:
+  // struct fold of [(10,0),(20,0),(2,0)] returns b = 0 where the law
+  // says −2; the packed scalar returns −2 in both engines). Bounds:
+  // l < 2³⁴ milli-counts and |b| < K — far above the corpus and
+  // generous for a daily-count trend; a bigger domain re-packs.
+  private val holtM = 1L << 28
+  private val holtK = 1L << 27
+  private def holtLambda(accL: String, accB: String, xL: String): String = {
+    val nl = s"((($accL) + ($accB) + ($xL)) div 2)"
+    s"(($nl * ${holtM}L) + ((((($accB) + ($nl - ($accL)))) div 2) + ${holtK}L))"
+  }
+
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val step = holtLambda(
+      s"acc div ${holtM}L", s"acc % ${holtM}L - ${holtK}L", s"x div ${holtM}L")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("a"))
+      .withColumn("xs",
+        expr(s"transform(a, p -> p.cnt * 1000L * ${holtM}L + ${holtK}L)"))
+      .withColumn("st", expr(
+        s"aggregate(slice(xs, 2, size(xs)), element_at(xs, 1), (acc, x) -> $step)"))
+      .select(col("event_type"), size(col("a")).cast("long").as("n_days"),
+        expr(s"st div ${holtM}L").as("level_q"),
+        expr(s"st % ${holtM}L - ${holtK}L").as("trend_q"))
+      .withColumn("f1", col("level_q") + col("trend_q"))
+      .withColumn("f7", col("level_q") + lit(7L) * col("trend_q"))
+      .orderBy("event_type")
+  }
+
+  private val holtForecastSql = {
+    val step = holtLambda(
+      s"acc // $holtM", s"acc % $holtM - $holtK", s"x // $holtM")
+      .replace(" div ", " // ").replace(s"${holtM}L", s"$holtM")
+      .replace(s"${holtK}L", s"$holtK")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    list_reduce(
+       |      list(CAST(cnt * 1000 * $holtM + $holtK AS BIGINT) ORDER BY day),
+       |      (acc, x) -> $step) AS st
+       |  FROM daily GROUP BY event_type)
+       |SELECT event_type, n_days,
+       |  st // $holtM AS level_q,
+       |  st % $holtM - $holtK AS trend_q,
+       |  (st // $holtM) + (st % $holtM - $holtK) AS f1,
+       |  (st // $holtM) + 7 * (st % $holtM - $holtK) AS f7
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** **Incremental materialized-view refresh** ([[graft.operators.Mv
     * .refresh]]): the per-(user, event_type) rollup (count, DECIMAL
     * value sum, first/last ts) maintained as `old_view ⊕ agg(delta)` —
@@ -2351,6 +2422,7 @@ object DataCleaning {
     Q("partition_prune_dynamic", partitionPruneDynamicSql)(partitionPruneDynamic),
     Q("robust_outliers", robustOutliersSql)(robustOutliers),
     Q("ewma_fixed", ewmaFixedSql)(ewmaFixed),
+    Q("holt_forecast", holtForecastSql)(holtForecast),
     Q("stats_moments", statsMomentsSql)(statsMoments),
     // rows-only by design: cross-engine bit-identical doubles proved
     // non-portable (r8/r9); StatsMomentsSpec pins the values instead.

@@ -202,6 +202,27 @@ class AnalyticsWaveSpec extends SparkTestBase {
     assert(keys.sameElements(keys.sorted), "output must be sorted by the rank key")
   }
 
+  test("holt_forecast: packed fold ≡ the Holt recurrence recomputed in Scala") {
+    val got = DataCleaning.holtForecast(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    def truncDiv(a: Long, b: Long): Long = a / b // JVM / truncates toward zero
+    daily.foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3 * 1000L)
+      var l = xs.head; var b = 0L
+      xs.tail.foreach { x =>
+        val nl = truncDiv(l + b + x, 2)
+        b = truncDiv(b + (nl - l), 2)
+        l = nl
+      }
+      assert(got(tpe) == (l, b), s"$tpe: got ${got(tpe)}, want ($l, $b)")
+    }
+  }
+
   test("bm25_search: ranking rewards the rare term and respects length norm") {
     val out = LlmOps.bm25Search(spark, sf0001, k = 500).cache()
     val top = out.filter(col("rank") <= 25)
