@@ -74,6 +74,22 @@ class LineageSpec extends SparkTestBase {
     } finally cached.unpersist()
   }
 
+  test("lineage resolves through the custom as-of join node (re-aliased right side)") {
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val e = edges(graft.plans.AsOfJoin(spark, p, c,
+      Seq("user_id"), Seq("ts", "event_id"), Seq("click_ts", "click_id")))
+    // the right side's defensive re-alias (fresh exprIds) must not
+    // erase provenance: click_* still traces to the events columns
+    assert(e("click_id") == Set(Src("events", "event_id")))
+    assert(e("click_ts") == Set(Src("events", "ts")))
+    assert(e("user_id") == Set(Src("events", "user_id")))
+  }
+
   test("report emits deterministic OpenLineage-style edges") {
     val ev = Tables.events(spark, sf0001)
     val rep = Lineage.report(
