@@ -81,14 +81,25 @@ object Cms {
       b: DataFrame, bKey: Column, d: Int = D, w: Int = W): DataFrame = {
     val sa = sketch(a, aKey, d, w).withColumnRenamed("cms", "cms_a")
     val sb = sketch(b, bKey, d, w).withColumnRenamed("cms", "cms_b")
+    // DECIMAL(38,0) accumulation: two ~3·10⁹-count cells colliding give
+    // a ~9·10¹⁸ per-cell product — a Long fold wraps negative exactly
+    // at the planner scales this exists for; the final BIGINT cast is
+    // overflow-guarded so a beyond-Long estimate fails loudly
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val dots = (0 until d).map { j =>
-      aggregate(sequence(lit(j * w + 1), lit((j + 1) * w)), lit(0L),
+      aggregate(sequence(lit(j * w + 1), lit((j + 1) * w)),
+        lit(0).cast(dec),
         (acc, i) => acc +
-          element_at(col("cms_a"), i.cast("int")) *
-          element_at(col("cms_b"), i.cast("int")))
+          element_at(col("cms_a"), i.cast("int")).cast(dec) *
+          element_at(col("cms_b"), i.cast("int")).cast(dec))
     }
     sa.crossJoin(sb)
-      .withColumn("est_join_size", least(dots: _*))
+      .withColumn("__est", least(dots: _*))
+      .withColumn("est_join_size",
+        when(col("__est") > lit(Long.MaxValue).cast(dec),
+          raise_error(lit("innerProductEstimate exceeds BIGINT — widen the output type"))
+            .cast("long"))
+          .otherwise(col("__est").cast("long")))
       .select("est_join_size")
   }
 }

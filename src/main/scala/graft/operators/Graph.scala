@@ -331,6 +331,10 @@ object Graph {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // carry the previous round's cardinality: e.count() would re-count
+    // the SAME checkpointed frame narrowed.count() just measured,
+    // doubling the per-round driver actions for nothing
+    var prevCount = e.count()
     while (!converged && iter < maxIter) {
       iter += 1
       val keep = e.groupBy(col("x")).agg(count(lit(1)).as("deg"))
@@ -341,7 +345,9 @@ object Graph {
         .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
         .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
         .localCheckpoint()
-      converged = narrowed.count() == e.count()
+      val nowCount = narrowed.count()
+      converged = nowCount == prevCount
+      prevCount = nowCount
       e = narrowed
     }
     if (!converged)

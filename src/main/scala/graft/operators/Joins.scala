@@ -202,8 +202,12 @@ object Joins {
     require(binMicros > 0, "interval join needs a positive bin width")
     def bin(t: Column): Column =
       ((t - pmod(t, lit(binMicros))) / binMicros).cast("long")
-    def bins(b0: Column, b1: Column, side: String): Column =
-      when(b1 >= b0, sequence(b0, b1))
+    // the malformed-interval guard compares the VALUES, not the bins: a
+    // reversed interval inside one bin has equal bin ids and would slip
+    // a bin-level check, then pass the overlap predicate as a bogus pair
+    def bins(s: Column, e: Column, b0: Column, b1: Column,
+        side: String): Column =
+      when(e >= s, sequence(b0, b1))
         .otherwise(raise_error(
           lit(s"intervalOverlapJoin: $side interval has end < start"))
           .cast("array<long>"))
@@ -212,13 +216,15 @@ object Joins {
       .withColumn("__le", unix_micros(lEnd))
       .withColumn("__lb0", bin(col("__ls")))
       .withColumn("__bin",
-        explode(bins(col("__lb0"), bin(col("__le")), "left")))
+        explode(bins(col("__ls"), col("__le"),
+          col("__lb0"), bin(col("__le")), "left")))
     val r = right
       .withColumn("__rs", unix_micros(rStart))
       .withColumn("__re", unix_micros(rEnd))
       .withColumn("__rb0", bin(col("__rs")))
       .withColumn("__bin",
-        explode(bins(col("__rb0"), bin(col("__re")), "right")))
+        explode(bins(col("__rs"), col("__re"),
+          col("__rb0"), bin(col("__re")), "right")))
     l.join(r, "__bin")
       .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
       .filter(col("__bin") === greatest(col("__lb0"), col("__rb0")))

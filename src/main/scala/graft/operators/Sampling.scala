@@ -313,9 +313,17 @@ object Sampling {
         col("v").cast("long").as("v")).filter(col("v").isNotNull))
     final case class Bracket(g: String, q: Double, rank: Long,
         var lo: Long, var hi: Long)
-    val brackets = base.groupBy("g")
+    val stats = base.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
       .collect()
+    // a NULL group key would break every round's `g === lit` predicate
+    // (NULL comparison ⇒ zero counts ⇒ the bracket silently converges
+    // to the group MAX for every q) — reject loudly instead
+    stats.find(_.isNullAt(0)).foreach { _ =>
+      throw new IllegalArgumentException(
+        "quantilesBySearch: NULL group key — filter or label it upstream")
+    }
+    val brackets = stats
       .flatMap { r =>
         qs.map(q => Bracket(r.getString(0), q,
           math.max(1L, math.ceil(q * r.getLong(1)).toLong),
@@ -339,8 +347,13 @@ object Sampling {
       // join would replicate every row once per threshold, turning the
       // scan into rows × cuts work)
       val cutsOf = active.toSeq.map { t =>
-        val span = t.hi - t.lo
-        val interior = (1 until fanout).map(k => t.lo + span / fanout * k)
+        // BigInt span: hi − lo overflows Long when the domain spans
+        // most of the Long range (exactly what an order-preserving
+        // double encoding produces), which would degrade every round
+        // to lo+1 stepping and a spurious maxIter failure
+        val span = BigInt(t.hi) - BigInt(t.lo)
+        val interior = (1 until fanout)
+          .map(k => (BigInt(t.lo) + span / fanout * k).toLong)
           .distinct.filter(c => c >= t.lo && c < t.hi)
         // a tiny bracket can produce no interior cuts — fall back to lo
         t -> (if (interior.nonEmpty) interior else Seq(t.lo))

@@ -646,17 +646,24 @@ object Similarity {
       s
     }
     val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val remaining = scala.collection.mutable.LinkedHashMap(
       pool.map(p => p._1 -> p): _*)
+    // incremental MMR: each candidate carries its running max-sim to
+    // the selected set, refreshed against ONLY the newly selected
+    // vector — O(k·pool·dim), not the naive O(k²·pool·dim) full
+    // recompute per step
+    val maxSim = scala.collection.mutable.LongMap.empty[Double]
+    pool.foreach(p => maxSim(p._1) = 0.0)
     while (selected.length < math.min(k, pool.length)) {
-      val best = remaining.values.maxBy { case (pid, pv, prel) =>
-        val maxSim = if (selVecs.isEmpty) 0.0 else selVecs.map(cos(_, pv)).max
-        (lambda * relNorm(prel) - (1 - lambda) * maxSim, -pid)
+      val best = remaining.values.maxBy { case (pid, _, prel) =>
+        (lambda * relNorm(prel) - (1 - lambda) * maxSim(pid), -pid)
       }
       selected += best._1
-      selVecs += best._2
       remaining.remove(best._1)
+      remaining.values.foreach { case (pid, pv, _) =>
+        val s = cos(best._2, pv)
+        if (s > maxSim(pid)) maxSim(pid) = s
+      }
     }
     import spark.implicits._
     selected.toSeq.zipWithIndex

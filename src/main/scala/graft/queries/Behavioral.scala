@@ -614,7 +614,10 @@ object Behavioral {
       .filter(col("n7") === 7)
       .withColumn("trend_scaled", expr("CAST((sum7 * 1000000) div 7 AS BIGINT)"))
       .withColumn("detrended", col("cnt") * lit(1000000L) - col("trend_scaled"))
-      // ISO weekday 1..7: both engines share isodow semantics
+      // Spark dayofweek is Sunday=1..Saturday=7 (NOT isodow); the
+      // oracle's DuckDB dayofweek is Sunday=0..6 and compensates with
+      // +1 — any "fix" toward real ISO numbering on either side shifts
+      // every seasonal group by a day and breaks the hash
       .withColumn("dow", dayofweek(col("day")).cast("long"))
     val seasonal = trended.groupBy(col("dow"))
       .agg(sum(col("detrended")).as("sd"), count(lit(1)).as("nd"))

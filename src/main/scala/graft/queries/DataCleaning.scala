@@ -1716,35 +1716,41 @@ object DataCleaning {
     * Emits level/trend and the h = 1 and h = 7 projections. Per-key
     * history is bounded (days), the ewma contract; the fold itself is
     * one ordered-list aggregate per type. */
-  // (level, trend) packed into ONE BIGINT accumulator: acc = l·M + (b + K).
+  // (level, trend) packed into ONE BIGINT accumulator:
+  // acc = (l + L0)·M + (b + K), BOTH fields offset so the packed value
+  // stays nonnegative — the level itself CAN go negative under a steep
+  // decline (l=1000·10³, then 1,1,1: day 4's level is −92,656), and a
+  // negative acc mis-unpacks under truncating div/% in both engines.
   // A struct accumulator is the natural spelling, but DuckDB 1.0's
   // list_reduce mutates the struct IN PLACE field by field — the b
   // expression then reads the already-overwritten acc.l (probed:
   // struct fold of [(10,0),(20,0),(2,0)] returns b = 0 where the law
   // says −2; the packed scalar returns −2 in both engines). Bounds:
-  // l < 2³⁴ milli-counts and |b| < K — far above the corpus and
-  // generous for a daily-count trend; a bigger domain re-packs.
+  // |l| < L0 = 2³³ milli-counts, |b| < K = 2²⁷ — max acc ≈ 2·L0·M
+  // ≈ 4.6·10¹⁸ inside BIGINT; a bigger domain re-packs.
   private val holtM = 1L << 28
   private val holtK = 1L << 27
+  private val holtL0 = 1L << 33
   private def holtLambda(accL: String, accB: String, xL: String): String = {
     val nl = s"((($accL) + ($accB) + ($xL)) div 2)"
-    s"(($nl * ${holtM}L) + ((((($accB) + ($nl - ($accL)))) div 2) + ${holtK}L))"
+    s"((($nl + ${holtL0}L) * ${holtM}L) + ((((($accB) + ($nl - ($accL)))) div 2) + ${holtK}L))"
   }
 
   def holtForecast(spark: SparkSession, dir: String): DataFrame = {
     val step = holtLambda(
-      s"acc div ${holtM}L", s"acc % ${holtM}L - ${holtK}L", s"x div ${holtM}L")
+      s"acc div ${holtM}L - ${holtL0}L", s"acc % ${holtM}L - ${holtK}L",
+      s"x div ${holtM}L - ${holtL0}L")
     Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("a"))
       .withColumn("xs",
-        expr(s"transform(a, p -> p.cnt * 1000L * ${holtM}L + ${holtK}L)"))
+        expr(s"transform(a, p -> (p.cnt * 1000L + ${holtL0}L) * ${holtM}L + ${holtK}L)"))
       .withColumn("st", expr(
         s"aggregate(slice(xs, 2, size(xs)), element_at(xs, 1), (acc, x) -> $step)"))
       .select(col("event_type"), size(col("a")).cast("long").as("n_days"),
-        expr(s"st div ${holtM}L").as("level_q"),
+        expr(s"st div ${holtM}L - ${holtL0}L").as("level_q"),
         expr(s"st % ${holtM}L - ${holtK}L").as("trend_q"))
       .withColumn("f1", col("level_q") + col("trend_q"))
       .withColumn("f7", col("level_q") + lit(7L) * col("trend_q"))
@@ -1753,23 +1759,24 @@ object DataCleaning {
 
   private val holtForecastSql = {
     val step = holtLambda(
-      s"acc // $holtM", s"acc % $holtM - $holtK", s"x // $holtM")
+      s"acc // $holtM - $holtL0", s"acc % $holtM - $holtK",
+      s"x // $holtM - $holtL0")
       .replace(" div ", " // ").replace(s"${holtM}L", s"$holtM")
-      .replace(s"${holtK}L", s"$holtK")
+      .replace(s"${holtK}L", s"$holtK").replace(s"${holtL0}L", s"$holtL0")
     s"""WITH daily AS (
        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
        |  FROM events GROUP BY 1, 2),
        |agg AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
        |    list_reduce(
-       |      list(CAST(cnt * 1000 * $holtM + $holtK AS BIGINT) ORDER BY day),
+       |      list(CAST((cnt * 1000 + $holtL0) * $holtM + $holtK AS BIGINT) ORDER BY day),
        |      (acc, x) -> $step) AS st
        |  FROM daily GROUP BY event_type)
        |SELECT event_type, n_days,
-       |  st // $holtM AS level_q,
+       |  st // $holtM - $holtL0 AS level_q,
        |  st % $holtM - $holtK AS trend_q,
-       |  (st // $holtM) + (st % $holtM - $holtK) AS f1,
-       |  (st // $holtM) + 7 * (st % $holtM - $holtK) AS f7
+       |  (st // $holtM - $holtL0) + (st % $holtM - $holtK) AS f1,
+       |  (st // $holtM - $holtL0) + 7 * (st % $holtM - $holtK) AS f7
        |FROM agg
        |ORDER BY event_type""".stripMargin
   }
@@ -2010,6 +2017,14 @@ object DataCleaning {
     * pass-through doubles (SURVEY §7 rule 2); the boundaries themselves
     * stay internal (interpolated doubles — only comparisons cross
     * engines, and `exact_pct` pins the interpolation equal). */
+  // THE equi-width grid — single definition shared by histogramEquiwidth
+  // and driftReport (and mirrored, in literal-serving form, by
+  // streaming/StreamingDownsample.driftStream): ceil-width over 20 bins,
+  // integral division end to end. Changing either formula desynchronizes
+  // the drift monitor from its baseline fitter - edit HERE only.
+  private val gridWidthExpr = "(hi - lo + 20) div 20"
+  private val gridBucketExpr = "CAST((c - lo) div w AS BIGINT)"
+
   /** **Equi-width histogram, integer-exact** — the fixed-bin
     * complement of [[histogramEquidepth]] (equal-POPULATION bins
     * there, equal-VALUE-RANGE bins here — the ANALYZE-stats shape).
@@ -2026,8 +2041,8 @@ object DataCleaning {
     ord.crossJoin(broadcast(mm))
       // ceil-division keeps bin ∈ [0, 19] including the max value;
       // div (not /) — Spark's / on longs returns DOUBLE
-      .withColumn("w", expr("(hi - lo + 20) div 20"))
-      .withColumn("bucket", expr("CAST((c - lo) div w AS BIGINT)"))
+      .withColumn("w", expr(gridWidthExpr))
+      .withColumn("bucket", expr(gridBucketExpr))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"))
@@ -2065,8 +2080,8 @@ object DataCleaning {
       count(when(col("is_base"), 1)).as("nb"),
       count(when(!col("is_base"), 1)).as("nc"))
     ord.crossJoin(broadcast(mm))
-      .withColumn("w", expr("(hi - lo + 20) div 20"))
-      .withColumn("bucket", expr("CAST((c - lo) div w AS BIGINT)"))
+      .withColumn("w", expr(gridWidthExpr))
+      .withColumn("bucket", expr(gridBucketExpr))
       .groupBy(col("bucket"))
       .agg(count(when(col("is_base"), 1)).as("base_n"),
         count(when(!col("is_base"), 1)).as("cur_n"),

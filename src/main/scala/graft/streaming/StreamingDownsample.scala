@@ -1042,6 +1042,9 @@ object StreamingDownsample {
   def driftStream(events: Dataset[Event], lo: Long, w: Long,
       baseCounts: Seq[Long], watermark: String = "2 hours"): DataFrame = {
     require(w > 0 && baseCounts.nonEmpty, "driftStream needs a positive-width baseline grid")
+    // grid formulas mirror queries/DataCleaning.gridWidthExpr /
+    // gridBucketExpr in literal-serving form (lo and w arrive as
+    // batch-fitted constants here) — keep the three sites in lockstep
     val nBuckets = baseCounts.length
     val nb = baseCounts.sum
     val bucket = least(greatest(expr(s"(CAST(ROUND(value * 100) AS BIGINT) - ${lo}L) div ${w}L"),

@@ -262,5 +262,17 @@ class JoinsSpec extends SparkTestBase {
         .collect()
     }
     assert(err.getMessage.contains("end < start"), err.getMessage)
+
+    // reversed interval WITHIN one bin: equal bin ids would slip a
+    // bin-level guard and emit a bogus pair — the value-level guard
+    // must still raise
+    val badSameBin = Seq((3L, t(30 * 60000L), t(5 * 60000L)))
+      .toDF("id_a", "a0", "a1")
+    val err2 = intercept[Exception] {
+      graft.operators.Joins.intervalOverlapJoin(badSameBin, b,
+          col("a0"), col("a1"), col("b0"), col("b1"), h * 1000L)
+        .collect()
+    }
+    assert(err2.getMessage.contains("end < start"), err2.getMessage)
   }
 }

@@ -304,5 +304,14 @@ class SamplingSpec extends SparkTestBase {
         assert(got((g, q)) == sorted(rank - 1), s"group $g q=$q")
       }
     }
+
+    // a NULL group key would silently converge every bracket to the
+    // group max (NULL === lit never matches) — must reject loudly
+    val withNull = Seq((Some("a"), 1L), (None, 2L), (Some("a"), 3L))
+      .toDF("g", "v")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.quantilesBySearch(withNull, Seq(0.5))
+    }
+    assert(err.getMessage.contains("NULL group"), err.getMessage)
   }
 }
