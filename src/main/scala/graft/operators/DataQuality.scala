@@ -171,7 +171,11 @@ object DataQuality {
         .select(
           lit(c.childLabel).as("child"), lit(c.parentLabel).as("parent"),
           col("n_child_distinct"), col("n_missing"),
-          (col("n_missing") === 0L).as("holds"))
+          // an empty / all-NULL child column satisfies the IND only
+          // vacuously — a completely unpopulated FK must not read as a
+          // confirmed dependency, so the verdict is NULL, not true
+          when(col("n_child_distinct") === 0L, lit(null).cast("boolean"))
+            .otherwise(col("n_missing") === 0L).as("holds"))
     }
     reports.reduce(_ unionByName _).orderBy("child", "parent")
   }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -47,15 +47,31 @@ object Lineage {
     case other => "__" + other.getClass.getSimpleName.stripSuffix("$")
   }
 
+  /** Sources of an alias: its direct attribute references (outer
+    * references of any embedded subquery ride along via Catalyst's
+    * `references`), PLUS the lineage of every embedded
+    * [[SubqueryExpression]]'s own output — an output column computed
+    * from a scalar/IN subquery carries real data provenance, not
+    * `__literal`. */
+  private def aliasSrcs(a: Alias,
+      m: Map[ExprId, Set[Src]]): Set[Src] = {
+    val direct = a.child.references.toSeq
+      .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src])).toSet
+    val fromSubqueries = a.child.collect {
+      case sq: SubqueryExpression =>
+        val senv = walk(sq.plan)
+        sq.plan.output
+          .flatMap(o => senv.getOrElse(o.exprId, Set.empty[Src])).toSet
+    }.flatten.toSet
+    direct ++ fromSubqueries
+  }
+
   /** Lineage map of every attribute produced anywhere in `plan`. */
   private def walk(plan: LogicalPlan): Map[ExprId, Set[Src]] = {
     def named(exprs: Seq[NamedExpression],
         env: Map[ExprId, Set[Src]]): Map[ExprId, Set[Src]] =
       exprs.foldLeft(env) {
-        case (m, a: Alias) =>
-          m.updated(a.exprId,
-            a.child.references.toSeq
-              .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src])).toSet)
+        case (m, a: Alias) => m.updated(a.exprId, aliasSrcs(a, m))
         case (m, _) => m
       }
     plan match {
@@ -104,9 +120,7 @@ object Lineage {
         // generic named-expression producers (e.g. future operators)
         other.expressions.foldLeft(env) {
           case (m, a: Alias) if !m.contains(a.exprId) =>
-            m.updated(a.exprId,
-              a.child.references.toSeq
-                .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src])).toSet)
+            m.updated(a.exprId, aliasSrcs(a, m))
           case (m, _) => m
         }
     }

@@ -568,6 +568,85 @@ object Behavioral {
       .orderBy("item", "rk")
   }
 
+  /** **Bounded-aggregate recommender top-k** — [[recommendTopk]]'s
+    * web-scale form (the `fuzzy_match_k2_topk` move SCALING.md names as
+    * the swap-in once pair mass grows): the same exact integer scoring,
+    * but per-item top-5 selected by the map-side [[graft.functions
+    * .BoundedTopK]] heap aggregate instead of a rank window — each map
+    * task reduces to ≤5 candidates per item BEFORE the shuffle, so the
+    * exchange moves ≤ 5·partitions rows per item while the window form
+    * moves the whole scored pair mass. Emits the exact per-item
+    * `n_candidates` alongside (the aggregate is one pass, so the count
+    * is free), and the oracle is the quadratic ROW_NUMBER formulation —
+    * the gate proves heap-selection ≡ full-sort selection. */
+  def recommendTopkBounded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast(DecimalType(38, 0))
+    val li = graft.operators.Dedup.memoPersist(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+    val freq = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cooc"))
+    val sym = pairs.select(col("pa"), col("pb"), col("cooc"))
+      .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("cooc")))
+    val scored = sym
+      .join(broadcast(freq.select(col("p").as("pa"), col("n").as("n_item"))), "pa")
+      .join(broadcast(freq.select(col("p").as("pb"), col("n").as("n_rec"))), "pb")
+      .withColumn("__num", d(col("cooc")) * d(col("cooc")) * lit(1000000))
+      .withColumn("__den", d(col("n_item")) * d(col("n_rec")))
+      .withColumn("score_scaled", expr("CAST(__num div __den AS BIGINT)"))
+      .drop("__num", "__den")
+    // (score desc, cooc desc, rec asc) ≡ ascending (−score, −cooc, rec);
+    // fields after the total key are payload and never affect the heap
+    val sortStruct = struct(
+      (-col("score_scaled")).as("ns"), (-col("cooc")).as("nc"),
+      col("pb").as("rec"), col("cooc").as("cooc"),
+      col("n_rec").as("n_rec"), col("score_scaled").as("score_scaled"))
+    scored.groupBy(col("pa"))
+      .agg(graft.functions.BoundedTopK(sortStruct, 5).as("top"),
+        count(lit(1)).as("n_candidates"),
+        max(col("n_item")).as("n_item"))
+      .select(col("pa").as("item"), col("n_item"), col("n_candidates"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("item"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.rec").as("rec"), col("t.cooc").as("cooc"),
+        col("t.n_rec").as("n_rec"), col("t.score_scaled").as("score_scaled"),
+        col("n_item"), col("n_candidates"))
+      .orderBy("item", "rk")
+  }
+
+  private val recommendTopkBoundedSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |freq AS (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cooc
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT pa, pb, cooc FROM pairs
+      |        UNION ALL SELECT pb, pa, cooc FROM pairs),
+      |scored AS (
+      |  SELECT sym.pa AS item, sym.pb AS rec, cooc,
+      |    u1.n AS n_item, u2.n AS n_rec,
+      |    CAST((CAST(cooc AS HUGEINT) * cooc * 1000000)
+      |         // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS score_scaled
+      |  FROM sym JOIN freq u1 ON u1.p = sym.pa JOIN freq u2 ON u2.p = sym.pb),
+      |counted AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      |            FROM scored GROUP BY item)
+      |SELECT s.item, CAST(rk AS INT) AS rk, rec,
+      |  CAST(cooc AS BIGINT) AS cooc, CAST(n_rec AS BIGINT) AS n_rec,
+      |  score_scaled, CAST(n_item AS BIGINT) AS n_item, c.n_candidates
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+      |        ORDER BY score_scaled DESC, cooc DESC, rec) AS rk
+      |      FROM scored) s
+      |JOIN counted c USING (item)
+      |WHERE rk <= 5
+      |ORDER BY s.item, rk""".stripMargin
+
   private val recommendTopkSql =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |freq AS (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
@@ -848,7 +927,13 @@ object Behavioral {
         Window.partitionBy(col("event_type")).orderBy(abs(col("c")).desc, col("day"))))
       .filter(col("rk") === 1)
       .select(col("event_type"), col("day").as("change_day"),
-        col("c").cast("long").as("cusum_scaled"),
+        // overflow-guarded narrowing (the innerProductEstimate rule): a
+        // beyond-Long CUSUM statistic must fail loudly, not cast to NULL
+        // silently while the oracle's BIGINT arithmetic errors
+        when(abs(col("c")) > d(lit(Long.MaxValue)),
+          raise_error(lit("cusumChangepoint exceeds BIGINT — widen the output type"))
+            .cast("long"))
+          .otherwise(col("c").cast("long")).as("cusum_scaled"),
         col("n").cast("long").as("n_days"))
       .orderBy("event_type")
   }
@@ -937,6 +1022,7 @@ object Behavioral {
     Q("cusum_changepoint", cusumChangepointSql)(cusumChangepoint),
     Q("acf_stats", acfStatsSql)(acfStats),
     Q("recommend_topk", recommendTopkSql)(recommendTopk),
+    Q("recommend_topk_bounded", recommendTopkBoundedSql)(recommendTopkBounded),
     Q("assoc_rules", assocRulesSql)(assocRules),
     Q("ts_decompose", tsDecomposeSql)(tsDecompose),
     Q("survival_curve", survivalCurveSql)(survivalCurve))

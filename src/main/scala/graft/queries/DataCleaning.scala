@@ -234,7 +234,12 @@ object DataCleaning {
     * in one session replays batch ids through the sink's append-only
     * replay protocol — v2 is never rewritten, so the read is stable. */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = scratch(spark, "graft_timetravel_orders")
+    // scratch name keyed by the DATASET too, not just the application:
+    // running the suite against a second sf dir in one Spark app must
+    // not replay batch ids 0-2 against the first dataset's committed
+    // version chain (stale-snapshot bases, wrong v2)
+    val tmp = scratch(spark,
+      s"graft_timetravel_orders_${java.lang.Integer.toHexString(dir.hashCode)}")
     val ord = Tables.orders(spark, dir)
     val sink = graft.operators.Upsert.versionedSink(tmp, "o_orderkey",
       "o_orderdate", "o_orderkey", col("o_orderstatus") === "F")
@@ -249,6 +254,71 @@ object DataCleaning {
          |FROM graft_version('$tmp', 2)
          |ORDER BY o_orderkey""".stripMargin)
   }
+
+  /** **Streaming CDC change feed** ([[graft.operators.Upsert
+    * .changeFeedSink]]): three order batches commit through the composed
+    * snapshot+feed sink — inserts (v1), inserts + price-bump updates
+    * (v2), tombstones for the %5 keys (v3) — and the query emits the
+    * concatenated classified feed. The oracle replays each version's
+    * diff declaratively (inserted = new non-tombstone keys, updated =
+    * price-bumped keys present before, deleted = tombstoned keys present
+    * before, NULL after-images on deletes), so the gate proves the
+    * classification logic AND the after-image attach, not just row
+    * counts. `change_version <= 3` pins the first application — replays
+    * within one app write fresh (filtered) versions, the same
+    * stability convention as [[timeTravel]]. */
+  def changeFeedQ(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(spark,
+      s"graft_cdc_orders_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val feed = tmp + "_feed"
+    val ord = Tables.orders(spark, dir)
+    val sink = graft.operators.Upsert.changeFeedSink(tmp, feed,
+      "o_orderkey", "o_orderdate", "o_orderkey",
+      col("o_orderstatus") === "F")
+    sink(ord.filter(col("o_orderkey") % 3 === 0), 0L)
+    sink(ord.filter(col("o_orderkey") % 3 === 1)
+      .unionByName(ord.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)), 1L)
+    sink(ord.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("F")), 2L)
+    graft.operators.Upsert.readChangeFeed(spark, feed)
+      .filter(col("change_version") <= 3)
+      .select(col("change_version"), col("o_orderkey"), col("change"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("change_version", "o_orderkey")
+  }
+
+  private val changeFeedSql =
+    """WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+      |v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |       FROM b0 WHERE o_orderstatus <> 'F'),
+      |b1i AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |        FROM orders WHERE o_orderkey % 3 = 1),
+      |b1u AS (SELECT o_orderkey, o_orderstatus,
+      |          o_totalprice + 500.0 AS o_totalprice
+      |        FROM orders WHERE o_orderkey % 6 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey FROM v1 WHERE o_orderkey % 6 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey FROM b1i WHERE o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT u.o_orderkey FROM b1u u JOIN v1 USING (o_orderkey)),
+      |f1 AS (SELECT CAST(1 AS BIGINT) AS change_version, o_orderkey,
+      |         'inserted' AS change, o_orderstatus, o_totalprice
+      |       FROM v1),
+      |f2 AS (
+      |  SELECT CAST(2 AS BIGINT), o_orderkey, 'inserted',
+      |    o_orderstatus, o_totalprice
+      |  FROM b1i WHERE o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), u.o_orderkey, 'updated',
+      |    u.o_orderstatus, u.o_totalprice
+      |  FROM b1u u JOIN v1 USING (o_orderkey)),
+      |f3 AS (SELECT CAST(3 AS BIGINT), o_orderkey, 'deleted',
+      |         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |       FROM v2 WHERE o_orderkey % 5 = 0)
+      |SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+      |ORDER BY change_version, o_orderkey""".stripMargin
 
   private val timeTravelSql =
     """WITH b0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -972,11 +1042,15 @@ object DataCleaning {
 
   /** **k-core decomposition** ([[graft.operators.Graph.kCore]]) of the
     * sparse part co-occurrence graph: the parts surviving the k=8
-    * peel with their in-core degrees. Rows-only by contract — the peel
-    * is a fixpoint with per-round aggregates, which recursive CTEs
-    * cannot express (no aggregation in the recursive term) — the value
-    * gate is GraphSpec's in-memory reference peel on the same sf0.001
-    * graph plus hand-graph cores. */
+    * peel with their in-core degrees. Hash-checked via an UNROLLED
+    * peel oracle (the `token_bpe_train` / `graph_pagerank_fp`
+    * materialized-iteration idiom): recursive CTEs cannot aggregate in
+    * the recursive term, but the peel reaches its fixpoint in 12
+    * rounds at sf0.01 (measured), and a fixpoint round is idempotent —
+    * so 18 chained (degree-filter, edge-narrow) CTE pairs replay the
+    * exact algorithm with safety margin, and extra rounds change
+    * nothing. GraphSpec's in-memory reference peel still pins the
+    * operator on hand graphs. */
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 10 === 0)
@@ -991,6 +1065,33 @@ object DataCleaning {
     // smoke gate
     graft.operators.Graph.kCore(edges, col("pa"), col("pb"), k = 8)
       .orderBy("node")
+  }
+
+  // unrolled peel: 18 (degree-filter, edge-narrow) rounds — fixpoint is
+  // 12 at sf0.01 (measured), and a converged round is a no-op, so the
+  // margin is pure safety
+  private val graphKcoreSql: String = {
+    val rounds = 18
+    val header =
+      """WITH ep AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0),
+        |e0 AS MATERIALIZED (SELECT pa AS x, pb AS y FROM ep UNION SELECT pb, pa FROM ep)""".stripMargin
+    // MATERIALIZED is load-bearing (the BPE-oracle inlining trap): each
+    // round references the previous edge set three times, and inlined
+    // CTEs would re-expand the base scan 3^18 times
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT x AS node FROM e${r - 1} GROUP BY x HAVING COUNT(*) >= 8),
+         |e$r AS MATERIALIZED (SELECT e.x, e.y FROM e${r - 1} e
+         |  JOIN k$r kx ON kx.node = e.x
+         |  JOIN k$r ky ON ky.node = e.y)""".stripMargin
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         |SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM e$rounds GROUP BY x ORDER BY node""".stripMargin
   }
 
   /** **Multi-source BFS hop distance** ([[graft.operators.Graph
@@ -2086,9 +2187,15 @@ object DataCleaning {
       .agg(count(when(col("is_base"), 1)).as("base_n"),
         count(when(!col("is_base"), 1)).as("cur_n"),
         max(col("nb")).as("nb"), max(col("nc")).as("nc"))
-      .withColumn("__num",
-        expr("""CAST((cur_n * nb - base_n * nc) AS DECIMAL(38,0))
-                * (cur_n * nb - base_n * nc) * 1000000"""))
+      // operands cast to DECIMAL(38,0) BEFORE the multiply: at the
+      // multi-billion-row snapshots this report targets, cur_n·nb is a
+      // long×long product that wraps silently in Spark while the DuckDB
+      // oracle raises on BIGINT overflow — the same hazard
+      // Cms.innerProductEstimate guards the same way
+      .withColumn("__d",
+        expr("""CAST(cur_n AS DECIMAL(38,0)) * nb
+                - CAST(base_n AS DECIMAL(38,0)) * nc"""))
+      .withColumn("__num", expr("__d * __d * 1000000"))
       .withColumn("chi2_scaled",
         when(col("base_n") === 0L, lit(null).cast("long"))
           .otherwise(expr(
@@ -2113,14 +2220,17 @@ object DataCleaning {
       |    CAST(COUNT(*) FILTER (NOT is_base) AS BIGINT) AS cur_n,
       |    MAX(nb) AS nb, MAX(nc) AS nc
       |  FROM c CROSS JOIN mm
-      |  GROUP BY 1)
+      |  GROUP BY 1),
+      |b2 AS (
+      |  SELECT bucket, base_n, cur_n, nb, nc,
+      |    CAST(cur_n AS HUGEINT) * nb - CAST(base_n AS HUGEINT) * nc AS d
+      |  FROM b)
       |SELECT bucket, base_n, cur_n,
       |  CASE WHEN base_n = 0 THEN NULL
-      |       ELSE CAST((CAST(cur_n * nb - base_n * nc AS HUGEINT)
-      |                  * (cur_n * nb - base_n * nc) * 1000000)
+      |       ELSE CAST(d * d * 1000000
       |                 // (CAST(base_n AS HUGEINT) * nc * nb) AS BIGINT)
       |  END AS chi2_scaled
-      |FROM b
+      |FROM b2
       |ORDER BY bucket""".stripMargin
 
   def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
@@ -2272,7 +2382,8 @@ object DataCleaning {
     s"""SELECT '$childLabel' AS child, '$parentLabel' AS parent,
        |  CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
        |  CAST(COUNT(CASE WHEN p.v IS NULL THEN 1 END) AS BIGINT) AS n_missing,
-       |  COUNT(CASE WHEN p.v IS NULL THEN 1 END) = 0 AS holds
+       |  CASE WHEN COUNT(*) = 0 THEN NULL
+       |       ELSE COUNT(CASE WHEN p.v IS NULL THEN 1 END) = 0 END AS holds
        |FROM (SELECT DISTINCT CAST($childCol AS BIGINT) AS v
        |      FROM $childTable WHERE $childCol IS NOT NULL) c
        |LEFT JOIN (SELECT DISTINCT CAST($parentCol AS BIGINT) AS v
@@ -2427,6 +2538,7 @@ object DataCleaning {
     Q("k_anonymity_repair", kAnonymityRepairSql)(kAnonymityRepair),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("time_travel", timeTravelSql)(timeTravel),
+    Q("change_feed", changeFeedSql)(changeFeedQ),
     Q("jsonl_roundtrip", jsonlRoundtripSql)(jsonlRoundtrip),
     Q("csv_roundtrip", csvRoundtripSql)(csvRoundtrip),
     Q("parquet_evolution", parquetEvolutionSql)(parquetEvolution),
@@ -2462,7 +2574,7 @@ object DataCleaning {
     Q("graph_triangles", graphTrianglesSql)(graphTriangles),
     Q("graph_bfs", graphBfsSql)(graphBfs),
     Q("graph_components", graphComponentsSql)(graphComponents),
-    Q.noOracle("graph_kcore")(graphKcore),
+    Q("graph_kcore", graphKcoreSql)(graphKcore),
     Q("graph_sssp", graphSsspSql)(graphSssp),
     Q("column_stats", columnStatsSql)(columnStats),
     Q("corpus_diff", corpusDiffSql)(corpusDiff),

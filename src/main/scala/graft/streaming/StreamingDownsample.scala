@@ -1065,8 +1065,13 @@ object StreamingDownsample {
         col("e.cur_n").as("cur_n"), col("e.base_n").as("base_n"),
         when(col("e.base_n") === 0L, lit(null).cast("long"))
           .otherwise(expr(
-            s"""CAST((CAST((e.cur_n * ${nb}L - e.base_n * nc) AS DECIMAL(38,0))
-                * (e.cur_n * ${nb}L - e.base_n * nc) * 1000000)
+            // operands cast BEFORE the multiply (lockstep with the batch
+            // driftReport fix): cur_n·nb is long×long at billion-row
+            // snapshots and would wrap silently
+            s"""CAST(((CAST(e.cur_n AS DECIMAL(38,0)) * ${nb}L
+                       - CAST(e.base_n AS DECIMAL(38,0)) * nc)
+                * (CAST(e.cur_n AS DECIMAL(38,0)) * ${nb}L
+                   - CAST(e.base_n AS DECIMAL(38,0)) * nc) * 1000000)
                 div (CAST(e.base_n AS DECIMAL(38,0)) * nc * ${nb}L) AS BIGINT)"""))
           .as("chi2_scaled"))
   }

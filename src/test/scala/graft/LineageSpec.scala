@@ -90,6 +90,29 @@ class LineageSpec extends SparkTestBase {
     assert(e("user_id") == Set(Src("events", "user_id")))
   }
 
+  test("subquery-derived columns carry the subquery plan's provenance") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("lin_ord")
+    Tables.customer(spark, sf0001).createOrReplaceTempView("lin_cust")
+    val scalar = spark.sql(
+      """SELECT o_orderkey,
+        |  (SELECT MAX(c_acctbal) FROM lin_cust) AS max_bal
+        |FROM lin_ord""".stripMargin)
+    val e = edges(scalar)
+    // pre-fix this reported __literal (empty set): references excludes
+    // the subquery plan, silently dropping real provenance
+    assert(e("max_bal") == Set(Src("customer", "c_acctbal")))
+
+    // correlated scalar subquery: both the outer probe column and the
+    // subquery's aggregated column are sources
+    val correlated = spark.sql(
+      """SELECT o_orderkey,
+        |  (SELECT MAX(c_acctbal) FROM lin_cust
+        |   WHERE c_custkey = o_custkey) AS cust_bal
+        |FROM lin_ord""".stripMargin)
+    val ec = edges(correlated)
+    assert(ec("cust_bal").contains(Src("customer", "c_acctbal")))
+  }
+
   test("report emits deterministic OpenLineage-style edges") {
     val ev = Tables.events(spark, sf0001)
     val rep = Lineage.report(
