@@ -31,8 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * monotonic deque. Stays inside whole-stage codegen (the generated code
   * calls [[WinnowImpl.compute]], the same pattern Spark's own regexp and
   * datetime expressions use for non-trivial kernels). */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+case class WinnowFingerprint(child: Expression, k: Int, w: Int,
+    md5Hash: Boolean = false) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType if k > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
@@ -45,10 +45,10 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(s: Any): Any =
-    WinnowImpl.compute(s.asInstanceOf[UTF8String], k, w)
+    WinnowImpl.compute(s.asInstanceOf[UTF8String], k, w, md5Hash)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowImpl.compute($c, $k, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowImpl.compute($c, $k, $w, $md5Hash)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
@@ -57,6 +57,16 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 object WinnowFingerprint {
   def apply(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
+
+  /** Oracle-checkable variant: grams hashed with the md5→60-bit KMV
+    * idiom (`conv(substr(md5(gram),1,15),16,10)`), which DuckDB
+    * reproduces bit-for-bit — ~20× more CPU per gram than xxhash64, the
+    * price of a cross-engine hash gate. Prefer [[apply]] for production
+    * fingerprinting; use this where the output must be replayed by an
+    * independent engine. */
+  def md5Keyed(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprint(ColumnBridge.expression(text), k, w, md5Hash = true))
 }
 
 /** The winnowing kernel. Plain top-level object so the codegen'd call
@@ -66,12 +76,41 @@ object WinnowImpl {
 
   private val Seed = 42L // Spark's xxhash64 default seed
 
+  // reused per thread: MessageDigest.getInstance per gram would dominate
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5→60-bit gram hash: the integer value of the digest's first 15
+    * hex nibbles = (first 8 digest bytes, big-endian) >>> 4 — exactly
+    * Spark's `conv(substring(md5(gram), 1, 15), 16, 10)` and DuckDB's
+    * `CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT)`. */
+  private def md5Hash60(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    md.update(bytes, start, len)
+    val d = md.digest()
+    val top =
+      ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    top >>> 4
+  }
+
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData =
+    compute(text, k, w, false)
+
   /** One pass over the document: k-gram hashes from the raw UTF-8 buffer
     * (char-boundary offsets honor `substr`'s code-point indexing), then
     * windowed minima with a monotonic deque. Mirrors the HOF reference
     * including its edge conventions: fewer than k chars → one truncated
-    * gram (the whole text); fewer than w grams → one truncated window. */
-  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    * gram (the whole text); fewer than w grams → one truncated window.
+    * `md5Hash = true` swaps xxhash64 for the 60-bit md5 idiom (the
+    * oracle-checkable keying). */
+  def compute(text: UTF8String, k: Int, w: Int,
+      md5Hash: Boolean): GenericArrayData = {
     val bytes = text.getBytes
     val nb = bytes.length
     // char-start byte offsets (a UTF-8 char starts at any non-continuation
@@ -94,8 +133,10 @@ object WinnowImpl {
     while (i < nGrams) {
       val start = offs(i)
       val end = offs(math.min(i + k, nc))
-      hashes(i) = XXH64.hashUnsafeBytes(
-        bytes, Platform.BYTE_ARRAY_OFFSET + start, end - start, Seed)
+      hashes(i) =
+        if (md5Hash) md5Hash60(bytes, start, end - start)
+        else XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, end - start, Seed)
       i += 1
     }
 

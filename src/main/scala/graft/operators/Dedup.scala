@@ -985,31 +985,36 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document: each token votes ±1 on every bit of its
-    * 64-bit hash; the signature bit is the vote sign. One explode + one
-    * groupBy (64 conditional-sum aggregates) — a single shuffle. */
+  /** 60-bit SimHash per document: each token occurrence votes ±1 on
+    * every bit of its 60-bit md5 hash (`conv(substr(md5(…),1,15),16,10)`
+    * — the KMV idiom, so the DuckDB oracle computes the IDENTICAL
+    * integer and the pair set is hash-checkable, which xxhash64 never
+    * was); the signature bit is the vote sign. One explode + one groupBy
+    * (60 conditional-sum aggregates) — a single shuffle. */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df
       .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("h",
+        conv(substring(md5(concat(lit("graftsim"), col("t"))), 1, 15), 16, 10)
+          .cast("long"))
+    val votes = (0 until 60).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until 60)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
-    * 16-bit bands: any pair within distance 3 shares at least one of the
+    * 15-bit bands: any pair within distance 3 shares at least one of the
     * 4 bands (pigeonhole), so candidate generation is again an equi-join
     * on (band, value) — no all-pairs comparison. */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     val bands = (0 until 4).map { bd =>
       struct(lit(bd).as("band"),
-        shiftright(col("simhash"), bd * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+        shiftright(col("simhash"), bd * 15).bitwiseAND(lit(0x7FFFL)).as("bv"))
     }
     val exploded = sig
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
@@ -1019,7 +1024,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

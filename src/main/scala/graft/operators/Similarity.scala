@@ -110,8 +110,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
-    * derived from a fixed seed so bucketing is stable across runs. */
-  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Float]] = {
+    * derived from a fixed seed so bucketing is stable across runs.
+    * Package-visible so the `vector_ann` oracle builder embeds the SAME
+    * constants as SQL literals (the LSH replay gate) — the planes are
+    * data, and the oracle must never regenerate them independently. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Float]] = {
     val rng = new scala.util.Random(42L)
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }

@@ -251,11 +251,45 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup pairs, HASH-CHECKED: the per-token 60-bit md5
+    * hash ([[graft.operators.Kmv]] idiom) makes the signature — and
+    * therefore the banded candidate set and every Hamming distance —
+    * the same exact integers in DuckDB, so the oracle replays the full
+    * pipeline (votes → signature → 4×15-bit bands → pair distances)
+    * bit-for-bit instead of leaving this rows-only. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
         Dedup.simhashSignatures(Tables.documents(spark, dir), col("doc_id"), col("text")),
         maxDist = 3)
       .orderBy("doc_a", "doc_b")
+
+  private val dedupSimhashSql: String = {
+    val sigBits = (0 until 60).map { b =>
+      s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n      + ")
+    val bandRows = (0 until 4).map(bd =>
+      s"SELECT doc_id, sig, $bd AS band, (sig >> ${bd * 15}) & 32767 AS bv FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5('graftsim' || t), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |      $sigBits AS sig
+       |  FROM tok GROUP BY doc_id),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming
+       |FROM cand WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(spark, dir),
@@ -502,11 +536,144 @@ object LlmOps {
       .orderBy("rank")
   }
 
+  /** LSH multi-probe ANN, HASH-CHECKED: the hyperplanes are seeded
+    * constants (data, not algorithm), so the oracle embeds the same 6×64
+    * floats as DOUBLE literals and replays the ENTIRE pipeline — sign
+    * buckets, margin-ranked subset perturbation (24 probes), bucket
+    * equi-join, exact cosine re-rank — in DuckDB. Float-exactness holds
+    * because [[graft.functions.FloatVecDot]] accumulates left-to-right
+    * in double, which the oracle mirrors as a left-associative 64-term
+    * sum; every compared double is then bit-identical. */
   def vectorAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.annTopK(e.filter(col("vec_id") < 20), e, k = 5)
       .select("query_id", "cand_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** **ANN recall adjudicator**: per query, the integer overlap@5
+    * between the LSH result and the exact brute-force top-5 — recall
+    * becomes a DRIVER-GATED integer per query instead of a spec-only
+    * floor. Queries whose ANN list misses every exact neighbor still
+    * report 0 (right join against the query set). */
+  def vectorAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    val ann = Similarity.annTopK(q, e, k = 5).select("query_id", "cand_id")
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "cand_id")
+    exact.join(ann, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(q.select(col("vec_id").as("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("query_id")
+  }
+
+  /** Shared CTE prefix replaying [[Similarity.annTopK]] (nPlanes=6,
+    * probes=24, k=5, dim=64) in DuckDB: `annk` = the ANN top-5 pairs,
+    * `qry`/`cand` expose norms for the exact twin. Left-associative
+    * explicit dot chains mirror FloatVecDot's summation order exactly. */
+  private lazy val annReplayCtes: String = {
+    val planes = Similarity.hyperplanes(6, 64)
+    // elem -> SQL for Σ elem[j]·plane[j], left-assoc (DuckDB lists are 1-based)
+    def projChain(arr: String, p: Array[Float]): String =
+      (0 until 64).map(j =>
+        s"CAST($arr[${j + 1}] AS DOUBLE) * ${p(j).toDouble}").mkString(" + ")
+    def selfDot(arr: String): String =
+      (1 to 64).map(j =>
+        s"CAST($arr[$j] AS DOUBLE) * CAST($arr[$j] AS DOUBLE)").mkString(" + ")
+    def pairDot(a: String, b: String): String =
+      (1 to 64).map(j =>
+        s"CAST($a[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE)").mkString(" + ")
+    def bucketExpr(prefix: String): String =
+      (0 until 6).map(i =>
+        s"(CASE WHEN $prefix$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    // probe k flips the ranked planes named by k's set bits
+    def maskExpr(k: Int): String =
+      (0 until 6).filter(j => ((k >> j) & 1) == 1)
+        .map(j => s"(CAST(1 AS BIGINT) << r.ranked[${j + 1}])").mkString(" + ")
+    val candProjs = (0 until 6)
+      .map(i => s"    ${projChain("embedding", planes(i).toArray)} AS p$i")
+      .mkString(",\n")
+    val qryProjs = (0 until 6)
+      .map(i => s"    ${projChain("embedding", planes(i).toArray)} AS m$i")
+      .mkString(",\n")
+    val probeSelects = (1 to 24).map(k =>
+      s"  SELECT q.query_id, xor(q.bucket0, ${maskExpr(k)}) AS bucket\n" +
+        "  FROM qry q JOIN rk r ON r.query_id = q.query_id")
+      .mkString("\n  UNION ALL\n")
+    s"""candp AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id, embedding AS cv,
+       |    sqrt(${selfDot("embedding")}) AS cn,
+       |$candProjs
+       |  FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT cand_id, cv, cn, ${bucketExpr("p")} AS bucket FROM candp),
+       |qryp AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    sqrt(${selfDot("embedding")}) AS qn,
+       |$qryProjs
+       |  FROM embeddings WHERE vec_id < 20),
+       |qry AS MATERIALIZED (
+       |  SELECT query_id, qv, qn, m0, m1, m2, m3, m4, m5,
+       |    ${bucketExpr("m")} AS bucket0
+       |  FROM qryp),
+       |rk AS MATERIALIZED (
+       |  SELECT query_id, list(i ORDER BY am, i) AS ranked
+       |  FROM (SELECT query_id, t.i,
+       |          CASE t.i WHEN 0 THEN abs(m0) WHEN 1 THEN abs(m1)
+       |               WHEN 2 THEN abs(m2) WHEN 3 THEN abs(m3)
+       |               WHEN 4 THEN abs(m4) ELSE abs(m5) END AS am
+       |        FROM qry, UNNEST([0, 1, 2, 3, 4, 5]) AS t(i))
+       |  GROUP BY query_id),
+       |pb AS MATERIALIZED (
+       |  SELECT query_id, bucket0 AS bucket FROM qry
+       |  UNION ALL
+       |$probeSelects),
+       |cd AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, c.cand_id
+       |  FROM pb p JOIN cand c ON c.bucket = p.bucket
+       |  WHERE p.query_id <> c.cand_id),
+       |scored AS MATERIALIZED (
+       |  SELECT d.query_id, d.cand_id,
+       |    (${pairDot("q.qv", "c.cv")}) / (q.qn * c.cn) AS cos
+       |  FROM cd d JOIN qry q ON q.query_id = d.query_id
+       |            JOIN cand c ON c.cand_id = d.cand_id),
+       |annk AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rank FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, cand_id) AS rank
+       |    FROM scored) WHERE rank <= 5)""".stripMargin
+  }
+
+  private lazy val vectorAnnSql: String =
+    s"""WITH $annReplayCtes
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank
+       |FROM annk
+       |ORDER BY query_id, rank""".stripMargin
+
+  private lazy val vectorAnnRecallSql: String = {
+    def pairDot(a: String, b: String): String =
+      (1 to 64).map(j =>
+        s"CAST($a[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE)").mkString(" + ")
+    s"""WITH $annReplayCtes,
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.query_id, c.cand_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY (${pairDot("q.qv", "c.cv")}) / (q.qn * c.cn) DESC,
+       |                 c.cand_id) AS rank
+       |    FROM qry q JOIN cand c ON c.cand_id <> q.query_id)
+       |  WHERE rank <= 5)
+       |SELECT q.query_id AS query_id,
+       |  CAST(COUNT(a.cand_id) AS BIGINT) AS n_overlap
+       |FROM qry q
+       |LEFT JOIN exact e ON e.query_id = q.query_id
+       |LEFT JOIN annk a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY q.query_id
+       |ORDER BY q.query_id""".stripMargin
   }
 
   /** PCA route-then-refine ANN ([[graft.operators.Similarity
@@ -1421,9 +1588,13 @@ object LlmOps {
     * One codegen'd pass per document ([[graft.functions.WinnowFingerprint]]
     * — monotonic-deque minima straight off the UTF-8 buffer); the
     * interpreted-HOF formulation it replaced lives on in WinnowSpec as the
-    * property-test reference. */
+    * property-test reference. HASH-CHECKED since the grams are keyed with
+    * the md5→60-bit idiom ([[graft.functions.WinnowFingerprint.md5Keyed]]):
+    * the DuckDB oracle replays gram hashing, the 16-wide sliding minima
+    * (a window MIN), the short-document single-window convention, and the
+    * distinct reduction as the same exact integers. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = graft.functions.WinnowFingerprint(col("text"), 8, 16)
+    val fp = graft.functions.WinnowFingerprint.md5Keyed(col("text"), 8, 16)
     Tables.documents(spark, dir)
       .select(col("doc_id"), fp.as("__fp"))
       .select(col("doc_id"),
@@ -1431,6 +1602,27 @@ object LlmOps {
         array_min(col("__fp")).as("min_fp"))
       .orderBy("doc_id")
   }
+
+  private val winnowFingerprintSql =
+    """WITH g AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15))
+      |         AS BIGINT) AS h
+      |  FROM documents,
+      |    UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1)) AS t(i)),
+      |mins AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m,
+      |    i, COUNT(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(COUNT(DISTINCT m) AS INT) AS n_fingerprints,
+      |  MIN(m) AS min_fp
+      |FROM mins
+      |WHERE i >= LEAST(ng, 16)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
 
   /** Subset-duplicate detection via **containment** |A∩B|/min(|A|,|B|) —
@@ -2610,14 +2802,15 @@ object LlmOps {
     Q("split_leakage", splitLeakageSql)(splitLeakage),
     Q("dedup_incremental", jaccardOracle("0.8",
       "\n|  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)".stripMargin))(dedupIncremental),
-    Q.noOracle("dedup_simhash")(dedupSimhash),
+    Q("dedup_simhash", dedupSimhashSql)(dedupSimhash),
     Q("dedup_clusters", dedupClustersSql)(dedupClusters),
     Q("dedup_canonical", dedupCanonicalSql)(dedupCanonical),
     Q("llm_clean_corpus", llmCleanCorpusSql)(llmCleanCorpus),
     Q("dedup_embedding", dedupEmbeddingSql)(dedupEmbedding),
     Q("semantic_dedup", semanticDedupSql)(semanticDedupQ),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
-    Q.noOracle("vector_ann")(vectorAnn),
+    Q("vector_ann", vectorAnnSql)(vectorAnn),
+    Q("vector_ann_recall", vectorAnnRecallSql)(vectorAnnRecall),
     Q.noOracle("mmr_select")(mmrSelectQ),
     Q.noOracle("vector_pca_route")(vectorPcaRoute),
     Q.noOracle("vector_ivf")(vectorIvf),
@@ -2662,5 +2855,5 @@ object LlmOps {
     Q("corpus_split", corpusSplitSql)(corpusSplit),
     Q("corpus_split_grouped", corpusSplitGroupedSql)(corpusSplitGrouped),
     Q("doc_fingerprint", docFingerprintSql)(docFingerprint),
-    Q.noOracle("winnow_fingerprint")(winnowFingerprint))
+    Q("winnow_fingerprint", winnowFingerprintSql)(winnowFingerprint))
 }

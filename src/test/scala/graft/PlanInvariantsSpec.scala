@@ -39,7 +39,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    grouping-free aggregate, provably 1 row) broadcasts into the
     *    per-row bucket-assignment fold — the scalar_subquery shape. */
   private val intendedAllPairs =
-    Set("scalar_subquery", "sparse_cosine", "vector_topk", "semantic_dedup",
+    Set("scalar_subquery", "sparse_cosine", "vector_topk",
+      // vector_ann_recall: its exact side IS vector_topk (the brute-force
+      // ground truth the adjudicator compares ANN against) — same tiny
+      // broadcast query side, same documented scale path
+      "vector_ann_recall",
+      "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "hard_negatives", "histogram_equidepth",
       "heavy_hitters", "frequent_tokens", "boilerplate_frequent",
@@ -174,7 +179,7 @@ class PlanInvariantsSpec extends SparkTestBase {
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
         if (!Set("vector_topk", "vector_pca_route", "hard_negatives",
-            "segment_overlap")(name)) {
+            "vector_ann_recall", "segment_overlap")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
