@@ -150,12 +150,29 @@ object Upsert {
     * ≡ readVersion(to)` is spec-pinned (StreamingSpec). */
   def diffVersions(spark: org.apache.spark.sql.SparkSession, path: String,
       from: Long, to: Long, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
-    require(keys.nonEmpty, "diffVersions needs at least one key column")
     val a = readVersion(spark, path, from)
     val b = readVersion(spark, path, to)
-    require(a.columns.toSeq == b.columns.toSeq,
-      s"schema drift between versions: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    diffSnapshots(a, b, keys, scope = None)
+  }
+
+  /** The diff kernel behind [[diffVersions]] and [[changeFeedSink]]:
+    * classified key-level changes between two same-schema snapshots.
+    * `scope` (a 1-column-per-key frame) restricts the comparison to the
+    * given key set — the change-feed case, where only the micro-batch's
+    * keys can have changed, making the diff's join inputs batch-sized
+    * (broadcast semi-joins at both scans) instead of snapshot-sized. */
+  private[graft] def diffSnapshots(a0: DataFrame, b0: DataFrame,
+      keys: Seq[String], scope: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "diffSnapshots needs at least one key column")
+    require(a0.columns.toSeq == b0.columns.toSeq,
+      s"schema drift between versions: ${a0.columns.toSeq} vs ${b0.columns.toSeq}")
+    def scoped(df: DataFrame): DataFrame = scope match {
+      case Some(s) => df.join(broadcast(s), keys, "left_semi")
+      case None => df
+    }
+    val a = scoped(a0)
+    val b = scoped(b0)
     val nonKeys = a.columns.filterNot(keys.contains).toSeq
     def digested(df: org.apache.spark.sql.DataFrame, tag: String) =
       df.select(keys.map(c => col(c).as(s"__${tag}_$c")) :+
@@ -179,6 +196,87 @@ object Upsert {
     diff.as("__d").join(b.as("__b2"), attach, "left")
       .select(keys.map(c => col(s"__d.$c").as(c)) ++
         (col("__d.change") +: nonKeys.map(c => col(s"__b2.$c").as(c))): _*)
+  }
+
+  /** **Streaming CDC change-feed sink** — [[versionedSink]] composed
+    * with [[diffSnapshots]] in one `foreachBatch` body: each micro-batch
+    * (1) commits snapshot version v exactly as the versioned sink does
+    * (same replay protocol, same `_SUCCESS` crash discipline), then
+    * (2) appends v's classified diff (inserted/deleted/updated + after
+    * image) under `feedPath/v=<v>_b=<batchId>` with a `change_version`
+    * column — the change feed a downstream consumer tails instead of
+    * re-diffing snapshots. Diff work is ∝ BATCH, not snapshot: only the
+    * batch's own keys can have changed, so both diff inputs pass a
+    * broadcast semi-join on the batch key set before anything shuffles.
+    *
+    * Crash/replay: a crash between snapshot commit v and feed write v
+    * loses the feed entry — but the restarted stream redelivers the
+    * batch, the snapshot sink writes a fresh v' with identical content
+    * (its replay protocol), and the feed gets v' carrying the SAME
+    * classified rows. Change application is idempotent per key
+    * (delete/upsert), so the iterated patch law — feed entries applied
+    * in ascending version order onto the first version ≡ the latest
+    * snapshot — holds across replays and gaps alike (StreamingSpec pins
+    * it). */
+  def changeFeedSink(path: String, feedPath: String, key: String,
+      order: String, tie: String, isTombstone: Column): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val (myVersion, baseDir) = versionPlan(spark, path, batchId)
+      versionedSink(path, key, order, tie, isTombstone)(batch, batchId)
+      val after = readVersion(spark, path, myVersion)
+      val nonKeys = after.columns.filterNot(_ == key).toSeq
+      val diff = baseDir match {
+        case None => // the log-opening version: everything is an insert
+          after.select(col(key) +: lit("inserted").as("change") +:
+            nonKeys.map(col): _*)
+        case Some(d) =>
+          diffSnapshots(spark.read.parquet(d.toString), after, Seq(key),
+            scope = Some(batch.select(col(key)).distinct()))
+      }
+      diff.withColumn("change_version", lit(myVersion))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$feedPath/v=${myVersion}_b=$batchId")
+    }
+  }
+
+  /** All committed change-feed entries of a [[changeFeedSink]] feed
+    * directory, every entry carrying its `change_version`. */
+  def readChangeFeed(spark: org.apache.spark.sql.SparkSession,
+      feedPath: String): DataFrame = {
+    val (_, vs) = listVersions(spark, feedPath)
+    require(vs.nonEmpty, s"no committed feed entries under $feedPath")
+    spark.read.parquet(vs.map(_.dir.toString): _*)
+  }
+
+  /** Apply ONE version's classified changes to a snapshot: deleted keys
+    * drop, inserted/updated after-images upsert — the consumer-side
+    * patch step of the change-feed contract. Idempotent per key. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ch =
+      if (changes.columns.contains("change_version"))
+        changes.drop("change_version")
+      else changes
+    val keyCol = struct(keys.map(col): _*)
+    val deltaKeys = ch.select(keyCol.as("__k")).distinct()
+    val kept = snapshot.join(broadcast(deltaKeys), keyCol === col("__k"),
+      "left_anti")
+    kept.unionByName(ch.filter(col("change") =!= "deleted").drop("change"))
+  }
+
+  /** Fold an entire change feed over a base snapshot, version by version
+    * ascending — the iterated patch law's left-hand side. The driver
+    * collects only the DISTINCT VERSION IDS (bounded by the sink's
+    * commit count, never data-sized). */
+  def applyChangeFeed(snapshot: DataFrame, feed: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val versions = feed.select(col("change_version")).distinct()
+      .orderBy(col("change_version")).collect().map(_.getLong(0))
+    versions.foldLeft(snapshot)((s, v) =>
+      applyChanges(s, feed.filter(col("change_version") === v), keys))
   }
 
   /** Committed (version, batchId) pairs, ascending — the sink's history

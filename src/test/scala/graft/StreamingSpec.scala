@@ -241,6 +241,67 @@ class StreamingSpec extends SparkTestBase {
     assert(Upsert.diffVersions(spark, dir, 2L, 2L, Seq("k")).isEmpty)
   }
 
+  test("changeFeedSink: streamed classified feed, iterated patch law, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Upsert
+    val root = java.nio.file.Files.createTempDirectory("graftfeed").toString
+    val snap = root + "/snap"
+    val feedDir = root + "/feed"
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "v", "seq")
+      .writeStream
+      .foreachBatch(Upsert.changeFeedSink(snap, feedDir, "k", "seq", "seq",
+        isTombstone = col("v") === "DEAD"))
+      .outputMode("update").start()
+    mem.addData(Seq((1L, "a", 1L), (2L, "b", 2L)))
+    q.processAllAvailable()
+    mem.addData(Seq((2L, "b2", 3L), (3L, "c", 4L)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, "DEAD", 5L), (4L, "d", 6L)))
+    q.processAllAvailable()
+    q.stop()
+    // per-version classification: v1 all-inserted, v2 update+insert,
+    // v3 delete+insert (the tombstone never surfaces as a row image)
+    val feed = Upsert.readChangeFeed(spark, feedDir)
+    val got = feed
+      .as[(Long, String, Option[String], Option[Long], Long)].collect().toSet
+    assert(got == Set(
+      (1L, "inserted", Some("a"), Some(1L), 1L),
+      (2L, "inserted", Some("b"), Some(2L), 1L),
+      (2L, "updated", Some("b2"), Some(3L), 2L),
+      (3L, "inserted", Some("c"), Some(4L), 2L),
+      (1L, "deleted", None, None, 3L),
+      (4L, "inserted", Some("d"), Some(6L), 3L)))
+    // iterated patch law (feed ⊕ v_first ≡ latest): folding versions > 1
+    // over v1 reproduces the latest snapshot...
+    val latest = Upsert.readLatest(spark, snap)
+      .as[(Long, String, Long)].collect().toSet
+    val folded = Upsert.applyChangeFeed(
+      Upsert.readVersion(spark, snap, 1L),
+      feed.filter(col("change_version") > 1), Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(folded == latest)
+    // ...and the FULL feed folded over an empty snapshot does too
+    val empty = Upsert.readLatest(spark, snap).filter(lit(false))
+    val fromEmpty = Upsert.applyChangeFeed(empty, feed, Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(fromEmpty == latest)
+    // replay of the last batch id: fresh snapshot version + fresh feed
+    // entry with the SAME classified content; the law still holds
+    val sink = Upsert.changeFeedSink(snap, feedDir, "k", "seq", "seq",
+      col("v") === "DEAD")
+    sink(Seq((1L, "DEAD", 5L), (4L, "d", 6L)).toDF("k", "v", "seq"), 2L)
+    val feed2 = Upsert.readChangeFeed(spark, feedDir)
+    val replayedEntry = feed2.filter(col("change_version") === 4)
+      .as[(Long, String, Option[String], Option[Long], Long)].collect().toSet
+    assert(replayedEntry == Set(
+      (1L, "deleted", None, None, 4L),
+      (4L, "inserted", Some("d"), Some(6L), 4L)))
+    val foldedReplay = Upsert.applyChangeFeed(empty, feed2, Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(foldedReplay == latest)
+  }
+
   test("diffVersions is null-safe on key columns") {
     import graft.operators.Upsert
     // hand-written version layout (the sink's own dirs carry _SUCCESS
