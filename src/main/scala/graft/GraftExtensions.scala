@@ -26,6 +26,10 @@ import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, Winn
   *  - `graft_hilbert(x, y, bits)` — Hilbert-curve cell index
   *  - `graft_kmv(hash, k)` / `graft_cms(pos, cells)` /
   *    `graft_frequent(key, k)` — the mergeable sketch aggregates
+  *  - `graft_kmv_est(sk, k)` / `graft_kmv_overlap(ska, skb, k)` /
+  *    `graft_cms_point(cms, pos)` — the derived estimators (distinct
+  *    count; union/intersection/difference/Jaccard struct; CM point
+  *    estimate), sharing the Scala API's Column kernels 1:1
   *  - table functions: `graft_asof(...)`, `graft_version(path[, v])`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -99,7 +103,35 @@ object GraftExtensions {
       info("graft_frequent",
         "graft_frequent(key, k) - Misra-Gries heavy-hitter candidates (complete above n/(k+1))"),
       (exprs: Seq[Expression]) =>
-        graft.functions.FrequentItems(exprs(0), intLit(exprs, 1, "graft_frequent k"))))
+        graft.functions.FrequentItems(exprs(0), intLit(exprs, 1, "graft_frequent k"))),
+    // derived-estimator surface: the SQL side of Kmv.estimateDistinct /
+    // Kmv.overlapStruct, built from the SAME Column kernels (the two
+    // surfaces cannot drift — ExtensionsSpec pins SQL ≡ Scala)
+    (FunctionIdentifier("graft_kmv_est"),
+      info("graft_kmv_est",
+        "graft_kmv_est(sk, k) - KMV distinct-count estimate (exact below k, else (k-1)*H/theta)"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.catalystExpression(graft.operators.Kmv.estimateDistinct(
+          ColumnBridge.column(exprs(0)), intLit(exprs, 1, "graft_kmv_est k")))
+      }),
+    (FunctionIdentifier("graft_kmv_overlap"),
+      info("graft_kmv_overlap",
+        "graft_kmv_overlap(ska, skb, k) - struct(est_union, est_intersect, est_a_only, est_b_only, jaccard_est) from two KMV sketches"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.catalystExpression(graft.operators.Kmv.overlapStruct(
+          ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1)),
+          intLit(exprs, 2, "graft_kmv_overlap k")))
+      }),
+    (FunctionIdentifier("graft_cms_point"),
+      info("graft_cms_point",
+        "graft_cms_point(cms, positions) - Count-Min point estimate: min of the counter cells at the key's positions"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.catalystExpression(graft.operators.Cms.pointEstimate(
+          ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1))))
+      }))
 
   private def intLit(exprs: Seq[Expression], i: Int, what: String): Int =
     exprs(i) match {

@@ -66,6 +66,16 @@ object Cms {
       .drop("cms")
   }
 
+  /** Point estimate as ONE column expression — min of the counter
+    * cells at the given flat positions (the `graft_cms_point` SQL
+    * kernel, pairing with [[positions]] exposed through `graft_cms`'s
+    * input side). [[estimates]] keeps its unrolled `least(…)` form:
+    * d is a literal there, so the four element_at cells stay inside
+    * whole-stage codegen, while this HOF form serves the generic
+    * SQL surface where d arrives as data. */
+  def pointEstimate(cms: Column, pos: Column): Column =
+    array_min(transform(pos, p => element_at(cms, (p + lit(1L)).cast("int"))))
+
   /** **Equi-join size estimation by sketch inner product** (the
     * AMS/CMS classic): |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k), estimated as
     * min over rows j of ⟨cmsA[j,·], cmsB[j,·]⟩ — always ≥ the true

@@ -202,6 +202,52 @@ object DataQuality {
         (col("l_distinct") < l.toLong).as("l_risky")): _*)
   }
 
+  /** **k-anonymity repair to the hierarchy fixpoint** — the iterated
+    * generalization loop [[kAnonymity]] deliberately leaves to the
+    * caller, closed: every row starts at the MOST SPECIFIC level of the
+    * QI hierarchy; any class below k re-generalizes its rows one level
+    * up and is re-audited there, until the class meets k or the
+    * hierarchy tops out. The top level keeps its honest residual — a
+    * class that is STILL risky after full generalization is re-flagged
+    * (`k_risky`), never hidden. Returns the final audit with
+    * `qi_level` = the hierarchy level each class settled at.
+    *
+    * Shapes: the loop is driver-side over the FIXED hierarchy depth
+    * (never data-dependent); each level runs one class-sized aggregate
+    * over the shrinking frontier, broadcast back onto frontier rows —
+    * the row table itself never shuffles for a repair decision. */
+  def kAnonymityRepairFull(df: DataFrame, levels: Seq[Column],
+      otherQi: Seq[String], sensitive: String, k: Int, l: Int): DataFrame = {
+    require(levels.nonEmpty && k >= 1 && l >= 1,
+      "kAnonymityRepairFull needs a hierarchy, k>=1, l>=1")
+    val grp: Seq[Column] = col("__qi") +: otherQi.map(col)
+    var settled: Option[DataFrame] = None
+    var frontier = df
+      .withColumn("__qi", levels.head.cast("string"))
+      .withColumn("qi_level", lit(0))
+    for (i <- levels.indices) {
+      val counts = frontier.groupBy(grp: _*).agg(count(lit(1)).as("__n"))
+      val marked = frontier.join(broadcast(counts),
+        Seq("__qi") ++ otherQi)
+      val isTop = i == levels.length - 1
+      val ok = if (isTop) marked else marked.filter(col("__n") >= k.toLong)
+      settled = Some(settled.fold(ok.drop("__n"))(_ unionByName ok.drop("__n")))
+      if (!isTop) {
+        frontier = marked.filter(col("__n") < k.toLong).drop("__n")
+          .withColumn("__qi", levels(i + 1).cast("string"))
+          .withColumn("qi_level", lit(i + 1))
+      }
+    }
+    settled.get.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("l_distinct"),
+        max(col("qi_level")).as("qi_level"))
+      .select((col("__qi").as("qi") +: otherQi.map(col)) ++ Seq(
+        col("qi_level"), col("n"), col("l_distinct"),
+        (col("n") < k.toLong).as("k_risky"),
+        (col("l_distinct") < l.toLong).as("l_risky")): _*)
+  }
+
   /** **Candidate-key (uniqueness) discovery**: for each column set,
     * does it identify rows uniquely? Reports row count, distinct count
     * of the column-set struct, and `is_key`. The struct comparison

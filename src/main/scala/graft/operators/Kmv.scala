@@ -95,52 +95,54 @@ object Kmv {
     * When the merged sketch is smaller than k it is the whole union and
     * every estimate collapses to an exact count. Every op is mirrored
     * 1:1 in the registered query's DuckDB SQL. */
-  def overlapEstimates(pairs: DataFrame, k: Int): DataFrame = {
-    val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
-    val est = pairs
-      .withColumn("__m", merged)
-      .withColumn("__mk", slice(col("__m"), 1, k))
-      .withColumn("__nm", size(col("__m")).cast("long"))
-      // try_element_at + greatest(…, 1): an EMPTY merged sketch (both
-      // inputs empty) would otherwise hand element_at an out-of-bounds
-      // index — a hard error in Spark 4 even though the below-k branch
-      // never reads theta; try_element_at yields a legal NULL there
-      .withColumn("__theta",
-        try_element_at(col("__mk"),
-          greatest(least(col("__nm"), lit(k.toLong)), lit(1L)).cast("int")))
-      .withColumn("__rho",
-        size(array_intersect(array_intersect(col("__mk"), col("ska")),
-          col("skb"))).cast("long"))
-      // sample counts in A-only / B-only: |mk ∩ ska| − ρ reuses ρ, so
-      // the partition ρ_int + ρ_a + ρ_b = |mk| holds by arithmetic, not
-      // by three independent membership scans
-      .withColumn("__ra",
-        size(array_intersect(col("__mk"), col("ska"))).cast("long")
-          - col("__rho"))
-      .withColumn("__rb",
-        size(array_intersect(col("__mk"), col("skb"))).cast("long")
-          - col("__rho"))
-      .withColumn("est_union",
-        when(col("__nm") < k, col("__nm").cast("double"))
-          .otherwise(lit(k - 1).cast("double") * lit(HashSpace) /
-            col("__theta").cast("double")))
-      .withColumn("est_intersect",
-        when(col("__nm") < k, col("__rho").cast("double"))
-          .otherwise(col("__rho").cast("double") * col("est_union") /
-            lit(k).cast("double")))
-      .withColumn("est_a_only",
-        when(col("__nm") < k, col("__ra").cast("double"))
-          .otherwise(col("__ra").cast("double") * col("est_union") /
-            lit(k).cast("double")))
-      .withColumn("est_b_only",
-        when(col("__nm") < k, col("__rb").cast("double"))
-          .otherwise(col("__rb").cast("double") * col("est_union") /
-            lit(k).cast("double")))
+  def overlapEstimates(pairs: DataFrame, k: Int): DataFrame =
+    pairs.withColumn("__o", overlapStruct(col("ska"), col("skb"), k))
+      .withColumn("est_union", col("__o.est_union"))
+      .withColumn("est_intersect", col("__o.est_intersect"))
+      .withColumn("est_a_only", col("__o.est_a_only"))
+      .withColumn("est_b_only", col("__o.est_b_only"))
+      .withColumn("jaccard_est", col("__o.jaccard_est"))
+      .drop("__o")
+
+  /** The overlap-estimate kernel as ONE column expression (a struct of
+    * est_union / est_intersect / est_a_only / est_b_only / jaccard_est)
+    * — the single source of truth behind [[overlapEstimates]] AND the
+    * `graft_kmv_overlap` SQL function, so the Scala and SQL surfaces
+    * cannot drift. Same math as documented on [[overlapEstimates]],
+    * including the empty-sketch `try_element_at` guard and the
+    * exact-below-k collapse. */
+  def overlapStruct(ska: Column, skb: Column, k: Int): Column = {
+    require(k > 1, s"KMV needs k > 1 (got $k)")
+    val m = array_sort(array_distinct(concat(ska, skb)))
+    val mk = slice(m, 1, k)
+    val nm = size(m).cast("long")
+    // try_element_at + greatest(…, 1): an EMPTY merged sketch (both
+    // inputs empty) would otherwise hand element_at an out-of-bounds
+    // index — a hard error in Spark 4 even though the below-k branch
+    // never reads theta; try_element_at yields a legal NULL there
+    val theta = try_element_at(mk,
+      greatest(least(nm, lit(k.toLong)), lit(1L)).cast("int"))
+    val rho = size(array_intersect(array_intersect(mk, ska), skb)).cast("long")
+    // sample counts in A-only / B-only: |mk ∩ sk| − ρ reuses ρ, so the
+    // partition ρ_int + ρ_a + ρ_b = |mk| holds by arithmetic, not by
+    // three independent membership scans
+    val ra = size(array_intersect(mk, ska)).cast("long") - rho
+    val rb = size(array_intersect(mk, skb)).cast("long") - rho
+    val estUnion =
+      when(nm < k, nm.cast("double"))
+        .otherwise(lit(k - 1).cast("double") * lit(HashSpace) /
+          theta.cast("double"))
+    def scaled(r: Column): Column =
+      when(nm < k, r.cast("double"))
+        .otherwise(r.cast("double") * estUnion / lit(k).cast("double"))
+    struct(
+      estUnion.as("est_union"),
+      scaled(rho).as("est_intersect"),
+      scaled(ra).as("est_a_only"),
+      scaled(rb).as("est_b_only"),
       // NULL (not 0/0 NaN) when both segments are empty — |A∪B| = 0
       // leaves Jaccard undefined
-      .withColumn("jaccard_est",
-        when(col("est_union") === 0.0, lit(null))
-          .otherwise(col("est_intersect") / col("est_union")))
-    est.drop("__m", "__mk", "__nm", "__theta", "__rho", "__ra", "__rb")
+      when(estUnion === 0.0, lit(null))
+        .otherwise(scaled(rho) / estUnion).as("jaccard_est"))
   }
 }

@@ -72,10 +72,13 @@ object Multimodal {
   }
 
   /** ======== STUB decode ========
-    * Parses the fake header + byte stats. A real implementation would
-    * decode the codec here (per partition, reusing a decoder instance) —
-    * the surrounding iterator shape is exactly what a real decoder
-    * needs. */
+    * Parses the fake header + byte stats — kept because the gated
+    * `media_*` queries are defined over the GRFT pseudo-format and the
+    * oracle replays its byte arithmetic. For REAL codec bytes see
+    * [[decodeImages]]: the long-standing "this container ships no image
+    * libraries" premise was probed and REFUTED in round 12 —
+    * `javax.imageio` ships in the JDK with PNG/JPEG/BMP/GIF/TIFF
+    * readers, and a TYPE_BYTE_GRAY PNG round-trips pixel-exactly. */
   def decodeStub(m: Media): MediaFeatures = {
     val ok = m.payload.length >= 12 && m.payload.startsWith(Magic)
     val body = if (ok) m.payload.drop(12) else Array.empty[Byte]
@@ -92,6 +95,76 @@ object Multimodal {
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it => it.map(decodeStub) }
+  }
+
+  // ======== REAL decode (javax.imageio) ========
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_luma: Long)
+
+  /** Deterministic pseudo-pixel value for (id, i) — the shared formula
+    * between [[fakePayload]]'s body bytes, [[synthesizePng]]'s raster,
+    * and the DuckDB oracle's integer replay. */
+  @inline private[graft] def pseudoPixel(id: Long, i: Int): Int =
+    (((id * 2654435761L + i * 40503L) >>> 16) & 0xFF).toInt
+
+  /** Genuine PNG payloads: the same deterministic pseudo-pixel grid as
+    * [[fakePayload]], but encoded through the REAL JDK PNG codec
+    * (TYPE_BYTE_GRAY — lossless, so decode recovers every pixel value
+    * exactly; probed in this container: 9×8 grayscale round-trips
+    * bit-perfectly). Stands in for `spark.read.format("binaryFile")`
+    * over a real image lake, with actually-decodable bytes. */
+  def synthesizePng(spark: SparkSession, ids: DataFrame,
+      idCol: String): Dataset[Media] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        it.map { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            raster.setSample(i % w, i / w, 0, pseudoPixel(id, i))
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Media(id, "image", bos.toByteArray, w, h)
+        }
+      }
+  }
+
+  /** REAL codec decode, partition-wise: `javax.imageio.ImageIO.read`
+    * over each payload (PNG/JPEG/BMP/GIF/TIFF — whatever the JDK's
+    * registered readers handle), emitting decoded dimensions and the
+    * exact luma sum of band 0. Same iterator shape as
+    * [[extractFeatures]]; an undecodable payload fails LOUDLY with its
+    * media_id rather than passing a zeroed row downstream. */
+  def decodeImages(media: Dataset[Media]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable media payload: media_id=${m.media_id}")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        DecodedImage(m.media_id, w, h, w.toLong * h, sum)
+      }
+    }
   }
 
   /** Nearest-neighbor resize — the 1-row-in/1-row-out multimodal

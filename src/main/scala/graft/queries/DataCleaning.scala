@@ -1655,6 +1655,89 @@ object DataCleaning {
       |FROM merged JOIN months USING (event_type) JOIN exact USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** **Segment overlap through the SQL surface** — the same KMV
+    * union/intersection/difference estimators as [[segmentOverlap]],
+    * but computed END TO END in SQL via the injected `graft_kmv`
+    * (sketch aggregate), `graft_kmv_est` (distinct estimate) and
+    * `graft_kmv_overlap` (the full estimator struct, incl. the
+    * set-difference/exclusive estimates) — proving the SQL surface
+    * matches the Scala API 1:1 under the driver's hash gate, not just
+    * in a spec. The estimator kernels are literally shared
+    * ([[graft.operators.Kmv.overlapStruct]] backs both surfaces). */
+  def segmentOverlapSqlQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_seg_events")
+    spark.sql(
+      """WITH gh AS (
+        |  SELECT DISTINCT event_type AS g,
+        |    CAST(conv(substring(md5(concat('graftkmv', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h
+        |  FROM graft_seg_events WHERE user_id IS NOT NULL),
+        |sk AS (SELECT g, graft_kmv(h, 128) AS sk FROM gh GROUP BY g),
+        |p AS (
+        |  SELECT a.g AS type_a, b.g AS type_b,
+        |    graft_kmv_est(a.sk, 128) AS est_a,
+        |    graft_kmv_est(b.sk, 128) AS est_b,
+        |    graft_kmv_overlap(a.sk, b.sk, 128) AS o
+        |  FROM sk a JOIN sk b ON a.g < b.g)
+        |SELECT type_a, type_b, est_a, est_b,
+        |  o.est_union AS est_union, o.est_intersect AS est_intersect,
+        |  o.est_a_only AS est_a_only, o.est_b_only AS est_b_only,
+        |  o.jaccard_est AS jaccard_est
+        |FROM p
+        |ORDER BY type_a, type_b""".stripMargin)
+  }
+
+  private val segmentOverlapSqlQSql =
+    """WITH gh AS (
+      |  SELECT DISTINCT event_type AS g,
+      |    CAST(concat('0x', substr(md5(concat('graftkmv', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM events
+      |  WHERE user_id IS NOT NULL),
+      |sk AS (
+      |  SELECT g, list_slice(list(h ORDER BY h), 1, 128) AS sk
+      |  FROM gh GROUP BY g),
+      |p AS (
+      |  SELECT a.g AS type_a, b.g AS type_b, a.sk AS ska, b.sk AS skb
+      |  FROM sk a JOIN sk b ON a.g < b.g),
+      |c AS (
+      |  SELECT *, list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 128) AS mk,
+      |    CAST(len(list_distinct(list_concat(ska, skb))) AS BIGINT) AS nm
+      |  FROM p),
+      |d AS (
+      |  SELECT *, mk[CAST(least(nm, 128) AS INTEGER)] AS theta,
+      |    CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS rho,
+      |    CAST(len(list_intersect(mk, ska)) AS BIGINT)
+      |      - CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS ra,
+      |    CAST(len(list_intersect(mk, skb)) AS BIGINT)
+      |      - CAST(len(list_intersect(list_intersect(mk, ska), skb)) AS BIGINT) AS rb
+      |  FROM c),
+      |e AS (
+      |  SELECT *, CASE WHEN nm < 128 THEN CAST(nm AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(theta AS DOUBLE)
+      |    END AS est_union
+      |  FROM d),
+      |f AS (
+      |  SELECT *,
+      |    CASE WHEN nm < 128 THEN CAST(rho AS DOUBLE)
+      |      ELSE CAST(rho AS DOUBLE) * est_union / CAST(128 AS DOUBLE) END AS est_intersect,
+      |    CASE WHEN nm < 128 THEN CAST(ra AS DOUBLE)
+      |      ELSE CAST(ra AS DOUBLE) * est_union / CAST(128 AS DOUBLE) END AS est_a_only,
+      |    CASE WHEN nm < 128 THEN CAST(rb AS DOUBLE)
+      |      ELSE CAST(rb AS DOUBLE) * est_union / CAST(128 AS DOUBLE) END AS est_b_only
+      |  FROM e)
+      |SELECT type_a, type_b,
+      |  CASE WHEN len(ska) < 128 THEN CAST(len(ska) AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(ska[128] AS DOUBLE)
+      |  END AS est_a,
+      |  CASE WHEN len(skb) < 128 THEN CAST(len(skb) AS DOUBLE)
+      |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(skb[128] AS DOUBLE)
+      |  END AS est_b,
+      |  est_union, est_intersect, est_a_only, est_b_only,
+      |  CASE WHEN est_union = 0.0 THEN NULL
+      |       ELSE est_intersect / est_union END AS jaccard_est
+      |FROM f
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** **Exclusive-reach estimates** — the multi-way question the
     * pairwise [[segmentOverlap]] begs: for each event-type segment, how
     * many users does ONLY that segment reach (est |A_g ∖ ∪_{g'≠g}
@@ -2509,6 +2592,65 @@ object DataCleaning {
       |GROUP BY qi_geo, c_mktsegment
       |ORDER BY qi_geo, c_mktsegment""".stripMargin
 
+  /** **k-anonymity repair to the hierarchy FIXPOINT**
+    * ([[graft.operators.DataQuality.kAnonymityRepairFull]]): the full
+    * nation → region → all hierarchy iterated until every class meets
+    * k = 8 or tops out — closing the loop [[kAnonymityRepair]] (one
+    * level, k = 5) leaves open. At sf0.01 all three levels engage
+    * (measured: 11 nation-level classes escalate, 7 of their region
+    * classes escalate again), and the top level's residual — if any —
+    * stays loudly `k_risky`. The oracle replays every settle/escalate
+    * wave declaratively. */
+  def kAnonymityRepairFullQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("balance_sign",
+        when(col("c_acctbal") < 0.0, lit("neg")).otherwise(lit("nonneg")))
+    graft.operators.DataQuality.kAnonymityRepairFull(cust,
+        levels = Seq(
+          concat(lit("nation:"), col("c_nationkey")),
+          concat(lit("region:"), col("n_regionkey")),
+          lit("all")),
+        otherQi = Seq("c_mktsegment"), sensitive = "balance_sign",
+        k = 8, l = 2)
+      .orderBy("qi", "c_mktsegment")
+  }
+
+  private val kAnonymityRepairFullSql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment, n_regionkey,
+      |    CASE WHEN c_acctbal < 0.0 THEN 'neg' ELSE 'nonneg' END AS balance_sign
+      |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+      |l0 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |       FROM cust GROUP BY 1, 2),
+      |a0 AS (
+      |  SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS qi,
+      |    c_mktsegment, balance_sign, 0 AS qi_level
+      |  FROM cust JOIN l0 USING (c_nationkey, c_mktsegment) WHERE l0.n >= 8),
+      |f1 AS (SELECT cust.* FROM cust
+      |       JOIN l0 USING (c_nationkey, c_mktsegment) WHERE l0.n < 8),
+      |l1 AS (SELECT n_regionkey, c_mktsegment, COUNT(*) AS n
+      |       FROM f1 GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS qi,
+      |    c_mktsegment, balance_sign, 1 AS qi_level
+      |  FROM f1 JOIN l1 USING (n_regionkey, c_mktsegment) WHERE l1.n >= 8),
+      |f2 AS (SELECT f1.* FROM f1
+      |       JOIN l1 USING (n_regionkey, c_mktsegment) WHERE l1.n < 8),
+      |a2 AS (SELECT 'all' AS qi, c_mktsegment, balance_sign, 2 AS qi_level
+      |       FROM f2),
+      |allr AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+      |         UNION ALL SELECT * FROM a2)
+      |SELECT qi, c_mktsegment, CAST(MAX(qi_level) AS INT) AS qi_level,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT balance_sign) AS BIGINT) AS l_distinct,
+      |  COUNT(*) < 8 AS k_risky,
+      |  COUNT(DISTINCT balance_sign) < 2 AS l_risky
+      |FROM allr
+      |GROUP BY qi, c_mktsegment
+      |ORDER BY qi, c_mktsegment""".stripMargin
+
   private def keySql(table: String, cols: Seq[String]): String = {
     val list = cols.mkString(", ")
     s"""SELECT '$table' AS tbl, '${cols.mkString("+")}' AS cols,
@@ -2536,6 +2678,7 @@ object DataCleaning {
     Q("key_discover", keyDiscoverSql)(keyDiscoverQ),
     Q("k_anonymity", kAnonymitySql)(kAnonymityQ),
     Q("k_anonymity_repair", kAnonymityRepairSql)(kAnonymityRepair),
+    Q("k_anonymity_repair_full", kAnonymityRepairFullSql)(kAnonymityRepairFullQ),
     Q("upsert_snapshot", upsertSnapshotSql)(upsertSnapshot),
     Q("time_travel", timeTravelSql)(timeTravel),
     Q("change_feed", changeFeedSql)(changeFeedQ),
@@ -2585,6 +2728,7 @@ object DataCleaning {
     Q("value_profile", valueProfileSql)(valueProfile),
     Q("hard_negatives", hardNegativesSql)(hardNegativesQ),
     Q("segment_overlap", segmentOverlapSql)(segmentOverlap),
+    Q("segment_overlap_sql", segmentOverlapSqlQSql)(segmentOverlapSqlQ),
     Q("cms_estimate", cmsEstimateSql)(cmsEstimate),
     Q("join_size_estimate", joinSizeEstimateSql)(joinSizeEstimate),
     Q("benford_audit", benfordAuditSql)(benfordAudit),

@@ -2541,6 +2541,40 @@ object LlmOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** **REAL codec decode** ([[Multimodal.synthesizePng]] /
+    * [[Multimodal.decodeImages]]): genuine PNG bytes — the actual JDK
+    * `javax.imageio` encoder over the deterministic grayscale pixel
+    * grid — decoded back through the real codec, per partition. PNG is
+    * lossless, so the decoded dimensions and exact luma sum equal the
+    * generator formula's values, which the DuckDB oracle computes by
+    * integer arithmetic — the gate proves a real encode→decode round
+    * trip, not stub parsing. (The round-12 probe refuted the long-held
+    * "no image libraries in this container" premise: PNG/JPEG/BMP/GIF/
+    * TIFF readers all ship in the JDK.) */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+      Multimodal.synthesizePng(spark,
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+      .toDF()
+      .orderBy("media_id")
+
+  // Same pseudo-pixel formula and id-range assumption as mediaFeaturesSql;
+  // sum_luma is exact BIGINT (no division anywhere).
+  private val mediaDecodeSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 8 AS INT) AS width,
+      |    CAST(8 + doc_id % 5 AS INT) AS height
+      |  FROM documents)
+      |SELECT media_id, width, height,
+      |  CAST(width * height AS BIGINT) AS n_pixels,
+      |  CAST(list_sum(list_transform(
+      |         range(0, width * height),
+      |         i -> ((media_id * 2654435761 + i * 40503) >> 16) & 255))
+      |       AS BIGINT) AS sum_luma
+      |FROM m
+      |ORDER BY media_id""".stripMargin
+
   /** Perceptual-hash (dHash) near-dup over media payloads: each synthetic
     * payload gets a brightness-shifted twin (media_id + 1 000 000, every
     * body byte +1 mod 256); dHash compares adjacent pixels so the twin's
@@ -2780,6 +2814,7 @@ object LlmOps {
     Q("dedup_substring", dedupSubstringSql)(dedupSubstring),
     Q("dedup_substring_scrub", dedupSubstringScrubSql)(dedupSubstringScrub),
     Q("media_features", mediaFeaturesSql)(mediaFeatures),
+    Q("media_decode", mediaDecodeSql)(mediaDecode),
     Q("media_frames", mediaFramesSql)(mediaFrames),
     Q("media_resize", mediaResizeSql)(mediaResize),
     Q("media_phash_dedup", mediaPhashDedupSql)(mediaPhashDedup),

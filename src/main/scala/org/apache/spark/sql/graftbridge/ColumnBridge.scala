@@ -15,6 +15,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode → catalyst conversion. [[expression]] wraps the
+    * Column in a lazy `ColumnNodeExpression`, which only converts at the
+    * Dataset API boundary — spliced into a plan by an injected SQL
+    * FUNCTION builder it reaches codegen unconverted and dies with
+    * `Cannot generate code for expression`. This converts the whole node
+    * tree up front into plain (possibly unresolved) catalyst expressions
+    * the analyzer then resolves normally — the right bridge for
+    * functionRegistry builders that compose `functions._` kernels. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — needed by graft's native operators (e.g. the as-of
     * join) that plan a custom node rather than compose built-ins. */

@@ -619,4 +619,35 @@ class DataCleaningSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
   }
+
+  // --- k-anonymity repair fixpoint ----------------------------------
+
+  test("kAnonymityRepairFull: classes settle at the first level meeting k; top keeps residual") {
+    import graft.operators.DataQuality
+    // hierarchy city -> state -> all; k = 3
+    //   cityA (state X): 3 rows  -> settles at level 0
+    //   cityB (state X): 2 rows \
+    //   cityC (state X): 1 row  -> escalate; state X wave = 3 -> settles at level 1
+    //   cityD (state Y): 1 row  -> escalate; state Y wave = 1 -> escalates
+    //                              to 'all' wave = 1 -> RESIDUAL k_risky
+    val rows = Seq(
+      ("a1", "cityA", "X", "s1"), ("a2", "cityA", "X", "s2"), ("a3", "cityA", "X", "s1"),
+      ("b1", "cityB", "X", "s1"), ("b2", "cityB", "X", "s1"),
+      ("c1", "cityC", "X", "s2"),
+      ("d1", "cityD", "Y", "s1")).toDF("id", "city", "state", "sens")
+    val out = DataQuality.kAnonymityRepairFull(rows,
+        levels = Seq(concat(lit("city:"), col("city")),
+          concat(lit("state:"), col("state")), lit("all")),
+        otherQi = Seq.empty, sensitive = "sens", k = 3, l = 2)
+      .select("qi", "qi_level", "n", "k_risky")
+      .as[(String, Int, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("city:cityA", 0, 3L, false),
+      ("state:X", 1, 3L, false),   // cityB+cityC rows re-audited together
+      ("all", 2, 1L, true)))       // honest residual, loudly flagged
+    // fixpoint law: every non-top class meets k; only top classes may not
+    out.foreach { case (qi, lvl, n, risky) =>
+      if (lvl < 2) assert(n >= 3 && !risky, s"$qi settled below k")
+    }
+  }
 }

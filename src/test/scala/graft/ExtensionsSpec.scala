@@ -125,6 +125,73 @@ class ExtensionsSpec extends SparkTestBase {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("derived sketch estimators are callable from SQL, ≡ the Scala API") {
+    GraftExtensions.register(spark)
+    import graft.operators.{Cms, Kmv}
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("key", col("id") % 700) // 700 distinct: above k=128
+      .withColumn("g", col("id") % 2)
+    df.createOrReplaceTempView("est_in")
+
+    // distinct estimate: SQL graft_kmv_est ≡ Scala Kmv.estimateDistinct
+    val sqlEst = spark.sql(
+      """SELECT g, graft_kmv_est(graft_kmv(
+        |    CAST(conv(substring(md5(concat('graftkmv', CAST(key AS STRING))), 1, 15), 16, 10) AS BIGINT),
+        |    128), 128) AS e
+        |FROM est_in GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    val apiEst = df.groupBy(col("g"))
+      .agg(graft.functions.KmvSketchAgg(Kmv.hash60(col("key")), 128).as("sk"))
+      .select(col("g"), Kmv.estimateDistinct(col("sk"), 128).as("e"))
+      .orderBy("g").as[(Long, Double)].collect().toSeq
+    assert(sqlEst == apiEst && sqlEst.forall(_._2 > 0))
+
+    // overlap struct (incl. the difference/exclusive estimates):
+    // SQL graft_kmv_overlap ≡ Scala Kmv.overlapEstimates, field by field
+    val sk = df.groupBy(col("g"))
+      .agg(graft.functions.KmvSketchAgg(Kmv.hash60(col("key")), 128).as("sk"))
+    sk.createOrReplaceTempView("est_sk")
+    val sqlOv = spark.sql(
+      """SELECT o.est_union, o.est_intersect, o.est_a_only, o.est_b_only,
+        |       o.jaccard_est
+        |FROM (SELECT graft_kmv_overlap(a.sk, b.sk, 128) AS o
+        |      FROM est_sk a JOIN est_sk b ON a.g < b.g)""".stripMargin)
+      .as[(Double, Double, Double, Double, Double)].head()
+    val pairs = sk.select(col("g").as("ga"), col("sk").as("ska"))
+      .join(sk.select(col("g").as("gb"), col("sk").as("skb")),
+        col("ga") < col("gb"))
+    val apiOv = Kmv.overlapEstimates(pairs, 128)
+      .select("est_union", "est_intersect", "est_a_only", "est_b_only",
+        "jaccard_est")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(sqlOv == apiOv)
+    // the partition law survives the SQL surface: the three parts sum
+    // to the union estimate by construction
+    assert(math.abs(sqlOv._2 + sqlOv._3 + sqlOv._4 - sqlOv._1) < 1e-9)
+
+    // CMS point estimate: SQL graft_cms_point ≡ Scala Cms.estimates
+    val cmsRow = Cms.sketch(df, col("key"))
+    cmsRow.createOrReplaceTempView("est_cms")
+    df.select(col("key")).distinct().limit(50)
+      .createOrReplaceTempView("est_keys")
+    val sqlPt = spark.sql(
+      s"""SELECT k.key, graft_cms_point(c.cms, ${cmsPositionsSql("k.key")}) AS est_cnt
+         |FROM est_keys k CROSS JOIN est_cms c ORDER BY k.key""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    val apiPt = Cms.estimates(cmsRow,
+        df.select(col("key")).distinct().limit(50), "key")
+      .orderBy("key").as[(Long, Long)].collect().toSeq
+    assert(sqlPt == apiPt && sqlPt.forall(_._2 >= 1L))
+  }
+
+  /** SQL text of Cms.positions for the default (d=4, w=256) geometry. */
+  private def cmsPositionsSql(key: String): String = {
+    val cells = (0 until 4).map { j =>
+      s"CAST(${j * 256} AS BIGINT) + pmod(CAST(conv(substring(md5(concat('graftcms$j', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT), CAST(256 AS BIGINT))"
+    }
+    s"array(${cells.mkString(", ")})"
+  }
+
   test("graft_version table function time-travels a versioned sink from SQL") {
     GraftExtensions.register(spark)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),

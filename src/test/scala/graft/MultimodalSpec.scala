@@ -84,6 +84,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(planted >= 60, s"only $planted of 80 planted twins found")
   }
 
+  test("real PNG round-trip: decodeImages(synthesizePng) recovers the exact pixel grid") {
+    val ids = spark.range(0, 40).toDF("id")
+    val decoded = Multimodal.decodeImages(
+        Multimodal.synthesizePng(spark, ids, "id"))
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1)
+    assert(decoded.length == 40)
+    decoded.foreach { case (id, w, h, nPix, sum) =>
+      assert(w == 8 + (id % 8).toInt && h == 8 + (id % 5).toInt)
+      assert(nPix == w.toLong * h)
+      val expect = (0 until w * h)
+        .map(i => (((id * 2654435761L + i * 40503L) >>> 16) & 0xFF)).sum
+      assert(sum == expect, s"id=$id decoded luma $sum != formula $expect")
+    }
+    // the payloads are GENUINE PNG bytes (magic header), not GRFT fakes
+    val payload = Multimodal.synthesizePng(spark, ids, "id").head().payload
+    assert(payload.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+  }
+
+  test("decodeImages handles other JDK codecs (BMP) through the same path") {
+    import spark.implicits._
+    // encode one image as BMP — decodeImages must not care about format
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 24).foreach(i => img.getRaster.setSample(i % 6, i / 6, 0, i * 10))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val media = Seq(Multimodal.Media(7L, "image", bos.toByteArray, 6, 4)).toDS()
+    val out = Multimodal.decodeImages(media)
+      .as[(Long, Int, Int, Long, Long)].head()
+    assert(out == ((7L, 6, 4, 24L, (0 until 24).map(_ * 10L).sum)))
+    // and an undecodable payload fails loudly with its id
+    val junk = Seq(Multimodal.Media(9L, "image", Array[Byte](1, 2, 3), 1, 1)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(junk).collect()
+    }
+    assert(e.getMessage.contains("media_id=9") ||
+      Option(e.getCause).exists(_.getMessage.contains("media_id=9")))
+  }
+
   test("dHash is invariant under a wrap-free brightness shift") {
     // payload whose body bytes stay < 255 after +1: hash must be identical
     val m = Multimodal.synthesize(spark, spark.range(3, 4).toDF("id"), "id")

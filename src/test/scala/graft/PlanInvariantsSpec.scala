@@ -60,11 +60,11 @@ class PlanInvariantsSpec extends SparkTestBase {
       // aggregates (edges/wedges/triangles counts) cross-joined — each
       // BNLJ build side provably one row
       "graph_triangles",
-      // segment_overlap: the type_a < type_b pair join runs over the
-      // KMV sketch frame — (#segments × k)-sized by construction (one
-      // row per event_type), never the corpus; small by argument like
-      // vector_topk's query set
-      "segment_overlap",
+      // segment_overlap(+_sql): the type_a < type_b pair join runs over
+      // the KMV sketch frame — (#segments × k)-sized by construction
+      // (one row per event_type), never the corpus; small by argument
+      // like vector_topk's query set
+      "segment_overlap", "segment_overlap_sql",
       // segment_exclusive_reach: the all-types union sketch (a
       // grouping-free aggregate, provably 1 row) broadcasts into the
       // per-segment exclusive-reach projection — the scalar_subquery
@@ -179,7 +179,7 @@ class PlanInvariantsSpec extends SparkTestBase {
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
         if (!Set("vector_topk", "vector_pca_route", "hard_negatives",
-            "vector_ann_recall", "segment_overlap")(name)) {
+            "vector_ann_recall", "segment_overlap", "segment_overlap_sql")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
