@@ -220,15 +220,24 @@ object DataQuality {
       otherQi: Seq[String], sensitive: String, k: Int, l: Int): DataFrame = {
     require(levels.nonEmpty && k >= 1 && l >= 1,
       "kAnonymityRepairFull needs a hierarchy, k>=1, l>=1")
-    val grp: Seq[Column] = col("__qi") +: otherQi.map(col)
+    val grpNames = "__qi" +: otherQi
+    val grp: Seq[Column] = grpNames.map(col)
     var settled: Option[DataFrame] = None
     var frontier = df
       .withColumn("__qi", levels.head.cast("string"))
       .withColumn("qi_level", lit(0))
     for (i <- levels.indices) {
+      // null-safe (<=>) class matching: a NULL QI value (NULL segment,
+      // or a level expression that nulls out) is a real equivalence
+      // class — a plain equi-join would drop those rows from BOTH the
+      // settled set and the next frontier, hiding exactly the
+      // population a privacy audit must flag
       val counts = frontier.groupBy(grp: _*).agg(count(lit(1)).as("__n"))
-      val marked = frontier.join(broadcast(counts),
-        Seq("__qi") ++ otherQi)
+        .select(grpNames.map(c => col(c).as(s"__c_$c")) :+ col("__n"): _*)
+      val cond = grpNames
+        .map(c => frontier(c) <=> counts(s"__c_$c")).reduce(_ && _)
+      val marked = frontier.join(broadcast(counts), cond)
+        .drop(grpNames.map(c => s"__c_$c"): _*)
       val isTop = i == levels.length - 1
       val ok = if (isTop) marked else marked.filter(col("__n") >= k.toLong)
       settled = Some(settled.fold(ok.drop("__n"))(_ unionByName ok.drop("__n")))

@@ -985,36 +985,52 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 60-bit SimHash per document: each token occurrence votes ±1 on
-    * every bit of its 60-bit md5 hash (`conv(substr(md5(…),1,15),16,10)`
-    * — the KMV idiom, so the DuckDB oracle computes the IDENTICAL
-    * integer and the pair set is hash-checkable, which xxhash64 never
-    * was); the signature bit is the vote sign. One explode + one groupBy
-    * (60 conditional-sum aggregates) — a single shuffle. */
-  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** SimHash per document: each token occurrence votes ±1 on every bit
+    * of its token hash; the signature bit is the vote sign. One explode
+    * + one groupBy (one conditional-sum aggregate per bit) — a single
+    * shuffle.
+    *
+    * Hash choice is the caller's: the default is 64-bit xxhash64 (fast —
+    * the production keying); `md5Keyed = true` swaps in the 60-bit
+    * md5 idiom (`conv(substr(md5(…),1,15),16,10)` — the KMV keying a
+    * DuckDB oracle reproduces bit-for-bit, at ~20× the per-token CPU;
+    * the same opt-in split as [[graft.functions.WinnowFingerprint
+    * .md5Keyed]]). Signatures from the two keyings are NOT comparable —
+    * pick one per index. */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column,
+      md5Keyed: Boolean = false): DataFrame = {
+    val bits = if (md5Keyed) 60 else 64
     val tok = df
       .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("t"))
       .withColumn("h",
-        conv(substring(md5(concat(lit("graftsim"), col("t"))), 1, 15), 16, 10)
-          .cast("long"))
-    val votes = (0 until 60).map { b =>
+        if (md5Keyed)
+          conv(substring(md5(concat(lit("graftsim"), col("t"))), 1, 15), 16, 10)
+            .cast("long")
+        else xxhash64(col("t")))
+    val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 60)
+    val sig = (0 until bits)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
-    * 15-bit bands: any pair within distance 3 shares at least one of the
-    * 4 bands (pigeonhole), so candidate generation is again an equi-join
-    * on (band, value) — no all-pairs comparison. */
-  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    * four (sigBits/4)-wide bands: any pair within distance 3 shares at
+    * least one of the 4 bands (pigeonhole), so candidate generation is
+    * again an equi-join on (band, value) — no all-pairs comparison.
+    * `sigBits` must match the signature keying (64 for the xxhash64
+    * default, 60 for md5-keyed). */
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3,
+      sigBits: Int = 64): DataFrame = {
+    require(sigBits % 4 == 0, s"sigBits must split into 4 bands (got $sigBits)")
+    val bandWidth = sigBits / 4
+    val bandMask = (1L << bandWidth) - 1
     val bands = (0 until 4).map { bd =>
       struct(lit(bd).as("band"),
-        shiftright(col("simhash"), bd * 15).bitwiseAND(lit(0x7FFFL)).as("bv"))
+        shiftright(col("simhash"), bd * bandWidth).bitwiseAND(lit(bandMask)).as("bv"))
     }
     val exploded = sig
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))

@@ -21,12 +21,17 @@ object Upsert {
   /** `base` ∖ delta-keys ∪ delta-upserts. A delta row with
     * `isTombstone` true removes the key; otherwise it replaces it.
     * Delta must hold one row per key (enforce upstream with
-    * `latest_snapshot`-style dedup when folding an event stream). */
+    * `latest_snapshot`-style dedup when folding an event stream).
+    * NULL is a real key: the anti-join matches null-safely (`<=>`),
+    * consistent with the sink's within-batch `partitionBy` dedup (which
+    * groups NULLs together) and with [[diffVersions]]' null-safe
+    * classification — a plain equi-join would let a NULL-keyed base row
+    * survive its own replacement, leaving TWO rows for one key. */
   def upsert(base: DataFrame, delta: DataFrame, key: Column,
       isTombstone: Column): DataFrame = {
     val deltaKeys = delta.select(key.as("__k")).distinct()
     val kept = base.join(broadcast(deltaKeys),
-      key === col("__k"), "left_anti")
+      key <=> col("__k"), "left_anti")
     kept.unionByName(delta.filter(!isTombstone))
   }
 
@@ -96,23 +101,38 @@ object Upsert {
   def versionedSink(path: String, key: String, order: String, tie: String,
       isTombstone: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
-      val spark = batch.sparkSession
-      val (myVersion, baseDir) = versionPlan(spark, path, batchId)
-      val base = baseDir match {
-        case Some(d) => spark.read.parquet(d.toString)
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-      }
-      // within-batch latest-wins: keep the (order, tie)-max row per key
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(key)).orderBy(col(order).desc, col(tie).desc)
-      val latest = batch
-        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      upsert(base, latest, col(key), isTombstone)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/v=${myVersion}_b=$batchId")
+      writeSnapshotVersion(batch, batchId, path, key, order, tie, isTombstone)
+      ()
     }
+  }
+
+  /** The shared commit body of [[versionedSink]] and [[changeFeedSink]]:
+    * ONE version listing per micro-batch (listVersions is LIST + N
+    * `_SUCCESS` existence probes — on an object store, re-listing per
+    * read is real money), returning the plan plus the committed
+    * directory so callers re-read the new snapshot WITHOUT listing
+    * again. */
+  private def writeSnapshotVersion(batch: DataFrame, batchId: Long,
+      path: String, key: String, order: String, tie: String,
+      isTombstone: Column): (Long, Option[org.apache.hadoop.fs.Path], String) = {
+    val spark = batch.sparkSession
+    val (myVersion, baseDir) = versionPlan(spark, path, batchId)
+    val base = baseDir match {
+      case Some(d) => spark.read.parquet(d.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    }
+    // within-batch latest-wins: keep the (order, tie)-max row per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(order).desc, col(tie).desc)
+    val latest = batch
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dir = s"$path/v=${myVersion}_b=$batchId"
+    upsert(base, latest, col(key), isTombstone)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir)
+    (myVersion, baseDir, dir)
   }
 
   /** Latest committed state of a [[versionedSink]] directory. */
@@ -167,8 +187,14 @@ object Upsert {
     require(keys.nonEmpty, "diffSnapshots needs at least one key column")
     require(a0.columns.toSeq == b0.columns.toSeq,
       s"schema drift between versions: ${a0.columns.toSeq} vs ${b0.columns.toSeq}")
+    // null-safe (<=>) scope matching, same reason as the diff join below:
+    // a NULL-keyed batch row must stay IN scope, or its change silently
+    // vanishes from the feed and the iterated patch law breaks
     def scoped(df: DataFrame): DataFrame = scope match {
-      case Some(s) => df.join(broadcast(s), keys, "left_semi")
+      case Some(s0) =>
+        val s = s0.select(keys.map(c => col(c).as(s"__scope_$c")): _*).distinct()
+        val cond = keys.map(c => df(c) <=> s(s"__scope_$c")).reduce(_ && _)
+        df.join(broadcast(s), cond, "left_semi")
       case None => df
     }
     val a = scoped(a0)
@@ -222,9 +248,9 @@ object Upsert {
       order: String, tie: String, isTombstone: Column): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val (myVersion, baseDir) = versionPlan(spark, path, batchId)
-      versionedSink(path, key, order, tie, isTombstone)(batch, batchId)
-      val after = readVersion(spark, path, myVersion)
+      val (myVersion, baseDir, committedDir) =
+        writeSnapshotVersion(batch, batchId, path, key, order, tie, isTombstone)
+      val after = spark.read.parquet(committedDir)
       val nonKeys = after.columns.filterNot(_ == key).toSeq
       val diff = baseDir match {
         case None => // the log-opening version: everything is an insert
@@ -261,7 +287,8 @@ object Upsert {
       else changes
     val keyCol = struct(keys.map(col): _*)
     val deltaKeys = ch.select(keyCol.as("__k")).distinct()
-    val kept = snapshot.join(broadcast(deltaKeys), keyCol === col("__k"),
+    // null-safe, like upsert: NULL is a real key in the feed contract
+    val kept = snapshot.join(broadcast(deltaKeys), keyCol <=> col("__k"),
       "left_anti")
     kept.unionByName(ch.filter(col("change") =!= "deleted").drop("change"))
   }

@@ -533,7 +533,14 @@ object Behavioral {
     * attach broadcasts (dimension-sized). Top-5 is a per-item rank
     * window; at web scale swap in the map-side `BoundedTopK` aggregate
     * (the `fuzzy_match_k2_topk` move). */
-  def recommendTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared scored-pair pipeline behind [[recommendTopk]] and
+    * [[recommendTopkBounded]]: symmetric co-occurrence pairs with the
+    * exact integer square-of-cosine key. Single source of truth for the
+    * decimal-exactness contract — the two queries differ ONLY in how
+    * they select top-5 (rank window vs BoundedTopK heap), which is the
+    * point of registering both. */
+  private def recommendScoredPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast(DecimalType(38, 0))
@@ -548,7 +555,7 @@ object Behavioral {
       .agg(count(lit(1)).as("cooc"))
     val sym = pairs.select(col("pa"), col("pb"), col("cooc"))
       .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("cooc")))
-    val scored = sym
+    sym
       .join(broadcast(freq.select(col("p").as("pa"), col("n").as("n_item"))), "pa")
       .join(broadcast(freq.select(col("p").as("pb"), col("n").as("n_rec"))), "pb")
       .withColumn("__num", d(col("cooc")) * d(col("cooc")) * lit(1000000))
@@ -558,7 +565,10 @@ object Behavioral {
       // DuckDB's `//` on HUGEINT
       .withColumn("score_scaled", expr("CAST(__num div __den AS BIGINT)"))
       .drop("__num", "__den")
-    scored
+  }
+
+  def recommendTopk(spark: SparkSession, dir: String): DataFrame = {
+    recommendScoredPairs(spark, dir)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("pa"))
           .orderBy(col("score_scaled").desc, col("cooc").desc, col("pb"))))
@@ -580,27 +590,7 @@ object Behavioral {
     * is free), and the oracle is the quadratic ROW_NUMBER formulation —
     * the gate proves heap-selection ≡ full-sort selection. */
   def recommendTopkBounded(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      c.cast(DecimalType(38, 0))
-    val li = graft.operators.Dedup.memoPersist(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct())
-    val freq = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("cooc"))
-    val sym = pairs.select(col("pa"), col("pb"), col("cooc"))
-      .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("cooc")))
-    val scored = sym
-      .join(broadcast(freq.select(col("p").as("pa"), col("n").as("n_item"))), "pa")
-      .join(broadcast(freq.select(col("p").as("pb"), col("n").as("n_rec"))), "pb")
-      .withColumn("__num", d(col("cooc")) * d(col("cooc")) * lit(1000000))
-      .withColumn("__den", d(col("n_item")) * d(col("n_rec")))
-      .withColumn("score_scaled", expr("CAST(__num div __den AS BIGINT)"))
-      .drop("__num", "__den")
+    val scored = recommendScoredPairs(spark, dir)
     // (score desc, cooc desc, rec asc) ≡ ascending (−score, −cooc, rec);
     // fields after the total key are payload and never affect the heap
     val sortStruct = struct(

@@ -1088,10 +1088,20 @@ object DataCleaning {
          |  JOIN k$r kx ON kx.node = e.x
          |  JOIN k$r ky ON ky.node = e.y)""".stripMargin
     }
-    (header +: steps).mkString(",\n") +
+    // convergence guard: if 18 rounds were NOT enough on some future
+    // dataset (denser graph, longer degeneracy chain), fail LOUDLY in
+    // the oracle instead of hash-mismatching against a half-peeled set —
+    // the CASE forces error() only on the non-converged branch
+    val conv =
+      s"""conv AS (SELECT (SELECT COUNT(*) FROM e${rounds - 1})
+         |             = (SELECT COUNT(*) FROM e$rounds) AS ok)""".stripMargin
+    (header +: steps :+ conv).mkString(",\n") +
       s"""
          |SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
-         |FROM e$rounds GROUP BY x ORDER BY node""".stripMargin
+         |FROM e$rounds CROSS JOIN conv
+         |WHERE CASE WHEN ok THEN TRUE
+         |           ELSE error('graph_kcore oracle: $rounds unrolled rounds did not reach the peel fixpoint — raise the unroll count') END
+         |GROUP BY x ORDER BY node""".stripMargin
   }
 
   /** **Multi-source BFS hop distance** ([[graft.operators.Graph

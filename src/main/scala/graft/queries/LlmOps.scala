@@ -259,8 +259,9 @@ object LlmOps {
     * bit-for-bit instead of leaving this rows-only. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
-        Dedup.simhashSignatures(Tables.documents(spark, dir), col("doc_id"), col("text")),
-        maxDist = 3)
+        Dedup.simhashSignatures(Tables.documents(spark, dir),
+          col("doc_id"), col("text"), md5Keyed = true),
+        maxDist = 3, sigBits = 60)
       .orderBy("doc_a", "doc_b")
 
   private val dedupSimhashSql: String = {

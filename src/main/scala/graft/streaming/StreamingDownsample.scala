@@ -1061,17 +1061,18 @@ object StreamingDownsample {
       explode(array((0 until nBuckets).map(k =>
         struct(lit(k.toLong).as("bucket"), col(s"b_$k").as("cur_n"),
           lit(baseCounts(k)).as("base_n"))): _*)).as("e"))
-    rows.select(col("day_epoch"), col("e.bucket").as("bucket"),
+    rows
+      // operands cast BEFORE the multiply (lockstep with the batch
+      // driftReport fix, same factored-__d shape): cur_n·nb is
+      // long×long at billion-row snapshots and would wrap silently
+      .withColumn("__d",
+        expr(s"""CAST(e.cur_n AS DECIMAL(38,0)) * ${nb}L
+                 - CAST(e.base_n AS DECIMAL(38,0)) * nc"""))
+      .select(col("day_epoch"), col("e.bucket").as("bucket"),
         col("e.cur_n").as("cur_n"), col("e.base_n").as("base_n"),
         when(col("e.base_n") === 0L, lit(null).cast("long"))
           .otherwise(expr(
-            // operands cast BEFORE the multiply (lockstep with the batch
-            // driftReport fix): cur_n·nb is long×long at billion-row
-            // snapshots and would wrap silently
-            s"""CAST(((CAST(e.cur_n AS DECIMAL(38,0)) * ${nb}L
-                       - CAST(e.base_n AS DECIMAL(38,0)) * nc)
-                * (CAST(e.cur_n AS DECIMAL(38,0)) * ${nb}L
-                   - CAST(e.base_n AS DECIMAL(38,0)) * nc) * 1000000)
+            s"""CAST((__d * __d * 1000000)
                 div (CAST(e.base_n AS DECIMAL(38,0)) * nc * ${nb}L) AS BIGINT)"""))
           .as("chi2_scaled"))
   }

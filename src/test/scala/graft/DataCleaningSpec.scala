@@ -650,4 +650,26 @@ class DataCleaningSpec extends SparkTestBase {
       if (lvl < 2) assert(n >= 3 && !risky, s"$qi settled below k")
     }
   }
+
+  test("kAnonymityRepairFull counts NULL-QI rows as a real equivalence class") {
+    import graft.operators.DataQuality
+    // two rows whose city is NULL (so level-0 __qi = concat(...) is NULL):
+    // they must escalate/settle like any class — a plain equi-join would
+    // silently drop them from the audit, hiding exactly the population a
+    // privacy audit must flag
+    val rows = Seq(
+      (Option("cityA"), "s1"), (Option("cityA"), "s2"), (Option("cityA"), "s1"),
+      (Option.empty[String], "s1"), (Option.empty[String], "s2"))
+      .toDF("city", "sens")
+    val out = DataQuality.kAnonymityRepairFull(rows,
+        levels = Seq(concat(lit("city:"), col("city")), lit("all")),
+        otherQi = Seq.empty, sensitive = "sens", k = 3, l = 2)
+      .select("qi", "qi_level", "n", "k_risky")
+      .as[(Option[String], Int, Long, Boolean)].collect().toSet
+    // NULL-city rows (2 < k) escalate to 'all' and stay honestly risky
+    assert(out == Set(
+      (Some("city:cityA"), 0, 3L, false),
+      (Some("all"), 1, 2L, true)))
+    assert(out.map(_._3).sum == 5L) // nobody vanished from the audit
+  }
 }

@@ -169,17 +169,19 @@ class ExtensionsSpec extends SparkTestBase {
     // to the union estimate by construction
     assert(math.abs(sqlOv._2 + sqlOv._3 + sqlOv._4 - sqlOv._1) < 1e-9)
 
-    // CMS point estimate: SQL graft_cms_point ≡ Scala Cms.estimates
+    // CMS point estimate: SQL graft_cms_point ≡ Scala Cms.estimates —
+    // ONE deterministic key set shared by both sides (LIMIT without
+    // ORDER BY is not stable across executions)
     val cmsRow = Cms.sketch(df, col("key"))
     cmsRow.createOrReplaceTempView("est_cms")
-    df.select(col("key")).distinct().limit(50)
-      .createOrReplaceTempView("est_keys")
+    val probeKeys = df.select(col("key")).distinct()
+      .orderBy(col("key")).limit(50)
+    probeKeys.createOrReplaceTempView("est_keys")
     val sqlPt = spark.sql(
       s"""SELECT k.key, graft_cms_point(c.cms, ${cmsPositionsSql("k.key")}) AS est_cnt
          |FROM est_keys k CROSS JOIN est_cms c ORDER BY k.key""".stripMargin)
       .as[(Long, Long)].collect().toSeq
-    val apiPt = Cms.estimates(cmsRow,
-        df.select(col("key")).distinct().limit(50), "key")
+    val apiPt = Cms.estimates(cmsRow, probeKeys, "key")
       .orderBy("key").as[(Long, Long)].collect().toSeq
     assert(sqlPt == apiPt && sqlPt.forall(_._2 >= 1L))
   }

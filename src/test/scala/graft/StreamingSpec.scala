@@ -302,6 +302,32 @@ class StreamingSpec extends SparkTestBase {
     assert(foldedReplay == latest)
   }
 
+  test("changeFeedSink keeps NULL-keyed changes in the feed (scope is null-safe)") {
+    import graft.operators.Upsert
+    val root = java.nio.file.Files.createTempDirectory("graftfeednull").toString
+    val snap = root + "/snap"
+    val feedDir = root + "/feed"
+    val sink = Upsert.changeFeedSink(snap, feedDir, "k", "seq", "seq",
+      isTombstone = col("v") === "DEAD")
+    sink(Seq((Option(1L), "a", 1L), (Option.empty[Long], "n", 2L))
+      .toDF("k", "v", "seq"), 0L)
+    sink(Seq((Option.empty[Long], "n2", 3L)).toDF("k", "v", "seq"), 1L)
+    // the NULL-keyed update must appear in v2's feed entry — a plain
+    // equi-join scope would drop it and the folded feed would diverge
+    val v2 = Upsert.readChangeFeed(spark, feedDir)
+      .filter(col("change_version") === 2)
+      .as[(Option[Long], String, Option[String], Option[Long], Long)]
+      .collect().toSet
+    assert(v2 == Set((None, "updated", Some("n2"), Some(3L), 2L)))
+    val latest = Upsert.readLatest(spark, snap)
+      .as[(Option[Long], String, Long)].collect().toSet
+    val folded = Upsert.applyChangeFeed(
+      Upsert.readLatest(spark, snap).filter(lit(false)),
+      Upsert.readChangeFeed(spark, feedDir), Seq("k"))
+      .as[(Option[Long], String, Long)].collect().toSet
+    assert(folded == latest && latest.contains((None, "n2", 3L)))
+  }
+
   test("diffVersions is null-safe on key columns") {
     import graft.operators.Upsert
     // hand-written version layout (the sink's own dirs carry _SUCCESS
