@@ -186,6 +186,120 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Fixed-point Lloyd — the [[graft.operators.Graph]] `pageRankFixedPoint`
+    * discipline applied to k-means: points and centroids are integer
+    * vectors (coordinates pre-quantized to ⌊x·10⁶⌋ longs), distances are
+    * exact integer L2, centroid updates are truncating integer division
+    * (Java `/` toward zero ≡ DuckDB `//`), ties break to the smallest
+    * cell index, and empty cells KEEP their previous centroid — every
+    * step order-free exact arithmetic, so a DuckDB oracle unrolls the
+    * same iterations to the same centroids bit for bit. No k-means++
+    * randomness: `init` arrives from a deterministic md5-rank sample. */
+  private[graft] def kMeansFp(points: Array[Array[Long]],
+      init: Array[Array[Long]], iters: Int): Array[Array[Long]] = {
+    require(points.nonEmpty && init.nonEmpty, "kMeansFp needs points and seeds")
+    val kk = init.length
+    val dim = init(0).length
+    var cents = init.map(_.clone())
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.ofDim[Long](kk, dim)
+      val counts = new Array[Long](kk)
+      var p = 0
+      while (p < points.length) {
+        val pt = points(p)
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < kk) {
+          var s = 0L
+          var i = 0
+          while (i < dim) { val d = pt(i) - cents(c)(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict <: ties keep the smaller cell
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += pt(i); i += 1 }
+        p += 1
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
+      iter += 1
+    }
+    cents
+  }
+
+  /** Quantized ⌊x·10⁶⌋ coordinates of a float-array embedding — explicit
+    * FLOOR (not a bare cast: Spark truncates, DuckDB rounds), matching
+    * the oracle's `CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)`. */
+  private def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Integer L2 distance of a quantized vector to a centroid literal. */
+  private def fpDist(qv: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(qv, lit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** **Fixed-point IVF top-k** — the HASH-CHECKABLE member of the IVF
+    * family: training sample (md5-rank bottom-`sampleCap` ids), seeds
+    * (the sample's first `nCells` vectors), the unrolled integer Lloyd
+    * ([[kMeansFp]]), corpus cell assignment, and query probe routing are
+    * ALL exact integer arithmetic a DuckDB oracle replays; only the
+    * final rank-only cosine re-rank is float, and rank-only float
+    * ordering is the long-proven `vector_topk` gate shape. The float
+    * [[ivfTopK]] stays the production path (k-means++ on real-valued
+    * coordinates converges better); this twin exists so the driver gate
+    * covers the IVF ROUTE-THEN-SCORE shape end to end — the same
+    * adjudicator role `graph_pagerank_fp` plays for PageRank. */
+  def ivfFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, iters: Int = 10,
+      sampleCap: Int = 4096): DataFrame = {
+    require(nprobe <= nCells, s"nprobe=$nprobe must be <= nCells=$nCells")
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
+    // deterministic, oracle-replayable sample: bottom-sampleCap ids by
+    // (md5 rank, id); seeds = its first nCells vectors
+    val sample = c0
+      .orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
+        col("cand_id"))
+      .limit(sampleCap)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cents = kMeansFp(sample, sample.take(nCells), iters)
+    def cellScores(qv: Column): Column =
+      array_sort(array(cents.zipWithIndex.map { case (cent, i) =>
+        struct(fpDist(qv, cent).as("d"), lit(i).as("cell"))
+      }: _*))
+    val cAssigned = c0.select(col("cand_id"), col("cv"),
+        cellScores(col("qv")).getItem(0).getField("cell").as("cell"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val qAssigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvf"),
+        quantized(col("embedding")).as("qq"))
+      .withColumn("qn", VectorOps.norm(col("qvf")))
+      .select(col("query_id"), col("qvf").as("qv"), col("qn"),
+        explode(transform(slice(cellScores(col("qq")), 1, nprobe),
+          s => s.getField("cell"))).as("cell"))
+    scoreCells(qAssigned, cAssigned, k)
+  }
+
+  /** The trained fixed-point centroids, exposed for spec adjudication
+    * (engine cells ≡ an independent driver recompute). */
+  private[graft] def ivfFpCentroids(candidates: DataFrame,
+      nCells: Int = 16, iters: Int = 10,
+      sampleCap: Int = 4096): Array[Array[Long]] = {
+    val sample = candidates
+      .select(col("vec_id").as("cand_id"), quantized(col("embedding")).as("qv"))
+      .orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
+        col("cand_id"))
+      .limit(sampleCap)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    kMeansFp(sample, sample.take(nCells), iters)
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means centroids partition
     * the corpus into cells; each query scores only the `nprobe` cells
     * whose centroids it is closest to. Data-adaptive (unlike random

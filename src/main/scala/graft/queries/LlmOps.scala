@@ -698,6 +698,85 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** **Fixed-point IVF, HASH-CHECKED** ([[Similarity.ivfFpTopK]]): the
+    * `graph_pagerank_fp` discipline applied to k-means — md5-rank
+    * deterministic sample/seeds, quantized ⌊x·10⁶⌋ coordinates, integer
+    * L2, truncating-division centroid updates, smallest-cell ties,
+    * empty cells keep their centroid — so the oracle UNROLLS the 10
+    * Lloyd rounds as materialized CTEs, re-derives the same centroids
+    * bit for bit, replays corpus assignment + nprobe routing, and only
+    * the final rank-only cosine re-rank is float (the `vector_topk`
+    * gate shape). Breaks the long-standing "k-means assignment is
+    * engine-specific" oracle boundary; the float [[Similarity.ivfTopK]]
+    * stays the production path. */
+  def vectorIvfFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfFpTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorIvfFpSql: String = {
+    val (iters, nCells, nprobe, cap, dim) = (10, 16, 4, 4096, 64)
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT rn, qv, cell FROM (
+         |    SELECT s.rn, s.qv, c.cell,
+         |      row_number() OVER (PARTITION BY s.rn
+         |        ORDER BY ${l2("s.qv", "c.cv")}, c.cell) AS rnk
+         |    FROM smpi s CROSS JOIN c${t - 1} c) WHERE rnk = 1),
+         |u$t AS MATERIALIZED (
+         |  SELECT cell, list(v ORDER BY dim) AS cv FROM (
+         |    SELECT a.cell, i AS dim, SUM(a.qv[CAST(i AS INT)]) // COUNT(*) AS v
+         |    FROM a$t a, UNNEST(range(1, ${dim + 1})) AS t(i)
+         |    GROUP BY a.cell, i) GROUP BY cell),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+         |  FROM c${t - 1} p LEFT JOIN u$t u ON u.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qd AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |smpi AS MATERIALIZED (
+       |  SELECT rn, qv FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5('graftivffp' || CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |      qv
+       |    FROM qd) WHERE rn <= $cap),
+       |c0 AS MATERIALIZED (
+       |  SELECT rn - 1 AS cell, qv AS cv FROM smpi WHERE rn <= $nCells),
+       |$rounds,
+       |ca AS MATERIALIZED (
+       |  SELECT cand_id, cell FROM (
+       |    SELECT q.vec_id AS cand_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")}, c.cell) AS rnk
+       |    FROM qd q CROSS JOIN c$iters c) WHERE rnk = 1),
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")}, c.cell) AS pr
+       |    FROM qd q CROSS JOIN c$iters c WHERE q.vec_id < 20) WHERE pr <= $nprobe),
+       |cnd AS MATERIALIZED (
+       |  SELECT DISTINCT qp.query_id, ca.cand_id
+       |  FROM qp JOIN ca USING (cell) WHERE ca.cand_id <> qp.query_id)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT d.query_id, d.cand_id,
+       |    row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) DESC,
+       |      d.cand_id) AS rank
+       |  FROM cnd d JOIN embeddings q ON q.vec_id = d.query_id
+       |             JOIN embeddings c ON c.vec_id = d.cand_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Serving from the **persisted IVF index** ([[Similarity
     * .writeIvfIndex]] / [[Similarity.ivfTopKIndexed]]): build the
     * bucketed-by-cell index + centroid side table, then answer the query
@@ -2847,6 +2926,7 @@ object LlmOps {
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q("vector_ann", vectorAnnSql)(vectorAnn),
     Q("vector_ann_recall", vectorAnnRecallSql)(vectorAnnRecall),
+    Q("vector_ivf_fp", vectorIvfFpSql)(vectorIvfFp),
     Q.noOracle("mmr_select")(mmrSelectQ),
     Q.noOracle("vector_pca_route")(vectorPcaRoute),
     Q.noOracle("vector_ivf")(vectorIvf),

@@ -245,6 +245,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.7, s"IVF recall $recall below 0.7 floor")
   }
 
+  test("fixed-point IVF: recall floor, determinism, and the integer Lloyd laws") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    // routing through integer-exact cells still holds a useful recall
+    // floor (nprobe/nCells = 4/16 scans ~1/4 of the corpus; the exact
+    // re-rank inside probed cells does the rest)
+    val recall = recallOf(Similarity.ivfFpTopK(q, e, k = 5), annTruth)
+    assert(recall >= 0.4, s"fixed-point IVF recall $recall below 0.4 floor")
+    // determinism: two constructions return identical rows (no RNG
+    // anywhere — md5-rank sample, integer arithmetic end to end)
+    val r1 = Similarity.ivfFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val r2 = Similarity.ivfFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
+    // centroid recompute twin: the exposed trainer is bitwise stable
+    val c1 = Similarity.ivfFpCentroids(e)
+    val c2 = Similarity.ivfFpCentroids(e)
+    assert(c1.length == 16 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+
+    // integer Lloyd laws on hand data: ties go to the smaller cell,
+    // empty cells keep their centroid, means truncate toward zero
+    val pts = Array(Array(1L, 1L), Array(3L, 1L), Array(-7L, 0L))
+    val init = Array(Array(2L, 1L), Array(2L, 1L), Array(100L, 100L))
+    val cents = Similarity.kMeansFp(pts, init, iters = 1)
+    // all three points tie between cells 0 and 1 (identical centroids) —
+    // the strict-< rule sends every one to cell 0
+    assert(cents(0).sameElements(Array((1L + 3 - 7) / 3, (1L + 1 + 0) / 3)))
+    assert(cents(1).sameElements(Array(2L, 1L))) // empty: keeps previous
+    assert(cents(2).sameElements(Array(100L, 100L)))
+    // truncation toward zero on a negative mean (Java / == DuckDB //)
+    assert(cents(0)(0) == -1L) // (1+3-7)/3 = -3/3 = -1 exactly; (-7+1+3) sums
+  }
+
   test("persisted IVF index serves identical results with bucket-pruned scans") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
