@@ -242,6 +242,26 @@ object Similarity {
     aggregate(zip_with(qv, lit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
+  /** (distance, cell) structs of a quantized vector against every
+    * fixed-point centroid, sorted ascending — shared by [[ivfFpTopK]]'s
+    * routing and [[assignCellsFp]]. */
+  private def fpCellScores(cents: Array[Array[Long]])(qv: Column): Column =
+    array_sort(array(cents.zipWithIndex.map { case (cent, i) =>
+      struct(fpDist(qv, cent).as("d"), lit(i).as("cell"))
+    }: _*))
+
+  /** Fixed-point cell assignment of the whole corpus — [[assignCells]]'
+    * hash-checkable twin: every step ([[ivfFpCentroids]] training +
+    * this integer argmin) is exact arithmetic a DuckDB oracle replays,
+    * so downstream mixture reports gate fully instead of rows-only. */
+  def assignCellsFp(df: DataFrame, nCells: Int = 16, iters: Int = 10,
+      sampleCap: Int = 4096): DataFrame = {
+    val cents = ivfFpCentroids(df, nCells, iters, sampleCap)
+    df.select(col("vec_id"), quantized(col("embedding")).as("__qv"))
+      .select(col("vec_id"),
+        fpCellScores(cents)(col("__qv")).getItem(0).getField("cell").as("cell"))
+  }
+
   /** **Fixed-point IVF top-k** — the HASH-CHECKABLE member of the IVF
     * family: training sample (md5-rank bottom-`sampleCap` ids), seeds
     * (the sample's first `nCells` vectors), the unrolled integer Lloyd
@@ -268,10 +288,7 @@ object Similarity {
       .select(col("qv")).collect()
       .map(_.getSeq[Long](0).toArray)
     val cents = kMeansFp(sample, sample.take(nCells), iters)
-    def cellScores(qv: Column): Column =
-      array_sort(array(cents.zipWithIndex.map { case (cent, i) =>
-        struct(fpDist(qv, cent).as("d"), lit(i).as("cell"))
-      }: _*))
+    def cellScores(qv: Column): Column = fpCellScores(cents)(qv)
     val cAssigned = c0.select(col("cand_id"), col("cv"),
         cellScores(col("qv")).getItem(0).getField("cell").as("cell"))
       .withColumn("cn", VectorOps.norm(col("cv")))

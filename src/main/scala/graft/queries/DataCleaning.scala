@@ -850,6 +850,51 @@ object DataCleaning {
       .orderBy("cell")
   }
 
+  /** **Cluster-mixture report, HASH-CHECKED** ([[graft.operators
+    * .Similarity.assignCellsFp]]): the same per-cell size / majority
+    * label / purity report as [[corpusClusters]], but over the
+    * FIXED-POINT k-means cells — md5-rank sample/seeds, integer Lloyd,
+    * integer argmin — so the DuckDB oracle re-derives the identical
+    * cell assignment and the whole report gates (purity is one
+    * int÷int IEEE division, determinism rule 3). `corpus_clusters`
+    * stays as the float-production twin, the `graph_pagerank` /
+    * `graph_pagerank_fp` pairing applied to mixtures. */
+  def corpusClustersFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = graft.operators.Similarity.assignCellsFp(e)
+      .join(e.select("vec_id", "label"), "vec_id")
+    val perLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("cnt").desc, col("label"))
+    perLabel
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("n"),
+        col("label").as("majority_label"),
+        col("cnt").as("n_majority"),
+        (col("cnt").cast("double") / col("n")).as("purity"))
+      .orderBy("cell")
+  }
+
+  private lazy val corpusClustersFpSql: String =
+    s"""WITH ${graft.queries.LlmOps.ivfFpLloydCtesShared},
+       |pl AS (
+       |  SELECT ca.cell, e.label, COUNT(*) AS cnt
+       |  FROM ca JOIN embeddings e ON e.vec_id = ca.cand_id
+       |  GROUP BY 1, 2)
+       |SELECT CAST(cell AS INT) AS cell, n, majority_label, n_majority,
+       |  CAST(n_majority AS DOUBLE) / n AS purity
+       |FROM (
+       |  SELECT cell, label AS majority_label, cnt AS n_majority,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rk,
+       |    CAST(SUM(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n
+       |  FROM pl)
+       |WHERE rk = 1
+       |ORDER BY cell""".stripMargin
+
   /** **PageRank over the trade graph** ([[graft.operators.Graph
     * .pageRank]]): nation→nation edges weighted by total trade value
     * (customer's nation → supplier's nation per lineitem), 5 damped
@@ -2722,6 +2767,7 @@ object DataCleaning {
     Q("resample_interp", resampleInterpSql)(resampleInterp),
     Q.noOracle("hll_rollup")(hllRollup),
     Q.noOracle("corpus_clusters")(corpusClusters),
+    Q("corpus_clusters_fp", corpusClustersFpSql)(corpusClustersFp),
     Q.noOracle("graph_pagerank")(graphPagerank),
     Q("graph_pagerank_fp", graphPagerankFpSql)(graphPagerankFp),
     Q("graph_triangles", graphTrianglesSql)(graphTriangles),

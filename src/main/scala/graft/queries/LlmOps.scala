@@ -716,27 +716,33 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
-  private lazy val vectorIvfFpSql: String = {
-    val (iters, nCells, nprobe, cap, dim) = (10, 16, 4, 4096, 64)
-    def l2(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+  /** Integer L2 between two 64-long lists in DuckDB. */
+  private def fpL2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  /** Shared oracle prefix replaying [[Similarity.kMeansFp]] (quantize →
+    * md5-rank sample/seeds → `iters` unrolled Lloyd rounds → corpus cell
+    * assignment `ca(cand_id, cell)`), used by both fixed-point-routed
+    * queries so the Lloyd replay cannot drift between them. */
+  private def ivfFpLloydCtes(iters: Int = 10, nCells: Int = 16,
+      cap: Int = 4096): String = {
     val rounds = (1 to iters).map { t =>
       s"""a$t AS MATERIALIZED (
          |  SELECT rn, qv, cell FROM (
          |    SELECT s.rn, s.qv, c.cell,
          |      row_number() OVER (PARTITION BY s.rn
-         |        ORDER BY ${l2("s.qv", "c.cv")}, c.cell) AS rnk
+         |        ORDER BY ${fpL2Sql("s.qv", "c.cv")}, c.cell) AS rnk
          |    FROM smpi s CROSS JOIN c${t - 1} c) WHERE rnk = 1),
          |u$t AS MATERIALIZED (
          |  SELECT cell, list(v ORDER BY dim) AS cv FROM (
          |    SELECT a.cell, i AS dim, SUM(a.qv[CAST(i AS INT)]) // COUNT(*) AS v
-         |    FROM a$t a, UNNEST(range(1, ${dim + 1})) AS t(i)
+         |    FROM a$t a, UNNEST(range(1, 65)) AS t(i)
          |    GROUP BY a.cell, i) GROUP BY cell),
          |c$t AS MATERIALIZED (
          |  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
          |  FROM c${t - 1} p LEFT JOIN u$t u ON u.cell = p.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qd AS MATERIALIZED (
+    s"""qd AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding,
        |      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
@@ -754,13 +760,22 @@ object LlmOps {
        |  SELECT cand_id, cell FROM (
        |    SELECT q.vec_id AS cand_id, c.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${l2("q.qv", "c.cv")}, c.cell) AS rnk
-       |    FROM qd q CROSS JOIN c$iters c) WHERE rnk = 1),
+       |        ORDER BY ${fpL2Sql("q.qv", "c.cv")}, c.cell) AS rnk
+       |    FROM qd q CROSS JOIN c$iters c) WHERE rnk = 1)""".stripMargin
+  }
+
+  /** The default-geometry Lloyd prefix, shared with DataCleaning's
+    * `corpus_clusters_fp` oracle (one replay, two gated consumers). */
+  private[queries] lazy val ivfFpLloydCtesShared: String = ivfFpLloydCtes()
+
+  private lazy val vectorIvfFpSql: String = {
+    val (iters, nprobe) = (10, 4)
+    s"""WITH ${ivfFpLloydCtes(iters)},
        |qp AS MATERIALIZED (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${l2("q.qv", "c.cv")}, c.cell) AS pr
+       |        ORDER BY ${fpL2Sql("q.qv", "c.cv")}, c.cell) AS pr
        |    FROM qd q CROSS JOIN c$iters c WHERE q.vec_id < 20) WHERE pr <= $nprobe),
        |cnd AS MATERIALIZED (
        |  SELECT DISTINCT qp.query_id, ca.cand_id
