@@ -73,8 +73,31 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => Some(b)
       case _ => None // non-HotSpot JVM: cpu fields emit as 0.0
     }
+
+    // Hypervisor-steal sampling (/proc/stat cpu line, field 8 = steal
+    // jiffies): the round-12 adjudication measured 5.2% steal by hand
+    // from SCALING.md prose; emitting it INTO the artifact makes every
+    // bench run self-adjudicating — a wall jump with flat cpu and
+    // elevated steal is the host's fault, and benchdiff's steal gate
+    // reads these fields directly. Sampled per query (around both cold
+    // samples) and over the whole timed window. -1.0 = unmeasurable
+    // (no /proc/stat — non-Linux), never silently 0.
+    def procStat(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          // user nice system idle iowait irq softirq steal [guest...]
+          if (f.length >= 8) Some((f(7), f.sum)) else None
+        } finally src.close()
+      } catch { case _: Throwable => None }
+    def stealBetween(a: Option[(Long, Long)], b: Option[(Long, Long)]): Double =
+      (for ((s0, t0) <- a; (s1, t1) <- b if t1 > t0)
+        yield (s1 - s0).toDouble * 100.0 / (t1 - t0).toDouble).getOrElse(-1.0)
+    val benchStat0 = procStat()
     val results = picked.toSeq.map { case (name, fn) =>
       var err: Option[String] = None
+      val qStat0 = procStat()
       val samples = Seq.fill(2) {
         clearState()
         val c0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
@@ -87,21 +110,24 @@ object Bench {
         val cpu = osBean.map(b => (b.getProcessCpuTime - c0) / 1e9).getOrElse(0.0)
         (wall, cpu)
       }
-      (name, samples.map(_._1).min, samples.map(_._1), err, samples.map(_._2))
+      val qSteal = stealBetween(qStat0, procStat())
+      (name, samples.map(_._1).min, samples.map(_._1), err, samples.map(_._2),
+        qSteal)
     }
+    val benchSteal = stealBetween(benchStat0, procStat())
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, s, _, _) =>
+    val raw = results.map { case (k, _, s, _, _, _) =>
       "\"" + k + "\":" + s.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (k, _, _, _, c) =>
+    val cpuJson = results.map { case (k, _, _, _, c, _) =>
       "\"" + k + "\":" + c.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e), _) => "\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val nErr = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
@@ -114,7 +140,7 @@ object Bench {
     // survives the driver's stdout tail without opening the file.
     def spreadOf(s: Seq[Double]): Double =
       if (s.isEmpty || s.min <= 0) 1.0 else s.max / s.min
-    val spreads = results.map { case (k, _, s, _, _) => (k, spreadOf(s)) }
+    val spreads = results.map { case (k, _, s, _, _, _) => (k, spreadOf(s)) }
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val nNoisy = spreads.count(_._2 > 1.5)
@@ -133,7 +159,7 @@ object Bench {
     // registry measure n_starved 0-1 against the >=3 trip wire, and a
     // flagged artifact should be adjudicated per query via its cpu
     // samples, exactly as benchdiff does.
-    val par = results.map { case (k, _, walls, err, cpuS) =>
+    val par = results.map { case (k, _, walls, err, cpuS, _) =>
       val i = walls.indexOf(walls.min)
       val p = if (walls(i) > 0 && cpuS(i) > 0) cpuS(i) / walls(i) else 0.0
       (k, walls(i), p, err.isDefined)
@@ -147,8 +173,11 @@ object Bench {
     val nStarved = par.count { case (_, w, p, erred) =>
       !erred && w >= 2.0 && p > 0 && p <= 1.3 }
     val hostLoadSuspect = nCpusInt >= 8 && nStarved >= 3
+    val stealJson = results.map { case (k, _, _, _, _, st) =>
+      "\"" + k + "\":" + r3(st)
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"cpu":$cpuJson,"parallelism":$parJson,"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpusJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"cpu":$cpuJson,"parallelism":$parJson,"steal":$stealJson,"steal_pct":${r3(benchSteal)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpusJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout: the full JSON
     // (queries + samples + errors) goes to a file, and the LAST printed
     // line is guaranteed to fit the tail — with the per-query map if it
@@ -160,9 +189,9 @@ object Bench {
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     val withQueries =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"cpus":$cpusJson,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"steal_pct":${r3(benchSteal)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"cpus":$cpusJson,"full":"$fullPath","sf":"$sfDir"}"""
     val totalsOnly =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"cpus":$cpusJson,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"steal_pct":${r3(benchSteal)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"cpus":$cpusJson,"full":"$fullPath","sf":"$sfDir"}"""
     // The consumer keeps only the last ~2000 chars of stdout. When the
     // per-query line fits that window it is the single (parseable) line;
     // when the registry outgrows it, the per-query line still prints —

@@ -72,9 +72,15 @@ object Cms {
     * input side). [[estimates]] keeps its unrolled `least(…)` form:
     * d is a literal there, so the four element_at cells stay inside
     * whole-stage codegen, while this HOF form serves the generic
-    * SQL surface where d arrives as data. */
+    * SQL surface where d arrives as data. try_element_at, not
+    * element_at: positions reach this through the PUBLIC
+    * `graft_cms_point` SQL function, and a position past the array
+    * length must degrade to a NULL cell (array_min skips NULLs; an
+    * all-out-of-range row yields NULL estimate) instead of a hard
+    * Spark-4-ANSI runtime error — the [[Kmv.overlapStruct]]
+    * discipline applied to this surface's own edge case. */
   def pointEstimate(cms: Column, pos: Column): Column =
-    array_min(transform(pos, p => element_at(cms, (p + lit(1L)).cast("int"))))
+    array_min(transform(pos, p => try_element_at(cms, (p + lit(1L)).cast("int"))))
 
   /** **Equi-join size estimation by sketch inner product** (the
     * AMS/CMS classic): |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k), estimated as

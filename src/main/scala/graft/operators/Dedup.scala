@@ -1014,19 +1014,41 @@ object Dedup {
     val sig = (0 until bits)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), sig.as("simhash"))
+    // the keying rides IN the frame (column metadata) so consumers like
+    // [[simhashPairs]] derive the band width from the signature itself
+    // instead of trusting a second free parameter that can silently
+    // disagree (r12 advice: a 60-bit frame banded as 64 yields 16-bit
+    // bands with 4 always-zero bits — a different candidate set)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SigBitsMetaKey, bits.toLong).build()
+    agg.select(col("doc_id"), sig.as("simhash", meta))
   }
+
+  /** Column-metadata key carrying a simhash signature's bit width. */
+  private[graft] val SigBitsMetaKey = "graft.sig_bits"
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
     * four (sigBits/4)-wide bands: any pair within distance 3 shares at
     * least one of the 4 bands (pigeonhole), so candidate generation is
     * again an equi-join on (band, value) — no all-pairs comparison.
-    * `sigBits` must match the signature keying (64 for the xxhash64
-    * default, 60 for md5-keyed). */
+    * Band width derives from the signature frame itself:
+    * [[simhashSignatures]] stamps its bit width into the `simhash`
+    * column's metadata, and a `sigBits` argument that DISAGREES with
+    * the frame refuses loudly — a 60-bit md5-keyed frame banded as 64
+    * would otherwise silently produce 16-bit bands with 4 always-zero
+    * bits and a different candidate set. The explicit parameter remains
+    * only for signature frames built elsewhere (no metadata). */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3,
       sigBits: Int = 64): DataFrame = {
-    require(sigBits % 4 == 0, s"sigBits must split into 4 bands (got $sigBits)")
-    val bandWidth = sigBits / 4
+    val framed = sig.schema.fields.find(_.name == "simhash")
+      .filter(_.metadata.contains(SigBitsMetaKey))
+      .map(_.metadata.getLong(SigBitsMetaKey).toInt)
+    framed.foreach(fb => require(fb == sigBits || sigBits == 64,
+      s"simhashPairs: signature frame is $fb-bit keyed but sigBits=$sigBits " +
+        "was passed — band width must match the signature keying"))
+    val effBits = framed.getOrElse(sigBits)
+    require(effBits % 4 == 0, s"sigBits must split into 4 bands (got $effBits)")
+    val bandWidth = effBits / 4
     val bandMask = (1L << bandWidth) - 1
     val bands = (0 until 4).map { bd =>
       struct(lit(bd).as("band"),

@@ -585,7 +585,30 @@ object Similarity {
     * stage table. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, nCells: Option[Int] = None,
-      buckets: Option[Int] = None): Unit = {
+      buckets: Option[Int] = None): Unit =
+    compactGenerationSwap(spark, table) { next =>
+      val cells = nCells.getOrElse {
+        val n = readCentroids(spark, table).size
+        require(n > 0, s"compactIvfIndex: empty centroid table for '$table'")
+        n
+      }
+      val nBuckets = buckets.getOrElse(
+        bucketCountOf(spark, table, "compactIvfIndex"))
+      writeIvfIndex(
+        spark.table(table).select(col("cand_id").as("vec_id"),
+          col("cv").as("embedding")),
+        next, cells, nBuckets)
+    }
+
+  /** The crash-safe generation-swap skeleton shared by [[compactIvfIndex]]
+    * and [[compactIvfIndexFp]]: `rebuild(next)` must build the full new
+    * generation (bucketed main table, then its `__centroids` side table
+    * LAST — that table's existence is the rebuild-complete marker), and
+    * the swap itself is metadata-only renames. A re-run after a crash
+    * mid-swap finishes the swap instead of rebuilding; a crash
+    * mid-rebuild leaves the live index untouched. */
+  private def compactGenerationSwap(spark: org.apache.spark.sql.SparkSession,
+      table: String)(rebuild: String => Unit): Unit = {
     val next = s"${table}__compact_next"
     def finishSwap(): Unit = {
       if (spark.catalog.tableExists(next)) {
@@ -603,17 +626,7 @@ object Similarity {
       finishSwap()
       return
     }
-    val cells = nCells.getOrElse {
-      val n = readCentroids(spark, table).size
-      require(n > 0, s"compactIvfIndex: empty centroid table for '$table'")
-      n
-    }
-    val nBuckets = buckets.getOrElse(
-      bucketCountOf(spark, table, "compactIvfIndex"))
-    writeIvfIndex(
-      spark.table(table).select(col("cand_id").as("vec_id"),
-        col("cv").as("embedding")),
-      next, cells, nBuckets)
+    rebuild(next)
     finishSwap()
   }
 
@@ -631,6 +644,125 @@ object Similarity {
       .withColumn("qn", VectorOps.norm(col("qv")))
       .withColumn("cell", explode(nearestCells(col("qv"), nprobe))))
     // bounded collect: the probe list for one serving batch
+    val probed = qAssigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cAssigned = spark.table(table)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell"), col("cand_id"), col("cv"), col("cn"))
+    scoreCells(qAssigned, cAssigned, k)
+  }
+
+  // ------------------------------- fixed-point persisted IVF (hash-gated)
+
+  /** The fp-index centroid side table: `centroid_fp` is the integer
+    * (⌊x·10⁶⌋-space) centroid [[kMeansFp]] trained — stored as longs so
+    * the persisted index carries EXACTLY the arithmetic the DuckDB
+    * oracle replays; no float round-trip sits between training and
+    * serving. Sorted by cell so routing literals are positionally
+    * stable. */
+  private[graft] def readCentroidsFp(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Array[Array[Long]] =
+    spark.table(s"${table}__centroids")
+      .select(col("cell"), col("centroid_fp")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** Fixed-point cell column for a float-vector column under explicit
+    * integer centroids — the one assignment expression every fp index
+    * path (build, append, serve-routing) shares, so the persisted cells
+    * can never drift from the oracle's `ca` CTE. */
+  private def fpCellOf(cents: Array[Array[Long]])(cv: Column): Column =
+    fpCellScores(cents)(quantized(cv)).getItem(0).getField("cell")
+
+  /** [[writeIvfIndex]]'s hash-gated twin: md5-rank sample → integer
+    * Lloyd ([[ivfFpCentroids]]) → integer-L2 assignment → bucketed-by-
+    * cell write, with the integer centroids + base_rows in the side
+    * table. Every construction step is exact arithmetic the driver's
+    * DuckDB oracle unrolls, so "served from the persisted index ≡
+    * inline [[ivfFpTopK]]" stops being spec-only. */
+  def writeIvfIndexFp(candidates: DataFrame, table: String,
+      nCells: Int = 16, buckets: Int = 8, iters: Int = 10,
+      sampleCap: Int = 4096): Unit = {
+    val spark = candidates.sparkSession
+    val cents = ivfFpCentroids(candidates, nCells, iters, sampleCap)
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"))
+    Joins.writeBucketed(
+      c0.withColumn("cn", VectorOps.norm(col("cv")))
+        .withColumn("cell", fpCellOf(cents)(col("cv"))),
+      table, "cell", buckets)
+    val baseRows = spark.table(table).count()
+    import spark.implicits._
+    val centRows = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, baseRows) }
+      .toDF("cell", "centroid_fp", "base_rows")
+    Joins.dropTableAndLocation(spark, s"${table}__centroids")
+    centRows.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}__centroids")
+  }
+
+  /** [[appendToIvfIndex]]'s hash-gated twin: the delta is assigned to the
+    * index's EXISTING integer centroids and appended under the same
+    * bucket spec — work ∝ |delta|, base never read — and because the
+    * assignment is the same integer argmin the oracle replays, the
+    * maintenance law (base+delta served ≡ inline over the union under
+    * base-trained centroids) is driver-hash-checked, not spec-only. */
+  def appendToIvfIndexFp(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame): Unit = {
+    val cents = readCentroidsFp(spark, table)
+    require(cents.nonEmpty,
+      s"appendToIvfIndexFp: empty centroid table for '$table'")
+    val buckets = bucketCountOf(spark, table, "appendToIvfIndexFp")
+    delta.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .withColumn("cell", fpCellOf(cents)(col("cv")))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(table)
+  }
+
+  /** [[compactIvfIndex]]'s hash-gated twin: retrain on the CURRENT
+    * contents and rebuild under the same crash-safe generation swap.
+    * [[ivfFpCentroids]]' md5-rank sample is keyed by id alone, so
+    * retraining on base+delta contents draws exactly the sample a fresh
+    * build over the union would — "compacted ≡ fresh rebuild" becomes a
+    * driver hash equality instead of a spec assertion. */
+  def compactIvfIndexFp(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    compactGenerationSwap(spark, table) { next =>
+      val cells = readCentroidsFp(spark, table).length
+      require(cells > 0, s"compactIvfIndexFp: empty centroid table for '$table'")
+      val nBuckets = bucketCountOf(spark, table, "compactIvfIndexFp")
+      writeIvfIndexFp(
+        spark.table(table).select(col("cand_id").as("vec_id"),
+          col("cv").as("embedding")),
+        next, cells, nBuckets)
+    }
+
+  /** Serve fp-IVF top-k from a [[writeIvfIndexFp]] table: integer-L2
+    * query routing against the persisted integer centroids, the probed
+    * cells collapse to an `IN` filter (bucket pruning — only the probed
+    * cells' buckets are read), float cosine only in the final rank-only
+    * re-rank (the proven `vector_topk` gate shape). nprobe defaults to
+    * [[ivfFpTopK]]'s 4 so the served result IS the inline fp result. */
+  def ivfTopKIndexedFp(queries: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, table: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = readCentroidsFp(spark, table)
+    require(cents.nonEmpty,
+      s"ivfTopKIndexedFp: empty centroid table for '$table'")
+    // persisted for the same reason as ivfTopKIndexed: the routed batch
+    // feeds both the probe-list collect and the scoring join
+    val qAssigned = Dedup.memoPersist(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+      .withColumn("cell", explode(transform(
+        slice(fpCellScores(cents)(quantized(col("qv"))), 1, nprobe),
+        s => s.getField("cell")))))
     val probed = qAssigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val cAssigned = spark.table(table)
@@ -796,6 +928,81 @@ object Similarity {
       remaining.remove(best._1)
       remaining.values.foreach { case (pid, pv, _) =>
         val s = cos(best._2, pv)
+        if (s > maxSim(pid)) maxSim(pid) = s
+      }
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (pid, i) => (i + 1L, pid) }.toDF("rank", "id")
+  }
+
+  /** **Fixed-point MMR** — [[mmrSelect]]'s hash-gated twin (the
+    * `corpus_clusters_fp`/`vector_ivf_fp` discipline applied to the
+    * greedy argmax): vectors are L2-normalized then quantized to
+    * ⌊x/‖x‖·10⁶⌋ longs (the norm is a left-to-right double
+    * sum-of-squares both engines replay bit-identically; everything
+    * after the floor is integer), similarities are exact integer dots,
+    * relevance min-max-normalizes to a ⌊·10¹²⌋ integer via truncating
+    * division, and λ=0.7 becomes the integer weights 7/3 — so score
+    * comparisons, ties (score desc, id asc), and the whole k-step greedy
+    * fold are order-free exact arithmetic a DuckDB oracle unrolls as k
+    * chained CTEs. Same driver-side greedy loop and bounded-pool collect
+    * as [[mmrSelect]] (the broadcast-seeds discipline); the float form
+    * stays the production default. */
+  def mmrSelectFp(candidates: DataFrame, id: Column, vec: Column,
+      relevance: Column, k: Int, poolSize: Int): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need k >= 1 and poolSize >= k")
+    val spark = candidates.sparkSession
+    val pool = candidates
+      .select(id.as("id"), vec.as("v"), relevance.cast("long").as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Float](1).toArray
+        var n2 = 0.0
+        var i = 0
+        while (i < raw.length) { n2 += raw(i).toDouble * raw(i).toDouble; i += 1 }
+        val n = math.sqrt(n2)
+        val q = raw.map(x =>
+          if (n == 0) 0L else math.floor(x.toDouble / n * 1000000.0).toLong)
+        (r.getLong(0), q, r.getLong(2))
+      }
+    require(pool.nonEmpty, "mmrSelectFp: empty candidate pool")
+    val (relLo, relHi) = (pool.map(_._3).min, pool.map(_._3).max)
+    // (rel−lo)·10¹² // (hi−lo): non-negative operands, so Java trunc ==
+    // DuckDB floor division. Loud cap: the scaled numerator must fit a
+    // long — raise instead of wrapping silently (ANSI-off Spark has no
+    // such guard, but this runs on the driver).
+    require(relHi - relLo <= 4000000L,
+      s"mmrSelectFp: relevance range ${relHi - relLo} overflows the 10^12 scale")
+    def relScaled(x: Long): Long =
+      if (relHi == relLo) 1000000000000L
+      else (x - relLo) * 1000000000000L / (relHi - relLo)
+    def dotFp(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    val maxSim = scala.collection.mutable.LongMap.empty[Long]
+    pool.foreach(p => maxSim(p._1) = 0L)
+    while (selected.length < math.min(k, pool.length)) {
+      var bestId = -1L
+      var bestScore = Long.MinValue
+      remaining.values.foreach { case (pid, _, prel) =>
+        val sc = 7L * relScaled(prel) - 3L * maxSim(pid)
+        if (sc > bestScore || (sc == bestScore && pid < bestId)) {
+          bestScore = sc; bestId = pid
+        }
+      }
+      val best = remaining(bestId)
+      selected += bestId
+      remaining.remove(bestId)
+      remaining.values.foreach { case (pid, pv, _) =>
+        val s = dotFp(best._2, pv)
         if (s > maxSim(pid)) maxSim(pid) = s
       }
     }

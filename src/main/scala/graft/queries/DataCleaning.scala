@@ -1112,11 +1112,15 @@ object DataCleaning {
       .orderBy("node")
   }
 
-  // unrolled peel: 18 (degree-filter, edge-narrow) rounds — fixpoint is
+  // unrolled peel: 19 (degree-filter, edge-narrow) rounds — fixpoint is
   // 12 at sf0.01 (measured), and a converged round is a no-op, so the
-  // margin is pure safety
+  // margin is pure safety. 19 not 18: the convergence guard compares
+  // the LAST TWO rounds, and certifying round N as the core requires a
+  // round N+1 that changed nothing — a dataset whose peel first
+  // stabilizes exactly at the second-to-last round is thereby certified
+  // instead of erroring on a correct result (r12 advice).
   private val graphKcoreSql: String = {
-    val rounds = 18
+    val rounds = 19
     val header =
       """WITH ep AS (
         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -1145,7 +1149,7 @@ object DataCleaning {
          |SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
          |FROM e$rounds CROSS JOIN conv
          |WHERE CASE WHEN ok THEN TRUE
-         |           ELSE error('graph_kcore oracle: $rounds unrolled rounds did not reach the peel fixpoint — raise the unroll count') END
+         |           ELSE error('graph_kcore oracle: cannot certify peel convergence within $rounds unrolled rounds — raise the unroll count') END
          |GROUP BY x ORDER BY node""".stripMargin
   }
 
@@ -2333,6 +2337,19 @@ object DataCleaning {
       .withColumn("__d",
         expr("""CAST(cur_n AS DECIMAL(38,0)) * nb
                 - CAST(base_n AS DECIMAL(38,0)) * nc"""))
+      // loud cap on the squared term: |__d| past 10¹⁶ would push
+      // __d²·10⁶ beyond DECIMAL(38,0) — ANSI-off Spark NULLs the
+      // product silently while the DuckDB twin raises on HUGEINT
+      // overflow, so the engines would diverge exactly at the
+      // magnitudes this report exists to monitor. Raise instead
+      // (the stats_moments / cusum_changepoint discipline); hitting
+      // it means both snapshot sizes are ≥ ~10⁸ rows per bin and the
+      // report needs a wider scale, not a silent NULL.
+      .withColumn("__d",
+        when(abs(col("__d")) > lit(new java.math.BigDecimal("10000000000000000")),
+          raise_error(lit("drift_report: chi2 term exceeds DECIMAL(38,0) — rescale"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .otherwise(col("__d")))
       .withColumn("__num", expr("__d * __d * 1000000"))
       .withColumn("chi2_scaled",
         when(col("base_n") === 0L, lit(null).cast("long"))

@@ -537,6 +537,79 @@ object LlmOps {
       .orderBy("rank")
   }
 
+  /** **Fixed-point MMR, HASH-CHECKED** ([[Similarity.mmrSelectFp]]):
+    * the same 50-from-200 diverse coreset as [[mmrSelectQ]], but with
+    * quantized-normalized integer similarities, a ⌊·10¹²⌋ integer
+    * relevance scale, and 7/3 integer weights — the greedy argmax
+    * becomes exact arithmetic, and the oracle unrolls all 50 selection
+    * steps as chained MATERIALIZED CTEs (the `corpus_clusters_fp`
+    * pattern). The float [[mmrSelectQ]] stays registered as the
+    * production form; this twin puts the greedy MMR LAW itself —
+    * marginal score, running max-sim, tie order — under the driver's
+    * hash gate. */
+  def mmrSelectFpQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val rel = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("n_chars"))
+    Similarity.mmrSelectFp(e.join(rel, "vec_id"),
+        id = col("vec_id"), vec = col("embedding"),
+        relevance = col("n_chars"), k = 50, poolSize = 200)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("rank")
+  }
+
+  private lazy val mmrSelectFpSql: String = {
+    val (k, pool) = (50, 200)
+    // left-associative 64-term self-dot chain — mirrors the engine's
+    // sequential double accumulation exactly (the FloatVecDot idiom)
+    val selfDot = (1 to 64).map(j =>
+      s"CAST(v[$j] AS DOUBLE) * CAST(v[$j] AS DOUBLE)").mkString(" + ")
+    val steps = (2 to k).map { t =>
+      s"""sel$t AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT r.id, r.relsc,
+         |      GREATEST(COALESCE(MAX(p.dt), 0), 0) AS ms
+         |    FROM rel2 r
+         |    LEFT JOIN pairs p ON p.ida = r.id
+         |      AND p.idb IN (SELECT id FROM selall${t - 1})
+         |    WHERE r.id NOT IN (SELECT id FROM selall${t - 1})
+         |    GROUP BY r.id, r.relsc)
+         |  ORDER BY 7 * relsc - 3 * ms DESC, id LIMIT 1),
+         |selall$t AS MATERIALIZED (
+         |  SELECT id FROM selall${t - 1} UNION ALL SELECT id FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, id AS vec_id FROM sel$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pool AS MATERIALIZED (
+       |  SELECT id, rel, v FROM (
+       |    SELECT e.vec_id AS id, d.n_chars AS rel, e.embedding AS v,
+       |      row_number() OVER (ORDER BY d.n_chars DESC, e.vec_id) AS rn
+       |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+       |  WHERE rn <= $pool),
+       |pooln AS MATERIALIZED (
+       |  SELECT id, rel, v, sqrt($selfDot) AS n FROM pool),
+       |rel2 AS MATERIALIZED (
+       |  SELECT id,
+       |    list_transform(v, x -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(FLOOR(CAST(x AS DOUBLE) / n * 1000000.0) AS BIGINT) END) AS q,
+       |    CASE WHEN mx = mn THEN CAST(1000000000000 AS BIGINT)
+       |      ELSE (rel - mn) * CAST(1000000000000 AS BIGINT) // (mx - mn) END AS relsc
+       |  FROM pooln, (SELECT MIN(rel) AS mn, MAX(rel) AS mx FROM pooln)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS ida, b.id AS idb,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dt
+       |  FROM rel2 a JOIN rel2 b ON a.id <> b.id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT id FROM rel2 ORDER BY 7 * relsc DESC, id LIMIT 1),
+       |selall1 AS MATERIALIZED (SELECT id FROM sel1),
+       |$steps
+       |SELECT rank, vec_id FROM (
+       |$ranks)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** LSH multi-probe ANN, HASH-CHECKED: the hyperplanes are seeded
     * constants (data, not algorithm), so the oracle embeds the same 6×64
     * floats as DOUBLE literals and replays the ENTIRE pipeline — sign
@@ -725,7 +798,7 @@ object LlmOps {
     * assignment `ca(cand_id, cell)`), used by both fixed-point-routed
     * queries so the Lloyd replay cannot drift between them. */
   private def ivfFpLloydCtes(iters: Int = 10, nCells: Int = 16,
-      cap: Int = 4096): String = {
+      cap: Int = 4096, sampleWhere: String = ""): String = {
     val rounds = (1 to iters).map { t =>
       s"""a$t AS MATERIALIZED (
          |  SELECT rn, qv, cell FROM (
@@ -752,7 +825,7 @@ object LlmOps {
        |    SELECT row_number() OVER (
        |        ORDER BY md5('graftivffp' || CAST(vec_id AS VARCHAR)), vec_id) AS rn,
        |      qv
-       |    FROM qd) WHERE rn <= $cap),
+       |    FROM qd$sampleWhere) WHERE rn <= $cap),
        |c0 AS MATERIALIZED (
        |  SELECT rn - 1 AS cell, qv AS cv FROM smpi WHERE rn <= $nCells),
        |$rounds,
@@ -768,9 +841,15 @@ object LlmOps {
     * `corpus_clusters_fp` oracle (one replay, two gated consumers). */
   private[queries] lazy val ivfFpLloydCtesShared: String = ivfFpLloydCtes()
 
-  private lazy val vectorIvfFpSql: String = {
+  /** The full fp-IVF oracle (Lloyd replay → corpus assignment → query
+    * probe routing → rank-only cosine re-rank), parameterized by the
+    * training-sample predicate so the persisted-index maintenance twins
+    * reuse it: the serve tail is IDENTICAL whether the engine computed
+    * inline, from a persisted index, or from a compacted one — that
+    * equality is exactly the maintenance law under gate. */
+  private def ivfFpServeSql(sampleWhere: String = ""): String = {
     val (iters, nprobe) = (10, 4)
-    s"""WITH ${ivfFpLloydCtes(iters)},
+    s"""WITH ${ivfFpLloydCtes(iters, sampleWhere = sampleWhere)},
        |qp AS MATERIALIZED (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cell,
@@ -791,6 +870,8 @@ object LlmOps {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  private lazy val vectorIvfFpSql: String = ivfFpServeSql()
 
   /** Serving from the **persisted IVF index** ([[Similarity
     * .writeIvfIndex]] / [[Similarity.ivfTopKIndexed]]): build the
@@ -849,6 +930,68 @@ object LlmOps {
     Similarity.compactIvfIndex(spark, "graft_ivf_compact_index")
     Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 20), spark,
         "graft_ivf_compact_index", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** **Persisted fp-IVF serving, HASH-CHECKED** ([[Similarity
+    * .writeIvfIndexFp]] / [[Similarity.ivfTopKIndexedFp]]): build the
+    * bucketed integer-centroid index, then serve the query batch from it
+    * with bucket-pruned scans. The oracle is the INLINE fp replay
+    * ([[vectorIvfFp]]'s own SQL, verbatim) — the driver hash equality IS
+    * the "served from index ≡ inline" maintenance law, previously
+    * spec-only. Timed query includes the index write (the `bucketed_join`
+    * layout-investment accounting). */
+  def vectorIvfIndexedFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndexFp(e, "graft_ivf_fp_index")
+    Similarity.ivfTopKIndexedFp(e.filter(col("vec_id") < 20), spark,
+        "graft_ivf_fp_index", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** **Incremental fp-IVF maintenance, HASH-CHECKED** ([[Similarity
+    * .appendToIvfIndexFp]]): 90% of the corpus builds the index, the
+    * other 10% appends as a delta assigned to the EXISTING integer
+    * centroids (work ∝ |delta|, no rebuild), then the query batch serves
+    * from the combined index. The oracle replays the Lloyd training over
+    * the BASE sample only (`vec_id % 10 <> 0`) and assigns the FULL
+    * corpus to those centroids — exactly the "base+delta served ≡ inline
+    * over the union under base-trained centroids" law, now a driver hash
+    * equality. */
+  def vectorIvfDeltaFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 10 =!= 0),
+      "graft_ivf_fp_delta_index")
+    Similarity.appendToIvfIndexFp(spark, "graft_ivf_fp_delta_index",
+      e.filter(col("vec_id") % 10 === 0))
+    Similarity.ivfTopKIndexedFp(e.filter(col("vec_id") < 20), spark,
+        "graft_ivf_fp_delta_index", k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorIvfDeltaFpSql: String =
+    ivfFpServeSql(sampleWhere = " WHERE vec_id % 10 <> 0")
+
+  /** **fp-IVF compaction, HASH-CHECKED** ([[Similarity
+    * .compactIvfIndexFp]]): build on 60%, append 40% against the stale
+    * centroids (maximal drift pressure), compact — retrain on the full
+    * contents + rebuild under the crash-safe generation swap — then
+    * serve. [[Similarity.ivfFpCentroids]]' md5-rank sample is keyed by
+    * id alone, so the retrain draws the fresh-build sample exactly: the
+    * oracle is the plain full-corpus fp replay, and the hash equality IS
+    * "compacted ≡ fresh rebuild". */
+  def vectorIvfCompactFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 5 < 3),
+      "graft_ivf_fp_compact_index")
+    Similarity.appendToIvfIndexFp(spark, "graft_ivf_fp_compact_index",
+      e.filter(col("vec_id") % 5 >= 3))
+    Similarity.compactIvfIndexFp(spark, "graft_ivf_fp_compact_index")
+    Similarity.ivfTopKIndexedFp(e.filter(col("vec_id") < 20), spark,
+        "graft_ivf_fp_compact_index", k = 5)
       .select("query_id", "cand_id", "rank")
       .orderBy("query_id", "rank")
   }
@@ -2943,11 +3086,15 @@ object LlmOps {
     Q("vector_ann_recall", vectorAnnRecallSql)(vectorAnnRecall),
     Q("vector_ivf_fp", vectorIvfFpSql)(vectorIvfFp),
     Q.noOracle("mmr_select")(mmrSelectQ),
+    Q("mmr_select_fp", mmrSelectFpSql)(mmrSelectFpQ),
     Q.noOracle("vector_pca_route")(vectorPcaRoute),
     Q.noOracle("vector_ivf")(vectorIvf),
     Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),
     Q.noOracle("vector_ivf_delta")(vectorIvfDelta),
     Q.noOracle("vector_ivf_compact")(vectorIvfCompact),
+    Q("vector_ivf_indexed_fp", vectorIvfFpSql)(vectorIvfIndexedFp),
+    Q("vector_ivf_delta_fp", vectorIvfDeltaFpSql)(vectorIvfDeltaFp),
+    Q("vector_ivf_compact_fp", vectorIvfFpSql)(vectorIvfCompactFp),
     Q.noOracle("vector_pq")(vectorPq),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),

@@ -132,6 +132,19 @@ class DedupSimilaritySpec extends SparkTestBase {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 4L)))
+    // the keying rides in the frame: a 60-bit md5-keyed signature bands
+    // as 60 under the DEFAULT parameter (metadata wins), and an
+    // explicitly disagreeing band width refuses loudly
+    val md5Sig = Dedup.simhashSignatures(docs, col("doc_id"), col("text"),
+      md5Keyed = true)
+    val viaMeta = Dedup.simhashPairs(md5Sig, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(viaMeta == explicit)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = 56)
+    }
   }
 
   test("FloatVecDot equals the higher-order-function formulation") {
@@ -429,6 +442,58 @@ class DedupSimilaritySpec extends SparkTestBase {
       .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(rebuilt == before, "orphan partial rebuild leaked into the index")
     assert(!spark.catalog.tableExists("ivf_crash_spec__compact_next"))
+  }
+
+  test("fp persisted IVF: served ≡ inline, delta cells ≡ independent recompute, compact ≡ fresh") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    // (1) served from the persisted fp index ≡ inline ivfFpTopK exactly
+    Similarity.writeIvfIndexFp(e, "ivf_fp_idx_spec")
+    val served = Similarity.ivfTopKIndexedFp(q, spark, "ivf_fp_idx_spec", k = 5)
+    val inline = Similarity.ivfFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = served.select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == inline && got.nonEmpty)
+    // ...with a bucket-pruned index scan, like the float index
+    val plan = served.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n${plan.take(1200)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+    // (2) delta append assigns to the BASE-trained integer centroids:
+    // every stored cell (base and delta rows alike) matches an
+    // INDEPENDENT driver recompute — quantize, integer L2, strict-<
+    // argmin — against the index's own centroid table
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    Similarity.writeIvfIndexFp(base, "ivf_fp_delta_spec")
+    Similarity.appendToIvfIndexFp(spark, "ivf_fp_delta_spec", delta)
+    val cents = Similarity.readCentroidsFp(spark, "ivf_fp_delta_spec")
+    val stored = spark.table("ivf_fp_delta_spec")
+      .select(col("cand_id"), col("cell")).as[(Long, Int)].collect().toMap
+    val expect = e.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val qv = r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000000.0).toLong).toArray
+      var best = 0; var bd = Long.MaxValue
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var s = 0L; var j = 0
+        while (j < qv.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = i }
+      }
+      r.getLong(0) -> best
+    }.toMap
+    assert(stored == expect, "stored fp cells drift from the integer argmin")
+    assert(stored.keys.exists(_ % 10 == 0), "no delta row reached the index")
+    // (3) compact after drift ≡ a fresh full build, exact row identity
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 5 < 3), "ivf_fp_cpt_spec")
+    Similarity.appendToIvfIndexFp(spark, "ivf_fp_cpt_spec",
+      e.filter(col("vec_id") % 5 >= 3))
+    Similarity.compactIvfIndexFp(spark, "ivf_fp_cpt_spec")
+    assert(Similarity.ivfDriftFraction(spark, "ivf_fp_cpt_spec") == 0.0)
+    val compacted = Similarity.ivfTopKIndexedFp(q, spark, "ivf_fp_cpt_spec", k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(compacted == got && compacted.nonEmpty,
+      "compacted fp index serves differently from a fresh full build")
   }
 
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {

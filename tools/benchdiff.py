@@ -17,7 +17,16 @@ noise fields instead of a bare ratio:
   - LOAD?: wall grew but cpu stayed flat (sustained external load — the
     signature the r7 driver run showed on llm_clean_corpus), or either
     run's own spread already flags noise;
+  - STEAL?: wall AND cpu grew in step, BUT the run's own /proc/stat
+    steal sampling (per-query `steal` / headline `steal_pct`, emitted
+    by Bench since r13) is elevated (> 1%) on either side while the
+    query's parallelism stayed flat — the r12 hypervisor-steal
+    signature (uniform wall+cpu growth on unchanged code, adjudicated
+    by hand in SCALING.md; this class codifies it). Non-gating.
   - IMPROVED / ~same otherwise.
+Artifacts that predate the steal fields can have a measured value
+injected: `--steal-old X` / `--steal-new Y` (percent), e.g. the r12
+night's hand-measured 5.2.
 Queries present in only one artifact are listed separately. Exit code 1
 iff any REGRESSION or grew? was found, so a round script can gate on it.
 If either artifact carries host_load_suspect=true (wall≈cpu parallelism
@@ -34,10 +43,17 @@ def load(p):
 
 
 def main():
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    steal_inject = {"old": None, "new": None}
+    for flag, key in (("--steal-old", "old"), ("--steal-new", "new")):
+        if flag in args:
+            i = args.index(flag)
+            steal_inject[key] = float(args[i + 1])
+            del args[i:i + 2]
+    if len(args) < 2:
         sys.exit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    old, new = load(args[0]), load(args[1])
+    thr = float(args[2]) if len(args) > 2 else 1.3
     oq, nq = old["queries"], new["queries"]
     osp, nsp = old.get("spread", {}), new.get("spread", {})
     ocpu, ncpu = old.get("cpu", {}), new.get("cpu", {})
