@@ -869,6 +869,188 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** **Fixed-point IVF-PQ** — [[ivfPqTopK]]'s hash-gated twin, closing
+    * the last training-dependent oracle boundary in the ANN family: the
+    * coarse quantizer AND the m per-subspace codebooks are integer Lloyd
+    * ([[kMeansFp]]) over the SAME md5-rank sample (each book trains on
+    * the sample's d-dim slices, seeded by its first kSub slices), encode
+    * is an integer-L2 argmin per subspace (ties → smaller code), and ADC
+    * is the integer **L2 form**: adc(q, c) = Σₛ ‖q_s − bookₛ[cₛ]‖² —
+    * every arithmetic step up to the shortlist replays exactly in
+    * DuckDB. Only the final refine re-rank is float cosine (rank-only —
+    * the proven `vector_topk` gate shape). Geometry is deliberately
+    * smaller than production [[ivfPqTopK]] (m=4×16-dim books of 16 codes
+    * vs 8×8 of 32): the twin gates the PQ SHAPE — train → encode → ADC
+    * shortlist → exact refine — not the production tuning, and the
+    * smaller unroll keeps the oracle's 60 Lloyd CTEs tractable. */
+  def ivfPqFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 4, kSub: Int = 16,
+      dim: Int = 64, refine: Int = 8, iters: Int = 10, subIters: Int = 5,
+      sampleCap: Int = 4096): DataFrame = {
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m $m")
+    val d = dim / m
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
+    val sample = c0
+      .orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
+        col("cand_id"))
+      .limit(sampleCap)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val coarse = kMeansFp(sample, sample.take(nCells), iters)
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      val slices = sample.map(_.slice(s * d, (s + 1) * d))
+      kMeansFp(slices, slices.take(kSub), subIters)
+    }
+    def sliceOf(v: Column, s: Int): Column = slice(v, s * d + 1, d)
+    def codeOf(v: Column, s: Int): Column =
+      array_sort(array(books(s).zipWithIndex.map { case (cb, j) =>
+        struct(fpDist(sliceOf(v, s), cb).as("d"), lit(j).as("code"))
+      }: _*)).getItem(0).getField("code")
+    val enc = c0.select(
+      (col("cand_id") +:
+        fpCellScores(coarse)(col("qv")).getItem(0).getField("cell").as("cell") +:
+        (0 until m).map(s => codeOf(col("qv"), s).as(s"__c$s"))): _*)
+    val qA = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvf"),
+        quantized(col("embedding")).as("qq"))
+      .withColumn("qn", VectorOps.norm(col("qvf")))
+      .withColumn("cell", explode(transform(
+        slice(fpCellScores(coarse)(col("qq")), 1, nprobe),
+        s => s.getField("cell"))))
+    // integer ADC: per subspace, L2 between the query's quantized slice
+    // and the codebook row the candidate's code names (typedlit 2-D
+    // literal + element_at — no decode, no float)
+    val adc = (0 until m).map { s =>
+      val bookLit = typedLit(books(s).map(_.toSeq).toSeq)
+      aggregate(
+        zip_with(sliceOf(col("qq"), s),
+          element_at(bookLit, col(s"__c$s") + 1),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    val shortlist = qA.join(enc, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qvf").as("qv"),
+        col("qn"), adc.as("adc"))
+      .withColumn("rank_adc", row_number().over(wAdc))
+      .filter(col("rank_adc") <= k * refine)
+    val raw = c0.select(col("cand_id"), col("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    shortlist.join(raw, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Fixed-point trunc-division (Java `/` semantics, divisor > 0) — the
+    * arithmetic [[pcaRouteFpTopK]]'s oracle mirrors with an explicit
+    * CASE (DuckDB `//` floors on negatives, Java truncates). */
+  private def truncDiv(a: Long, b: Long): Long = a / b
+
+  /** **Fixed-point PCA route-then-refine** — [[pcaRouteTopK]]'s
+    * hash-gated twin, breaking the "float eigensolve has no SQL twin"
+    * oracle boundary the same way `vector_ivf_fp` broke k-means': every
+    * training step is integer arithmetic a DuckDB oracle unrolls.
+    *  - the second-moment Gram is [[EmbeddingPca.gramQuantized]]'s exact
+    *    integer aggregate (already the hash-green `embedding_gram`),
+    *    normalized per entry by trunc-div n·10⁶ so magnitudes are
+    *    corpus-size-free;
+    *  - the eigensolve is **fixed-point power iteration with integer
+    *    rescale** (v ← (G·v) / ((max|G·v| / 10³) + 1), T rounds) plus
+    *    integer Rayleigh deflation (λ = vᵀGv / vᵀv; G ← G − v vᵀ λ/vᵀv)
+    *    for kDims components — bounded 64×64 driver work, every divide
+    *    truncating;
+    *  - routing projects each quantized vector onto the integer
+    *    components (p = Σ qᵢvᵢ / 10³) and shortlists by integer L2 in
+    *    the reduced space; only the final refine re-rank is float
+    *    cosine (rank-only — the proven gate shape).
+    * The float [[pcaRouteTopK]] (true eigensolve, cosine routing) stays
+    * the production path — fixed-point power iteration trades eigen
+    * accuracy for replayability, which only costs shortlist recall, and
+    * the gate is engine≡oracle, not eigen-optimality. */
+  def pcaRouteFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kDims: Int = 2, powerIters: Int = 8, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    // bounded collect: the 64×64 upper-triangle integer Gram (2,080 rows)
+    val gramRows = EmbeddingPca
+      .gramQuantized(candidates, col("vec_id"), col("embedding"))
+      .collect()
+    val dim = gramRows.map(_.getLong(1)).max.toInt + 1
+    val n = gramRows.head.getLong(2)
+    require(n > 0, "pcaRouteFpTopK: empty candidate corpus")
+    val g = Array.ofDim[Long](dim, dim)
+    gramRows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val v = truncDiv(r.getLong(3), n * EmbeddingPca.fpScale)
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    // kDims rounds of fixed-point power iteration + Rayleigh deflation
+    val comps = Array.ofDim[Long](kDims, dim)
+    for (c <- 0 until kDims) {
+      var v = Array.fill(dim)(1000L)
+      def matvec(x: Array[Long]): Array[Long] =
+        Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * x(j)).sum)
+      for (_ <- 0 until powerIters) {
+        val w = matvec(v)
+        val md = truncDiv(w.map(math.abs).max, 1000L) + 1L
+        v = w.map(truncDiv(_, md))
+      }
+      val w = matvec(v)
+      val num = v.zip(w).map { case (a, b) => a * b }.sum
+      val den = v.map(x => x * x).sum
+      require(den > 0,
+        s"pcaRouteFpTopK: component $c collapsed to zero — degenerate Gram")
+      val lam = truncDiv(num, den)
+      comps(c) = v
+      for (i <- 0 until dim; j <- 0 until dim)
+        g(i)(j) -= truncDiv(v(i) * v(j) * lam, den)
+    }
+    // integer projections (p_c = Σ q_i·v_c_i / 10³ — `div`, not `/`:
+    // trunc division in both engines) + reduced-space L2 shortlist
+    def projected(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val qv = quantized(col("__v"))
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+        .withColumn("__v", col(vecAs))
+        .select(
+          (col(idAs) +: col(vecAs) +: (0 until kDims).map { c =>
+            aggregate(zip_with(qv, lit(comps(c)), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as(s"__praw$c")
+          }): _*)
+        .select(
+          (col(idAs) +: col(vecAs) +: (0 until kDims).map(c =>
+            expr(s"__praw$c div 1000").as(s"${idAs}_p$c"))): _*)
+    }
+    val qP = projected(queries, "query_id", "qv")
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val cP = projected(candidates, "cand_id", "cv")
+    val l2r = (0 until kDims).map(c =>
+        (col(s"query_id_p$c") - col(s"cand_id_p$c")) *
+          (col(s"query_id_p$c") - col(s"cand_id_p$c")))
+      .reduce(_ + _)
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("cand_id"))
+    val short = cP.join(broadcast(qP), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("qn"),
+        col("cv"), l2r.as("l2"))
+      .withColumn("rank_route", row_number().over(wS))
+      .filter(col("rank_route") <= shortlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    short
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * VectorOps.norm(col("cv")))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** **Maximal-marginal-relevance selection** (Carbonell & Goldstein
     * 1998) — the diversity-aware coreset picker a training-mix /
     * few-shot pipeline needs where plain top-k-by-quality returns

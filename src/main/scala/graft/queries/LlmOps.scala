@@ -793,6 +793,11 @@ object LlmOps {
   private def fpL2Sql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
 
+  /** Dim-parameterized integer L2 (the PQ subspace form — callers wrap
+    * slice expressions in parens so `[i]` indexes the slice). */
+  private def fpL2SqlDim(a: String, b: String, d: Int): String =
+    s"list_sum(list_transform(range(1, ${d + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
   /** Shared oracle prefix replaying [[Similarity.kMeansFp]] (quantize →
     * md5-rank sample/seeds → `iters` unrolled Lloyd rounds → corpus cell
     * assignment `ca(cand_id, cell)`), used by both fixed-point-routed
@@ -994,6 +999,214 @@ object LlmOps {
         "graft_ivf_fp_compact_index", k = 5)
       .select("query_id", "cand_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** **Fixed-point IVF-PQ, HASH-CHECKED** ([[Similarity.ivfPqFpTopK]]):
+    * coarse quantizer AND the 4 subspace codebooks are integer Lloyd
+    * over the shared md5-rank sample, encode is an integer argmin per
+    * subspace, ADC is integer L2 — the oracle unrolls ALL of it (the
+    * coarse replay plus 4×5 subspace Lloyd rounds as chained CTEs),
+    * with only the final refine re-rank float (rank-only). Closes the
+    * round-12 "PQ codebooks are engine-specific" oracle boundary; the
+    * float [[vectorPq]] stays the production path. */
+  def vectorPqFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfPqFpTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorPqFpSql: String = {
+    val (iters, nprobe, m, kSub, d, refine, subIters) = (10, 4, 4, 16, 16, 8, 5)
+    def sliceExpr(base: String): Int => String =
+      s => s"($base[${s * d + 1}:${s * d + d}])"
+    // per-subspace codebook Lloyd replay: slices of the SAME smpi sample,
+    // seeds = its first kSub slices, 5 unrolled rounds each
+    val bookCtes = (0 until m).map { s =>
+      val rounds = (1 to subIters).map { t =>
+        s"""pa$s$t AS MATERIALIZED (
+           |  SELECT rn, sv, cell FROM (
+           |    SELECT s.rn, s.sv, c.cell,
+           |      row_number() OVER (PARTITION BY s.rn
+           |        ORDER BY ${fpL2SqlDim("(s.sv)", "(c.cv)", d)}, c.cell) AS rnk
+           |    FROM sl$s s CROSS JOIN b$s${t - 1} c) WHERE rnk = 1),
+           |pu$s$t AS MATERIALIZED (
+           |  SELECT cell, list(v ORDER BY dim) AS cv FROM (
+           |    SELECT a.cell, i AS dim, SUM(a.sv[CAST(i AS INT)]) // COUNT(*) AS v
+           |    FROM pa$s$t a, UNNEST(range(1, ${d + 1})) AS t(i)
+           |    GROUP BY a.cell, i) GROUP BY cell),
+           |b$s$t AS MATERIALIZED (
+           |  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+           |  FROM b$s${t - 1} p LEFT JOIN pu$s$t u ON u.cell = p.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""sl$s AS MATERIALIZED (
+         |  SELECT rn, ${sliceExpr("qv")(s)} AS sv FROM smpi),
+         |b${s}0 AS MATERIALIZED (
+         |  SELECT rn - 1 AS cell, sv AS cv FROM sl$s WHERE rn <= $kSub),
+         |$rounds""".stripMargin
+    }.mkString(",\n")
+    // encode: per subspace, the argmin-distance code for every candidate
+    val encCtes = (0 until m).map { s =>
+      s"""e$s AS MATERIALIZED (
+         |  SELECT cand_id, code FROM (
+         |    SELECT q.vec_id AS cand_id, b.cell AS code,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${fpL2SqlDim(sliceExpr("q.qv")(s), "(b.cv)", d)}, b.cell) AS rnk
+         |    FROM qd q CROSS JOIN b$s$subIters b) WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcTerms = (0 until m).map { s =>
+      fpL2SqlDim(sliceExpr("q.qv")(s), s"(bb$s.cv)", d)
+    }.mkString("\n    + ")
+    val adcJoins = (0 until m).map { s =>
+      s"  JOIN e$s ON e$s.cand_id = c.cand_id\n" +
+        s"  JOIN b$s$subIters bb$s ON bb$s.cell = e$s.code"
+    }.mkString("\n")
+    s"""WITH ${ivfFpLloydCtes(iters)},
+       |$bookCtes,
+       |$encCtes,
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${fpL2Sql("q.qv", "c.cv")}, c.cell) AS pr
+       |    FROM qd q CROSS JOIN c$iters c WHERE q.vec_id < 20) WHERE pr <= $nprobe),
+       |cnd AS MATERIALIZED (
+       |  SELECT DISTINCT qp.query_id, ca.cand_id
+       |  FROM qp JOIN ca USING (cell) WHERE ca.cand_id <> qp.query_id),
+       |adcs AS MATERIALIZED (
+       |  SELECT c.query_id, c.cand_id,
+       |    $adcTerms AS adc
+       |  FROM cnd c
+       |  JOIN qd q ON q.vec_id = c.query_id
+       |$adcJoins),
+       |shl AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, cand_id) AS ra
+       |    FROM adcs) WHERE ra <= ${5 * refine})
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT s.query_id, s.cand_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) DESC,
+       |      s.cand_id) AS rank
+       |  FROM shl s JOIN embeddings q ON q.vec_id = s.query_id
+       |             JOIN embeddings c ON c.vec_id = s.cand_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** **Fixed-point PCA route, HASH-CHECKED** ([[Similarity
+    * .pcaRouteFpTopK]]): the integer Gram (the hash-green
+    * `embedding_gram` aggregate, trunc-normalized per entry), a
+    * fixed-point power-iteration eigensolve (8 unrolled rounds × 2
+    * components, integer rescale, integer Rayleigh deflation), integer
+    * projection routing, reduced-space integer-L2 shortlist — ALL
+    * replayed by the oracle; only the final refine re-rank is float
+    * (rank-only). Breaks the round-5..12 "float eigensolve has no SQL
+    * twin" boundary; the float [[vectorPcaRoute]] stays the production
+    * path. Every division is trunc (Spark `div`/Java `/`), which the
+    * oracle mirrors with an explicit CASE because DuckDB `//` floors
+    * on negatives. */
+  def vectorPcaRouteFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pcaRouteFpTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorPcaRouteFpSql: String = {
+    val (kDims, powerIters, shortlist) = (2, 8, 50)
+    // trunc division (Java `/` == Spark `div`); DuckDB `//` floors, so
+    // negatives need the explicit CASE. Divisors are positive at every
+    // use site (n·10⁶, md ≥ 1, den > 0-or-loud-error, 10³).
+    def td(a: String, b: String): String =
+      s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+    val comps = (0 until kDims).map { c =>
+      val iterCtes = (1 to powerIters).map { t =>
+        s"""w$c$t AS MATERIALIZED (
+           |  SELECT g.i AS j, CAST(SUM(g.v * x.val) AS BIGINT) AS val
+           |  FROM g$c g JOIN v$c${t - 1} x ON x.j = g.j GROUP BY g.i),
+           |m$c$t AS MATERIALIZED (
+           |  SELECT (MAX(ABS(val)) // 1000) + 1 AS md FROM w$c$t),
+           |v$c$t AS MATERIALIZED (
+           |  SELECT j, ${td("val", "md")} AS val FROM w$c$t, m$c$t)""".stripMargin
+      }.mkString(",\n")
+      val tail =
+        s"""wf$c AS MATERIALIZED (
+           |  SELECT g.i AS j, CAST(SUM(g.v * x.val) AS BIGINT) AS val
+           |  FROM g$c g JOIN v$c$powerIters x ON x.j = g.j GROUP BY g.i),
+           |ray$c AS MATERIALIZED (
+           |  SELECT CAST(SUM(v.val * w.val) AS BIGINT) AS num,
+           |         CAST(SUM(v.val * v.val) AS BIGINT) AS den
+           |  FROM v$c$powerIters v JOIN wf$c w ON w.j = v.j),
+           |lam$c AS MATERIALIZED (
+           |  SELECT ${td("num", "den")} AS lam, den FROM ray$c)""".stripMargin
+      val deflate = if (c + 1 < kDims)
+        s""",
+           |g${c + 1} AS MATERIALIZED (
+           |  SELECT g.i, g.j,
+           |    g.v - ${td("va.val * vb.val * lam", "den")} AS v
+           |  FROM g$c g
+           |  JOIN v$c$powerIters va ON va.j = g.i
+           |  JOIN v$c$powerIters vb ON vb.j = g.j
+           |  CROSS JOIN lam$c)""".stripMargin
+      else ""
+      s"""v${c}0 AS MATERIALIZED (
+         |  SELECT CAST(t.j AS BIGINT) AS j, CAST(1000 AS BIGINT) AS val
+         |  FROM UNNEST(range(0, 64)) AS t(j)),
+         |$iterCtes,
+         |$tail$deflate""".stripMargin
+    }.mkString(",\n")
+    val projCtes = (0 until kDims).map { c =>
+      s"""pr$c AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    ${td(s"CAST(SUM(e.qv[CAST(v.j AS INT) + 1] * v.val) AS BIGINT)", "1000")} AS p
+         |  FROM qd2 e CROSS JOIN v$c$powerIters v GROUP BY e.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val l2 = (0 until kDims).map(c =>
+      s"(q.p$c - c.p$c) * (q.p$c - c.p$c)").mkString(" + ")
+    s"""WITH qd2 AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |gr AS MATERIALIZED (
+       |  SELECT CAST(ti.i AS BIGINT) AS i, CAST(tj.j AS BIGINT) AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(qv[CAST(ti.i AS INT) + 1] * qv[CAST(tj.j AS INT) + 1])
+       |      AS BIGINT) AS g
+       |  FROM qd2, UNNEST(range(0, 64)) AS ti(i), UNNEST(range(0, 64)) AS tj(j)
+       |  WHERE tj.j >= ti.i
+       |  GROUP BY ti.i, tj.j),
+       |g0 AS MATERIALIZED (
+       |  SELECT i, j, ${td("g", "n * 1000000")} AS v FROM gr
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, ${td("g", "n * 1000000")} AS v FROM gr
+       |  WHERE i <> j),
+       |$comps,
+       |$projCtes,
+       |proj AS MATERIALIZED (
+       |  SELECT a.vec_id, a.p AS p0, b.p AS p1
+       |  FROM pr0 a JOIN pr1 b USING (vec_id)),
+       |shl AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $l2, c.vec_id) AS rr
+       |    FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20) WHERE rr <= $shortlist)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT s.query_id, s.cand_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) DESC,
+       |      s.cand_id) AS rank
+       |  FROM shl s JOIN embeddings q ON q.vec_id = s.query_id
+       |             JOIN embeddings c ON c.vec_id = s.cand_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): IVF routing + product-
@@ -3088,6 +3301,7 @@ object LlmOps {
     Q.noOracle("mmr_select")(mmrSelectQ),
     Q("mmr_select_fp", mmrSelectFpSql)(mmrSelectFpQ),
     Q.noOracle("vector_pca_route")(vectorPcaRoute),
+    Q("vector_pca_route_fp", vectorPcaRouteFpSql)(vectorPcaRouteFp),
     Q.noOracle("vector_ivf")(vectorIvf),
     Q.noOracle("vector_ivf_indexed")(vectorIvfIndexed),
     Q.noOracle("vector_ivf_delta")(vectorIvfDelta),
@@ -3096,6 +3310,7 @@ object LlmOps {
     Q("vector_ivf_delta_fp", vectorIvfDeltaFpSql)(vectorIvfDeltaFp),
     Q("vector_ivf_compact_fp", vectorIvfFpSql)(vectorIvfCompactFp),
     Q.noOracle("vector_pq")(vectorPq),
+    Q("vector_pq_fp", vectorPqFpSql)(vectorPqFp),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("quality_gopher", qualityGopherSql)(qualityGopher),

@@ -496,6 +496,50 @@ class DedupSimilaritySpec extends SparkTestBase {
       "compacted fp index serves differently from a fresh full build")
   }
 
+  test("fp IVF-PQ and fp PCA route: recall floors, determinism, integer laws") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    // fp PQ: the integer ADC shortlist + exact refine holds a useful
+    // recall floor on the hardest (near-uniform) corpus, and two
+    // constructions are row-identical (no RNG anywhere)
+    val pq1 = Similarity.ivfPqFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pq2 = Similarity.ivfPqFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq1 == pq2 && pq1.nonEmpty)
+    val rPq = recallOf(Similarity.ivfPqFpTopK(q, e, k = 5), annTruth)
+    assert(rPq >= 0.3, s"fp IVF-PQ recall $rPq below 0.3 floor")
+    // fp PCA route: deterministic, and the 2-component integer routing
+    // with a 50-wide shortlist + exact refine recovers most true
+    // neighbors even on this corpus
+    val pr1 = Similarity.pcaRouteFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pr2 = Similarity.pcaRouteFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pr1 == pr2 && pr1.nonEmpty)
+    val rPr = recallOf(Similarity.pcaRouteFpTopK(q, e, k = 5), annTruth)
+    assert(rPr >= 0.2, s"fp PCA-route recall $rPr below 0.2 floor")
+  }
+
+  test("mmrSelectFp: greedy integer MMR law — first pick is max relevance, output deterministic") {
+    val e = Tables.embeddings(spark, sf0001)
+    val rel = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("vec_id"), col("n_chars"))
+    val pool = e.join(rel, "vec_id")
+    def run() = Similarity.mmrSelectFp(pool, col("vec_id"), col("embedding"),
+      col("n_chars"), k = 10, poolSize = 50)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val a = run()
+    assert(a == run() && a.length == 10)
+    // rank 1 = the pool's max-relevance row (maxSim is 0 everywhere at
+    // step 1, so the 7/3 weighting reduces to pure relevance, ties by id)
+    val top = pool.orderBy(col("n_chars").desc, col("vec_id"))
+      .select("vec_id").as[Long].first()
+    assert(a.head._2 == top)
+    // selections are distinct ids from the pool
+    assert(a.map(_._2).distinct.length == 10)
+  }
+
   test("IVF-PQ: exact refine recovers >= 0.9 of raw-vector IVF recall") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

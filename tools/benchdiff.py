@@ -57,6 +57,29 @@ def main():
     oq, nq = old["queries"], new["queries"]
     osp, nsp = old.get("spread", {}), new.get("spread", {})
     ocpu, ncpu = old.get("cpu", {}), new.get("cpu", {})
+    opar, npar = old.get("parallelism", {}), new.get("parallelism", {})
+    ostl, nstl = old.get("steal", {}), new.get("steal", {})
+
+    def steal_of(art, per_q, inj, k):
+        # per-query sample if measured (>= 0), else the run headline,
+        # else the CLI-injected hand measurement; None = no evidence
+        v = per_q.get(k, -1.0)
+        if v is not None and v >= 0:
+            return v
+        h = art.get("steal_pct", -1.0)
+        if h is not None and h >= 0:
+            return h
+        return inj
+
+    def steal_elevated(k):
+        vals = [steal_of(old, ostl, steal_inject["old"], k),
+                steal_of(new, nstl, steal_inject["new"], k)]
+        vals = [v for v in vals if v is not None]
+        return bool(vals) and max(vals) > 1.0
+
+    def par_flat(k):
+        po, pn = opar.get(k, 0.0), npar.get(k, 0.0)
+        return po > 0 and pn > 0 and pn / po < 1.3
     if old.get("cpus") != new.get("cpus") or old.get("sf") != new.get("sf"):
         print(f"WARNING: configs differ — cpus {old.get('cpus')} vs "
               f"{new.get('cpus')}, sf {old.get('sf')} vs {new.get('sf')}")
@@ -82,8 +105,15 @@ def main():
         tiny = max(oq[k], nq[k]) < 0.5
         if r >= thr and not noisy and not tiny and cr is not None \
                 and cr >= (1 + (r - 1) / 2):
-            cls = "REGRESSION"   # wall AND cpu grew on steady runs
-            regressions.append(k)
+            # wall AND cpu grew on steady runs — a regression UNLESS the
+            # run's own steal evidence says the hypervisor inflated both
+            # (the r12 signature: uniform wall+cpu growth on unchanged
+            # code under measured steal, parallelism flat)
+            if steal_elevated(k) and par_flat(k):
+                cls = "STEAL?"   # self-adjudicated host steal — non-gating
+            else:
+                cls = "REGRESSION"
+                regressions.append(k)
         elif r >= thr and not noisy and not tiny and cr is None:
             cls = "grew?"        # either side lacks cpu evidence — gates
             grews.append(k)
