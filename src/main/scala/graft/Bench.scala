@@ -47,7 +47,7 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      picked.foreach { case (_, fn) =>
+      picked.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         clearState()
         try exec(fn(spark, warmDir))
         catch { case _: Throwable => () }
@@ -95,7 +95,14 @@ object Bench {
       (for ((s0, t0) <- a; (s1, t1) <- b if t1 > t0)
         yield (s1 - s0).toDouble * 100.0 / (t1 - t0).toDouble).getOrElse(-1.0)
     val benchStat0 = procStat()
-    val results = picked.toSeq.map { case (name, fn) =>
+    // Sorted by name, not Map iteration order: the fuzzy_match_k2 (r12)
+    // and sparse_cosine (r13) drift adjudications both traced in-suite
+    // per-query movement to REGISTRY-ORDER CHURN — a query's slot (and
+    // therefore how much JIT/codegen state precedes it) reshuffled every
+    // time the registry grew. Name order pins each query's slot so
+    // round-over-round comparisons see stable warm-up context; additions
+    // still shift alphabetical neighbors, but only those.
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val qStat0 = procStat()
       val samples = Seq.fill(2) {

@@ -29,9 +29,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    vocabulary size, a grouping-free aggregate, provably 1 row)
     *    broadcast into the per-token log-ratio projection — the
     *    scalar_subquery shape again;
-    *  - vector_pca_route: the routing stage is vector_topk's shape in
-    *    the REDUCED space (tiny query side broadcast against the
-    *    candidate scan); the refine stage is equi-joined;
+    *  - vector_pca_route (and its hash-gated _fp twin): the routing
+    *    stage is vector_topk's shape in the REDUCED space (tiny query
+    *    side broadcast against the candidate scan); the refine stage is
+    *    equi-joined (float) or filter-on-rank (fp);
     *  - hard_negatives: vector_topk's exact shape with the label
     *    predicate riding the same broadcast join (anchors broadcast,
     *    corpus never moves; annTopK is the documented scale path);
@@ -46,7 +47,8 @@ class PlanInvariantsSpec extends SparkTestBase {
       "vector_ann_recall",
       "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
-      "vector_pca_route", "hard_negatives", "histogram_equidepth",
+      "vector_pca_route", "vector_pca_route_fp", "hard_negatives",
+      "histogram_equidepth",
       "heavy_hitters", "frequent_tokens", "boilerplate_frequent",
       // nation_share: the grand-total frame (a grouping-free aggregate,
       // provably 1 row) broadcasts into the per-nation threshold filter —
@@ -178,8 +180,9 @@ class PlanInvariantsSpec extends SparkTestBase {
         // nested loop's build side must be bounded by a limit (the seeds
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
-        if (!Set("vector_topk", "vector_pca_route", "hard_negatives",
-            "vector_ann_recall", "segment_overlap", "segment_overlap_sql")(name)) {
+        if (!Set("vector_topk", "vector_pca_route", "vector_pca_route_fp",
+            "hard_negatives", "vector_ann_recall", "segment_overlap",
+            "segment_overlap_sql")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
