@@ -15,6 +15,49 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** The anchoring invariant (round 13): every rows-only query must be
+    * anchored — either by a NAMED hash-gated twin in the registry (an
+    * exact or fixed-point sibling whose driver hash equality covers the
+    * same computation shape), or by a `spec:` entry naming the suite
+    * that pins its laws for the by-contract cases where a cross-engine
+    * hash is structurally impossible (libm `ln`, zlib byte streams,
+    * HLL/KLL sketch internals). A new `Q.noOracle` registration without
+    * an anchor fails HERE, so the weak set can only grow deliberately —
+    * with the anchor written down — never by omission. */
+  test("every rows-only query is anchored by a hash-gated twin or a named spec") {
+    val anchors = Map(
+      // sketches by contract — exact twins gate the same questions
+      "approx_distinct" -> "count_distinct",
+      "approx_pct" -> "exact_pct",
+      "hll_rollup" -> "count_distinct",
+      // float epilogues — the exact-sufficient-statistics twin is gated
+      "stats_moments_derived" -> "stats_moments",
+      "dsir_weights" -> "dsir_select",
+      // float iterative solvers — fixed-point twins gate the shape
+      "graph_pagerank" -> "graph_pagerank_fp",
+      "corpus_clusters" -> "corpus_clusters_fp",
+      "embedding_pca" -> "vector_pca_route_fp",
+      "vector_pca_route" -> "vector_pca_route_fp",
+      "mmr_select" -> "mmr_select_fp",
+      // float k-means serving family — fixed-point twins gate each law
+      "vector_ivf" -> "vector_ivf_fp",
+      "vector_ivf_indexed" -> "vector_ivf_indexed_fp",
+      "vector_ivf_delta" -> "vector_ivf_delta_fp",
+      "vector_ivf_compact" -> "vector_ivf_compact_fp",
+      "vector_pq" -> "vector_pq_fp",
+      // zlib deflate bytes are implementation-defined — laws spec-pinned
+      "quality_compression" -> "spec:QualityCompressionSpec")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == anchors.keySet,
+      s"anchor map out of date — unanchored: ${rowsOnly.diff(anchors.keySet)}, " +
+        s"stale entries: ${anchors.keySet.diff(rowsOnly)}")
+    val gated = SparkEntry.oracleSql.keySet
+    anchors.foreach { case (q, a) =>
+      assert(a.startsWith("spec:") || gated.contains(a),
+        s"$q's anchor '$a' is not a hash-gated query")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001 and returns rows") {
       val n = fn(spark, sf0001).count()
