@@ -72,15 +72,18 @@ object Cms {
     * input side). [[estimates]] keeps its unrolled `least(…)` form:
     * d is a literal there, so the four element_at cells stay inside
     * whole-stage codegen, while this HOF form serves the generic
-    * SQL surface where d arrives as data. try_element_at, not
-    * element_at: positions reach this through the PUBLIC
-    * `graft_cms_point` SQL function, and a position past the array
-    * length must degrade to a NULL cell (array_min skips NULLs; an
-    * all-out-of-range row yields NULL estimate) instead of a hard
-    * Spark-4-ANSI runtime error — the [[Kmv.overlapStruct]]
-    * discipline applied to this surface's own edge case. */
+    * SQL surface where d arrives as data. Out-of-range positions in
+    * EITHER direction degrade to a NULL cell (array_min skips NULLs;
+    * an all-out-of-range row yields NULL estimate) instead of a hard
+    * Spark-4-ANSI runtime error or a silently wrong cell — the
+    * [[Kmv.overlapStruct]] discipline applied to this surface's own
+    * edge cases: try_element_at covers past-the-end, and the explicit
+    * p ≥ 0 gate covers negatives (try_element_at alone would read
+    * from the END of the sketch for p ≤ −2 and still throw on the
+    * index-0 form p = −1). */
   def pointEstimate(cms: Column, pos: Column): Column =
-    array_min(transform(pos, p => try_element_at(cms, (p + lit(1L)).cast("int"))))
+    array_min(transform(pos, p =>
+      when(p >= 0, try_element_at(cms, (p + lit(1L)).cast("int")))))
 
   /** **Equi-join size estimation by sketch inner product** (the
     * AMS/CMS classic): |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k), estimated as

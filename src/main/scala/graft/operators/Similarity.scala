@@ -273,20 +273,26 @@ object Similarity {
     * coordinates converges better); this twin exists so the driver gate
     * covers the IVF ROUTE-THEN-SCORE shape end to end — the same
     * adjudicator role `graph_pagerank_fp` plays for PageRank. */
+  /** The deterministic, oracle-replayable training sample every fp
+    * trainer shares: the bottom-`cap` quantized vectors by
+    * (md5("graftivffp"‖id) rank, id). ONE definition — the coarse
+    * quantizer, the fp index builders, and the PQ subspace codebooks
+    * must all draw the SAME sample or their oracles silently drift
+    * apart (the `smpi` CTE is this method, verbatim, in SQL). */
+  private def fpSample(c0: DataFrame, cap: Int): Array[Array[Long]] =
+    c0.orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
+        col("cand_id"))
+      .limit(cap)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
   def ivfFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, iters: Int = 10,
       sampleCap: Int = 4096): DataFrame = {
     require(nprobe <= nCells, s"nprobe=$nprobe must be <= nCells=$nCells")
     val c0 = candidates.select(col("vec_id").as("cand_id"),
       col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
-    // deterministic, oracle-replayable sample: bottom-sampleCap ids by
-    // (md5 rank, id); seeds = its first nCells vectors
-    val sample = c0
-      .orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
-        col("cand_id"))
-      .limit(sampleCap)
-      .select(col("qv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    val sample = fpSample(c0, sampleCap)
     val cents = kMeansFp(sample, sample.take(nCells), iters)
     def cellScores(qv: Column): Column = fpCellScores(cents)(qv)
     val cAssigned = c0.select(col("cand_id"), col("cv"),
@@ -307,13 +313,8 @@ object Similarity {
   private[graft] def ivfFpCentroids(candidates: DataFrame,
       nCells: Int = 16, iters: Int = 10,
       sampleCap: Int = 4096): Array[Array[Long]] = {
-    val sample = candidates
-      .select(col("vec_id").as("cand_id"), quantized(col("embedding")).as("qv"))
-      .orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
-        col("cand_id"))
-      .limit(sampleCap)
-      .select(col("qv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    val sample = fpSample(candidates.select(col("vec_id").as("cand_id"),
+      quantized(col("embedding")).as("qv")), sampleCap)
     kMeansFp(sample, sample.take(nCells), iters)
   }
 
@@ -891,12 +892,7 @@ object Similarity {
     val d = dim / m
     val c0 = candidates.select(col("vec_id").as("cand_id"),
       col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
-    val sample = c0
-      .orderBy(md5(concat(lit("graftivffp"), col("cand_id").cast("string"))),
-        col("cand_id"))
-      .limit(sampleCap)
-      .select(col("qv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    val sample = fpSample(c0, sampleCap)
     val coarse = kMeansFp(sample, sample.take(nCells), iters)
     val books: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
       val slices = sample.map(_.slice(s * d, (s + 1) * d))
@@ -948,9 +944,11 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Fixed-point trunc-division (Java `/` semantics, divisor > 0) — the
-    * arithmetic [[pcaRouteFpTopK]]'s oracle mirrors with an explicit
-    * CASE (DuckDB `//` floors on negatives, Java truncates). */
+  /** Fixed-point trunc-division (Java `/` semantics) — named so every
+    * division in [[pcaRouteFpTopK]] is visibly the one DuckDB BIGINT
+    * `//` mirrors (both truncate toward zero — measured, not assumed:
+    * (−7)//2 = −3 in DuckDB; an earlier floor assumption is corrected
+    * in the r13 review notes). */
   private def truncDiv(a: Long, b: Long): Long = a / b
 
   /** **Fixed-point PCA route-then-refine** — [[pcaRouteTopK]]'s
@@ -970,10 +968,12 @@ object Similarity {
     *    components (p = Σ qᵢvᵢ / 10³) and shortlists by integer L2 in
     *    the reduced space; only the final refine re-rank is float
     *    cosine (rank-only — the proven gate shape).
-    * The float [[pcaRouteTopK]] (true eigensolve, cosine routing) stays
-    * the production path — fixed-point power iteration trades eigen
-    * accuracy for replayability, which only costs shortlist recall, and
-    * the gate is engine≡oracle, not eigen-optimality. */
+    * Divisions truncate toward zero in both engines (Java `/` ≡ Spark
+    * `div` ≡ DuckDB BIGINT `//` — measured). The float [[pcaRouteTopK]]
+    * (true eigensolve, cosine routing) stays the production path —
+    * fixed-point power iteration trades eigen accuracy for
+    * replayability, which only costs shortlist recall, and the gate is
+    * engine≡oracle, not eigen-optimality. */
   def pcaRouteFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       kDims: Int = 2, powerIters: Int = 8, shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
@@ -1152,8 +1152,8 @@ object Similarity {
       }
     require(pool.nonEmpty, "mmrSelectFp: empty candidate pool")
     val (relLo, relHi) = (pool.map(_._3).min, pool.map(_._3).max)
-    // (rel−lo)·10¹² // (hi−lo): non-negative operands, so Java trunc ==
-    // DuckDB floor division. Loud cap: the scaled numerator must fit a
+    // (rel−lo)·10¹² // (hi−lo): non-negative operands (and DuckDB `//`
+    // truncates like Java `/` anyway — measured). Loud cap: the scaled numerator must fit a
     // long — raise instead of wrapping silently (ANSI-off Spark has no
     // such guard, but this runs on the driver).
     require(relHi - relLo <= 4000000L,

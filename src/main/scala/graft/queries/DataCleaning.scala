@@ -2337,8 +2337,8 @@ object DataCleaning {
       .withColumn("__d",
         expr("""CAST(cur_n AS DECIMAL(38,0)) * nb
                 - CAST(base_n AS DECIMAL(38,0)) * nc"""))
-      // loud cap on the squared term: |__d| past 10¹⁶ would push
-      // __d²·10⁶ beyond DECIMAL(38,0) — ANSI-off Spark NULLs the
+      // loud cap on the squared term: |__d| ≥ 10¹⁶ pushes __d²·10⁶ to
+      // ≥ 10³⁸ > DECIMAL(38,0) max (the safe bound is 10¹⁶−1) — ANSI-off Spark NULLs the
       // product silently while the DuckDB twin raises on HUGEINT
       // overflow, so the engines would diverge exactly at the
       // magnitudes this report exists to monitor. Raise instead
@@ -2346,7 +2346,7 @@ object DataCleaning {
       // it means both snapshot sizes are ≥ ~10⁸ rows per bin and the
       // report needs a wider scale, not a silent NULL.
       .withColumn("__d",
-        when(abs(col("__d")) > lit(new java.math.BigDecimal("10000000000000000")),
+        when(abs(col("__d")) >= lit(new java.math.BigDecimal("10000000000000000")),
           raise_error(lit("drift_report: chi2 term exceeds DECIMAL(38,0) — rescale"))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .otherwise(col("__d")))

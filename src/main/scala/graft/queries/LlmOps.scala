@@ -1106,9 +1106,11 @@ object LlmOps {
     * replayed by the oracle; only the final refine re-rank is float
     * (rank-only). Breaks the round-5..12 "float eigensolve has no SQL
     * twin" boundary; the float [[vectorPcaRoute]] stays the production
-    * path. Every division is trunc (Spark `div`/Java `/`), which the
-    * oracle mirrors with an explicit CASE because DuckDB `//` floors
-    * on negatives. */
+    * path. Every division is trunc toward zero in BOTH engines —
+    * Spark `div`/Java `/` by definition, and DuckDB BIGINT `//` by
+    * measurement ((−7)//2 = −3 on this build; it truncates, it does
+    * NOT floor — the r13 review corrected an initial CASE-wrapped
+    * oracle built on the floor assumption). */
   def vectorPcaRouteFp(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.pcaRouteFpTopK(e.filter(col("vec_id") < 20), e, k = 5)
@@ -1118,11 +1120,10 @@ object LlmOps {
 
   private lazy val vectorPcaRouteFpSql: String = {
     val (kDims, powerIters, shortlist) = (2, 8, 50)
-    // trunc division (Java `/` == Spark `div`); DuckDB `//` floors, so
-    // negatives need the explicit CASE. Divisors are positive at every
-    // use site (n·10⁶, md ≥ 1, den > 0-or-loud-error, 10³).
-    def td(a: String, b: String): String =
-      s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+    // DuckDB BIGINT `//` truncates toward zero exactly like Java `/`
+    // and Spark `div` (verified: (−7)//2 = −3), so plain `//` is the
+    // mirror for every division here, negative numerators included.
+    def td(a: String, b: String): String = s"($a) // ($b)"
     val comps = (0 until kDims).map { c =>
       val iterCtes = (1 to powerIters).map { t =>
         s"""w$c$t AS MATERIALIZED (

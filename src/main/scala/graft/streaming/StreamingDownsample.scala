@@ -1068,12 +1068,12 @@ object StreamingDownsample {
       .withColumn("__d",
         expr(s"""CAST(e.cur_n AS DECIMAL(38,0)) * ${nb}L
                  - CAST(e.base_n AS DECIMAL(38,0)) * nc"""))
-      // loud cap in lockstep with the batch driftReport: |__d| past
-      // 10¹⁶ pushes __d²·10⁶ beyond DECIMAL(38,0), which ANSI-off
+      // loud cap in lockstep with the batch driftReport: |__d| ≥ 10¹⁶
+      // pushes __d²·10⁶ to ≥ 10³⁸ > DECIMAL(38,0) max, which ANSI-off
       // Spark NULLs silently — raise instead so the stream fails
       // loudly exactly where the batch form does
       .withColumn("__d",
-        when(abs(col("__d")) > lit(new java.math.BigDecimal("10000000000000000")),
+        when(abs(col("__d")) >= lit(new java.math.BigDecimal("10000000000000000")),
           raise_error(lit("driftStream: chi2 term exceeds DECIMAL(38,0) — rescale"))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .otherwise(col("__d")))

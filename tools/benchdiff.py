@@ -46,8 +46,10 @@ def main():
     args = sys.argv[1:]
     steal_inject = {"old": None, "new": None}
     for flag, key in (("--steal-old", "old"), ("--steal-new", "new")):
-        if flag in args:
+        while flag in args:
             i = args.index(flag)
+            if i + 1 >= len(args):
+                sys.exit(f"{flag} requires a percent value\n\n{__doc__}")
             steal_inject[key] = float(args[i + 1])
             del args[i:i + 2]
     if len(args) < 2:
@@ -72,10 +74,11 @@ def main():
         return inj
 
     def steal_elevated(k):
-        vals = [steal_of(old, ostl, steal_inject["old"], k),
-                steal_of(new, nstl, steal_inject["new"], k)]
-        vals = [v for v in vals if v is not None]
-        return bool(vals) and max(vals) > 1.0
+        # NEW side only: steal on the old run inflates the BASELINE,
+        # which can only shrink the new/old ratio — it can never explain
+        # growth, so it must never excuse a regression
+        v = steal_of(new, nstl, steal_inject["new"], k)
+        return v is not None and v > 1.0
 
     def par_flat(k):
         po, pn = opar.get(k, 0.0), npar.get(k, 0.0)
