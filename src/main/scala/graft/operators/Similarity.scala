@@ -738,11 +738,42 @@ object Similarity {
       val cells = readCentroidsFp(spark, table).length
       require(cells > 0, s"compactIvfIndexFp: empty centroid table for '$table'")
       val nBuckets = bucketCountOf(spark, table, "compactIvfIndexFp")
+      // dropDuplicates: [[ivfIndexSinkFp]]'s appends are at-least-once
+      // under foreachBatch crash replay, and a replayed batch's rows are
+      // IDENTICAL (same vector → same cell/cn under the same centroids),
+      // so the full-row distinct is deterministic and compaction HEALS
+      // the physical duplicates — the index returns to one row per
+      // vector on the same cadence that fixes centroid drift. A
+      // duplicate-free index (the batch-API path) passes through
+      // unchanged, so "compacted ≡ fresh rebuild" is preserved exactly.
       writeIvfIndexFp(
-        spark.table(table).select(col("cand_id").as("vec_id"),
-          col("cv").as("embedding")),
+        spark.table(table).dropDuplicates()
+          .select(col("cand_id").as("vec_id"), col("cv").as("embedding")),
         next, cells, nBuckets)
     }
+
+  /** **Streaming fp-IVF maintenance** — [[appendToIvfIndexFp]] mounted
+    * as a `foreachBatch` sink body: the continuous-ingest half of the
+    * write → append → compact lifecycle (the vector-database pattern —
+    * the corpus arrives as a stream and the index serves while it
+    * grows). Each micro-batch is assigned to the index's EXISTING
+    * integer centroids and appended under the same bucket spec — work
+    * ∝ batch, the base is never read or rewritten, and serving between
+    * batches stays bucket-pruned.
+    *
+    * Replay contract (the versionedSink question, answered differently):
+    * appends are AT-LEAST-ONCE under crash replay, and that is safe
+    * end-to-end because (a) serving is replay-tolerant BY CONSTRUCTION —
+    * [[ivfTopKIndexedFp]]'s scoring collapses (query, cand, cos)
+    * duplicates before ranking, so a double-appended batch serves
+    * bit-identical results (spec-pinned) — and (b) [[compactIvfIndexFp]]
+    * heals the physical duplicates on the same cadence that fixes
+    * centroid drift. [[ivfDriftFraction]] counts duplicated rows toward
+    * drift, which only makes compaction fire EARLIER after a replay —
+    * the conservative direction. */
+  def ivfIndexSinkFp(spark: org.apache.spark.sql.SparkSession,
+      table: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => appendToIvfIndexFp(spark, table, batch)
 
   /** Serve fp-IVF top-k from a [[writeIvfIndexFp]] table: integer-L2
     * query routing against the persisted integer centroids, the probed

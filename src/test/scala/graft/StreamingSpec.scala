@@ -1432,4 +1432,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 3L)),
       s"late click completes user 1; late error destroys user 2's triple: $got")
   }
+
+  test("streaming fp-IVF maintenance: at-least-once appends serve exactly-once results; compaction heals duplicates") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    val qset = e.filter(col("vec_id") < 20)
+    def served(tbl: String) =
+      Similarity.ivfTopKIndexedFp(qset, spark, tbl, k = 5)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // reference: the batch append path over the same base + delta
+    Similarity.writeIvfIndexFp(base, "ivf_stream_ref")
+    Similarity.appendToIvfIndexFp(spark, "ivf_stream_ref", delta)
+    val want = served("ivf_stream_ref")
+    // streaming path: two micro-batches of the delta, then the SECOND
+    // batch REPLAYED (foreachBatch's at-least-once crash contract)
+    Similarity.writeIvfIndexFp(base, "ivf_stream_idx")
+    val rows = delta.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(Similarity.ivfIndexSinkFp(spark, "ivf_stream_idx"))
+      .outputMode("append").start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // simulate the crash replay: the sink body re-runs batch 2 verbatim
+    Similarity.ivfIndexSinkFp(spark, "ivf_stream_idx")(
+      b2.toDF("vec_id", "embedding"), 1L)
+    val nTotal = e.count()
+    assert(spark.table("ivf_stream_idx").count() == nTotal + b2.length,
+      "replay should have physically double-appended batch 2")
+    // (a) serving is replay-tolerant: duplicates collapse before ranking
+    assert(served("ivf_stream_idx") == want && want.nonEmpty)
+    // (b) compaction heals the duplicates AND re-trains — afterwards the
+    // index is one row per vector and serves the fresh-full-build result
+    Similarity.compactIvfIndexFp(spark, "ivf_stream_idx")
+    assert(spark.table("ivf_stream_idx").count() == nTotal)
+    Similarity.writeIvfIndexFp(e, "ivf_stream_fresh")
+    assert(served("ivf_stream_idx") == served("ivf_stream_fresh"))
+  }
 }
