@@ -166,7 +166,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_version"),
       info("graft_version",
         "graft_version(path[, version]) - time-travel read of a graft versioned sink (latest when version omitted)"),
-      (exprs: Seq[Expression]) => versionPlan(exprs)))
+      (exprs: Seq[Expression]) => versionPlan(exprs)),
+    (FunctionIdentifier("graft_ann"),
+      info("graft_ann",
+        "graft_ann(queries, candidates, k[, method]) - top-k neighbor join of two (vec_id, embedding) tables; " +
+          "method: lsh (default) | ivf | ivf_fp | pq_fp | pca_fp | exact"),
+      (exprs: Seq[Expression]) => annPlan(exprs)))
 
   private def strLit(exprs: Seq[Expression], i: Int, what: String): String =
     exprs(i) match {
@@ -205,6 +210,46 @@ object GraftExtensions {
         s"graft_version: version must be an integer literal, got $other")
     }
     org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(df)
+  }
+
+  /** SQL surface for the ANN family ([[graft.operators.Similarity]]):
+    * a table-valued function over two `(vec_id, embedding)` tables, so
+    * SQL-only users reach every serving path — the multi-probe LSH
+    * default, data-adaptive IVF, the three hash-gated fixed-point forms,
+    * and the exact brute-force ground truth — without the Scala API:
+    * {{{
+    *   SELECT * FROM graft_ann('probes', 'corpus', 5)
+    *   SELECT * FROM graft_ann('probes', 'corpus', 5, 'ivf_fp')
+    *   SELECT * FROM graft_ann('probes', 'corpus', 10, 'exact')
+    * }}}
+    * Output is the similarity-value discipline's (query_id, cand_id,
+    * rank) — ranks and ids only. Table names resolve through the
+    * session catalog (temp views included), exactly like [[asofPlan]]. */
+  private def annPlan(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import graft.operators.Similarity
+    require(exprs.length >= 3 && exprs.length <= 4,
+      "usage: graft_ann(queries, candidates, k[, method])")
+    val spark = SparkSession.active
+    val q = spark.table(strLit(exprs, 0, "graft_ann: queries"))
+    val c = spark.table(strLit(exprs, 1, "graft_ann: candidates"))
+    val k = intLit(exprs, 2, "graft_ann: k")
+    val method = if (exprs.length < 4) "lsh"
+      else strLit(exprs, 3, "graft_ann: method")
+    val df = method match {
+      case "lsh" => Similarity.annTopK(q, c, k)
+      case "ivf" => Similarity.ivfTopK(q, c, k)
+      case "ivf_fp" => Similarity.ivfFpTopK(q, c, k)
+      case "pq_fp" => Similarity.ivfPqFpTopK(q, c, k)
+      case "pca_fp" => Similarity.pcaRouteFpTopK(q, c, k)
+      case "exact" => Similarity.bruteForceTopK(q, c, k)
+      case o => throw new IllegalArgumentException(
+        s"graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|pca_fp|exact, got '$o'")
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
+      df.select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("cand_id"),
+        org.apache.spark.sql.functions.col("rank")))
   }
 
   private def asofPlan(exprs: Seq[Expression])

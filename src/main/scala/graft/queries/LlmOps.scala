@@ -625,6 +625,24 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The native LSH ANN reached through its **SQL surface** — the
+    * `graft_ann` table-valued function ([[graft.GraftExtensions]]), so a
+    * SQL-only user gets the same multi-probe pipeline; identical
+    * semantics and ORACLE to [[vectorAnn]] (the full LSH replay), the
+    * `asof_join_sql` / `segment_overlap_sql` precedent applied to the
+    * ANN family. The whole query is one SQL string over two temp
+    * views. */
+  def vectorAnnSqlQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    e.filter(col("vec_id") < 20).createOrReplaceTempView("graft_ann_probes")
+    e.createOrReplaceTempView("graft_ann_corpus")
+    spark.sql(
+      """SELECT query_id, cand_id, rank
+        |FROM graft_ann('graft_ann_probes', 'graft_ann_corpus', 5)
+        |ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** **ANN recall adjudicator**: per query, the integer overlap@5
     * between the LSH result and the exact brute-force top-5 — recall
     * becomes a DRIVER-GATED integer per query instead of a spec-only
@@ -3297,6 +3315,7 @@ object LlmOps {
     Q("semantic_dedup", semanticDedupSql)(semanticDedupQ),
     Q("vector_topk", vectorTopkSql)(vectorTopk),
     Q("vector_ann", vectorAnnSql)(vectorAnn),
+    Q("vector_ann_sql", vectorAnnSql)(vectorAnnSqlQ),
     Q("vector_ann_recall", vectorAnnRecallSql)(vectorAnnRecall),
     Q("vector_ivf_fp", vectorIvfFpSql)(vectorIvfFp),
     Q.noOracle("mmr_select")(mmrSelectQ),

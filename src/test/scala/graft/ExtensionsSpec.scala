@@ -250,4 +250,32 @@ class ExtensionsSpec extends SparkTestBase {
       assert(out(g) == expect, s"group $g")
     }
   }
+
+  test("graft_ann table function: every method ≡ its Scala API result, bad method refuses") {
+    import graft.operators.Similarity
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    q.createOrReplaceTempView("ann_tvf_q")
+    e.createOrReplaceTempView("ann_tvf_c")
+    def viaSql(method: String) = spark.sql(
+      s"SELECT query_id, cand_id, rank FROM graft_ann('ann_tvf_q', 'ann_tvf_c', 5, '$method')")
+      .as[(Long, Long, Int)].collect().toSet
+    def viaApi(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(viaSql("lsh") == viaApi(Similarity.annTopK(q, e, 5)))
+    assert(viaSql("exact") == viaApi(Similarity.bruteForceTopK(q, e, 5)))
+    assert(viaSql("ivf_fp") == viaApi(Similarity.ivfFpTopK(q, e, 5)))
+    assert(viaSql("pq_fp") == viaApi(Similarity.ivfPqFpTopK(q, e, 5)))
+    assert(viaSql("pca_fp") == viaApi(Similarity.pcaRouteFpTopK(q, e, 5)))
+    assert(viaSql("lsh").nonEmpty)
+    // default method is lsh
+    val dflt = spark.sql(
+      "SELECT query_id, cand_id, rank FROM graft_ann('ann_tvf_q', 'ann_tvf_c', 5)")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dflt == viaSql("lsh"))
+    val err = intercept[Exception] { viaSql("bogus") }
+    assert(err.getMessage.contains("graft_ann: method"))
+  }
 }
