@@ -30,7 +30,8 @@ import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, Winn
   *    `graft_cms_point(cms, pos)` — the derived estimators (distinct
   *    count; union/intersection/difference/Jaccard struct; CM point
   *    estimate), sharing the Scala API's Column kernels 1:1
-  *  - table functions: `graft_asof(...)`, `graft_version(path[, v])`
+  *  - table functions: `graft_asof(...)`, `graft_version(path[, v])`,
+  *    `graft_ann(queries, candidates, k[, method])`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -170,7 +171,8 @@ object GraftExtensions {
     (FunctionIdentifier("graft_ann"),
       info("graft_ann",
         "graft_ann(queries, candidates, k[, method]) - top-k neighbor join of two (vec_id, embedding) tables; " +
-          "method: lsh (default) | ivf | ivf_fp | pq_fp | pca_fp | exact"),
+          "method: lsh (default) | ivf | ivf_fp | pq_fp | pca_fp | exact, or indexed_fp " +
+          "(candidates then names a persisted writeIvfIndexFp table)"),
       (exprs: Seq[Expression]) => annPlan(exprs)))
 
   private def strLit(exprs: Seq[Expression], i: Int, what: String): String =
@@ -221,6 +223,7 @@ object GraftExtensions {
     *   SELECT * FROM graft_ann('probes', 'corpus', 5)
     *   SELECT * FROM graft_ann('probes', 'corpus', 5, 'ivf_fp')
     *   SELECT * FROM graft_ann('probes', 'corpus', 10, 'exact')
+    *   SELECT * FROM graft_ann('probes', 'my_ivf_index', 5, 'indexed_fp')
     * }}}
     * Output is the similarity-value discipline's (query_id, cand_id,
     * rank) — ranks and ids only. Table names resolve through the
@@ -243,8 +246,15 @@ object GraftExtensions {
       case "pq_fp" => Similarity.ivfPqFpTopK(q, c, k)
       case "pca_fp" => Similarity.pcaRouteFpTopK(q, c, k)
       case "exact" => Similarity.bruteForceTopK(q, c, k)
+      // the persisted-index serving path: `candidates` names a
+      // writeIvfIndexFp table instead of a vector table, so a SQL user
+      // reaches the bucket-pruned vector-database serve (and, composed
+      // with ivfIndexSinkFp, a stream-maintained index) from one query
+      case "indexed_fp" =>
+        Similarity.ivfTopKIndexedFp(q, spark,
+          strLit(exprs, 1, "graft_ann: candidates"), k)
       case o => throw new IllegalArgumentException(
-        s"graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|pca_fp|exact, got '$o'")
+        s"graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|pca_fp|indexed_fp|exact, got '$o'")
     }
     org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
       df.select(org.apache.spark.sql.functions.col("query_id"),

@@ -277,5 +277,13 @@ class ExtensionsSpec extends SparkTestBase {
     assert(dflt == viaSql("lsh"))
     val err = intercept[Exception] { viaSql("bogus") }
     assert(err.getMessage.contains("graft_ann: method"))
+    // the persisted-index path: candidates names a writeIvfIndexFp table,
+    // and the SQL serve equals the Scala serve (which equals inline fp)
+    Similarity.writeIvfIndexFp(e, "ann_tvf_idx")
+    val viaIdx = spark.sql(
+      "SELECT query_id, cand_id, rank FROM graft_ann('ann_tvf_q', 'ann_tvf_idx', 5, 'indexed_fp')")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIdx == viaApi(Similarity.ivfTopKIndexedFp(q, spark, "ann_tvf_idx", 5)))
+    assert(viaIdx == viaSql("ivf_fp"))
   }
 }
