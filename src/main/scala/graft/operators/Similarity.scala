@@ -775,6 +775,22 @@ object Similarity {
       table: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => appendToIvfIndexFp(spark, table, batch)
 
+  /** The maintenance policy in one call — the cadence contract
+    * [[ivfDriftFraction]] documents, made executable: compact when the
+    * appended fraction passes `threshold` (0.2–0.5 is the usual band).
+    * Returns whether a compaction ran, so an ingest job can log it.
+    * Safe to call on every tick: the drift probe is two parquet-footer
+    * counts, and a replayed/duplicated stream batch only pushes drift
+    * UP, firing compaction earlier (which also heals the duplicates) —
+    * the conservative direction at every step. */
+  def maintainIvfIndexFp(spark: org.apache.spark.sql.SparkSession,
+      table: String, threshold: Double = 0.3): Boolean = {
+    require(threshold > 0, s"threshold must be positive (got $threshold)")
+    val drifted = ivfDriftFraction(spark, table) >= threshold
+    if (drifted) compactIvfIndexFp(spark, table)
+    drifted
+  }
+
   /** Serve fp-IVF top-k from a [[writeIvfIndexFp]] table: integer-L2
     * query routing against the persisted integer centroids, the probed
     * cells collapse to an `IN` filter (bucket pruning — only the probed

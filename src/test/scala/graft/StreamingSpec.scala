@@ -1476,5 +1476,14 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("ivf_stream_idx").count() == nTotal)
     Similarity.writeIvfIndexFp(e, "ivf_stream_fresh")
     assert(served("ivf_stream_idx") == served("ivf_stream_fresh"))
+    // the one-call maintenance policy: below threshold it does nothing,
+    // past it it compacts and resets the drift clock
+    Similarity.writeIvfIndexFp(base, "ivf_maint_idx")
+    Similarity.appendToIvfIndexFp(spark, "ivf_maint_idx",
+      delta.limit(2)) // tiny drift
+    assert(!Similarity.maintainIvfIndexFp(spark, "ivf_maint_idx", 0.3))
+    Similarity.appendToIvfIndexFp(spark, "ivf_maint_idx", delta)
+    assert(Similarity.maintainIvfIndexFp(spark, "ivf_maint_idx", 0.05))
+    assert(Similarity.ivfDriftFraction(spark, "ivf_maint_idx") == 0.0)
   }
 }
