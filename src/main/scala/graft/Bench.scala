@@ -98,8 +98,13 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/stat")
         try {
           val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          // user nice system idle iowait irq softirq steal [guest...]
-          if (f.length >= 8) Some((f(7), f.sum)) else None
+          // user nice system idle iowait irq softirq steal [guest...] —
+          // the denominator takes only the first 8 fields: Linux already
+          // folds guest/guest_nice into user/nice, so including them
+          // double-counts guest jiffies and understates steal exactly on
+          // the virtualized hosts this sampling exists to adjudicate
+          // (r13 advice)
+          if (f.length >= 8) Some((f(7), f.take(8).sum)) else None
         } finally src.close()
       } catch { case _: Throwable => None }
     def stealBetween(a: Option[(Long, Long)], b: Option[(Long, Long)]): Double =

@@ -172,7 +172,9 @@ object GraftExtensions {
       info("graft_ann",
         "graft_ann(queries, candidates, k[, method]) - top-k neighbor join of two (vec_id, embedding) tables; " +
           "method: lsh (default) | ivf | ivf_fp | pq_fp | pca_fp | exact, or indexed_fp " +
-          "(candidates then names a persisted writeIvfIndexFp table)"),
+          "(candidates then names a persisted writeIvfIndexFp table). " +
+          "NOTE: training/probe collection runs eagerly at plan construction, " +
+          "so EXPLAIN (and every re-analysis) executes Spark jobs (r13 advice)"),
       (exprs: Seq[Expression]) => annPlan(exprs)))
 
   private def strLit(exprs: Seq[Expression], i: Int, what: String): String =

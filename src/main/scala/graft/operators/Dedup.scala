@@ -1037,16 +1037,21 @@ object Dedup {
     * the frame refuses loudly — a 60-bit md5-keyed frame banded as 64
     * would otherwise silently produce 16-bit bands with 4 always-zero
     * bits and a different candidate set. The explicit parameter remains
-    * only for signature frames built elsewhere (no metadata). */
+    * only for signature frames built elsewhere (no metadata); `None`
+    * means "derive from the frame, else 64" — an `Option` rather than a
+    * 64 default so an EXPLICIT `Some(64)` on a 60-bit frame refuses like
+    * any other mismatch instead of silently becoming 60 (r13 advice:
+    * with a plain `Int` default, 64 was indistinguishable from
+    * unspecified, the one value the refusal contract couldn't cover). */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3,
-      sigBits: Int = 64): DataFrame = {
+      sigBits: Option[Int] = None): DataFrame = {
     val framed = sig.schema.fields.find(_.name == "simhash")
       .filter(_.metadata.contains(SigBitsMetaKey))
       .map(_.metadata.getLong(SigBitsMetaKey).toInt)
-    framed.foreach(fb => require(fb == sigBits || sigBits == 64,
-      s"simhashPairs: signature frame is $fb-bit keyed but sigBits=$sigBits " +
-        "was passed — band width must match the signature keying"))
-    val effBits = framed.getOrElse(sigBits)
+    for (fb <- framed; sb <- sigBits) require(fb == sb,
+      s"simhashPairs: signature frame is $fb-bit keyed but sigBits=$sb " +
+        "was passed — band width must match the signature keying")
+    val effBits = framed.orElse(sigBits).getOrElse(64)
     require(effBits % 4 == 0, s"sigBits must split into 4 bands (got $effBits)")
     val bandWidth = effBits / 4
     val bandMask = (1L << bandWidth) - 1

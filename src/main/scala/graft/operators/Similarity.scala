@@ -724,6 +724,15 @@ object Similarity {
       .bucketBy(buckets, "cell")
       .sortBy("cell")
       .saveAsTable(table)
+    // When the delta arrives through [[ivfIndexSinkFp]], this append runs
+    // under the stream execution's CLONED session: the clone's write
+    // invalidates its OWN relation cache, not the serving session's, so
+    // a subsequent [[ivfTopKIndexedFp]] on `spark` would scan the stale
+    // pre-append file listing and silently drop every streamed vector —
+    // caught by the r14 `vector_ann_sql_streamed` hash gate (the direct
+    // batch-API path was immune: same session, self-invalidating write).
+    // Refresh against the session that serves.
+    spark.catalog.refreshTable(table)
   }
 
   /** [[compactIvfIndex]]'s hash-gated twin: retrain on the CURRENT

@@ -261,7 +261,7 @@ object LlmOps {
     Dedup.simhashPairs(
         Dedup.simhashSignatures(Tables.documents(spark, dir),
           col("doc_id"), col("text"), md5Keyed = true),
-        maxDist = 3, sigBits = 60)
+        maxDist = 3, sigBits = Some(60))
       .orderBy("doc_a", "doc_b")
 
   private val dedupSimhashSql: String = {
@@ -1226,6 +1226,189 @@ object LlmOps {
        |             JOIN embeddings c ON c.vec_id = s.cand_id)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --------------------- serving-family retrieval-quality gates (r14)
+
+  /** Shared overlap@5 shape for the fixed-point serving family — the
+    * [[vectorAnnRecall]] pattern applied to IVF/PQ/PCA-route: per query,
+    * the integer count of exact brute-force top-5 neighbors the served
+    * list recovered. The fp twins gate ARITHMETIC (served ≡ replay);
+    * these rows gate RETRIEVAL QUALITY, closing the one regression class
+    * arithmetic equality can't catch — a centroid/codebook/eigensolve
+    * rot that still replays exactly would shift these integers (r13
+    * verdict task 2). Queries whose served list misses every exact
+    * neighbor still report 0 (right join against the query set). */
+  private def servedRecallAt5(e: DataFrame, served: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .select("query_id", "cand_id")
+    exact.join(served.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(q.select(col("vec_id").as("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle twin of [[servedRecallAt5]]: the serving path's own full
+    * replay SQL (verbatim, as a derived table — its trailing ORDER BY is
+    * legal and ignored in a subquery) overlapped against the exact
+    * float-cosine top-5 (the hash-green `vector_topk` replay), so BOTH
+    * sides of the recall integer are derived from first principles in
+    * DuckDB — nothing engine-computed leaks into the oracle. */
+  private def servedRecallSql(serveSql: String): String =
+    s"""WITH ann AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |$serveSql
+       |  )),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+       |                 c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rank <= 5)
+       |SELECT q.vec_id AS query_id,
+       |  CAST(COUNT(a.cand_id) AS BIGINT) AS n_overlap
+       |FROM embeddings q
+       |LEFT JOIN exact e ON e.query_id = q.vec_id
+       |LEFT JOIN ann a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |WHERE q.vec_id < 20
+       |GROUP BY q.vec_id
+       |ORDER BY q.vec_id""".stripMargin
+
+  /** fp-IVF recall@5 vs exact, driver-gated ([[Similarity.ivfFpTopK]] —
+    * the arithmetic `vector_ivf_indexed_fp` serves, by the proven
+    * served ≡ inline law). */
+  def vectorIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    servedRecallAt5(e,
+      Similarity.ivfFpTopK(e.filter(col("vec_id") < 20), e, k = 5))
+  }
+
+  private lazy val vectorIvfRecallSql: String =
+    servedRecallSql(vectorIvfFpSql)
+
+  /** fp IVF-PQ recall@5 vs exact, driver-gated ([[Similarity
+    * .ivfPqFpTopK]]) — a codebook-quality regression that preserves fp
+    * exactness now shifts a gated integer. */
+  def vectorPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    servedRecallAt5(e,
+      Similarity.ivfPqFpTopK(e.filter(col("vec_id") < 20), e, k = 5))
+  }
+
+  private lazy val vectorPqRecallSql: String =
+    servedRecallSql(vectorPqFpSql)
+
+  /** fp PCA-route recall@5 vs exact, driver-gated ([[Similarity
+    * .pcaRouteFpTopK]]) — eigensolve/routing quality under the same
+    * integer gate. */
+  def vectorPcaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    servedRecallAt5(e,
+      Similarity.pcaRouteFpTopK(e.filter(col("vec_id") < 20), e, k = 5))
+  }
+
+  private lazy val vectorPcaRecallSql: String =
+    servedRecallSql(vectorPcaRouteFpSql)
+
+  // ----------------------- continuous-ingest lifecycle, hash-gated (r14)
+
+  /** Stage each batch as ONE parquet file under a fresh scratch dir and
+    * play them through [[Similarity.ivfIndexSinkFp]] with a REAL
+    * file-source stream (`maxFilesPerTrigger=1` → one micro-batch per
+    * file) — the registered-query form of StreamingSpec's MemoryStream
+    * drive, built only from stable public streaming APIs so it can live
+    * in main code. Scratch + checkpoint are applicationId-suffixed and
+    * wiped first, so re-runs in one app never inherit stream offsets. */
+  private def streamIntoIvfIndexFp(spark: SparkSession, table: String,
+      batches: Seq[DataFrame]): Unit = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${table}_stream_${spark.sparkContext.applicationId}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+    val src = new java.io.File(root, "src").getAbsolutePath
+    batches.foreach(_.coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream
+      .schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch(Similarity.ivfIndexSinkFp(spark, table))
+      .option("checkpointLocation",
+        new java.io.File(root, "ck").getAbsolutePath)
+      .outputMode("append")
+      .start()
+    try stream.processAllAvailable() finally stream.stop()
+  }
+
+  /** **The continuous-ingest lifecycle as ONE hash-gated query** (r13
+    * verdict task 3 — the composition, not just the stages, under the
+    * driver gate): build the base index on 90% of the corpus
+    * ([[Similarity.writeIvfIndexFp]]) → stream the other 10% through
+    * [[Similarity.ivfIndexSinkFp]] as two real file-source micro-batches
+    * → re-run one batch through the sink body verbatim (the
+    * at-least-once crash replay, physically double-appending it) →
+    * [[Similarity.maintainIvfIndexFp]] reads ~17% drift against its 5%
+    * threshold and MUST compact (require()d — a silent no-compact would
+    * serve stale centroids and fail the hash) → serve the query batch
+    * from the compacted index. Oracle: the plain full-corpus fp replay
+    * ([[vectorIvfFp]]'s SQL, verbatim) — compaction retrains on the
+    * dropDuplicates contents (replay dups healed; the md5-rank sample is
+    * keyed by id alone), so the post-lifecycle index ≡ a fresh
+    * full-corpus build, and the driver hash equality IS the
+    * write → append → replay → drift-compact → serve law end to end. */
+  def vectorIvfLifecycleFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val table = "graft_ivf_fp_lifecycle_index"
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 10 =!= 0), table)
+    val b2 = e.filter(col("vec_id") % 20 === 10)
+    streamIntoIvfIndexFp(spark, table,
+      Seq(e.filter(col("vec_id") % 20 === 0), b2))
+    // the at-least-once crash replay: the sink body re-runs batch 2
+    Similarity.ivfIndexSinkFp(spark, table)(b2, 1L)
+    require(Similarity.maintainIvfIndexFp(spark, table, threshold = 0.05),
+      "vector_ivf_lifecycle_fp: the drift policy must fire at ~17% appended")
+    Similarity.ivfTopKIndexedFp(e.filter(col("vec_id") < 20), spark,
+        table, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** **`graft_ann` serving a STREAM-MAINTAINED index from SQL,
+    * hash-gated** (r13 verdict task 6 — the r13 commit-message promise,
+    * previously only ExtensionsSpec-pinned): the base index is built
+    * batch-side on 90%, the delta arrives through
+    * [[Similarity.ivfIndexSinkFp]] as a real file-source micro-batch,
+    * and the query batch is answered entirely in SQL via
+    * `graft_ann(probes, index, 5, 'indexed_fp')` — the vector-database
+    * read path a SQL-only user runs against a continuously-ingesting
+    * index. Oracle: the delta-fp replay (base-trained centroids,
+    * full-corpus assignment — [[vectorIvfDeltaFp]]'s SQL verbatim),
+    * because the sink IS [[Similarity.appendToIvfIndexFp]] per
+    * micro-batch. */
+  def vectorAnnSqlStreamed(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val table = "graft_ivf_fp_streamed_index"
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 10 =!= 0), table)
+    streamIntoIvfIndexFp(spark, table,
+      Seq(e.filter(col("vec_id") % 10 === 0)))
+    e.filter(col("vec_id") < 20)
+      .createOrReplaceTempView("graft_ann_streamed_probes")
+    spark.sql(
+      s"""SELECT query_id, cand_id, rank
+         |FROM graft_ann('graft_ann_streamed_probes', '$table', 5, 'indexed_fp')
+         |ORDER BY query_id, rank""".stripMargin)
   }
 
   /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): IVF routing + product-
@@ -3329,6 +3512,11 @@ object LlmOps {
     Q("vector_ivf_indexed_fp", vectorIvfFpSql)(vectorIvfIndexedFp),
     Q("vector_ivf_delta_fp", vectorIvfDeltaFpSql)(vectorIvfDeltaFp),
     Q("vector_ivf_compact_fp", vectorIvfFpSql)(vectorIvfCompactFp),
+    Q("vector_ivf_lifecycle_fp", vectorIvfFpSql)(vectorIvfLifecycleFp),
+    Q("vector_ann_sql_streamed", vectorIvfDeltaFpSql)(vectorAnnSqlStreamed),
+    Q("vector_ivf_recall", vectorIvfRecallSql)(vectorIvfRecall),
+    Q("vector_pq_recall", vectorPqRecallSql)(vectorPqRecall),
+    Q("vector_pca_recall", vectorPcaRecallSql)(vectorPcaRecall),
     Q.noOracle("vector_pq")(vectorPq),
     Q("vector_pq_fp", vectorPqFpSql)(vectorPqFp),
     Q("vector_norms", vectorNormsSql)(vectorNorms),

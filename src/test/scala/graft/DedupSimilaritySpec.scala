@@ -139,11 +139,16 @@ class DedupSimilaritySpec extends SparkTestBase {
       md5Keyed = true)
     val viaMeta = Dedup.simhashPairs(md5Sig, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val explicit = Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = 60)
+    val explicit = Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = Some(60))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(viaMeta == explicit)
     intercept[IllegalArgumentException] {
-      Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = 56)
+      Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = Some(56))
+    }
+    // r13 advice: an EXPLICIT 64 on a 60-bit frame must refuse too —
+    // the Option signature exists so 64 isn't conflated with "default"
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(md5Sig, maxDist = 3, sigBits = Some(64))
     }
   }
 

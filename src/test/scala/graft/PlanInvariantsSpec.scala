@@ -41,10 +41,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    per-row bucket-assignment fold — the scalar_subquery shape. */
   private val intendedAllPairs =
     Set("scalar_subquery", "sparse_cosine", "vector_topk",
-      // vector_ann_recall: its exact side IS vector_topk (the brute-force
-      // ground truth the adjudicator compares ANN against) — same tiny
-      // broadcast query side, same documented scale path
-      "vector_ann_recall",
+      // vector_ann_recall (and the r14 fp-serving recall rows): the
+      // exact side IS vector_topk (the brute-force ground truth the
+      // adjudicator compares the served list against) — same tiny
+      // broadcast query side, same documented scale path; the pca row
+      // additionally carries vector_pca_route_fp's reduced-space routing
+      "vector_ann_recall", "vector_ivf_recall", "vector_pq_recall",
+      "vector_pca_recall",
       "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "vector_pca_route_fp", "hard_negatives",
@@ -181,7 +184,8 @@ class PlanInvariantsSpec extends SparkTestBase {
         // TakeOrdered / the tiny query set), never a full corpus
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
         if (!Set("vector_topk", "vector_pca_route", "vector_pca_route_fp",
-            "hard_negatives", "vector_ann_recall", "segment_overlap",
+            "hard_negatives", "vector_ann_recall", "vector_ivf_recall",
+            "vector_pq_recall", "vector_pca_recall", "segment_overlap",
             "segment_overlap_sql")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,

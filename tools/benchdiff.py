@@ -19,11 +19,18 @@ noise fields instead of a bare ratio:
     run's own spread already flags noise;
   - STEAL?: wall AND cpu grew in step, BUT the run's own /proc/stat
     steal sampling (per-query `steal` / headline `steal_pct`, emitted
-    by Bench since r13) is elevated (> 1%) on either side while the
-    query's parallelism stayed flat — the r12 hypervisor-steal
-    signature (uniform wall+cpu growth on unchanged code, adjudicated
-    by hand in SCALING.md; this class codifies it). Non-gating.
-  - IMPROVED / ~same otherwise.
+    by Bench since r13) is elevated on the NEW side while the query's
+    parallelism stayed flat — the r12 hypervisor-steal signature
+    (uniform wall+cpu growth on unchanged code, adjudicated by hand in
+    SCALING.md; this class codifies it). The bar scales with the
+    growth (steal > max(1%, 5·(r−1))%): mild background steal excuses
+    mild growth only — a 2x wall jump under 1.2% steal stays a gating
+    REGRESSION (r13 advice: a fixed 1% bar let any genuine regression
+    that happened to run under ambient steal exit 0). Non-gating.
+  - IMPROVED / ~same otherwise. An IMPROVED row whose OLD side ran
+    under elevated steal is tagged `old-steal!` — the baseline was
+    inflated, so the improvement may be an artifact (r13 advice:
+    --steal-old was parsed but never read).
 Artifacts that predate the steal fields can have a measured value
 injected: `--steal-old X` / `--steal-new Y` (percent), e.g. the r12
 night's hand-measured 5.2.
@@ -73,11 +80,20 @@ def main():
             return h
         return inj
 
-    def steal_elevated(k):
+    def steal_elevated(k, r):
         # NEW side only: steal on the old run inflates the BASELINE,
         # which can only shrink the new/old ratio — it can never explain
-        # growth, so it must never excuse a regression
+        # growth, so it must never excuse a regression. The bar scales
+        # with the growth being excused: 5 points of steal per 1.0x of
+        # ratio past 1, floored at 1% (r13 advice — a fixed 1% bar let
+        # big regressions under ambient steal exit 0)
         v = steal_of(new, nstl, steal_inject["new"], k)
+        return v is not None and v > max(1.0, 5.0 * (r - 1.0))
+
+    def old_steal_elevated(k):
+        # the --steal-old consumer: an elevated OLD side inflates the
+        # baseline, so apparent improvements may be artifacts
+        v = steal_of(old, ostl, steal_inject["old"], k)
         return v is not None and v > 1.0
 
     def par_flat(k):
@@ -112,7 +128,7 @@ def main():
             # run's own steal evidence says the hypervisor inflated both
             # (the r12 signature: uniform wall+cpu growth on unchanged
             # code under measured steal, parallelism flat)
-            if steal_elevated(k) and par_flat(k):
+            if steal_elevated(k, r) and par_flat(k):
                 cls = "STEAL?"   # self-adjudicated host steal — non-gating
             else:
                 cls = "REGRESSION"
@@ -130,9 +146,11 @@ def main():
         else:
             continue
         cinfo = f" cpu x{cr:.2f}" if cr is not None else ""
+        oldsteal = " old-steal!" if cls == "IMPROVED" and \
+            old_steal_elevated(k) else ""
         rows.append(f"{cls:10s} {k:28s} {oq[k]:7.2f}s -> {nq[k]:7.2f}s "
                     f"(x{r:.2f}{cinfo}"
-                    f"{' spread!' if noisy else ''})")
+                    f"{' spread!' if noisy else ''}{oldsteal})")
     for line in rows:
         print(line)
     only_old = sorted(set(oq) - set(nq))
