@@ -93,7 +93,7 @@ object Bench {
     // reads these fields directly. Sampled per query (around both cold
     // samples) and over the whole timed window. -1.0 = unmeasurable
     // (no /proc/stat — non-Linux), never silently 0.
-    def procStat(): Option[(Long, Long)] =
+    def procStat(): Option[(Long, Long, Long)] =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
         try {
@@ -103,13 +103,35 @@ object Bench {
           // folds guest/guest_nice into user/nice, so including them
           // double-counts guest jiffies and understates steal exactly on
           // the virtualized hosts this sampling exists to adjudicate
-          // (r13 advice)
-          if (f.length >= 8) Some((f(7), f.take(8).sum)) else None
+          // (r13 advice). (steal, idle+iowait, total): the idle term
+          // feeds the external-busy sampling below.
+          if (f.length >= 8) Some((f(7), f(3) + f(4), f.take(8).sum)) else None
         } finally src.close()
       } catch { case _: Throwable => None }
-    def stealBetween(a: Option[(Long, Long)], b: Option[(Long, Long)]): Double =
-      (for ((s0, t0) <- a; (s1, t1) <- b if t1 > t0)
+    def stealBetween(a: Option[(Long, Long, Long)],
+        b: Option[(Long, Long, Long)]): Double =
+      (for ((s0, _, t0) <- a; (s1, _, t1) <- b if t1 > t0)
         yield (s1 - s0).toDouble * 100.0 / (t1 - t0).toDouble).getOrElse(-1.0)
+    // External-busy fraction of the host over a window: busy jiffies
+    // (total − idle − iowait − steal) minus THIS process's own cpu
+    // converted to jiffies (USER_HZ = 100 — the universal Linux value;
+    // a rare non-100 kernel only inflates the estimate, the
+    // conservative direction), as a percent of all jiffies. This is the
+    // signature starvation actually requires — someone ELSE using the
+    // box — measured instead of inferred from parallelism alone:
+    // driver-serial queries (a Lloyd fit, a stream coordinator) read
+    // parallelism ~1 on a perfectly quiet host and must not trip the
+    // load flag (r14: vector_pq_fp / dedup_embedding /
+    // vector_ann_sql_streamed false-starved an artifact whose own
+    // steal_pct was 0.28%). -1.0 = unmeasurable; without JMX the own-cpu
+    // term is 0 and the estimate includes our own usage — conservative,
+    // the flag keeps its old behavior when evidence is missing.
+    def extBusyBetween(a: Option[(Long, Long, Long)],
+        b: Option[(Long, Long, Long)], ownCpuSec: Double): Double =
+      (for ((s0, i0, t0) <- a; (s1, i1, t1) <- b if t1 > t0) yield {
+        val busy = (t1 - t0) - (i1 - i0) - (s1 - s0)
+        math.max(0.0, (busy - ownCpuSec * 100.0) * 100.0 / (t1 - t0))
+      }).getOrElse(-1.0)
     val benchStat0 = procStat()
     val results = picked.map { case (name, fn) =>
       var err: Option[String] = None
@@ -126,24 +148,26 @@ object Bench {
         val cpu = osBean.map(b => (b.getProcessCpuTime - c0) / 1e9).getOrElse(0.0)
         (wall, cpu)
       }
-      val qSteal = stealBetween(qStat0, procStat())
+      val qStat1 = procStat()
+      val qSteal = stealBetween(qStat0, qStat1)
+      val qExt = extBusyBetween(qStat0, qStat1, samples.map(_._2).sum)
       (name, samples.map(_._1).min, samples.map(_._1), err, samples.map(_._2),
-        qSteal)
+        qSteal, qExt)
     }
     val benchSteal = stealBetween(benchStat0, procStat())
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, s, _, _, _) =>
+    val raw = results.map { case (k, _, s, _, _, _, _) =>
       "\"" + k + "\":" + s.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val cpuJson = results.map { case (k, _, _, _, c, _) =>
+    val cpuJson = results.map { case (k, _, _, _, c, _, _) =>
       "\"" + k + "\":" + c.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e), _, _) => "\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val nErr = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
@@ -156,7 +180,7 @@ object Bench {
     // survives the driver's stdout tail without opening the file.
     def spreadOf(s: Seq[Double]): Double =
       if (s.isEmpty || s.min <= 0) 1.0 else s.max / s.min
-    val spreads = results.map { case (k, _, s, _, _, _) => (k, spreadOf(s)) }
+    val spreads = results.map { case (k, _, s, _, _, _, _) => (k, spreadOf(s)) }
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val nNoisy = spreads.count(_._2 > 1.5)
@@ -175,25 +199,36 @@ object Bench {
     // registry measure n_starved 0-1 against the >=3 trip wire, and a
     // flagged artifact should be adjudicated per query via its cpu
     // samples, exactly as benchdiff does.
-    val par = results.map { case (k, _, walls, err, cpuS, _) =>
+    val par = results.map { case (k, _, walls, err, cpuS, _, ext) =>
       val i = walls.indexOf(walls.min)
       val p = if (walls(i) > 0 && cpuS(i) > 0) cpuS(i) / walls(i) else 0.0
-      (k, walls(i), p, err.isDefined)
+      (k, walls(i), p, err.isDefined, ext)
     }
-    val parJson = par.map { case (k, _, p, _) => "\"" + k + "\":" + r3(p) }
+    val parJson = par.map { case (k, _, p, _, _) => "\"" + k + "\":" + r3(p) }
       .mkString("{", ",", "}")
     val nCpusInt = cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors)
     // Errored runs are excluded: a query that spins >=2 s serially before
     // throwing says nothing about host load, and repeated slow failures
     // must not mislabel a quiet-host artifact as load-suspect.
-    val nStarved = par.count { case (_, w, p, erred) =>
-      !erred && w >= 2.0 && p > 0 && p <= 1.3 }
+    // "Starved" additionally requires MEASURED external competition
+    // (>= 25% of the box busy with other processes' work over the
+    // query's own window — the `ext` field): parallelism ~1 alone also
+    // describes genuinely driver-serial queries (a Lloyd fit, a stream
+    // coordinator), which must not flag a quiet-host artifact (r14:
+    // three such lines false-tripped a run whose steal_pct was 0.28%).
+    // ext = -1 (unmeasurable) keeps the old parallelism-only behavior —
+    // missing evidence stays conservative.
+    val nStarved = par.count { case (_, w, p, erred, ext) =>
+      !erred && w >= 2.0 && p > 0 && p <= 1.3 && (ext < 0 || ext >= 25.0) }
     val hostLoadSuspect = nCpusInt >= 8 && nStarved >= 3
-    val stealJson = results.map { case (k, _, _, _, _, st) =>
+    val stealJson = results.map { case (k, _, _, _, _, st, _) =>
       "\"" + k + "\":" + r3(st)
     }.mkString("{", ",", "}")
+    val extJson = results.map { case (k, _, _, _, _, _, ex) =>
+      "\"" + k + "\":" + r3(ex)
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"cpu":$cpuJson,"parallelism":$parJson,"steal":$stealJson,"steal_pct":${r3(benchSteal)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpusJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"samples":$raw,"cpu":$cpuJson,"parallelism":$parJson,"steal":$stealJson,"ext":$extJson,"steal_pct":${r3(benchSteal)},"host_load_suspect":$hostLoadSuspect,"n_starved":$nStarved,"spread":$spreadJson,"n_noisy":$nNoisy,"max_spread":${r3(maxSpread)},"errors":$errs,"n_queries":${results.size},"n_errors":$nErr,"cpus":$cpusJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout: the full JSON
     // (queries + samples + errors) goes to a file, and the LAST printed
     // line is guaranteed to fit the tail — with the per-query map if it
