@@ -1000,6 +1000,90 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** **Fixed-point IVF-SQ (scalar quantization)** — the third member of
+    * the classic inverted-file index family (faiss IVFFlat / IVFPQ /
+    * IVFSQ), hash-gated like its siblings: candidates are scored from
+    * **8-bit-range scalar codes** instead of raw vectors. Per dimension
+    * d, the corpus min `lo_d` and a truncating scale
+    * `sc_d = (max_d − lo_d) div 255 + 1` map each ⌊x·10⁶⌋ coordinate to
+    * a code `(q_d − lo_d) div sc_d ∈ [0, 255]` — where PQ compresses by
+    * SUBSPACE CODEBOOKS (m lookups per pair), SQ compresses each
+    * dimension independently (no codebooks to train, one arithmetic op
+    * per dimension), the memory/recall trade production systems pick
+    * when encode throughput matters more than maximal compression.
+    * Routing is the shared integer-Lloyd IVF ([[ivfFpCentroids]], the
+    * same training `ivfFpTopK` serves — the oracle reuses the same
+    * Lloyd replay); the shortlist ranks probed-cell candidates by
+    * integer L2 in code space (ties → smaller id); only the final
+    * refine re-rank is float cosine (rank-only — the proven gate
+    * shape). Every step is integer arithmetic: min/max are exact, the
+    * scale and codes are truncating divisions on NON-NEGATIVE operands
+    * (q_d ≥ lo_d by construction), so Spark's double-division-then-cast
+    * (exact below 2⁵³ — coordinates are ≤ 2·10⁶) ≡ DuckDB BIGINT `//`.
+    *
+    * Plan shape: the min/max stats are ONE 64-group aggregate (map-side
+    * combined — corpus size never crosses the exchange), encode is one
+    * per-row projection, and scoring is the same bucket-prunable cell
+    * equi-join as every IVF path — codes shrink what that join carries
+    * ~8× vs the quantized longs. Stats/codes never broadcast the
+    * corpus; the 64-row min/max collect is a bounded driver artifact
+    * (the [[pcaRouteFpTopK]] Gram precedent, 32× smaller). */
+  def ivfSqFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, refine: Int = 8, iters: Int = 10,
+      sampleCap: Int = 4096): DataFrame = {
+    require(nprobe <= nCells, s"nprobe=$nprobe must be <= nCells=$nCells")
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
+    val sample = fpSample(c0, sampleCap)
+    val cents = kMeansFp(sample, sample.take(nCells), iters)
+    // bounded collect: 64 (lo, hi) pairs — the per-dimension range the
+    // scalar quantizer maps onto [0, 255]
+    val stats = c0.select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val lo = stats.map(_._2)
+    val sc = stats.map { case (_, l, h) => (h - l) / 255L + 1L }
+    // code_d = (q_d - lo_d) div sc_d: operands are non-negative, so the
+    // double division + long cast truncates exactly like DuckDB `//`
+    def codesOf(qv: Column): Column =
+      zip_with(zip_with(qv, lit(lo), (a, b) => a - b), lit(sc),
+        (a, b) => (a / b).cast("long"))
+    val cAssigned = c0.select(col("cand_id"),
+      fpCellScores(cents)(col("qv")).getItem(0).getField("cell").as("cell"),
+      codesOf(col("qv")).as("cd"))
+    val qA = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvf"),
+        quantized(col("embedding")).as("qq"))
+      .withColumn("qn", VectorOps.norm(col("qvf")))
+      .withColumn("qcd", codesOf(col("qq")))
+      .withColumn("cell", explode(transform(
+        slice(fpCellScores(cents)(col("qq")), 1, nprobe),
+        s => s.getField("cell"))))
+    val sqDist = aggregate(
+      zip_with(col("qcd"), col("cd"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val wSq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqd"), col("cand_id"))
+    // (query, cand) pairs are unique out of the cell join (one cell per
+    // candidate, distinct probed cells per query) — no dedup needed
+    val shortlist = qA.join(cAssigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qvf").as("qv"),
+        col("qn"), sqDist.as("sqd"))
+      .withColumn("rank_sq", row_number().over(wSq))
+      .filter(col("rank_sq") <= k * refine)
+    val raw = c0.select(col("cand_id"), col("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    shortlist.join(raw, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Fixed-point trunc-division (Java `/` semantics) — named so every
     * division in [[pcaRouteFpTopK]] is visibly the one DuckDB BIGINT
     * `//` mirrors (both truncate toward zero — measured, not assumed:

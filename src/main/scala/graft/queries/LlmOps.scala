@@ -1228,6 +1228,69 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** **Fixed-point IVF-SQ, HASH-CHECKED** ([[Similarity.ivfSqFpTopK]]):
+    * the scalar-quantization member of the inverted-file family —
+    * per-dimension (min, trunc-scale) stats map every ⌊x·10⁶⌋
+    * coordinate onto [0, 255] codes, probed-cell candidates rank by
+    * integer L2 in code space, exact float cosine refines (rank-only).
+    * Routing reuses the SAME integer-Lloyd training as `vector_ivf_fp`
+    * (one Lloyd replay, shared CTEs), so the oracle adds only the
+    * min/max stats, the code projection, and the code-space shortlist —
+    * every step integer-exact in DuckDB. Completes the faiss-style
+    * index triptych under the driver gate: IVF-Flat
+    * (`vector_ivf_fp`), IVF-PQ (`vector_pq_fp`), IVF-SQ (this). */
+  def vectorSqFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfSqFpTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorSqFpSql: String = {
+    val (iters, nprobe, refine) = (10, 4, 8)
+    s"""WITH ${ivfFpLloydCtes(iters)},
+       |mm AS MATERIALIZED (
+       |  SELECT t.i AS dim, MIN(qv[CAST(t.i AS INT)]) AS lo,
+       |    ((MAX(qv[CAST(t.i AS INT)]) - MIN(qv[CAST(t.i AS INT)])) // 255) + 1 AS sc
+       |  FROM qd, UNNEST(range(1, 65)) AS t(i)
+       |  GROUP BY t.i),
+       |lov AS MATERIALIZED (
+       |  SELECT list(lo ORDER BY dim) AS lo, list(sc ORDER BY dim) AS sc
+       |  FROM mm),
+       |cds AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> (q.qv[i] - l.lo[i]) // l.sc[i]) AS cd
+       |  FROM qd q, lov l),
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${fpL2Sql("q.qv", "c.cv")}, c.cell) AS pr
+       |    FROM qd q CROSS JOIN c$iters c WHERE q.vec_id < 20) WHERE pr <= $nprobe),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT qp.query_id, ca.cand_id,
+       |      row_number() OVER (PARTITION BY qp.query_id
+       |        ORDER BY list_sum(list_transform(range(1, 65),
+       |          i -> (cq.cd[i] - cc.cd[i]) * (cq.cd[i] - cc.cd[i]))),
+       |        ca.cand_id) AS rs
+       |    FROM qp JOIN ca USING (cell)
+       |    JOIN cds cq ON cq.vec_id = qp.query_id
+       |    JOIN cds cc ON cc.vec_id = ca.cand_id
+       |    WHERE ca.cand_id <> qp.query_id) WHERE rs <= ${5 * refine})
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT s.query_id, s.cand_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) DESC,
+       |      s.cand_id) AS rank
+       |  FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+       |              JOIN embeddings c ON c.vec_id = s.cand_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------- serving-family retrieval-quality gates (r14)
 
   /** Shared overlap@5 shape for the fixed-point serving family — the
@@ -1317,6 +1380,18 @@ object LlmOps {
 
   private lazy val vectorPcaRecallSql: String =
     servedRecallSql(vectorPcaRouteFpSql)
+
+  /** fp IVF-SQ recall@5 vs exact, driver-gated ([[Similarity
+    * .ivfSqFpTopK]]) — the scalar quantizer's range stats under the
+    * same integer recall gate as its IVF/PQ/PCA siblings. */
+  def vectorSqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    servedRecallAt5(e,
+      Similarity.ivfSqFpTopK(e.filter(col("vec_id") < 20), e, k = 5))
+  }
+
+  private lazy val vectorSqRecallSql: String =
+    servedRecallSql(vectorSqFpSql)
 
   // ----------------------- continuous-ingest lifecycle, hash-gated (r14)
 
@@ -3519,6 +3594,8 @@ object LlmOps {
     Q("vector_pca_recall", vectorPcaRecallSql)(vectorPcaRecall),
     Q.noOracle("vector_pq")(vectorPq),
     Q("vector_pq_fp", vectorPqFpSql)(vectorPqFp),
+    Q("vector_sq_fp", vectorSqFpSql)(vectorSqFp),
+    Q("vector_sq_recall", vectorSqRecallSql)(vectorSqRecall),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("quality_gopher", qualityGopherSql)(qualityGopher),

@@ -297,6 +297,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(cents(0)(0) == -1L) // (1+3-7)/3 = -3/3 = -1 exactly; (-7+1+3) sums
   }
 
+  test("fixed-point IVF-SQ: recall floor, determinism, refine dominance") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    // same routing as ivfFpTopK (same trained cells, same probe count),
+    // so the SAME 0.4 floor must hold: the scalar codes only reorder
+    // the shortlist, and the 8k refine window re-ranks exactly
+    val recall = recallOf(Similarity.ivfSqFpTopK(q, e, k = 5), annTruth)
+    assert(recall >= 0.4, s"fixed-point IVF-SQ recall $recall below 0.4 floor")
+    // code-space shortlisting must not fall below the uncompressed fp
+    // path by more than the PQ spec's 10% tolerance band: SQ keeps one
+    // code per DIMENSION (vs PQ's one code per 16-dim subspace), so its
+    // shortlist is strictly finer-grained
+    val ivfRecall = recallOf(Similarity.ivfFpTopK(q, e, k = 5), annTruth)
+    assert(recall >= 0.9 * ivfRecall,
+      s"IVF-SQ recall $recall fell more than 10% below IVF-flat $ivfRecall")
+    // determinism: integer arithmetic end to end — bit-identical reruns
+    val r1 = Similarity.ivfSqFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val r2 = Similarity.ivfSqFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("persisted IVF index serves identical results with bucket-pruned scans") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

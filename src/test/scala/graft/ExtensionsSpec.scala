@@ -268,6 +268,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql("exact") == viaApi(Similarity.bruteForceTopK(q, e, 5)))
     assert(viaSql("ivf_fp") == viaApi(Similarity.ivfFpTopK(q, e, 5)))
     assert(viaSql("pq_fp") == viaApi(Similarity.ivfPqFpTopK(q, e, 5)))
+    assert(viaSql("sq_fp") == viaApi(Similarity.ivfSqFpTopK(q, e, 5)))
     assert(viaSql("pca_fp") == viaApi(Similarity.pcaRouteFpTopK(q, e, 5)))
     assert(viaSql("lsh").nonEmpty)
     // default method is lsh

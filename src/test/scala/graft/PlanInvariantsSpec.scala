@@ -47,7 +47,7 @@ class PlanInvariantsSpec extends SparkTestBase {
       // broadcast query side, same documented scale path; the pca row
       // additionally carries vector_pca_route_fp's reduced-space routing
       "vector_ann_recall", "vector_ivf_recall", "vector_pq_recall",
-      "vector_pca_recall",
+      "vector_pca_recall", "vector_sq_recall",
       "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "vector_pca_route_fp", "hard_negatives",
@@ -185,8 +185,8 @@ class PlanInvariantsSpec extends SparkTestBase {
         assert(!plan.contains("CartesianProduct"), plan.take(1200))
         if (!Set("vector_topk", "vector_pca_route", "vector_pca_route_fp",
             "hard_negatives", "vector_ann_recall", "vector_ivf_recall",
-            "vector_pq_recall", "vector_pca_recall", "segment_overlap",
-            "segment_overlap_sql")(name)) {
+            "vector_pq_recall", "vector_pca_recall", "vector_sq_recall",
+            "segment_overlap", "segment_overlap_sql")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
             s"$name has a nested loop with an UNBOUNDED build side:\n" +
