@@ -171,7 +171,7 @@ object GraftExtensions {
     (FunctionIdentifier("graft_ann"),
       info("graft_ann",
         "graft_ann(queries, candidates, k[, method]) - top-k neighbor join of two (vec_id, embedding) tables; " +
-          "method: lsh (default) | ivf | ivf_fp | pq_fp | sq_fp | pca_fp | exact, or indexed_fp " +
+          "method: lsh (default) | ivf | ivf_fp | pq_fp | sq_fp | bq_fp | pca_fp | exact, or indexed_fp " +
           "(candidates then names a persisted writeIvfIndexFp table). " +
           "NOTE: training/probe collection runs eagerly at plan construction, " +
           "so EXPLAIN (and every re-analysis) executes Spark jobs (r13 advice)"),
@@ -247,6 +247,7 @@ object GraftExtensions {
       case "ivf_fp" => Similarity.ivfFpTopK(q, c, k)
       case "pq_fp" => Similarity.ivfPqFpTopK(q, c, k)
       case "sq_fp" => Similarity.ivfSqFpTopK(q, c, k)
+      case "bq_fp" => Similarity.bqFpTopK(q, c, k)
       case "pca_fp" => Similarity.pcaRouteFpTopK(q, c, k)
       case "exact" => Similarity.bruteForceTopK(q, c, k)
       // the persisted-index serving path: `candidates` names a
@@ -257,7 +258,7 @@ object GraftExtensions {
         Similarity.ivfTopKIndexedFp(q, spark,
           strLit(exprs, 1, "graft_ann: candidates"), k)
       case o => throw new IllegalArgumentException(
-        s"graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|sq_fp|pca_fp|indexed_fp|exact, got '$o'")
+        s"graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|sq_fp|bq_fp|pca_fp|indexed_fp|exact, got '$o'")
     }
     org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
       df.select(org.apache.spark.sql.functions.col("query_id"),

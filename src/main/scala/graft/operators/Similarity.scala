@@ -1332,4 +1332,127 @@ object Similarity {
     selected.toSeq.zipWithIndex
       .map { case (pid, i) => (i + 1L, pid) }.toDF("rank", "id")
   }
+
+  // --------------------------------------------------- filtered serving
+
+  /** **Filtered fp-IVF top-k** — vector search under a metadata
+    * predicate, the production "filtered ANN" shape (`WHERE label = 3`
+    * next to the vector; every serving stack grows this). The index
+    * side is deliberately corpus-wide: the training sample and the
+    * cell assignment ignore the predicate, because the filter is a
+    * QUERY-time property — one index serves every predicate, and the
+    * oracle stays [[ivfFpTopK]]'s standard Lloyd replay. The predicate
+    * is applied to probed-cell candidates BEFORE ranking (post-filter
+    * semantics — filtering commutes with cell assignment, so applying
+    * it at the scan is plan-optimal and result-identical), and the
+    * caller over-probes (`nprobe` defaults to 2× the unfiltered
+    * serve's) to compensate the selectivity thinning each cell's
+    * match count below k. At scale the predicate is an ordinary
+    * pushed parquet filter on the bucket-pruned index scan (metadata
+    * rides the index as plain columns), so post-filtering costs zero
+    * extra I/O — the exact reason this beats the "pre-filter then
+    * brute-force" plan once the filtered set outgrows a broadcast
+    * ([[hardNegatives]] covers that regime). */
+  def ivfFpTopKFiltered(queries: DataFrame, candidates: DataFrame,
+      pred: Column, k: Int, nCells: Int = 16, nprobe: Int = 8,
+      iters: Int = 10, sampleCap: Int = 4096): DataFrame = {
+    require(nprobe <= nCells, s"nprobe=$nprobe must be <= nCells=$nCells")
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"),
+      pred.as("__keep"))
+    val sample = fpSample(c0, sampleCap)
+    val cents = kMeansFp(sample, sample.take(nCells), iters)
+    val cAssigned = c0.filter(col("__keep"))
+      .select(col("cand_id"), col("cv"),
+        fpCellScores(cents)(col("qv")).getItem(0).getField("cell").as("cell"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    val qAssigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvf"),
+        quantized(col("embedding")).as("qq"))
+      .withColumn("qn", VectorOps.norm(col("qvf")))
+      .select(col("query_id"), col("qvf").as("qv"), col("qn"),
+        explode(transform(slice(fpCellScores(cents)(col("qq")), 1, nprobe),
+          s => s.getField("cell"))).as("cell"))
+    scoreCells(qAssigned, cAssigned, k)
+  }
+
+  // -------------------------------------------------- binary quantization
+
+  /** **Binary-quantization top-k** — the fourth quantization family
+    * next to IVF-Flat / IVF-PQ / IVF-SQ: one BIT per dimension
+    * (coordinate above/below its corpus-wide trunc-mean), so a
+    * 64-dim vector compresses to ONE 64-bit code and candidate
+    * scoring is two XOR+popcount ops — the cheapest serving scan any
+    * vector store runs (the faiss/Milvus/pgvector "BQ" mode). The
+    * shortlist ranks by Hamming distance in code space (ties → smaller
+    * id), then exact float cosine refines rank-only, the proven gate
+    * shape. Same popcount primitive as [[Dedup.simhashPairs]] and the
+    * pHash bands ([[Multimodal]]) — but those fingerprint CONTENT
+    * (shingles / pixels); this quantizes a learned embedding against
+    * per-dimension corpus statistics, which is what makes it a
+    * serving-time ANN code rather than a dedup signature.
+    *
+    * Everything before the refine is integer-exact: quantized ⌊x·10⁶⌋
+    * coordinates, per-dim thresholds `Σ qv_d div n` (one 64-group
+    * map-side aggregate), bit codes, XOR/popcount — a DuckDB oracle
+    * replays the whole route, so this family joins the driver hash
+    * gate on day one. Codes are packed as TWO longs (bits 1–32 /
+    * 33–64): the top bit of a single packed long would land in the
+    * sign, and cross-engine bit semantics are only proven on
+    * non-negative BIGINTs.
+    *
+    * Scale shape: thresholds are a bounded 64-row collect; query codes
+    * broadcast (queries × 2 longs); the candidate scan carries 16
+    * bytes per vector instead of 256 — at 100 TB the Hamming pass
+    * reads ~1.6% of the raw embedding bytes, and the float refine
+    * touches only `k·refine` full vectors per query. */
+  def bqFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      refine: Int = 16): DataFrame = {
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
+    // bounded collect: the 64 per-dimension trunc-mean thresholds
+    val thr: Array[Long] = c0
+      .select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), expr("s div n").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    require(thr.length == 64, s"bqFpTopK: expected 64 dims, got ${thr.length}")
+    val weights = Array.tabulate(32)(i => 1L << i)
+    // bits 1..32 (from = 1) and 33..64 (from = 33), each into one long
+    def codeOf(qv: Column, from: Int): Column = {
+      val bits = zip_with(slice(qv, from, 32),
+        lit(thr.slice(from - 1, from + 31)),
+        (a, b) => when(a > b, lit(1L)).otherwise(lit(0L)))
+      aggregate(zip_with(bits, lit(weights), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val cCoded = c0.select(col("cand_id"), col("cv"),
+      codeOf(col("qv"), 1).as("clo"), codeOf(col("qv"), 33).as("chi"))
+    val qCoded = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvf"),
+        quantized(col("embedding")).as("qq"))
+      .withColumn("qn", VectorOps.norm(col("qvf")))
+      .select(col("query_id"), col("qvf").as("qv2"), col("qn"),
+        codeOf(col("qq"), 1).as("qlo"), codeOf(col("qq"), 33).as("qhi"))
+    val ham = (bit_count(col("qlo").bitwiseXOR(col("clo"))) +
+      bit_count(col("qhi").bitwiseXOR(col("chi")))).cast("long")
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("cand_id"))
+    val shortlist = cCoded
+      .join(broadcast(qCoded), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv2"), col("qn"),
+        col("cv"), ham.as("ham"))
+      .withColumn("rank_h", row_number().over(wH))
+      .filter(col("rank_h") <= k * refine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    shortlist
+      .select(col("query_id"), col("cand_id"), col("ham"),
+        (VectorOps.dot(col("qv2"), col("cv")) /
+          (col("qn") * VectorOps.norm(col("cv")))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

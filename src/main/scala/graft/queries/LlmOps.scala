@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
 import graft.functions.VectorOps
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -1302,9 +1302,10 @@ object LlmOps {
     * rot that still replays exactly would shift these integers (r13
     * verdict task 2). Queries whose served list misses every exact
     * neighbor still report 0 (right join against the query set). */
-  private def servedRecallAt5(e: DataFrame, served: DataFrame): DataFrame = {
+  private def servedRecallAt5(e: DataFrame, served: DataFrame,
+      candFilter: Column = lit(true)): DataFrame = {
     val q = e.filter(col("vec_id") < 20)
-    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+    val exact = Similarity.bruteForceTopK(q, e.filter(candFilter), k = 5)
       .select("query_id", "cand_id")
     exact.join(served.select("query_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_semi")
@@ -1321,7 +1322,8 @@ object LlmOps {
     * float-cosine top-5 (the hash-green `vector_topk` replay), so BOTH
     * sides of the recall integer are derived from first principles in
     * DuckDB — nothing engine-computed leaks into the oracle. */
-  private def servedRecallSql(serveSql: String): String =
+  private def servedRecallSql(serveSql: String,
+      candWhere: String = ""): String =
     s"""WITH ann AS MATERIALIZED (
        |  SELECT query_id, cand_id FROM (
        |$serveSql
@@ -1334,7 +1336,7 @@ object LlmOps {
        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
        |                 c.vec_id) AS rank
        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-       |    WHERE q.vec_id < 20)
+       |    WHERE q.vec_id < 20$candWhere)
        |  WHERE rank <= 5)
        |SELECT q.vec_id AS query_id,
        |  CAST(COUNT(a.cand_id) AS BIGINT) AS n_overlap
@@ -1392,6 +1394,195 @@ object LlmOps {
 
   private lazy val vectorSqRecallSql: String =
     servedRecallSql(vectorSqFpSql)
+
+  // --------------------------- filtered ANN + BQ + hybrid fusion (r14)
+
+  /** **Filtered vector search, hash-gated** ([[Similarity
+    * .ivfFpTopKFiltered]]): top-5 under the metadata predicate
+    * `label = 3` — the corpus-wide fp-IVF index routes, probed-cell
+    * candidates are post-filtered by the predicate, and the serve
+    * over-probes (nprobe 8 vs the unfiltered 4) to compensate ~10%
+    * selectivity thinning each cell. The oracle is the standard Lloyd
+    * replay with the predicate added to the candidate CTE — training
+    * and assignment stay corpus-wide because the filter is query-time
+    * (one index, every predicate). Queries whose probed cells hold
+    * fewer than 5 matches emit fewer rows; that thinning is part of
+    * the gated result. */
+  def vectorAnnFilteredFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfFpTopKFiltered(e.filter(col("vec_id") < 20), e,
+        col("label") === 3, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorAnnFilteredFpSql: String = {
+    val (iters, nprobe) = (10, 8)
+    s"""WITH ${ivfFpLloydCtes(iters)},
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${fpL2Sql("q.qv", "c.cv")}, c.cell) AS pr
+       |    FROM qd q CROSS JOIN c$iters c WHERE q.vec_id < 20) WHERE pr <= $nprobe),
+       |cnd AS MATERIALIZED (
+       |  SELECT DISTINCT qp.query_id, ca.cand_id
+       |  FROM qp JOIN ca USING (cell)
+       |  JOIN embeddings ce ON ce.vec_id = ca.cand_id
+       |  WHERE ca.cand_id <> qp.query_id AND ce.label = 3)
+       |SELECT query_id, cand_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT d.query_id, d.cand_id,
+       |    row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) DESC,
+       |      d.cand_id) AS rank
+       |  FROM cnd d JOIN embeddings q ON q.vec_id = d.query_id
+       |             JOIN embeddings c ON c.vec_id = d.cand_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Filtered-serve recall@5 vs the exact FILTERED brute force (both
+    * sides restricted to `label = 3` — recall against the unfiltered
+    * top-5 would conflate filter selectivity with routing quality).
+    * Same integer overlap gate as the rest of the serving family. */
+  def vectorFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    servedRecallAt5(e,
+      Similarity.ivfFpTopKFiltered(e.filter(col("vec_id") < 20), e,
+        col("label") === 3, k = 5),
+      candFilter = col("label") === 3)
+  }
+
+  private lazy val vectorFilteredRecallSql: String =
+    servedRecallSql(vectorAnnFilteredFpSql, candWhere = " AND c.label = 3")
+
+  /** **Binary-quantization top-k, hash-gated** ([[Similarity
+    * .bqFpTopK]]): 1 bit/dimension against per-dim corpus trunc-means,
+    * Hamming shortlist (top 5·16 by XOR+popcount, ties → smaller id),
+    * exact cosine refine. The emitted `hamming` column is the code-
+    * space distance of each returned neighbor — an integer the oracle
+    * recomputes from scratch, so the code construction itself is under
+    * the driver hash, not just the final ranking. */
+  def vectorBqFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bqFpTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select(col("query_id"), col("cand_id"), col("ham").as("hamming"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val vectorBqFpSql: String = {
+    val shortlist = 5 * 16
+    s"""WITH qd AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |thrd AS MATERIALIZED (
+       |  SELECT t.i AS dim, SUM(qv[CAST(t.i AS INT)]) // COUNT(*) AS thr
+       |  FROM qd, UNNEST(range(1, 65)) AS t(i) GROUP BY t.i),
+       |thrv AS MATERIALIZED (SELECT list(thr ORDER BY dim) AS th FROM thrd),
+       |codes AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 33),
+       |      i -> CASE WHEN q.qv[i] > t.th[i]
+       |           THEN (CAST(1 AS BIGINT) << (CAST(i AS INT) - 1))
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+       |    CAST(list_sum(list_transform(range(33, 65),
+       |      i -> CASE WHEN q.qv[i] > t.th[i]
+       |           THEN (CAST(1 AS BIGINT) << (CAST(i AS INT) - 33))
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+       |  FROM qd q, thrv t),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, cand_id, ham FROM (
+       |    SELECT cq.vec_id AS query_id, cc.vec_id AS cand_id,
+       |      CAST(bit_count(xor(cq.lo, cc.lo))
+       |         + bit_count(xor(cq.hi, cc.hi)) AS BIGINT) AS ham,
+       |      row_number() OVER (PARTITION BY cq.vec_id
+       |        ORDER BY CAST(bit_count(xor(cq.lo, cc.lo))
+       |                    + bit_count(xor(cq.hi, cc.hi)) AS BIGINT),
+       |          cc.vec_id) AS rh
+       |    FROM codes cq JOIN codes cc ON cc.vec_id <> cq.vec_id
+       |    WHERE cq.vec_id < 20) WHERE rh <= $shortlist)
+       |SELECT query_id, cand_id, hamming, CAST(rank AS INT) AS rank FROM (
+       |  SELECT s.query_id, s.cand_id, s.ham AS hamming,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) DESC,
+       |      s.cand_id) AS rank
+       |  FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+       |              JOIN embeddings c ON c.vec_id = s.cand_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** BQ recall@5 vs exact — the sign-bit code's retrieval quality
+    * under the same integer overlap gate as its IVF/PQ/SQ siblings. */
+  def vectorBqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    servedRecallAt5(e, Similarity.bqFpTopK(e.filter(col("vec_id") < 20), e, k = 5))
+  }
+
+  private lazy val vectorBqRecallSql: String =
+    servedRecallSql(vectorBqFpSql)
+
+  /** **Hybrid sparse+dense retrieval with RRF fusion** ([[Retrieval
+    * .hybridRrf]]): per query document, a lexical inverted-index
+    * ranking (binary-TF × integer odds-ratio idf) and an exact-cosine
+    * dense ranking are each cut to top-20 and fused with scaled
+    * integer reciprocal-rank fusion (`10⁹ div (60 + rank)`, summed
+    * over the lists that returned the candidate). Every emitted value
+    * is an integer the DuckDB oracle re-derives from the raw corpus —
+    * the fusion law itself is under the driver hash. */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridRrf(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir), id => id < 20)
+      .orderBy("query_id", "rank")
+
+  private lazy val hybridSearchRrfSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, u.t AS term
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+      |stats AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+      |idf AS MATERIALIZED (
+      |  SELECT term, (1000000 * (s.n - d.df + 1)) // (d.df + 1) AS idf
+      |  FROM (SELECT term, COUNT(*) AS df FROM toks GROUP BY term) d, stats s),
+      |sc AS MATERIALIZED (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, SUM(i.idf) AS s
+      |  FROM toks q
+      |  JOIN toks c ON c.term = q.term AND c.doc_id <> q.doc_id
+      |  JOIN idf i ON i.term = q.term
+      |  WHERE q.doc_id < 20
+      |  GROUP BY q.doc_id, c.doc_id),
+      |sparse AS MATERIALIZED (
+      |  SELECT query_id, cand_id, rank_s FROM (
+      |    SELECT query_id, cand_id, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY s DESC, cand_id) AS rank_s
+      |    FROM sc) WHERE rank_s <= 20),
+      |dense AS MATERIALIZED (
+      |  SELECT query_id, cand_id, rank_d FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+      |                 c.vec_id) AS rank_d
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 20)
+      |  WHERE rank_d <= 20),
+      |fused AS MATERIALIZED (
+      |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+      |    COALESCE(s.cand_id, d.cand_id) AS cand_id,
+      |    CAST(COALESCE(1000000000 // (60 + s.rank_s), 0)
+      |       + COALESCE(1000000000 // (60 + d.rank_d), 0) AS BIGINT) AS rrf_score
+      |  FROM sparse s FULL OUTER JOIN dense d
+      |    ON d.query_id = s.query_id AND d.cand_id = s.cand_id)
+      |SELECT query_id, cand_id, rrf_score, CAST(rank AS INT) AS rank FROM (
+      |  SELECT query_id, cand_id, rrf_score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, cand_id) AS rank
+      |  FROM fused) WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   // ----------------------- continuous-ingest lifecycle, hash-gated (r14)
 
@@ -3596,6 +3787,11 @@ object LlmOps {
     Q("vector_pq_fp", vectorPqFpSql)(vectorPqFp),
     Q("vector_sq_fp", vectorSqFpSql)(vectorSqFp),
     Q("vector_sq_recall", vectorSqRecallSql)(vectorSqRecall),
+    Q("vector_ann_filtered_fp", vectorAnnFilteredFpSql)(vectorAnnFilteredFp),
+    Q("vector_filtered_recall", vectorFilteredRecallSql)(vectorFilteredRecall),
+    Q("vector_bq_fp", vectorBqFpSql)(vectorBqFp),
+    Q("vector_bq_recall", vectorBqRecallSql)(vectorBqRecall),
+    Q("hybrid_search_rrf", hybridSearchRrfSql)(hybridSearchRrf),
     Q("vector_norms", vectorNormsSql)(vectorNorms),
     Q("text_quality", textQualitySql)(textQuality),
     Q("quality_gopher", qualityGopherSql)(qualityGopher),

@@ -320,6 +320,113 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("binary quantization: exhaustive-shortlist equality, recall floor, code laws") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    // THE BQ law: when the Hamming shortlist covers the whole corpus
+    // (k·refine ≥ |candidates|), the float refine ranks every candidate
+    // and BQ must EQUAL exact brute force row for row — the code space
+    // only prunes, never reorders the final ranking
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val exhaustive = rows(Similarity.bqFpTopK(q, e, k = 5, refine = 100))
+    val brute = rows(Similarity.bruteForceTopK(q, e, k = 5))
+    assert(exhaustive == brute && brute.nonEmpty,
+      "BQ with a corpus-covering shortlist must equal exact brute force")
+    // default-refine recall floor: 5·16 = 80 of 499 candidates (16% of
+    // the corpus) — measured 0.79 on this near-uniform corpus; floor at
+    // 0.6 as a deterministic regression tripwire
+    val recall = recallOf(Similarity.bqFpTopK(q, e, k = 5), annTruth)
+    assert(recall >= 0.6, s"BQ recall $recall below 0.6 floor")
+    // code laws: hamming is emitted per returned neighbor — always in
+    // [0, 64] (64 bits total across the two packed words)
+    val hams = Similarity.bqFpTopK(q, e, k = 5)
+      .select("ham").as[Long].collect()
+    assert(hams.nonEmpty && hams.forall(h => h >= 0L && h <= 64L))
+    // determinism: thresholds, codes, and popcounts are integer-exact
+    val d1 = rows(Similarity.bqFpTopK(q, e, k = 5))
+    val d2 = rows(Similarity.bqFpTopK(q, e, k = 5))
+    assert(d1 == d2)
+  }
+
+  test("filtered fp-IVF: predicate law, unfiltered equivalence, determinism") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    // predicate law: every returned neighbor satisfies the filter
+    val served = Similarity.ivfFpTopKFiltered(q, e, col("label") === 3, k = 5)
+    val labels = e.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val pairs = served.select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (_, c, _) => labels(c) == 3 })
+    // equivalence law: an always-true predicate at the unfiltered probe
+    // count IS ivfFpTopK — the filter path adds nothing but the filter
+    // (training sample and cell assignment are corpus-wide by design)
+    val viaFiltered = Similarity
+      .ivfFpTopKFiltered(q, e, lit(true), k = 5, nprobe = 4)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val plain = Similarity.ivfFpTopK(q, e, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaFiltered == plain && plain.nonEmpty)
+    // determinism
+    val r1 = served.select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val r2 = Similarity.ivfFpTopKFiltered(q, e, col("label") === 3, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(r1 == r2)
+  }
+
+  test("hybrid RRF: double-rank-1 dominance, score bounds, determinism") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val fused = Retrieval.hybridRrf(docs, emb, id => id < 20)
+    val rows = fused
+      .select("query_id", "cand_id", "rrf_score", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    // score bounds: at most 2 lists contribute, best possible rank 1 in
+    // both → 2·(10⁹ div 61); worst emitted → present in at least one
+    // list at rank ≤ 20 → ≥ 10⁹ div 80
+    assert(rows.forall { case (_, _, s, _) =>
+      s >= 1000000000L / 80L && s <= 2L * (1000000000L / 61L) })
+    // per-query monotonicity: rrf_score non-increasing along rank
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // double-rank-1 dominance on constructed data: query 901 and copy
+    // 902 share a private vocabulary (tokens absent from the corpus)
+    // and an identical embedding, so 902 is rank 1 in BOTH lists (the
+    // ONLY sparse candidate, in fact) — RRF must fuse it to rank 1
+    // with exactly 2·(10⁹ div 61); ranks are unique per list, so no
+    // other candidate can reach that score
+    val planted = Seq(
+      (901L, "zzzalpha zzzbeta zzzgamma", "en", "spec", 25L),
+      (902L, "zzzalpha zzzbeta zzzgamma", "en", "spec", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // negated vec-0 embedding: identical between 901 and 902 (cosine
+    // exactly 1), but equal to NO corpus vector (vec 0 itself scores −1)
+    val emb0 = emb.filter(col("vec_id") === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x))
+    val plantedEmb = emb0.withColumn("vec_id", lit(901L))
+      .unionByName(emb0.withColumn("vec_id", lit(902L)))
+    val fused2 = Retrieval.hybridRrf(docs.unionByName(planted),
+        emb.unionByName(plantedEmb), id => id === 901L)
+      .filter(col("rank") === 1)
+      .select("cand_id", "rrf_score").as[(Long, Long)].collect()
+    assert(fused2.length == 1 && fused2.head._1 == 902L &&
+      fused2.head._2 == 2L * (1000000000L / 61L),
+      s"double-rank-1 candidate must fuse to rank 1: ${fused2.mkString(",")}")
+    // determinism
+    val again = Retrieval.hybridRrf(docs, emb, id => id < 20)
+      .select("query_id", "cand_id", "rrf_score", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.toSet == again.toSet)
+  }
+
   test("persisted IVF index serves identical results with bucket-pruned scans") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

@@ -269,6 +269,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql("ivf_fp") == viaApi(Similarity.ivfFpTopK(q, e, 5)))
     assert(viaSql("pq_fp") == viaApi(Similarity.ivfPqFpTopK(q, e, 5)))
     assert(viaSql("sq_fp") == viaApi(Similarity.ivfSqFpTopK(q, e, 5)))
+    assert(viaSql("bq_fp") == viaApi(Similarity.bqFpTopK(q, e, 5)))
     assert(viaSql("pca_fp") == viaApi(Similarity.pcaRouteFpTopK(q, e, 5)))
     assert(viaSql("lsh").nonEmpty)
     // default method is lsh

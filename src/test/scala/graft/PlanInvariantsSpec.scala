@@ -48,6 +48,15 @@ class PlanInvariantsSpec extends SparkTestBase {
       // additionally carries vector_pca_route_fp's reduced-space routing
       "vector_ann_recall", "vector_ivf_recall", "vector_pq_recall",
       "vector_pca_recall", "vector_sq_recall",
+      // r14 filtered/BQ/hybrid family: vector_bq_fp broadcasts the tiny
+      // query-code set against the candidate code scan (two longs per
+      // row — the cheapest all-pairs pass in the suite, and the
+      // documented BQ serving shape); vector_filtered_recall and
+      // vector_bq_recall carry the brute-force exact side like every
+      // other recall row; hybrid_search_rrf's dense list IS vector_topk
+      // (broadcast query set), its sparse list equi-joins on term
+      "vector_bq_fp", "vector_bq_recall", "vector_filtered_recall",
+      "hybrid_search_rrf",
       "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "vector_pca_route_fp", "hard_negatives",
@@ -186,6 +195,8 @@ class PlanInvariantsSpec extends SparkTestBase {
         if (!Set("vector_topk", "vector_pca_route", "vector_pca_route_fp",
             "hard_negatives", "vector_ann_recall", "vector_ivf_recall",
             "vector_pq_recall", "vector_pca_recall", "vector_sq_recall",
+            "vector_bq_fp", "vector_bq_recall", "vector_filtered_recall",
+            "hybrid_search_rrf",
             "segment_overlap", "segment_overlap_sql")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
