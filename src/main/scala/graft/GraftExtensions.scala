@@ -171,8 +171,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_ann"),
       info("graft_ann",
         "graft_ann(queries, candidates, k[, method]) - top-k neighbor join of two (vec_id, embedding) tables; " +
-          "method: lsh (default) | ivf | ivf_fp | pq_fp | sq_fp | bq_fp | pca_fp | exact, or indexed_fp " +
-          "(candidates then names a persisted writeIvfIndexFp table). " +
+          "method: lsh (default) | ivf | ivf_fp | pq_fp | sq_fp | bq_fp | pca_fp | exact; indexed_fp / " +
+          "bq_indexed_fp (candidates then names a persisted writeIvfIndexFp / writeBqIndexFp table); " +
+          "filtered_fp (5th arg = SQL predicate over candidate columns, e.g. 'label = 3'). " +
           "NOTE: training/probe collection runs eagerly at plan construction, " +
           "so EXPLAIN (and every re-analysis) executes Spark jobs (r13 advice)"),
       (exprs: Seq[Expression]) => annPlan(exprs)))
@@ -233,14 +234,16 @@ object GraftExtensions {
   private def annPlan(exprs: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import graft.operators.Similarity
-    require(exprs.length >= 3 && exprs.length <= 4,
-      "usage: graft_ann(queries, candidates, k[, method])")
+    require(exprs.length >= 3 && exprs.length <= 5,
+      "usage: graft_ann(queries, candidates, k[, method[, predicate]])")
     val spark = SparkSession.active
     val q = spark.table(strLit(exprs, 0, "graft_ann: queries"))
     val c = spark.table(strLit(exprs, 1, "graft_ann: candidates"))
     val k = intLit(exprs, 2, "graft_ann: k")
     val method = if (exprs.length < 4) "lsh"
       else strLit(exprs, 3, "graft_ann: method")
+    require(exprs.length < 5 || method == "filtered_fp",
+      "graft_ann: a 5th argument (predicate) is only valid with method 'filtered_fp'")
     val df = method match {
       case "lsh" => Similarity.annTopK(q, c, k)
       case "ivf" => Similarity.ivfTopK(q, c, k)
@@ -250,6 +253,20 @@ object GraftExtensions {
       case "bq_fp" => Similarity.bqFpTopK(q, c, k)
       case "pca_fp" => Similarity.pcaRouteFpTopK(q, c, k)
       case "exact" => Similarity.bruteForceTopK(q, c, k)
+      // filtered serving from SQL: the 5th argument is a boolean SQL
+      // predicate over the candidate table's columns (e.g. 'label = 3')
+      case "filtered_fp" =>
+        require(exprs.length == 5,
+          "graft_ann: method 'filtered_fp' requires a predicate, e.g. " +
+            "graft_ann('q', 'c', 5, 'filtered_fp', 'label = 3')")
+        Similarity.ivfFpTopKFiltered(q, c,
+          org.apache.spark.sql.functions.expr(
+            strLit(exprs, 4, "graft_ann: predicate")), k)
+      // persisted BQ code-index serving: `candidates` names a
+      // writeBqIndexFp table (the bq twin of 'indexed_fp')
+      case "bq_indexed_fp" =>
+        Similarity.bqTopKIndexedFp(q, spark,
+          strLit(exprs, 1, "graft_ann: candidates"), k)
       // the persisted-index serving path: `candidates` names a
       // writeIvfIndexFp table instead of a vector table, so a SQL user
       // reaches the bucket-pruned vector-database serve (and, composed
@@ -258,7 +275,8 @@ object GraftExtensions {
         Similarity.ivfTopKIndexedFp(q, spark,
           strLit(exprs, 1, "graft_ann: candidates"), k)
       case o => throw new IllegalArgumentException(
-        s"graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|sq_fp|bq_fp|pca_fp|indexed_fp|exact, got '$o'")
+        "graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|sq_fp|bq_fp|pca_fp|" +
+          s"filtered_fp|indexed_fp|bq_indexed_fp|exact, got '$o'")
     }
     org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
       df.select(org.apache.spark.sql.functions.col("query_id"),

@@ -1406,36 +1406,52 @@ object Similarity {
     * bytes per vector instead of 256 — at 100 TB the Hamming pass
     * reads ~1.6% of the raw embedding bytes, and the float refine
     * touches only `k·refine` full vectors per query. */
-  def bqFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      refine: Int = 16): DataFrame = {
-    val c0 = candidates.select(col("vec_id").as("cand_id"),
-      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
-    // bounded collect: the 64 per-dimension trunc-mean thresholds
-    val thr: Array[Long] = c0
+  /** The 64 per-dimension trunc-mean thresholds of a quantized-vector
+    * frame — ONE definition shared by the inline serve, the index
+    * builder, and (in SQL) the oracle's `thrd` CTE, so persisted codes
+    * can never drift from the replay. Bounded collect: 64 rows. */
+  private def bqThresholds(c0: DataFrame): Array[Long] = {
+    val thr = c0
       .select(posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy(col("dim"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .select(col("dim"), expr("s div n").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1).map(_._2)
-    require(thr.length == 64, s"bqFpTopK: expected 64 dims, got ${thr.length}")
+    require(thr.length == 64,
+      s"bqThresholds: expected 64 dims, got ${thr.length}")
+    thr
+  }
+
+  /** Packed sign-bit code of a quantized vector against explicit
+    * thresholds: bits `from..from+31` (1-based dims) into one
+    * non-negative long. */
+  private def bqCodeOf(thr: Array[Long])(qv: Column, from: Int): Column = {
     val weights = Array.tabulate(32)(i => 1L << i)
-    // bits 1..32 (from = 1) and 33..64 (from = 33), each into one long
-    def codeOf(qv: Column, from: Int): Column = {
-      val bits = zip_with(slice(qv, from, 32),
-        lit(thr.slice(from - 1, from + 31)),
-        (a, b) => when(a > b, lit(1L)).otherwise(lit(0L)))
-      aggregate(zip_with(bits, lit(weights), (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x)
-    }
-    val cCoded = c0.select(col("cand_id"), col("cv"),
-      codeOf(col("qv"), 1).as("clo"), codeOf(col("qv"), 33).as("chi"))
-    val qCoded = queries
+    val bits = zip_with(slice(qv, from, 32),
+      lit(thr.slice(from - 1, from + 31)),
+      (a, b) => when(a > b, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, lit(weights), (x, w) => x * w),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Query-side frame with codes + refine inputs, shared by the inline
+    * and indexed BQ serves. */
+  private def bqQuerySide(queries: DataFrame, thr: Array[Long]): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qvf"),
         quantized(col("embedding")).as("qq"))
       .withColumn("qn", VectorOps.norm(col("qvf")))
       .select(col("query_id"), col("qvf").as("qv2"), col("qn"),
-        codeOf(col("qq"), 1).as("qlo"), codeOf(col("qq"), 33).as("qhi"))
+        bqCodeOf(thr)(col("qq"), 1).as("qlo"),
+        bqCodeOf(thr)(col("qq"), 33).as("qhi"))
+
+  /** Shared BQ serve tail: Hamming shortlist against coded candidates
+    * (cand_id, clo, chi), exact cosine refine against the raw-vector
+    * frame (cand_id, cv, cn) — split so the indexed path's shortlist
+    * scan prunes to the 16-byte code columns. */
+  private def bqServe(qCoded: DataFrame, cCoded: DataFrame,
+      raw: DataFrame, k: Int, refine: Int): DataFrame = {
     val ham = (bit_count(col("qlo").bitwiseXOR(col("clo"))) +
       bit_count(col("qhi").bitwiseXOR(col("chi")))).cast("long")
     val wH = Window.partitionBy(col("query_id"))
@@ -1443,16 +1459,79 @@ object Similarity {
     val shortlist = cCoded
       .join(broadcast(qCoded), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("qv2"), col("qn"),
-        col("cv"), ham.as("ham"))
+        ham.as("ham"))
       .withColumn("rank_h", row_number().over(wH))
       .filter(col("rank_h") <= k * refine)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    shortlist
+    shortlist.join(raw, Seq("cand_id"))
       .select(col("query_id"), col("cand_id"), col("ham"),
         (VectorOps.dot(col("qv2"), col("cv")) /
-          (col("qn") * VectorOps.norm(col("cv")))).as("cos"))
+          (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def bqFpTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      refine: Int = 16): DataFrame = {
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
+    val thr = bqThresholds(c0)
+    val cCoded = c0.select(col("cand_id"),
+      bqCodeOf(thr)(col("qv"), 1).as("clo"),
+      bqCodeOf(thr)(col("qv"), 33).as("chi"))
+    val raw = c0.select(col("cand_id"), col("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+    bqServe(bqQuerySide(queries, thr), cCoded, raw, k, refine)
+  }
+
+  /** **Persisted BQ code index** — codes computed ONCE at build time
+    * (how every real system serves BQ: the encode pass is the corpus
+    * scan you amortize). One table carries (cand_id, clo, chi, cv, cn);
+    * the Hamming shortlist selects only (cand_id, clo, chi), so parquet
+    * COLUMN PRUNING gives the 16-byte scan — same mechanism as bucket
+    * pruning for the IVF index, pruning columns instead of files — and
+    * the refine equi-joins the raw columns back by cand_id, touching
+    * k·refine rows per query. The 64 thresholds ride in a
+    * `<table>__thresholds` side table so later sessions encode queries
+    * without rescanning the corpus. Served ≡ inline [[bqFpTopK]] is a
+    * driver hash equality (the `vector_bq_indexed_fp` oracle is the
+    * inline replay verbatim). */
+  def writeBqIndexFp(candidates: DataFrame, table: String): Unit = {
+    val spark = candidates.sparkSession
+    val c0 = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), quantized(col("embedding")).as("qv"))
+    val thr = bqThresholds(c0)
+    Joins.dropTableAndLocation(spark, table)
+    c0.select(col("cand_id"),
+        bqCodeOf(thr)(col("qv"), 1).as("clo"),
+        bqCodeOf(thr)(col("qv"), 33).as("chi"),
+        col("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .saveAsTable(table)
+    import spark.implicits._
+    Joins.dropTableAndLocation(spark, s"${table}__thresholds")
+    thr.toSeq.zipWithIndex.map { case (t, d) => (d, t) }
+      .toDF("dim", "thr").coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}__thresholds")
+  }
+
+  /** Serve BQ top-k from a [[writeBqIndexFp]] table: query codes from
+    * the persisted thresholds, Hamming shortlist over the column-pruned
+    * (cand_id, clo, chi) scan, exact refine joined back by id. */
+  def bqTopKIndexedFp(queries: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, table: String, k: Int,
+      refine: Int = 16): DataFrame = {
+    val thr = spark.table(s"${table}__thresholds")
+      .select(col("dim"), col("thr")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    require(thr.length == 64,
+      s"bqTopKIndexedFp: expected 64 thresholds for '$table', got ${thr.length}")
+    val cCoded = spark.table(table).select(col("cand_id"), col("clo"), col("chi"))
+    val raw = spark.table(table).select(col("cand_id"), col("cv"), col("cn"))
+    bqServe(bqQuerySide(queries, thr), cCoded, raw, k, refine)
   }
 }

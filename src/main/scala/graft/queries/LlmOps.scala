@@ -1517,6 +1517,25 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** **Persisted BQ serving, HASH-CHECKED** ([[Similarity
+    * .writeBqIndexFp]] / [[Similarity.bqTopKIndexedFp]]): codes and
+    * thresholds computed once at build time, the Hamming shortlist
+    * reads the column-pruned 16-byte (cand_id, clo, chi) scan, the
+    * refine equi-joins the raw vectors back by id. The oracle is the
+    * INLINE BQ replay verbatim — the driver hash equality IS the
+    * "served from the code index ≡ inline" law, the same discipline as
+    * `vector_ivf_indexed_fp`. Timed query includes the index write
+    * (layout-investment accounting). */
+  def vectorBqIndexedFp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeBqIndexFp(e, "graft_bq_fp_index")
+    Similarity.bqTopKIndexedFp(e.filter(col("vec_id") < 20), spark,
+        "graft_bq_fp_index", k = 5)
+      .select(col("query_id"), col("cand_id"), col("ham").as("hamming"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** BQ recall@5 vs exact — the sign-bit code's retrieval quality
     * under the same integer overlap gate as its IVF/PQ/SQ siblings. */
   def vectorBqRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -3790,6 +3809,7 @@ object LlmOps {
     Q("vector_ann_filtered_fp", vectorAnnFilteredFpSql)(vectorAnnFilteredFp),
     Q("vector_filtered_recall", vectorFilteredRecallSql)(vectorFilteredRecall),
     Q("vector_bq_fp", vectorBqFpSql)(vectorBqFp),
+    Q("vector_bq_indexed_fp", vectorBqFpSql)(vectorBqIndexedFp),
     Q("vector_bq_recall", vectorBqRecallSql)(vectorBqRecall),
     Q("hybrid_search_rrf", hybridSearchRrfSql)(hybridSearchRrf),
     Q("vector_norms", vectorNormsSql)(vectorNorms),

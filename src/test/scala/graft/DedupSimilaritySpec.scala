@@ -350,6 +350,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(d1 == d2)
   }
 
+  test("persisted BQ index: served equals inline, code scan prunes raw vectors") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    Similarity.writeBqIndexFp(e, "bq_idx_spec")
+    val served = Similarity.bqTopKIndexedFp(q, spark, "bq_idx_spec", k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "ham", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    // the maintenance law: thresholds and codes persisted at build time
+    // serve EXACTLY the inline result (the vector_bq_indexed_fp oracle
+    // is the inline replay verbatim — this is its spec-side anchor)
+    assert(rows(served) == rows(Similarity.bqFpTopK(q, e, k = 5)) &&
+      rows(served).nonEmpty)
+    // the Hamming shortlist must scan the CODE columns only: at least
+    // one index-table scan reads (cand_id, clo, chi) without cv/cn —
+    // parquet column pruning is what makes the persisted scan 16
+    // bytes/vector, the whole point of the code index
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: AQE wraps the executed tree and hides
+    // the scans from a plain collect (the PlanInvariantsSpec recursion
+    // lesson); the pre-adaptive physical plan shows them directly
+    val indexScans = served.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "bq_idx_spec") =>
+        f.output.map(_.name).toSet
+    }
+    assert(indexScans.exists(cols =>
+        cols("clo") && cols("chi") && !cols("cv") && !cols("cn")),
+      s"no column-pruned code scan found; index scans read: $indexScans")
+  }
+
   test("filtered fp-IVF: predicate law, unfiltered equivalence, determinism") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

@@ -287,5 +287,30 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(viaIdx == viaApi(Similarity.ivfTopKIndexedFp(q, spark, "ann_tvf_idx", 5)))
     assert(viaIdx == viaSql("ivf_fp"))
+    // filtered serving from SQL: the 5th argument is a predicate over
+    // the candidate table's columns, and SQL ≡ Scala exactly
+    val viaFiltered = spark.sql(
+      "SELECT query_id, cand_id, rank FROM graft_ann('ann_tvf_q', 'ann_tvf_c', 5, 'filtered_fp', 'label = 3')")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaFiltered == viaApi(
+      Similarity.ivfFpTopKFiltered(q, e, col("label") === 3, 5)))
+    // a 5th arg with any other method refuses loudly, as does
+    // filtered_fp without its predicate
+    val err5 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann('ann_tvf_q', 'ann_tvf_c', 5, 'exact', 'label = 3')")
+    }
+    assert(err5.getMessage.contains("only valid with method 'filtered_fp'"))
+    val errNoPred = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann('ann_tvf_q', 'ann_tvf_c', 5, 'filtered_fp')")
+    }
+    assert(errNoPred.getMessage.contains("requires a predicate"))
+    // the persisted BQ code index from SQL
+    Similarity.writeBqIndexFp(e, "ann_tvf_bq_idx")
+    val viaBqIdx = spark.sql(
+      "SELECT query_id, cand_id, rank FROM graft_ann('ann_tvf_q', 'ann_tvf_bq_idx', 5, 'bq_indexed_fp')")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaBqIdx == viaApi(
+      Similarity.bqTopKIndexedFp(q, spark, "ann_tvf_bq_idx", 5)))
+    assert(viaBqIdx == viaSql("bq_fp"))
   }
 }

@@ -55,8 +55,8 @@ class PlanInvariantsSpec extends SparkTestBase {
       // vector_bq_recall carry the brute-force exact side like every
       // other recall row; hybrid_search_rrf's dense list IS vector_topk
       // (broadcast query set), its sparse list equi-joins on term
-      "vector_bq_fp", "vector_bq_recall", "vector_filtered_recall",
-      "hybrid_search_rrf",
+      "vector_bq_fp", "vector_bq_indexed_fp", "vector_bq_recall",
+      "vector_filtered_recall", "hybrid_search_rrf",
       "semantic_dedup",
       "corpus_rebalance", "classifier_calibration", "dsir_weights",
       "vector_pca_route", "vector_pca_route_fp", "hard_negatives",
@@ -195,8 +195,8 @@ class PlanInvariantsSpec extends SparkTestBase {
         if (!Set("vector_topk", "vector_pca_route", "vector_pca_route_fp",
             "hard_negatives", "vector_ann_recall", "vector_ivf_recall",
             "vector_pq_recall", "vector_pca_recall", "vector_sq_recall",
-            "vector_bq_fp", "vector_bq_recall", "vector_filtered_recall",
-            "hybrid_search_rrf",
+            "vector_bq_fp", "vector_bq_indexed_fp", "vector_bq_recall",
+            "vector_filtered_recall", "hybrid_search_rrf",
             "segment_overlap", "segment_overlap_sql")(name)) {
           val unbounded = unboundedNestedLoops(df.queryExecution.executedPlan)
           assert(unbounded.isEmpty,
