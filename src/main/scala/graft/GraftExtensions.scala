@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     GraftExtensions.tableFunctions.foreach(e.injectTableFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.DeferredRelationStrategy)
     // operator-optimization-batch rules: Catalyst's pushdown/pruning
     // don't understand the custom as-of node, these teach it
     e.injectOptimizerRule(_ => graft.plans.AsOfPushdownRule)
@@ -174,8 +175,8 @@ object GraftExtensions {
           "method: lsh (default) | ivf | ivf_fp | pq_fp | sq_fp | bq_fp | pca_fp | exact; indexed_fp / " +
           "bq_indexed_fp (candidates then names a persisted writeIvfIndexFp / writeBqIndexFp table); " +
           "filtered_fp (5th arg = SQL predicate over candidate columns, e.g. 'label = 3'). " +
-          "NOTE: training/probe collection runs eagerly at plan construction, " +
-          "so EXPLAIN (and every re-analysis) executes Spark jobs (r13 advice)"),
+          "Analysis resolves tables and validates arguments but runs no jobs; " +
+          "the serving computation (training collects included) executes with the query"),
       (exprs: Seq[Expression]) => annPlan(exprs)))
 
   private def strLit(exprs: Seq[Expression], i: Int, what: String): String =
@@ -230,58 +231,96 @@ object GraftExtensions {
     * }}}
     * Output is the similarity-value discipline's (query_id, cand_id,
     * rank) — ranks and ids only. Table names resolve through the
-    * session catalog (temp views included), exactly like [[asofPlan]]. */
+    * session catalog (temp views included), exactly like [[asofPlan]].
+    *
+    * Plan construction is JOB-FREE (the r13 advisor finding, fixed
+    * properly in r14): tables resolve and arguments validate eagerly —
+    * a bad method, a missing table, or a malformed predicate still
+    * refuses loudly at analysis — but the serving computation itself
+    * (k-means training collects, probe-list collection, the scoring
+    * joins) is captured in a thunk behind a
+    * [[graft.plans.DeferredRelation]] leaf with the declared
+    * `(query_id BIGINT, cand_id BIGINT, rank INT)` schema, and runs only
+    * when the enclosing query executes. EXPLAIN and re-analysis cost
+    * nothing; repeated re-analysis no longer retrains. */
   private def annPlan(exprs: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import graft.operators.Similarity
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     require(exprs.length >= 3 && exprs.length <= 5,
       "usage: graft_ann(queries, candidates, k[, method[, predicate]])")
     val spark = SparkSession.active
+    val candName = strLit(exprs, 1, "graft_ann: candidates")
+    // eager resolution: analysis-only (no jobs), and a missing table or
+    // view fails the query at plan time like any other relation. For the
+    // persisted-index methods `candidates` names the index's main table,
+    // which writeIvfIndexFp/writeBqIndexFp create in the catalog — so
+    // the same lookup validates those too.
     val q = spark.table(strLit(exprs, 0, "graft_ann: queries"))
-    val c = spark.table(strLit(exprs, 1, "graft_ann: candidates"))
+    val c = spark.table(candName)
     val k = intLit(exprs, 2, "graft_ann: k")
     val method = if (exprs.length < 4) "lsh"
       else strLit(exprs, 3, "graft_ann: method")
     require(exprs.length < 5 || method == "filtered_fp",
       "graft_ann: a 5th argument (predicate) is only valid with method 'filtered_fp'")
-    val df = method match {
-      case "lsh" => Similarity.annTopK(q, c, k)
-      case "ivf" => Similarity.ivfTopK(q, c, k)
-      case "ivf_fp" => Similarity.ivfFpTopK(q, c, k)
-      case "pq_fp" => Similarity.ivfPqFpTopK(q, c, k)
-      case "sq_fp" => Similarity.ivfSqFpTopK(q, c, k)
-      case "bq_fp" => Similarity.bqFpTopK(q, c, k)
-      case "pca_fp" => Similarity.pcaRouteFpTopK(q, c, k)
-      case "exact" => Similarity.bruteForceTopK(q, c, k)
+    // method dispatch stays eager (bad methods refuse at analysis); only
+    // the DataFrame construction — where the training/probe collects
+    // live — is deferred into the thunk
+    val mk: () => org.apache.spark.sql.DataFrame = method match {
+      case "lsh" => () => Similarity.annTopK(q, c, k)
+      case "ivf" => () => Similarity.ivfTopK(q, c, k)
+      case "ivf_fp" => () => Similarity.ivfFpTopK(q, c, k)
+      case "pq_fp" => () => Similarity.ivfPqFpTopK(q, c, k)
+      case "sq_fp" => () => Similarity.ivfSqFpTopK(q, c, k)
+      case "bq_fp" => () => Similarity.bqFpTopK(q, c, k)
+      case "pca_fp" => () => Similarity.pcaRouteFpTopK(q, c, k)
+      case "exact" => () => Similarity.bruteForceTopK(q, c, k)
       // filtered serving from SQL: the 5th argument is a boolean SQL
-      // predicate over the candidate table's columns (e.g. 'label = 3')
+      // predicate over the candidate table's columns (e.g. 'label = 3');
+      // parsed eagerly so a syntactically-bad predicate refuses at
+      // analysis, not mid-execution
       case "filtered_fp" =>
         require(exprs.length == 5,
           "graft_ann: method 'filtered_fp' requires a predicate, e.g. " +
             "graft_ann('q', 'c', 5, 'filtered_fp', 'label = 3')")
-        Similarity.ivfFpTopKFiltered(q, c,
-          org.apache.spark.sql.functions.expr(
-            strLit(exprs, 4, "graft_ann: predicate")), k)
+        val pred = org.apache.spark.sql.functions.expr(
+          strLit(exprs, 4, "graft_ann: predicate"))
+        () => Similarity.ivfFpTopKFiltered(q, c, pred, k)
       // persisted BQ code-index serving: `candidates` names a
       // writeBqIndexFp table (the bq twin of 'indexed_fp')
       case "bq_indexed_fp" =>
-        Similarity.bqTopKIndexedFp(q, spark,
-          strLit(exprs, 1, "graft_ann: candidates"), k)
+        () => Similarity.bqTopKIndexedFp(q, spark, candName, k)
       // the persisted-index serving path: `candidates` names a
       // writeIvfIndexFp table instead of a vector table, so a SQL user
       // reaches the bucket-pruned vector-database serve (and, composed
       // with ivfIndexSinkFp, a stream-maintained index) from one query
       case "indexed_fp" =>
-        Similarity.ivfTopKIndexedFp(q, spark,
-          strLit(exprs, 1, "graft_ann: candidates"), k)
+        () => Similarity.ivfTopKIndexedFp(q, spark, candName, k)
       case o => throw new IllegalArgumentException(
         "graft_ann: method must be lsh|ivf|ivf_fp|pq_fp|sq_fp|bq_fp|pca_fp|" +
           s"filtered_fp|indexed_fp|bq_indexed_fp|exact, got '$o'")
     }
-    org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
-      df.select(org.apache.spark.sql.functions.col("query_id"),
-        org.apache.spark.sql.functions.col("cand_id"),
-        org.apache.spark.sql.functions.col("rank")))
+    // live-session twin of GraftExtensions' injectPlannerStrategy (the
+    // AsOfJoin.apply precedent): register()-path sessions plan the node
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.DeferredRelationStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.DeferredRelationStrategy
+    }
+    // the declared schema is a contract the thunk enforces by cast: ids
+    // are bigint (every graft vector surface keys on long vec_id), rank
+    // is row_number's int
+    val output = Seq(
+      AttributeReference("query_id", LongType)(),
+      AttributeReference("cand_id", LongType)(),
+      AttributeReference("rank", IntegerType)())
+    graft.plans.DeferredRelation(s"graft_ann($method)", output,
+      () => mk().select(
+        col("query_id").cast(LongType).as("query_id"),
+        col("cand_id").cast(LongType).as("cand_id"),
+        col("rank").cast(IntegerType).as("rank")))
   }
 
   private def asofPlan(exprs: Seq[Expression])

@@ -251,6 +251,53 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_ann defers the serving computation: analysis + EXPLAIN run zero jobs") {
+    import graft.operators.Similarity
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+    q.createOrReplaceTempView("ann_defer_q")
+    e.createOrReplaceTempView("ann_defer_c")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(js.stageInfos.map(_.name).mkString("; ").take(200))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // analysis, optimization, physical planning, and a formatted
+      // EXPLAIN — the full pre-execution lifecycle. ivf_fp trains
+      // k-means at serve time, so before the r14 deferral this block
+      // executed dozens of jobs.
+      val df = spark.sql(
+        "SELECT * FROM graft_ann('ann_defer_q', 'ann_defer_c', 5, 'ivf_fp')")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("DeferredRelationExec"), physical.take(500))
+      val explained = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(explained.contains("DeferredRelation"), explained.take(500))
+      // barrier job: listener events deliver in order, so once the
+      // barrier's start event lands, any job the block above had started
+      // would already have been counted. An RDD count is exactly ONE job
+      // (a SQL count under AQE is two: stage materialization + result).
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"expected only the barrier job after analysis+EXPLAIN, saw ${jobs.get()}: " +
+          sites.toArray.mkString(" | "))
+      // and execution still serves: deferred ≡ the Scala API result
+      val served = df.as[(Long, Long, Int)].collect().toSet
+      assert(served == Similarity.ivfFpTopK(q, e, 5)
+        .select("query_id", "cand_id", "rank").as[(Long, Long, Int)].collect().toSet)
+      assert(served.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("graft_ann table function: every method ≡ its Scala API result, bad method refuses") {
     import graft.operators.Similarity
     GraftExtensions.register(spark)
