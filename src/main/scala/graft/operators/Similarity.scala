@@ -485,6 +485,60 @@ object Similarity {
     (live - base).toDouble / base.toDouble
   }
 
+  /** **Index observability report** over a persisted IVF index
+    * ([[writeIvfIndex]] or [[writeIvfIndexFp]]): one row per occupied
+    * cell with the occupancy facts an operator watches before they
+    * become incidents — `n_rows` (this cell), `total_rows` / `n_cells` /
+    * `max_rows` / `min_rows` (the run-wide frame), `share_x10000`
+    * (this cell's fraction of the index, integer parts-per-10k),
+    * `imbalance_x1000` (max-cell size over the perfectly-balanced size,
+    * ×1000 — the routing-skew factor: probed-cell serving cost is
+    * bounded by the largest cell, so imbalance IS the tail-latency
+    * multiplier), and `delta_rows` (rows appended since the base build —
+    * [[ivfDriftFraction]]'s numerator, surfaced per report instead of
+    * hidden in the policy).
+    *
+    * Everything is integer counts and truncating division — exact,
+    * order-free arithmetic — so on an fp index the whole report
+    * hash-matches a DuckDB replay of the assignment pipeline
+    * (`vector_index_stats`). At-least-once streamed appends
+    * ([[ivfIndexSinkFp]]) count duplicated rows toward `n_rows` and
+    * `delta_rows`, the same conservative accounting [[ivfDriftFraction]]
+    * uses: a replay inflates the drift signal, never hides it.
+    *
+    * Scale shape: the per-cell counts are ONE map-side-combinable
+    * aggregate over the bucketed index (the count collapses inside each
+    * bucket scan task before the nCells-row shuffle); the run-wide frame
+    * is a window over the nCells result rows — bounded by index
+    * GEOMETRY, not corpus size — and `base_rows` is one bounded
+    * centroid-table read. At 100 TB this reads index metadata + one
+    * columnless scan; nothing ∝ corpus crosses the network. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val cents = spark.table(s"${table}__centroids")
+    require(cents.columns.contains("base_rows"),
+      s"ivfIndexStats: '$table' predates drift tracking (no base_rows " +
+        "in its centroid table) — rebuild via writeIvfIndex or " +
+        "compactIvfIndex to stamp it")
+    val row = cents.agg(max(col("base_rows"))).head
+    require(!row.isNullAt(0),
+      s"ivfIndexStats: empty centroid table for '$table'")
+    val base = row.getLong(0)
+    val w = Window.partitionBy()
+    spark.table(table)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("total_rows", sum(col("n_rows")).over(w))
+      .withColumn("n_cells", count(lit(1)).over(w))
+      .withColumn("max_rows", max(col("n_rows")).over(w))
+      .withColumn("min_rows", min(col("n_rows")).over(w))
+      // integral div on longs: positive operands, so Spark `div` ≡
+      // DuckDB `//` exactly (the trunc-div oracle discipline)
+      .withColumn("share_x10000", expr("n_rows * 10000L div total_rows"))
+      .withColumn("imbalance_x1000",
+        expr("max_rows * n_cells * 1000L div total_rows"))
+      .withColumn("delta_rows", col("total_rows") - lit(base))
+  }
+
   /** Serve approximate top-k from a [[writeIvfIndex]] table. Routing
     * loads the bounded centroid side table (nCells rows); the probed
     * cells of THIS query batch (≤ |queries|·nprobe ints — ANN serving is

@@ -998,6 +998,50 @@ object LlmOps {
   private lazy val vectorIvfDeltaFpSql: String =
     ivfFpServeSql(sampleWhere = " WHERE vec_id % 10 <> 0")
 
+  /** **Index observability, HASH-CHECKED** ([[Similarity.ivfIndexStats]]):
+    * build the fp index on 90% of the corpus, append the other 10% as a
+    * delta (the `vector_ivf_delta_fp` maintenance scenario), then emit
+    * the per-cell occupancy report an index operator watches — cell
+    * sizes, the run-wide frame (total/n_cells/max/min), integer
+    * parts-per-10k share, the ×1000 routing-skew factor (max cell over
+    * balanced cell — the tail-latency multiplier of probed serving), and
+    * `delta_rows`, [[Similarity.ivfDriftFraction]]'s numerator. The
+    * oracle replays the Lloyd training over the base sample and assigns
+    * the full corpus to those centroids (exactly `vector_ivf_delta_fp`'s
+    * `ca` CTE), then aggregates — so the driver hash equality pins the
+    * report to the index's TRUE contents, not to a parallel bookkeeping
+    * path that could rot independently. */
+  def vectorIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 10 =!= 0),
+      "graft_ivf_stats_index")
+    Similarity.appendToIvfIndexFp(spark, "graft_ivf_stats_index",
+      e.filter(col("vec_id") % 10 === 0))
+    Similarity.ivfIndexStats(spark, "graft_ivf_stats_index")
+      .orderBy("cell")
+  }
+
+  private lazy val vectorIndexStatsSql: String =
+    s"""WITH ${ivfFpLloydCtes(10, sampleWhere = " WHERE vec_id % 10 <> 0")},
+       |sizes AS MATERIALIZED (
+       |  SELECT cell, COUNT(*) AS n_rows FROM ca GROUP BY cell),
+       |frame AS MATERIALIZED (
+       |  SELECT cell, n_rows,
+       |    CAST(SUM(n_rows) OVER () AS BIGINT) AS total_rows,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n_cells,
+       |    CAST(MAX(n_rows) OVER () AS BIGINT) AS max_rows,
+       |    CAST(MIN(n_rows) OVER () AS BIGINT) AS min_rows
+       |  FROM sizes),
+       |base AS MATERIALIZED (
+       |  SELECT COUNT(*) AS base_rows FROM embeddings WHERE vec_id % 10 <> 0)
+       |SELECT CAST(cell AS INT) AS cell, n_rows, total_rows, n_cells,
+       |  max_rows, min_rows,
+       |  CAST(n_rows * 10000 // total_rows AS BIGINT) AS share_x10000,
+       |  CAST(max_rows * n_cells * 1000 // total_rows AS BIGINT) AS imbalance_x1000,
+       |  CAST(total_rows - base_rows AS BIGINT) AS delta_rows
+       |FROM frame, base
+       |ORDER BY cell""".stripMargin
+
   /** **fp-IVF compaction, HASH-CHECKED** ([[Similarity
     * .compactIvfIndexFp]]): build on 60%, append 40% against the stale
     * centroids (maximal drift pressure), compact — retrain on the full
@@ -3798,6 +3842,7 @@ object LlmOps {
     Q("vector_ivf_delta_fp", vectorIvfDeltaFpSql)(vectorIvfDeltaFp),
     Q("vector_ivf_compact_fp", vectorIvfFpSql)(vectorIvfCompactFp),
     Q("vector_ivf_lifecycle_fp", vectorIvfFpSql)(vectorIvfLifecycleFp),
+    Q("vector_index_stats", vectorIndexStatsSql)(vectorIndexStats),
     Q("vector_ann_sql_streamed", vectorIvfDeltaFpSql)(vectorAnnSqlStreamed),
     Q("vector_ivf_recall", vectorIvfRecallSql)(vectorIvfRecall),
     Q("vector_pq_recall", vectorPqRecallSql)(vectorPqRecall),

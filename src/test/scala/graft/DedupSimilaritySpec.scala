@@ -662,6 +662,38 @@ class DedupSimilaritySpec extends SparkTestBase {
       "compacted fp index serves differently from a fresh full build")
   }
 
+  test("ivfIndexStats reconciles with index contents and drift accounting") {
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    Similarity.writeIvfIndexFp(base, "ivf_stats_spec")
+    Similarity.appendToIvfIndexFp(spark, "ivf_stats_spec", delta)
+    val rows = Similarity.ivfIndexStats(spark, "ivf_stats_spec")
+      .orderBy("cell").collect()
+    // reconcile against an independent read of the index itself
+    val truth = spark.table("ivf_stats_spec").groupBy(col("cell"))
+      .count().as[(Int, Long)].collect().toMap
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == truth)
+    val total = truth.values.sum
+    val (baseN, deltaN) = (base.count(), delta.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) == total, "total_rows")
+      assert(r.getLong(3) == truth.size.toLong, "n_cells")
+      assert(r.getLong(4) == truth.values.max, "max_rows")
+      assert(r.getLong(5) == truth.values.min, "min_rows")
+      assert(r.getLong(6) == r.getLong(1) * 10000 / total, "share_x10000")
+      assert(r.getLong(7) == truth.values.max * truth.size * 1000 / total,
+        "imbalance_x1000")
+      assert(r.getLong(8) == deltaN, "delta_rows = appended count")
+    }
+    assert(total == baseN + deltaN)
+    // trunc shares sum to ≤ 10000 and miss by less than one part per cell
+    val shareSum = rows.map(_.getLong(6)).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - truth.size)
+    // the skew factor is ≥ 1 by construction (max ≥ balanced)
+    assert(rows.head.getLong(7) >= 1000)
+  }
+
   test("fp IVF-PQ and fp PCA route: recall floors, determinism, integer laws") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)
