@@ -31,7 +31,8 @@ import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, Winn
   *    count; union/intersection/difference/Jaccard struct; CM point
   *    estimate), sharing the Scala API's Column kernels 1:1
   *  - table functions: `graft_asof(...)`, `graft_version(path[, v])`,
-  *    `graft_ann(queries, candidates, k[, method])`
+  *    `graft_ann(queries, candidates, k[, method])`,
+  *    `graft_index_stats(index)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -177,7 +178,14 @@ object GraftExtensions {
           "filtered_fp (5th arg = SQL predicate over candidate columns, e.g. 'label = 3'). " +
           "Analysis resolves tables and validates arguments but runs no jobs; " +
           "the serving computation (training collects included) executes with the query"),
-      (exprs: Seq[Expression]) => annPlan(exprs)))
+      (exprs: Seq[Expression]) => annPlan(exprs)),
+    (FunctionIdentifier("graft_index_stats"),
+      info("graft_index_stats",
+        "graft_index_stats(index) - per-cell occupancy/drift report of a persisted " +
+          "graft IVF index (writeIvfIndex / writeIvfIndexFp table): n_rows, run frame " +
+          "(total/n_cells/max/min), share_x10000, imbalance_x1000, delta_rows. " +
+          "Analysis resolves the index tables and runs no jobs; the report executes with the query"),
+      (exprs: Seq[Expression]) => indexStatsPlan(exprs)))
 
   private def strLit(exprs: Seq[Expression], i: Int, what: String): String =
     exprs(i) match {
@@ -321,6 +329,45 @@ object GraftExtensions {
         col("query_id").cast(LongType).as("query_id"),
         col("cand_id").cast(LongType).as("cand_id"),
         col("rank").cast(IntegerType).as("rank")))
+  }
+
+  /** SQL surface for [[graft.operators.Similarity.ivfIndexStats]] — the
+    * index observability report from one query, so the operator watching
+    * a production index (occupancy skew, drift since base build) never
+    * needs the Scala API:
+    * {{{
+    *   SELECT * FROM graft_index_stats('my_ivf_index')
+    * }}}
+    * Both index tables (main + `__centroids`) resolve eagerly — a
+    * missing or half-built index refuses at analysis — but the report
+    * itself (which reads the centroid table's `base_rows` on the
+    * driver) is deferred behind [[graft.plans.DeferredRelation]] like
+    * `graft_ann`, so EXPLAIN runs zero jobs. */
+  private def indexStatsPlan(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(exprs.length == 1, "usage: graft_index_stats(index)")
+    val spark = SparkSession.active
+    val table = strLit(exprs, 0, "graft_index_stats: index")
+    // analysis-only resolution of both halves of the index — loud at
+    // plan time if either is missing
+    spark.table(table)
+    spark.table(s"${table}__centroids")
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.DeferredRelationStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.DeferredRelationStrategy
+    }
+    val longCols = Seq("n_rows", "total_rows", "n_cells", "max_rows",
+      "min_rows", "share_x10000", "imbalance_x1000", "delta_rows")
+    val output = AttributeReference("cell", IntegerType)() +:
+      longCols.map(c => AttributeReference(c, LongType)())
+    graft.plans.DeferredRelation(s"graft_index_stats($table)", output,
+      () => graft.operators.Similarity.ivfIndexStats(spark, table)
+        .select(col("cell").cast(IntegerType).as("cell") +:
+          longCols.map(c => col(c).cast(LongType).as(c)): _*))
   }
 
   private def asofPlan(exprs: Seq[Expression])

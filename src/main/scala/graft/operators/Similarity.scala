@@ -1138,6 +1138,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** **Scalar-quantization distortion report** — the geometry-side QA
+    * gate next to the recall rows: per vector, the exact integer
+    * reconstruction error of [[ivfSqFpTopK]]'s 8-bit encode. With
+    * `recon_d = lo_d + code_d · sc_d` (the decode every SQ serving
+    * system performs), the residual `err_d = q_d − recon_d` is the
+    * floor-division remainder — non-negative and < `sc_d` BY
+    * CONSTRUCTION, so `max_err` also proves the quantizer's error bound
+    * row by row. `sse` = Σ err² is the per-vector L2 distortion the
+    * recall gate can only observe indirectly: a stats regression (wrong
+    * scale, clipped range, swapped lo/hi) shifts these integers even
+    * when ranking happens to survive. All arithmetic is integer-exact,
+    * so the whole report hash-matches the DuckDB replay
+    * (`vector_sq_error`).
+    *
+    * Scale shape: ONE 64-group map-side-combined min/max aggregate
+    * (bounded 64-row driver collect, the [[ivfSqFpTopK]] stats
+    * artifact), then one embarrassingly-parallel per-row projection —
+    * no join, no shuffle; nothing ∝ corpus crosses the network. */
+  def sqDistortion(candidates: DataFrame): DataFrame = {
+    val c0 = candidates.select(col("vec_id"),
+      quantized(col("embedding")).as("qv"))
+    val stats = c0.select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val lo = stats.map(_._2)
+    val sc = stats.map { case (_, l, h) => (h - l) / 255L + 1L }
+    // err_d = (q_d − lo_d) − ((q_d − lo_d) div sc_d) · sc_d — the
+    // non-negative floor-division remainder (operands ≥ 0, so the
+    // double-div + long cast truncates exactly like DuckDB `//`)
+    val pre = zip_with(col("qv"), lit(lo), (a, b) => a - b)
+    val rem = zip_with(pre, lit(sc),
+      (a, s) => a - (a / s).cast("long") * s)
+    c0.select(col("vec_id"), rem.as("e"))
+      .select(col("vec_id"),
+        aggregate(col("e"), lit(0L), (acc, x) => acc + x * x).as("sse"),
+        array_max(col("e")).as("max_err"))
+  }
+
   /** Fixed-point trunc-division (Java `/` semantics) — named so every
     * division in [[pcaRouteFpTopK]] is visibly the one DuckDB BIGINT
     * `//` mirrors (both truncate toward zero — measured, not assumed:

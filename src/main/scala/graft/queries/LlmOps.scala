@@ -1335,6 +1335,46 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** **SQ distortion report, HASH-CHECKED** ([[Similarity
+    * .sqDistortion]]): per-vector integer reconstruction error of the
+    * IVF-SQ 8-bit encode — `sse` (Σ of squared floor-division
+    * residuals) and `max_err` (provably < the per-dim scale). The
+    * recall rows gate RANKING; this gates the quantizer's GEOMETRY
+    * directly — a stats regression (wrong scale, clipped range,
+    * swapped lo/hi) shifts these integers even when ranking happens to
+    * survive. No join, no shuffle: one bounded 64-row stats collect +
+    * one per-row projection. */
+  def vectorSqError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.sqDistortion(e).orderBy("vec_id")
+  }
+
+  private lazy val vectorSqErrorSql: String =
+    s"""WITH qd AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |mm AS MATERIALIZED (
+       |  SELECT t.i AS dim, MIN(qv[CAST(t.i AS INT)]) AS lo,
+       |    ((MAX(qv[CAST(t.i AS INT)]) - MIN(qv[CAST(t.i AS INT)])) // 255) + 1 AS sc
+       |  FROM qd, UNNEST(range(1, 65)) AS t(i)
+       |  GROUP BY t.i),
+       |lov AS MATERIALIZED (
+       |  SELECT list(lo ORDER BY dim) AS lo, list(sc ORDER BY dim) AS sc
+       |  FROM mm),
+       |err AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> (q.qv[i] - l.lo[i])
+       |        - ((q.qv[i] - l.lo[i]) // l.sc[i]) * l.sc[i]) AS e
+       |  FROM qd q, lov l)
+       |SELECT vec_id,
+       |  CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS sse,
+       |  CAST(list_max(e) AS BIGINT) AS max_err
+       |FROM err
+       |ORDER BY vec_id""".stripMargin
+
   // --------------------- serving-family retrieval-quality gates (r14)
 
   /** Shared overlap@5 shape for the fixed-point serving family — the
@@ -3851,6 +3891,7 @@ object LlmOps {
     Q("vector_pq_fp", vectorPqFpSql)(vectorPqFp),
     Q("vector_sq_fp", vectorSqFpSql)(vectorSqFp),
     Q("vector_sq_recall", vectorSqRecallSql)(vectorSqRecall),
+    Q("vector_sq_error", vectorSqErrorSql)(vectorSqError),
     Q("vector_ann_filtered_fp", vectorAnnFilteredFpSql)(vectorAnnFilteredFp),
     Q("vector_filtered_recall", vectorFilteredRecallSql)(vectorFilteredRecall),
     Q("vector_bq_fp", vectorBqFpSql)(vectorBqFp),

@@ -694,6 +694,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rows.head.getLong(7) >= 1000)
   }
 
+  test("sqDistortion: exact remainder law against an independent driver encode") {
+    val e = Tables.embeddings(spark, sf0001)
+    val got = Similarity.sqDistortion(e).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // independent driver recompute: quantize, corpus min/max, scale,
+    // floor-division remainder
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000000.0).toLong).toArray).toMap
+    val dims = vecs.values.head.length
+    val lo = (0 until dims).map(d => vecs.values.map(_(d)).min).toArray
+    val sc = (0 until dims).map { d =>
+      val hi = vecs.values.map(_(d)).max
+      (hi - lo(d)) / 255L + 1L
+    }.toArray
+    val expect = vecs.map { case (id, qv) =>
+      val errs = (0 until dims).map { d =>
+        val p = qv(d) - lo(d); p - (p / sc(d)) * sc(d)
+      }
+      id -> (errs.map(x => x * x).sum, errs.max)
+    }
+    assert(got == expect)
+    // the remainder bound: every max_err < the largest per-dim scale,
+    // and errors are non-negative (sse = 0 only if every dim aligns)
+    assert(got.values.forall { case (sse, me) => sse >= 0 && me >= 0 })
+    assert(got.values.map(_._2).max < sc.max)
+  }
+
   test("fp IVF-PQ and fp PCA route: recall floors, determinism, integer laws") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

@@ -360,4 +360,29 @@ class ExtensionsSpec extends SparkTestBase {
       Similarity.bqTopKIndexedFp(q, spark, "ann_tvf_bq_idx", 5)))
     assert(viaBqIdx == viaSql("bq_fp"))
   }
+
+  test("graft_index_stats TVF: SQL ≡ Scala report, deferred plan, missing index refuses") {
+    import graft.operators.Similarity
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvfIndexFp(e.filter(col("vec_id") % 10 =!= 0), "stats_tvf_idx")
+    Similarity.appendToIvfIndexFp(spark, "stats_tvf_idx",
+      e.filter(col("vec_id") % 10 === 0))
+    val df = spark.sql("SELECT * FROM graft_index_stats('stats_tvf_idx')")
+    // deferred like graft_ann: the physical plan is the declared-schema leaf
+    assert(df.queryExecution.executedPlan.toString.contains("DeferredRelationExec"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), (1 to 8).map(r.getLong).toList)
+    val viaSqlRows = df.collect().map(key).toSet
+    val viaApiRows = Similarity.ivfIndexStats(spark, "stats_tvf_idx")
+      .select("cell", "n_rows", "total_rows", "n_cells", "max_rows",
+        "min_rows", "share_x10000", "imbalance_x1000", "delta_rows")
+      .collect().map(key).toSet
+    assert(viaSqlRows == viaApiRows && viaSqlRows.nonEmpty)
+    // a missing index refuses at analysis, not mid-execution
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_index_stats('no_such_index_tbl')")
+    }
+    assert(err.getMessage.toLowerCase.contains("no_such_index_tbl"))
+  }
 }
