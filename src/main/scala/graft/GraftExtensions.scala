@@ -31,7 +31,7 @@ import graft.functions.{BoundedTopK, FloatVecDot, SortedLongIntersectCount, Winn
   *    count; union/intersection/difference/Jaccard struct; CM point
   *    estimate), sharing the Scala API's Column kernels 1:1
   *  - table functions: `graft_asof(...)`, `graft_version(path[, v])`,
-  *    `graft_ann(queries, candidates, k[, method])`,
+  *    `graft_versions(path)`, `graft_ann(queries, candidates, k[, method])`,
   *    `graft_index_stats(index)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -179,6 +179,11 @@ object GraftExtensions {
           "Analysis resolves tables and validates arguments but runs no jobs; " +
           "the serving computation (training collects included) executes with the query"),
       (exprs: Seq[Expression]) => annPlan(exprs)),
+    (FunctionIdentifier("graft_versions"),
+      info("graft_versions",
+        "graft_versions(path) - committed version history of a graft versioned sink, " +
+          "as (version, batch_id) rows; the listing half of graft_version's time travel"),
+      (exprs: Seq[Expression]) => versionsPlan(exprs)),
     (FunctionIdentifier("graft_index_stats"),
       info("graft_index_stats",
         "graft_index_stats(index) - per-cell occupancy/drift report of a persisted " +
@@ -329,6 +334,26 @@ object GraftExtensions {
         col("query_id").cast(LongType).as("query_id"),
         col("cand_id").cast(LongType).as("cand_id"),
         col("rank").cast(IntegerType).as("rank")))
+  }
+
+  /** SQL surface for [[graft.operators.Upsert.versions]] — the version
+    * HISTORY of a versioned sink as a table, completing the time-travel
+    * story from SQL (`graft_versions` lists, `graft_version` reads):
+    * {{{
+    *   SELECT * FROM graft_versions('/sinks/orders_state')
+    *   -- then: SELECT * FROM graft_version('/sinks/orders_state', <v>)
+    * }}}
+    * The listing is `_SUCCESS`-gated Hadoop-FS metadata (no Spark jobs,
+    * bounded by retained-version count), so materializing it at plan
+    * time is free and a bad path refuses at analysis. */
+  private def versionsPlan(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_versions(path)")
+    val spark = SparkSession.active
+    val path = strLit(exprs, 0, "graft_versions: path")
+    val vs = graft.operators.Upsert.versions(spark, path)
+    org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(
+      spark.createDataFrame(vs).toDF("version", "batch_id"))
   }
 
   /** SQL surface for [[graft.operators.Similarity.ivfIndexStats]] — the

@@ -221,6 +221,14 @@ class ExtensionsSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM graft_version('$tmp', 99)").collect()
     }
     assert(err.getMessage.contains("99"), err.getMessage)
+
+    // graft_versions lists the committed history — the SQL twin of
+    // Upsert.versions, pairing with graft_version's pinned reads
+    val hist = spark.sql(
+      s"SELECT version, batch_id FROM graft_versions('$tmp') ORDER BY version")
+      .as[(Long, Long)].collect().toSeq
+    assert(hist == graft.operators.Upsert.versions(spark, tmp))
+    assert(hist == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
   test("BoundedTopK plans as a partial-mergeable aggregate (map-side top-k)") {
