@@ -45,6 +45,10 @@ object Boilerplate {
   def scrubRepeatedBlocks(df: DataFrame, id: Column, text: Column,
       k: Int = 3): DataFrame = {
     require(k > 0, s"segment size must be positive (got $k)")
+    // NO Spread here (r14): this operator is map-only by contract
+    // (PlanInvariantsSpec pins ≤ 1 Exchange) and runs inside whatever
+    // stage consumes it — parallelism is the caller's concern, and an
+    // injected shuffle would be pure cost at scale.
     // First-occurrence detection is sort-based, O(B log B) per document,
     // NOT a per-block scan over the preceding prefix — that form is
     // O(B²) and a single 1 MB page (~60k blocks at k=3) would spend ~10⁹
@@ -96,9 +100,14 @@ object Boilerplate {
   /** Per-document scrub report: (doc_id, n_blocks, n_scrubbed_blocks,
     * n_scrubbed_tokens, text_clean) where text_clean is the surviving
     * segments rejoined in document order. */
-  def scrubFrequent(df: DataFrame, id: Column, text: Column,
+  def scrubFrequent(df0: DataFrame, id: Column, text: Column,
       k: Int = 3, minDocs: Int = 3): DataFrame = {
     require(k > 0, s"segment size must be positive (got $k)")
+    // spread the corpus once: segmentation + per-segment hashing run
+    // before any exchange and otherwise inherit a single-row-group
+    // scan's one task (r14; counts and per-doc reassembly are
+    // partition-order-free)
+    val df = Spread.cpuHeavy(df0)
     require(minDocs >= 2, s"minDocs below 2 would scrub every segment (got $minDocs)")
     // (doc_id, blk_no, seg): the Generate sits between the split
     // projection and the slice projection, so the tokenization runs once
@@ -174,7 +183,7 @@ object Boilerplate {
   def scrubFrequentFractionAuto(df: DataFrame, id: Column, text: Column,
       k: Int = 3, numer: Int = 1, denom: Int = 2000,
       kFloor: Int = 32768, kCap: Int = 1 << 20): DataFrame = {
-    val pre = df.select(TextOps.tokens(text).as("w"))
+    val pre = Spread.cpuHeavy(df).select(TextOps.tokens(text).as("w"))
       .agg(count(lit(1)).as("d"),
         sum(expr(s"CAST(greatest(size(w) - 1, 0) div $k AS LONG) + 1")).as("n_upper"))
     val (d, nUpper) = Dedup.memoGate(pre) {
@@ -194,11 +203,17 @@ object Boilerplate {
     scrubFrequentFraction(df, id, text, k, numer, denom, kSummary)
   }
 
-  def scrubFrequentFraction(df: DataFrame, id: Column, text: Column,
+  def scrubFrequentFraction(df0: DataFrame, id: Column, text: Column,
       k: Int = 3, numer: Int = 1, denom: Int = 2000,
       kSummary: Int = 32768): DataFrame = {
     require(k > 0, s"segment size must be positive (got $k)")
     require(numer > 0 && denom > 0, s"fraction must be positive: $numer/$denom")
+    // same spread as [[scrubFrequent]]: this operator makes THREE
+    // tokenize-and-hash passes over the corpus (segs, docSegs, the
+    // summary) — all pre-exchange. A wider Misra–Gries summary merge
+    // only grows the candidate SUPERSET; the exact recount below keeps
+    // the emitted frequent set (and the oracle hash) identical.
+    val df = Spread.cpuHeavy(df0)
     val segs = Dedup.memoPersist(
       df.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
         .select(col("doc_id"), col("w"),

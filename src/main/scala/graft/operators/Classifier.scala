@@ -85,7 +85,15 @@ object Classifier {
     // feature array null-propagates to nothing while the doc still
     // enrolls in training through the oracle's unconditional bias row,
     // silently shifting every epoch's |mis| and bias delta.
-    df.select(id.as("doc_id"), label.as("y"),
+    // NOT spread (r14, measured): repartitioning the corpus to the full
+    // shuffle parallelism made every epoch ~3x SLOWER (550–965 ms vs
+    // ~200 ms per epoch, isolated A/B) — at the registered corpus size
+    // the per-task floor (scheduling + codegen init, ~11 ms/task) over
+    // 13 epoch jobs dwarfs the single-task compute it displaces. A
+    // corpus large enough to need the parallelism arrives as many scan
+    // splits and gets it from the scan itself.
+    df
+      .select(id.as("doc_id"), label.as("y"),
         transform(TextOps.tokens(coalesce(text, lit(""))),
           t => conv(substring(md5(t), 1, dimHexChars), 16, 10).cast("int"))
           .as("__fa"))

@@ -1137,8 +1137,26 @@ object Dedup {
     val on = (keys.map(k => col(s"a.$k") === col(s"b.$k")) ++
       Seq(col("a.ba") === col("b.ba"), col("a.bb") === col("b.bb")))
       .reduce(_ && _)
-    left.as("a")
-      .join(right.as("b"), on)
+    // Explicit co-partitioning on the tile key — UNSCOPED joins only —
+    // with an explicit partition count AQE must respect: the all-pairs
+    // join is COMPUTE-dense (each tile pays (n/B)² dot products over a
+    // few MB of vectors) and AQE's bytes-based coalescing otherwise
+    // folds the sub-advisory-size shuffle into ONE partition that
+    // computes every tile serially (r14 profile: dedup_embedding's 2M
+    // dot products in two 1-task stages; 2.3 → 0.9 s with this). The
+    // KEYED form ([[semanticDedup]]'s per-cell tiles) is left on the
+    // planner's plan: its tiles are cell-bounded and the same explicit
+    // exchange measured it 0.7 → 1.6 s (tiny-tile scheduling floor).
+    // Pair set and per-pair floats are identical either way.
+    val (l, r) =
+      if (keys.nonEmpty) (left, right)
+      else {
+        val n = e.sparkSession.sessionState.conf.numShufflePartitions
+        val tk = Seq(col("ba"), col("bb"))
+        (left.repartition(n, tk: _*), right.repartition(n, tk: _*))
+      }
+    l.as("a")
+      .join(r.as("b"), on)
       // diagonal tiles hold the same rows on both sides: order there; off-
       // diagonal tiles see each unordered pair exactly once, any order
       .filter(col("a.ba") =!= col("a.bb") || col("a.vid") < col("b.vid"))

@@ -149,6 +149,17 @@ object EntityResolution {
     // merely adds one candidate the exact verify rejects — while the
     // join + distinct, the mass-dominant stages, move 16-byte rows
     // instead of dragging two name strings through every collision
+    // r14 optimization audit: this stage was attacked twice and BOTH
+    // variants measured worse, so the r13 shape stands deliberately.
+    // (1) co-partitioned SHUFFLE_HASH on vh: 375 vs 314 task-s — the
+    // planner's broadcast probe streams the a-side in id order, so
+    // duplicate (id_a, id_b) collisions arrive adjacent and the
+    // distinct's map-side partial aggregation dedups BEFORE the
+    // exchange (117 MB vs 230 MB shuffled); vh-partitioning randomizes
+    // pair order and the partial pass degrades to pass-through.
+    // (2) memoPersist of the exploded frame (explode once, read twice):
+    // 176 vs 147 cpu-s — columnar cache serialize + two deserialize
+    // passes cost more than the duplicated explode they save.
     val keyed = base
       .select(col("id"),
         explode(variants(col("name"))).as("__v"))

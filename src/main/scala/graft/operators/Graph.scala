@@ -59,13 +59,6 @@ object Graph {
       // iteration)
       val dang = ranks.join(srcs, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      // localCheckpoint (eager) truncates the logical plan each round —
-      // without it every round re-analyzes the whole nested lineage and
-      // planning cost is O(iters²) (measured 1.5 s/round of pure
-      // planning on a 25-node graph); it also materializes ranks once
-      // though the next round consumes it twice (contrib + dangling).
-      // Non-reliable storage is the right trade for an iterative
-      // refinement: executor loss costs a re-run, not correctness.
       ranks = nodes
         .join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dang))
@@ -73,7 +66,18 @@ object Graph {
           (lit((1 - d) / n) + lit(d) *
             (coalesce(col("in_mass"), lit(0.0)) + col("dmass") / n))
             .as("rank"))
-        .localCheckpoint()
+      // localCheckpoint (eager) truncates the logical plan each round —
+      // without it every round re-analyzes the whole nested lineage and
+      // planning cost is O(iters²) (measured 1.5 s/round of pure
+      // planning on a 25-node graph); it also materializes ranks once
+      // though the next round consumes it twice (contrib + dangling).
+      // Non-reliable storage is the right trade for an iterative
+      // refinement: executor loss costs a re-run, not correctness.
+      // (r14: a checkpoint-every-2-rounds cadence was tried and
+      // measured WORSE — 3.2 → 4.7 s at ~0 steal — because the three
+      // consumers of the previous round's un-checkpointed frame re-run
+      // its subtree inside one action; reverted.)
+      ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -136,24 +140,38 @@ object Graph {
     var round = 0
     var converged = false
     while (round < iters && !converged) {
+      round += 1
       val contrib = ranks.join(eN, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank * w) div wout")).as("in_mass"))
       val dang = ranks.join(srcs, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
-      val next = nodes
+      val stepped = nodes
         .join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit((1000L - dNum) * scale / (1000L * n)) +
             expr(s"$dNum * (coalesce(in_mass, 0L) + dmass div $n) div 1000"))
             .as("rank"))
-        .localCheckpoint()
-      if (earlyStop)
-        converged = next.join(ranks.withColumnRenamed("rank", "__prev"), "node")
-          .filter(col("rank") =!= col("__prev")).limit(1).collect().isEmpty
-      ranks = next
-      round += 1
+      if (earlyStop) {
+        // ONE driver action per round: carry the previous rank through
+        // the step, lazily localCheckpoint, and let the convergence
+        // probe itself materialize the checkpoint — the old shape paid
+        // an eager-checkpoint job AND a probe job per round. The carried
+        // column is projected away below; rank arithmetic is untouched.
+        val next = stepped
+          .join(ranks.withColumnRenamed("rank", "__prev"), "node")
+          .localCheckpoint(false)
+        converged = next.filter(col("rank") =!= col("__prev"))
+          .limit(1).collect().isEmpty
+        ranks = next.select(col("node"), col("rank"))
+      } else {
+        // fixed-iteration path: eager checkpoint every round, exactly
+        // like [[pageRank]] (r14: an every-other-round cadence measured
+        // WORSE — the un-checkpointed round's subtree re-runs once per
+        // consumer inside the next action; reverted)
+        ranks = stepped.localCheckpoint()
+      }
     }
     ranks
   }
@@ -255,16 +273,24 @@ object Graph {
     while (round < maxDist && !converged) {
       round += 1
       val cand = dist.join(e, col("node") === col("x"))
-        .select(col("y").as("node"), (col("d") + col("w")).as("d"))
-        .filter(col("d") <= maxDist)
-      val next = dist.unionByName(cand)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
-      converged = next.join(dist.withColumnRenamed("d", "__prev"),
-          Seq("node"), "left")
+        .select(col("y").as("node"), (col("d") + col("w")).as("d"),
+          lit(null).cast("long").as("__old"))
+      // the previous distance rides THROUGH the min-fold as a second
+      // aggregate (dist holds one row per node, so min(__old) is that
+      // row's d): the convergence probe then needs no join against the
+      // previous frame, and — with a lazy localCheckpoint — the probe
+      // is the round's ONE driver action, materializing the checkpoint
+      // as it runs (r14; was eager checkpoint + probe join, 2 actions).
+      // The emitted d = min over the same union, bitwise unchanged.
+      val next0 = dist.select(col("node"), col("d"), col("d").as("__old"))
+        .unionByName(cand.filter(col("d") <= maxDist))
+        .groupBy(col("node")).agg(min(col("d")).as("d"),
+          min(col("__old")).as("__prev"))
+        .localCheckpoint(false)
+      converged = next0
         .filter(col("__prev").isNull || col("d") =!= col("__prev"))
         .limit(1).collect().isEmpty
-      dist = next
+      dist = next0.select(col("node"), col("d"))
     }
     dist
   }
@@ -296,6 +322,9 @@ object Graph {
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      // eager checkpoints kept (r14: a lazy-checkpoint variant measured
+      // WORSE, 2.0 → 2.9 s at ~0 steal — `visited` has two consumers
+      // per hop and the deferred materialization re-ran its subtree)
       val next = frontier.join(e, col("node") === col("x"))
         .select(col("y").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
@@ -324,11 +353,14 @@ object Graph {
   def kCore(edges: DataFrame, a: Column, b: Column, k: Int,
       maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
+    // lazy localCheckpoint + count: the count is the action that
+    // materializes the checkpoint, so cardinality costs no extra job
+    // (r14 — the old eager-checkpoint-then-count shape paid two)
     var e = edges.select(a.as("x"), b.as("y"))
       .unionByName(edges.select(b.as("x"), a.as("y")))
       .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     // carry the previous round's cardinality: e.count() would re-count
@@ -337,14 +369,18 @@ object Graph {
     var prevCount = e.count()
     while (!converged && iter < maxIter) {
       iter += 1
+      // keep is NOT checkpointed: its degree aggregate is an identical
+      // subtree under both semi-joins, so the shuffle materializes once
+      // (ReusedExchange) INSIDE the round's single job instead of
+      // costing its own checkpoint job (r14 — 3 driver actions per
+      // peel round down to 1)
       val keep = e.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("x").as("node"))
-        .localCheckpoint()
       val narrowed = e
         .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
         .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nowCount = narrowed.count()
       converged = nowCount == prevCount
       prevCount = nowCount

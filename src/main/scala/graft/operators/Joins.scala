@@ -128,7 +128,17 @@ object Joins {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     dropTableAndLocation(spark, table)
-    df.write
+    // Pre-partition BY THE BUCKET FUNCTION before the bucketed write:
+    // `bucketBy` itself never shuffles — each input task sorts its rows
+    // and writes one file per bucket it holds — so an under-split scan
+    // writes the whole table through one task (r14 profile:
+    // bucketed_join spent its wall in two 1-task sort+write stages),
+    // and a WIDE scan writes tasks×buckets files. repartition(buckets,
+    // key) is the same Murmur3 pmod the bucket spec uses, so each task
+    // holds exactly one bucket: `buckets` parallel writers, one file
+    // per bucket (the layout bucket-sorted reads want), identical rows.
+    df.repartition(buckets, col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .bucketBy(buckets, key)

@@ -308,9 +308,15 @@ object Sampling {
     require(qs.nonEmpty, "quantilesBySearch needs at least one quantile")
     val spark = base0.sparkSession
     import spark.implicits._
-    val base = Dedup.memoPersist(
+    // Spread before persist: every search round is a conditional
+    // aggregate over THIS cached frame (up to groups×qs×15 predicates
+    // per row), and a single-row-group input otherwise runs all ~8
+    // rounds on one task (r14 profile: exact_pct_search 4.7 s at
+    // par 1.8; counts are partition-order-free so the oracle hash is
+    // unchanged)
+    val base = Dedup.memoPersist(Spread.cpuHeavy(
       base0.select(col("g").cast("string").as("g"),
-        col("v").cast("long").as("v")).filter(col("v").isNotNull))
+        col("v").cast("long").as("v")).filter(col("v").isNotNull)))
     final case class Bracket(g: String, q: Double, rank: Long,
         var lo: Long, var hi: Long)
     val stats = base.groupBy("g")

@@ -553,8 +553,17 @@ object Behavioral {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
       .agg(count(lit(1)).as("cooc"))
-    val sym = pairs.select(col("pa"), col("pb"), col("cooc"))
-      .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("cooc")))
+    // both orientations from ONE aggregate pass: the union-of-two-
+    // selects form re-planned the whole pair join + groupBy under each
+    // Union branch (r14 plan audit: two HashAggregate(Exchange) subtrees
+    // over the same join), doubling the query's most expensive stage.
+    // explode(array(fwd, rev)) emits the identical row set from a
+    // single pass.
+    val sym = pairs
+      .select(explode(array(
+        struct(col("pa"), col("pb"), col("cooc")),
+        struct(col("pb").as("pa"), col("pa").as("pb"), col("cooc")))).as("s"))
+      .select(col("s.pa").as("pa"), col("s.pb").as("pb"), col("s.cooc").as("cooc"))
     sym
       .join(broadcast(freq.select(col("p").as("pa"), col("n").as("n_item"))), "pa")
       .join(broadcast(freq.select(col("p").as("pb"), col("n").as("n_rec"))), "pb")
