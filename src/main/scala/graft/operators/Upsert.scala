@@ -200,9 +200,25 @@ object Upsert {
     val a = scoped(a0)
     val b = scoped(b0)
     val nonKeys = a.columns.filterNot(keys.contains).toSeq
-    def digested(df: org.apache.spark.sql.DataFrame, tag: String) =
-      df.select(keys.map(c => col(c).as(s"__${tag}_$c")) :+
-        md5(to_json(struct(nonKeys.map(col): _*))).as(s"__${tag}_sig"): _*)
+    // the scoped (change-feed) case carries b's payload THROUGH the
+    // version-compare join: both inputs are batch-sized by construction
+    // there, so the corpus_diff payload-free-shuffle discipline buys
+    // nothing while the after-image attach it forces costs a join + a
+    // broadcast per micro-batch commit (r14 — change_feed is job-count
+    // bound, 35 driver jobs for 3 commits). Unscoped diffs keep the
+    // payload-free shape: at snapshot scale the digest projection is
+    // what keeps the full-outer exchange narrow. Deleted rows emit NULL
+    // after-images either way (payload comes from the b side, which a
+    // deleted key does not have — exactly what the attach join's left
+    // join produced).
+    val carryPayload = scope.isDefined
+    def digested(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val payload = if (carryPayload && tag == "b")
+        nonKeys.map(c => col(c).as(s"__${tag}_$c")) else Nil
+      df.select(keys.map(c => col(c).as(s"__${tag}_$c")) ++
+        (md5(to_json(struct(nonKeys.map(col): _*))).as(s"__${tag}_sig") +:
+          payload): _*)
+    }
     // null-safe (<=>) key matching throughout: a plain equi-join would
     // never match NULL keys, misreporting an unchanged null-keyed row
     // as deleted+inserted (with a NULL after image) and breaking the
@@ -210,18 +226,22 @@ object Upsert {
     val cond = keys.map(c => col(s"__a_$c") <=> col(s"__b_$c")).reduce(_ && _)
     val diff = digested(a, "a").join(digested(b, "b"), cond, "full_outer")
       .select(keys.map(c =>
-        coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) :+
-        when(col("__a_sig").isNull, "inserted")
+        coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) ++
+        (when(col("__a_sig").isNull, "inserted")
           .when(col("__b_sig").isNull, "deleted")
           .when(col("__a_sig") =!= col("__b_sig"), "updated")
-          .as("change"): _*)
+          .as("change") +:
+          (if (carryPayload) nonKeys.map(c => col(s"__b_$c").as(c)) else Nil)): _*)
       .filter(col("change").isNotNull)
-    // explicit aliases: diff derives from b, so an unaliased attach is
-    // an ambiguous self-join
-    val attach = keys.map(c => col(s"__d.$c") <=> col(s"__b2.$c")).reduce(_ && _)
-    diff.as("__d").join(b.as("__b2"), attach, "left")
-      .select(keys.map(c => col(s"__d.$c").as(c)) ++
-        (col("__d.change") +: nonKeys.map(c => col(s"__b2.$c").as(c))): _*)
+    if (carryPayload) diff
+    else {
+      // explicit aliases: diff derives from b, so an unaliased attach is
+      // an ambiguous self-join
+      val attach = keys.map(c => col(s"__d.$c") <=> col(s"__b2.$c")).reduce(_ && _)
+      diff.as("__d").join(b.as("__b2"), attach, "left")
+        .select(keys.map(c => col(s"__d.$c").as(c)) ++
+          (col("__d.change") +: nonKeys.map(c => col(s"__b2.$c").as(c))): _*)
+    }
   }
 
   /** **Streaming CDC change-feed sink** — [[versionedSink]] composed
