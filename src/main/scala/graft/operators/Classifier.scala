@@ -95,7 +95,11 @@ object Classifier {
     df
       .select(id.as("doc_id"), label.as("y"),
         transform(TextOps.tokens(coalesce(text, lit(""))),
-          t => conv(substring(md5(t), 1, dimHexChars), 16, 10).cast("int"))
+          // r14: first-3-hex-chars bucket via the digest-bytes kernel —
+          // the 60-bit draw's top 12 bits ARE hex chars 1-3 (bitwise
+          // conv(substring(md5(t), 1, 3), 16, 10); Md5Bits60Spec)
+          t => shiftright(element_at(graft.functions.Md5Bits60(t), 1),
+            4 * (15 - dimHexChars)).cast("int"))
           .as("__fa"))
       .select(col("doc_id"), col("y"), sort_array(col("__fa")).as("__s"))
       .select(col("doc_id"), col("y"), col("__s"),

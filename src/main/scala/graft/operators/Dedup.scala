@@ -1004,8 +1004,10 @@ object Dedup {
       .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("t"))
       .withColumn("h",
         if (md5Keyed)
-          conv(substring(md5(concat(lit("graftsim"), col("t"))), 1, 15), 16, 10)
-            .cast("long")
+          // r14: the codegen'd digest-bytes kernel — bitwise the
+          // conv(substring(md5)) chain the oracle spells (Md5Bits60Spec)
+          element_at(graft.functions.Md5Bits60(
+            concat(lit("graftsim"), col("t"))), 1)
         else xxhash64(col("t")))
     val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")

@@ -38,8 +38,10 @@ object Kmv {
   /** 60-bit uniform hash from md5 — the engine/oracle-identical idiom:
     * `conv(substr(md5(salt ‖ key), 1, 15), 16, 10)` as a long. */
   def hash60(key: Column, salt: String = "graftkmv"): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
-      16, 10).cast("long")
+    // r14: computed by the codegen'd digest-bytes kernel — bitwise the
+    // conv(substr(md5)) chain the oracle spells (Md5Bits60Spec pins it)
+    element_at(graft.functions.Md5Bits60(
+      concat(lit(salt), key.cast("string"))), 1)
 
   /** Hash-space size as an exact double (2⁶⁰ is a power of two, so the
     * cast is exact and both engines agree bitwise). */

@@ -272,8 +272,8 @@ object Sampling {
   def weightedPriorityTopK(df: DataFrame, key: Column, weight: Column,
       k: Int, salt: String = "graftws"): DataFrame = {
     require(k > 0, s"sample size must be positive (got $k)")
-    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
-      16, 10).cast("long")
+    val h = element_at(graft.functions.Md5Bits60(
+      concat(lit(salt), key.cast("string"))), 1)
     df.filter(weight > 0)
       .select(key.as("key"), weight.as("weight"),
         (h.cast("double") / weight.cast("double")).as("priority"))
