@@ -335,13 +335,18 @@ object Sampling {
           math.max(1L, math.ceil(q * r.getLong(1)).toLong),
           r.getLong(2), r.getLong(3)))
       }
-    // 16-way bracket narrowing: each round tests 15 equally-spaced
+    // wide bracket narrowing: each round tests fanout−1 equally-spaced
     // thresholds per bracket in ONE aggregate, so rounds (= driver
     // round trips = sequential scans) drop from log₂(range) ≈ 40 to
-    // log₁₆(range) ≈ 8 — the knob that matters, because per-round
+    // log_fanout(range) — the knob that matters, because per-round
     // compute is trivial next to job latency at small scale and scan
     // cost at large
-    val fanout = 16
+    // r14: 64-way (was 16): with the base spread across the cluster the
+    // per-round scan is parallel and cheap, so rounds — driver job
+    // round-trips — are the remaining cost; 63 cuts/bracket drops
+    // log₁₆(range) ≈ 6 rounds to log₆₄ ≈ 4 on the cents domain while
+    // the selection stays exact (same bracketing invariant)
+    val fanout = 64
     var iter = 0
     while (brackets.exists(t => t.lo < t.hi)) {
       iter += 1
