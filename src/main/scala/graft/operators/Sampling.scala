@@ -309,11 +309,11 @@ object Sampling {
     val spark = base0.sparkSession
     import spark.implicits._
     // Spread before persist: every search round is a conditional
-    // aggregate over THIS cached frame (up to groups×qs×15 predicates
-    // per row), and a single-row-group input otherwise runs all ~8
-    // rounds on one task (r14 profile: exact_pct_search 4.7 s at
-    // par 1.8; counts are partition-order-free so the oracle hash is
-    // unchanged)
+    // aggregate over THIS cached frame (up to groups×qs×63 predicates
+    // per row, capped by cutBudget below), and a single-row-group input
+    // otherwise runs all rounds on one task (r14 profile:
+    // exact_pct_search 4.7 s at par 1.8; counts are partition-order-free
+    // so the oracle hash is unchanged)
     val base = Dedup.memoPersist(Spread.cpuHeavy(
       base0.select(col("g").cast("string").as("g"),
         col("v").cast("long").as("v")).filter(col("v").isNotNull)))
@@ -335,24 +335,50 @@ object Sampling {
           math.max(1L, math.ceil(q * r.getLong(1)).toLong),
           r.getLong(2), r.getLong(3)))
       }
-    // wide bracket narrowing: each round tests fanout−1 equally-spaced
-    // thresholds per bracket in ONE aggregate, so rounds (= driver
-    // round trips = sequential scans) drop from log₂(range) ≈ 40 to
-    // log_fanout(range) — the knob that matters, because per-round
-    // compute is trivial next to job latency at small scale and scan
-    // cost at large
-    // r14: 64-way (was 16): with the base spread across the cluster the
-    // per-round scan is parallel and cheap, so rounds — driver job
-    // round-trips — are the remaining cost; 63 cuts/bracket drops
-    // log₁₆(range) ≈ 6 rounds to log₆₄ ≈ 4 on the cents domain while
-    // the selection stays exact (same bracketing invariant)
-    val fanout = 64
+    // wide bracket narrowing: each round tests up to fanout−1 thresholds
+    // per bracket in ONE aggregate, so rounds (= driver round trips =
+    // sequential scans) drop from log₂(range) ≈ 40 to log_fanout(range)
+    // — the knob that matters, because per-round compute is trivial next
+    // to job latency at small scale and scan cost at large.
+    // r14: 64-way (was 16). r15: two convergence fixes found by the
+    // stage profile (69 jobs where ~5 should do, 10–28× the cpu):
+    //  (a) the old spacing ⌊span/fanout⌋·k collapsed EVERY cut to `lo`
+    //      once span < fanout, degrading the endgame to lo+1 stepping —
+    //      up to fanout−1 extra rounds, each a fresh
+    //      active×(fanout−1)-expression aggregate whose new literals
+    //      force a new codegen class (Janino compile per round, never
+    //      JIT-hot). A bracket with span ≤ fanout now ENUMERATES every
+    //      value in [lo, hi) and converges in exactly one round;
+    //  (b) wide brackets multiply before dividing (span·k/fanout), so
+    //      spacing never degenerates at any span.
+    // Each bracket still narrows ≥fanout-fold per round, so rounds =
+    // ⌈log_fanout(range)⌉ exactly; the selection invariant (answer is
+    // the min v with cle(v) ≥ rank, bracketed by the tested cuts) is
+    // unchanged — same oracle, same hash.
+    // fanout 16, not 64 (r15 revert of the r14 widening): the per-round
+    // aggregate carries active×(fanout−1) count(when) columns, and the
+    // generated update methods for a ~378-expression aggregate exceed
+    // HotSpot's JIT size limits — the round runs interpreted at ~20× the
+    // per-eval cost (measured: fanout 16 ⇒ ~10 cpu-s total for the
+    // registered cents search; fanout 64 ⇒ 69–276 cpu-s). With the
+    // small-span enumeration below, 16-way narrowing costs only
+    // ⌈log₁₆/log₆₄⌉ ≈ 1.5× the rounds — each a ~0.1 s job — while every
+    // round's expressions stay JIT-compilable.
+    val fanout = 16
     var iter = 0
     while (brackets.exists(t => t.lo < t.hi)) {
       iter += 1
       if (iter > maxIter) throw new IllegalStateException(
         s"quantilesBySearch exceeded $maxIter rounds — non-integral domain?")
       val active = brackets.filter(t => t.lo < t.hi)
+      // one agg row carries active×(fanout−1) count(when) expressions;
+      // bound it when group cardinality is large (the function already
+      // requires bounded groups, but a caller with hundreds of groups
+      // must degrade to narrower fanout, not a 10⁴-expression codegen
+      // unit — r14 advice). The registered bench workloads (≤ a dozen
+      // brackets) keep the full fanout.
+      val cutBudget = 2048
+      val effFanout = math.max(2, math.min(fanout, cutBudget / active.length))
       // cuts are driver-known literals, so each round is ONE
       // conditional aggregate over the cached base — no mids join (a
       // join would replicate every row once per threshold, turning the
@@ -360,14 +386,14 @@ object Sampling {
       val cutsOf = active.toSeq.map { t =>
         // BigInt span: hi − lo overflows Long when the domain spans
         // most of the Long range (exactly what an order-preserving
-        // double encoding produces), which would degrade every round
-        // to lo+1 stepping and a spurious maxIter failure
+        // double encoding produces)
         val span = BigInt(t.hi) - BigInt(t.lo)
-        val interior = (1 until fanout)
-          .map(k => (BigInt(t.lo) + span / fanout * k).toLong)
-          .distinct.filter(c => c >= t.lo && c < t.hi)
-        // a tiny bracket can produce no interior cuts — fall back to lo
-        t -> (if (interior.nonEmpty) interior else Seq(t.lo))
+        val cuts =
+          if (span <= effFanout) (t.lo until t.hi).toSeq
+          else (1 until effFanout)
+            .map(k => (BigInt(t.lo) + span * k / effFanout).toLong)
+            .distinct.filter(c => c >= t.lo && c < t.hi)
+        t -> cuts
       }
       val aggs = cutsOf.zipWithIndex.flatMap { case ((t, cuts), ti) =>
         cuts.zipWithIndex.map { case (c, ci) =>

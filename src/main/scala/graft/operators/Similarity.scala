@@ -237,18 +237,20 @@ object Similarity {
   private def quantized(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Integer L2 distance of a quantized vector to a centroid literal. */
-  private def fpDist(qv: Column, cent: Array[Long]): Column =
-    aggregate(zip_with(qv, lit(cent), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
-
   /** (distance, cell) structs of a quantized vector against every
     * fixed-point centroid, sorted ascending — shared by [[ivfFpTopK]]'s
-    * routing and [[assignCellsFp]]. */
+    * routing and [[assignCellsFp]].
+    *
+    * r15: ONE `transform` over the centroid matrix as a single 2-D
+    * literal, not nCells copies of the zip_with/aggregate lambda (the
+    * r14 profile put the fp serving family at parallelism ≈ 1.2 — wall
+    * is driver analysis/codegen over these trees, ~16× smaller this
+    * way). Same distances, same 0-based cell index from `transform`'s
+    * index argument, same struct layout under the same array_sort —
+    * bitwise-identical output, re-proven by every fp oracle. */
   private def fpCellScores(cents: Array[Array[Long]])(qv: Column): Column =
-    array_sort(array(cents.zipWithIndex.map { case (cent, i) =>
-      struct(fpDist(qv, cent).as("d"), lit(i).as("cell"))
-    }: _*))
+    array_sort(transform(typedLit(cents.map(_.toSeq).toSeq), (cent, i) =>
+      struct(graft.functions.LongVecL2(qv, cent).as("d"), i.as("cell"))))
 
   /** Fixed-point cell assignment of the whole corpus — [[assignCells]]'
     * hash-checkable twin: every step ([[ivfFpCentroids]] training +
@@ -1009,10 +1011,13 @@ object Similarity {
       kMeansFp(slices, slices.take(kSub), subIters)
     }
     def sliceOf(v: Column, s: Int): Column = slice(v, s * d + 1, d)
+    // one transform over the codebook matrix per subspace (the
+    // fpCellScores tree-size discipline): kSub codebook rows as a single
+    // 2-D literal, code = transform's index argument — identical argmin
     def codeOf(v: Column, s: Int): Column =
-      array_sort(array(books(s).zipWithIndex.map { case (cb, j) =>
-        struct(fpDist(sliceOf(v, s), cb).as("d"), lit(j).as("code"))
-      }: _*)).getItem(0).getField("code")
+      array_sort(transform(typedLit(books(s).map(_.toSeq).toSeq), (cb, j) =>
+        struct(graft.functions.LongVecL2(sliceOf(v, s), cb).as("d"),
+          j.as("code")))).getItem(0).getField("code")
     val enc = c0.select(
       (col("cand_id") +:
         fpCellScores(coarse)(col("qv")).getItem(0).getField("cell").as("cell") +:
@@ -1029,11 +1034,8 @@ object Similarity {
     // literal + element_at — no decode, no float)
     val adc = (0 until m).map { s =>
       val bookLit = typedLit(books(s).map(_.toSeq).toSeq)
-      aggregate(
-        zip_with(sliceOf(col("qq"), s),
-          element_at(bookLit, col(s"__c$s") + 1),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.LongVecL2(sliceOf(col("qq"), s),
+        element_at(bookLit, col(s"__c$s") + 1))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("cand_id"))
@@ -1114,9 +1116,7 @@ object Similarity {
       .withColumn("cell", explode(transform(
         slice(fpCellScores(cents)(col("qq")), 1, nprobe),
         s => s.getField("cell"))))
-    val sqDist = aggregate(
-      zip_with(col("qcd"), col("cd"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val sqDist = graft.functions.LongVecL2(col("qcd"), col("cd"))
     val wSq = Window.partitionBy(col("query_id"))
       .orderBy(col("sqd"), col("cand_id"))
     // (query, cand) pairs are unique out of the cell join (one cell per

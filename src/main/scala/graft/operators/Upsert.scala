@@ -216,7 +216,12 @@ object Upsert {
       val payload = if (carryPayload && tag == "b")
         nonKeys.map(c => col(c).as(s"__${tag}_$c")) else Nil
       df.select(keys.map(c => col(c).as(s"__${tag}_$c")) ++
-        (md5(to_json(struct(nonKeys.map(col): _*))).as(s"__${tag}_sig") +:
+        // `##` in the digest alias: payload columns are named
+        // __<tag>_<col>, so a snapshot column literally named "sig"
+        // would collide with a __<tag>_sig digest and make every
+        // downstream reference ambiguous; no payload name can produce
+        // __<tag>##… (r14 advice)
+        (md5(to_json(struct(nonKeys.map(col): _*))).as(s"__${tag}##sig") +:
           payload): _*)
     }
     // null-safe (<=>) key matching throughout: a plain equi-join would
@@ -227,9 +232,9 @@ object Upsert {
     val diff = digested(a, "a").join(digested(b, "b"), cond, "full_outer")
       .select(keys.map(c =>
         coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) ++
-        (when(col("__a_sig").isNull, "inserted")
-          .when(col("__b_sig").isNull, "deleted")
-          .when(col("__a_sig") =!= col("__b_sig"), "updated")
+        (when(col("__a##sig").isNull, "inserted")
+          .when(col("__b##sig").isNull, "deleted")
+          .when(col("__a##sig") =!= col("__b##sig"), "updated")
           .as("change") +:
           (if (carryPayload) nonKeys.map(c => col(s"__b_$c").as(c)) else Nil)): _*)
       .filter(col("change").isNotNull)

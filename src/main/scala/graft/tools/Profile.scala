@@ -39,10 +39,12 @@ object Profile {
       tasks: Int, runMs: Long, cpuMs: Long, shufReadMB: Double,
       shufWriteMB: Double, inRows: Long, outRows: Long)
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
-    var jobs = 0
+    // AtomicInteger, not a var under the listener's lock: reset/read
+    // happen from the main thread (r14 advice)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         synchronized {
           val i = s.stageInfo
@@ -76,7 +78,7 @@ object Profile {
       val fn = graft.SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n"))
       clearState()
-      stages.synchronized(stages.clear()); jobs = 0
+      stages.synchronized(stages.clear()); jobs.set(0)
       spark.sparkContext.setJobDescription(s"profile:$n")
       // construction INSIDE the timed window: iterative operators
       // (kCore, pageRank, the versioned sinks) do their rounds/commits
@@ -92,10 +94,17 @@ object Profile {
         val w = new java.io.PrintWriter(new java.io.File(dir, s"${n}_$suffix.txt"), "UTF-8")
         try w.println(txt) finally w.close()
       }
-      // listener bus is async; give it a beat to drain before reading
-      Thread.sleep(300)
+      // listener bus is async: poll until the stage buffer has been
+      // stable for two consecutive intervals (a fixed sleep under-counts
+      // stages on a loaded host — r14 advice), bounded at 5 s
+      var stable = 0; var last = -1; var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val sz = stages.synchronized(stages.size)
+        if (sz == last) stable += 1 else { stable = 0; last = sz }
+      }
       val rows = stages.synchronized(stages.sortBy(-_.runMs).toVector)
-      println(f"%n=== $n: wall $wall%.2f s, $jobs jobs, ${rows.size} stages, " +
+      println(f"%n=== $n: wall $wall%.2f s, ${jobs.get} jobs, ${rows.size} stages, " +
         f"sum task-time ${rows.map(_.runMs).sum / 1000.0}%.1f s ===")
       println(f"${"stage"}%-9s ${"tasks"}%5s ${"run_s"}%8s ${"cpu_s"}%8s " +
         f"${"sh_rd_MB"}%9s ${"sh_wr_MB"}%9s ${"in_rows"}%10s  name")
