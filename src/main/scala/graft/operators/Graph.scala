@@ -44,14 +44,30 @@ object Graph {
     val norm = Dedup.memoPersist(
       e0.join(outW, "src")
         .select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
-    val nodes = Dedup.memoPersist(
+    val nodes0 = Dedup.memoPersist(
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct())
-    val srcs = Dedup.memoPersist(norm.select(col("src").as("node")).distinct())
-    val n = nodes.count()
+    val srcs0 = Dedup.memoPersist(norm.select(col("src").as("node")).distinct())
+    val n = nodes0.count()
+    val m = norm.count()
+    // the tiny caches materialize at the session shuffle width on the
+    // no-AQE checkpoint path; every per-round scan of them would
+    // schedule that many near-empty tasks. With the counts in hand,
+    // read them through a width-derived coalesce instead (r15 — ONE
+    // task reads all cached blocks at bench scale, full width at
+    // production row counts)
+    val nodes = Spread.shrinkTo(nodes0, n)
+    val srcs = Spread.shrinkTo(srcs0, n)
+    val normS = Spread.shrinkTo(norm, m)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(norm, col("node") === col("src"))
+      // explicit width-derived repartition BEFORE the groupBy: the agg
+      // reuses it (same key ⇒ no second exchange), so the round's
+      // shuffle is ⌈n/256Ki⌉ wide instead of the session default — the
+      // checkpoint/probe actions run on the no-AQE RDD path, where
+      // nothing else coalesces these node-sized exchanges (r15)
+      val contrib = Spread.shrinkKeyed(
+        ranks.join(normS, col("node") === col("src")), n, col("dst"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("in_mass"))
       // dangling mass = Σ rank over out-edge-less nodes, folded in as a
       // 1-row broadcast — NO driver action inside the loop (an earlier
@@ -77,7 +93,10 @@ object Graph {
       // measured WORSE — 3.2 → 4.7 s at ~0 steal — because the three
       // consumers of the previous round's un-checkpointed frame re-run
       // its subtree inside one action; reverted.)
-      ranks = ranks.localCheckpoint()
+      // node-sized frame: checkpoint ⌈n/256Ki⌉ partitions, not the
+      // session shuffle width (Spread.shrinkTo — 25-row bench ranks
+      // otherwise materialize 32 near-empty partitions every round)
+      ranks = Spread.shrinkTo(ranks, n).localCheckpoint()
     }
     ranks
   }
@@ -129,19 +148,28 @@ object Graph {
       s"pageRankFixedPoint needs integer weights in (0, $wMax] " +
         s"(Long.MaxValue/scale keeps rank*w exact); got ${bad.mkString}")
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val eN = Dedup.memoPersist(e0.join(outW, "src")
+    val eN0 = Dedup.memoPersist(e0.join(outW, "src")
       .select(col("src"), col("dst"), col("w"), col("wout")))
-    val nodes = Dedup.memoPersist(
+    val nodes0 = Dedup.memoPersist(
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct())
-    val srcs = Dedup.memoPersist(eN.select(col("src").as("node")).distinct())
-    val n = nodes.count()
+    val srcs0 = Dedup.memoPersist(eN0.select(col("src").as("node")).distinct())
+    val n = nodes0.count()
+    val m = eN0.count()
+    // narrow the per-round cache scans to a width derived from the
+    // counted sizes — the [[pageRank]] cache-width note
+    val nodes = Spread.shrinkTo(nodes0, n)
+    val srcs = Spread.shrinkTo(srcs0, n)
+    val eN = Spread.shrinkTo(eN0, m)
     var ranks = nodes.withColumn("rank", lit(scale / n))
     var round = 0
     var converged = false
     while (round < iters && !converged) {
       round += 1
-      val contrib = ranks.join(eN, col("node") === col("src"))
+      // width-derived repartition shared by the groupBy — see
+      // [[pageRank]]'s contrib note
+      val contrib = Spread.shrinkKeyed(
+        ranks.join(eN, col("node") === col("src")), n, col("dst"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank * w) div wout")).as("in_mass"))
       val dang = ranks.join(srcs, Seq("node"), "left_anti")
@@ -159,8 +187,8 @@ object Graph {
         // probe itself materialize the checkpoint — the old shape paid
         // an eager-checkpoint job AND a probe job per round. The carried
         // column is projected away below; rank arithmetic is untouched.
-        val next = stepped
-          .join(ranks.withColumnRenamed("rank", "__prev"), "node")
+        val next = Spread.shrinkTo(stepped
+          .join(ranks.withColumnRenamed("rank", "__prev"), "node"), n)
           .localCheckpoint(false)
         converged = next.filter(col("rank") =!= col("__prev"))
           .limit(1).collect().isEmpty
@@ -170,7 +198,7 @@ object Graph {
         // like [[pageRank]] (r14: an every-other-round cadence measured
         // WORSE — the un-checkpointed round's subtree re-runs once per
         // consumer inside the next action; reverted)
-        ranks = stepped.localCheckpoint()
+        ranks = Spread.shrinkTo(stepped, n).localCheckpoint()
       }
     }
     ranks
@@ -266,13 +294,21 @@ object Graph {
     val bad = e.filter(col("w") <= 0 || col("w").isNull).limit(1).collect()
     require(bad.isEmpty,
       s"ssspFixed needs positive integer weights; got ${bad.mkString}")
-    var dist = seeds.select(seedCol.as("node")).distinct()
-      .withColumn("d", lit(0L)).localCheckpoint()
+    // distance frames hold ≤ distinct-node ≤ edge-count rows: checkpoint
+    // them at a width derived from that bound (Spread.shrinkTo), not the
+    // session shuffle width — the count is one cheap job on the already-
+    // cached edge frame, repaid every round
+    val eBound = e.count()
+    // narrow the per-round edge-cache scans too (pageRank cache-width
+    // note): the cache materializes at session width on the no-AQE path
+    val eS = Spread.shrinkTo(e, eBound)
+    var dist = Spread.shrinkTo(seeds.select(seedCol.as("node")).distinct()
+      .withColumn("d", lit(0L)), eBound).localCheckpoint()
     var round = 0L
     var converged = false
     while (round < maxDist && !converged) {
       round += 1
-      val cand = dist.join(e, col("node") === col("x"))
+      val cand = dist.join(eS, col("node") === col("x"))
         .select(col("y").as("node"), (col("d") + col("w")).as("d"),
           lit(null).cast("long").as("__old"))
       // the previous distance rides THROUGH the min-fold as a second
@@ -282,10 +318,11 @@ object Graph {
       // is the round's ONE driver action, materializing the checkpoint
       // as it runs (r14; was eager checkpoint + probe join, 2 actions).
       // The emitted d = min over the same union, bitwise unchanged.
-      val next0 = dist.select(col("node"), col("d"), col("d").as("__old"))
-        .unionByName(cand.filter(col("d") <= maxDist))
-        .groupBy(col("node")).agg(min(col("d")).as("d"),
-          min(col("__old")).as("__prev"))
+      val next0 = Spread.shrinkTo(
+        dist.select(col("node"), col("d"), col("d").as("__old"))
+          .unionByName(cand.filter(col("d") <= maxDist))
+          .groupBy(col("node")).agg(min(col("d")).as("d"),
+            min(col("__old")).as("__prev")), eBound)
         .localCheckpoint(false)
       converged = next0
         .filter(col("__prev").isNull || col("d") =!= col("__prev"))
@@ -316,8 +353,12 @@ object Graph {
         .unionByName(edges.select(b.as("x"), a.as("y")))
         .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
         .distinct())
-    var visited = seeds.select(seedCol.as("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint()
+    // visited/frontier hold ≤ distinct-node ≤ edge-count rows — same
+    // width-derivation as ssspFixed
+    val eBound = e.count()
+    val eS = Spread.shrinkTo(e, eBound)
+    var visited = Spread.shrinkTo(seeds.select(seedCol.as("node")).distinct()
+      .withColumn("hops", lit(0)), eBound).localCheckpoint()
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -325,12 +366,13 @@ object Graph {
       // eager checkpoints kept (r14: a lazy-checkpoint variant measured
       // WORSE, 2.0 → 2.9 s at ~0 steal — `visited` has two consumers
       // per hop and the deferred materialization re-ran its subtree)
-      val next = frontier.join(e, col("node") === col("x"))
+      val next = Spread.shrinkTo(frontier.join(eS, col("node") === col("x"))
         .select(col("y").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop))
+        .withColumn("hops", lit(hop)), eBound)
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = Spread.shrinkTo(visited.unionByName(next), eBound)
+        .localCheckpoint()
       frontier = next
     }
     visited
@@ -367,6 +409,10 @@ object Graph {
     // the SAME checkpointed frame narrowed.count() just measured,
     // doubling the per-round driver actions for nothing
     var prevCount = e.count()
+    // the initial checkpoint materialized at session width — scan it
+    // narrowed from here on (round checkpoints are width-shrunk before
+    // materialization already)
+    e = Spread.shrinkTo(e, prevCount)
     while (!converged && iter < maxIter) {
       iter += 1
       // keep is NOT checkpointed: its degree aggregate is an identical
@@ -377,9 +423,12 @@ object Graph {
       val keep = e.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("x").as("node"))
-      val narrowed = e
+      // prevCount bounds the monotonically-shrinking edge set: the
+      // checkpoint keeps a width derived from it (Spread.shrinkTo)
+      val narrowed = Spread.shrinkTo(e
         .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
-        .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
+        .join(keep.select(col("node").as("y")), Seq("y"), "left_semi"),
+        prevCount)
         .localCheckpoint(false)
       val nowCount = narrowed.count()
       converged = nowCount == prevCount

@@ -51,6 +51,46 @@ object Spread {
     if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 
+  /** Partition-count repair in the OTHER direction: coalesce a small
+    * iterative intermediate to a row-count-derived width before its
+    * per-round `localCheckpoint` (r15). The failure mode is the mirror
+    * image of [[cpuHeavy]]'s: a node-sized rank/distance/edge frame
+    * inherits the session's full shuffle width from its last exchange,
+    * the checkpoint materializes all those near-empty partitions, and
+    * every stage of every subsequent round pays width × scheduling
+    * floor (graph_pagerank_fp: 91 jobs of 32-task stages over 25 rows —
+    * ~3,000 tasks of pure floor). The width is DERIVED, not constant:
+    * ⌈rows / 256 Ki⌉ clamped to [1, session shuffle parallelism], so a
+    * 25-node bench graph checkpoints 1 partition while a billion-node
+    * production frame keeps the full configured width (guide §2's
+    * scale-adaptive partitioning rule). `coalesce` (not repartition):
+    * no shuffle, and a target ≥ the current width is a no-op. Callers
+    * pass a row BOUND they already hold (a convergence-probe count, the
+    * node count) — exact integer arithmetic downstream is
+    * partition-order-free, so oracle hashes are unchanged. */
+  def shrinkTo(df: DataFrame, rowBound: Long): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rowsPerPartition = 1L << 18
+    val p = math.max(1L, math.min(n.toLong,
+      (math.max(rowBound, 0L) + rowsPerPartition - 1) / rowsPerPartition)).toInt
+    df.coalesce(p)
+  }
+
+  /** [[shrinkTo]]'s keyed sibling: hash-repartition on `keys` at the
+    * same row-count-derived width, placed immediately before a
+    * groupBy/join on the same keys so the downstream operator REUSES
+    * the exchange (one shuffle, explicit width) instead of adding its
+    * own session-wide one. For iterative operators whose actions run on
+    * the RDD path, where AQE coalescing never fires. */
+  def shrinkKeyed(df: DataFrame, rowBound: Long,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rowsPerPartition = 1L << 18
+    val p = math.max(1L, math.min(n.toLong,
+      (math.max(rowBound, 0L) + rowsPerPartition - 1) / rowsPerPartition)).toInt
+    df.repartition(p, keys: _*)
+  }
+
   /** True iff the analyzed plan is a Project/Filter/alias chain over a
     * single leaf — the shapes whose `.rdd` probe is plan-only. Anything
     * else (joins, aggregates, repartitions, unions) either already owns
