@@ -33,10 +33,23 @@ object PrefixSum {
     * the exchange differently between the two jobs and mis-pair
     * partition totals with rows. */
   def runningSums(df: DataFrame, order: Seq[Column],
-      values: Seq[String]): DataFrame = {
+      values: Seq[String], rowBound: Long = -1L): DataFrame = {
     require(values.nonEmpty, "runningSums needs at least one value column")
+    // optional width derivation (r15): a caller that already holds the
+    // frame's row count passes it, and the range exchange takes
+    // ⌈rows/256Ki⌉ partitions instead of the session width — a 196-row
+    // calibration sweep otherwise schedules 32 near-empty tasks in all
+    // three phase jobs. Unknown bound (-1) keeps the session width.
+    val ranged =
+      if (rowBound >= 0L) {
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        val rowsPerPartition = 1L << 18
+        val p = math.max(1L, math.min(n.toLong,
+          (rowBound + rowsPerPartition - 1) / rowsPerPartition)).toInt
+        df.repartitionByRange(p, order: _*)
+      } else df.repartitionByRange(order: _*)
     val meta = Dedup.memoPersist(
-      df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id()))
+      ranged.withColumn("__pid", spark_partition_id()))
     val within = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val basew = Window.orderBy(col("__pid"))

@@ -2062,9 +2062,13 @@ object LlmOps {
         .agg(count(lit(1)).as("n"),
           sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos")))
     val tot = byScore.agg(sum(col("pos")).as("pos_total"))
+    // the count doubles as the cache materialization (one job either
+    // way) and lets the prefix-sum sweep derive its exchange width from
+    // the actual score cardinality instead of the session default
+    val nScores = byScore.count()
     graft.operators.PrefixSum
       .runningSums(byScore, order = Seq(col("score").desc),
-        values = Seq("n", "pos"))
+        values = Seq("n", "pos"), rowBound = nScores)
       .crossJoin(broadcast(tot))
       .select(col("score").as("threshold"),
         col("n_cum").as("n_keep"), col("pos_cum").as("tp"),
